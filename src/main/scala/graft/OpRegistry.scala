@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One registered operator: the Spark implementation plus (when the
+  * semantics are ANSI-SQL-expressible) an equivalent DuckDB oracle query
+  * over the same parquet tables. Column aliases MUST match between the
+  * two — the driver's comparator sorts columns by name before hashing.
+  */
+final case class Op(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object OpRegistry {
+  import graft.operators._
+
+  private def op(name: String, fn: (SparkSession, String) => DataFrame, sql: String): Op =
+    Op(name, fn, Some(sql.stripMargin.trim))
+  private def opNoOracle(name: String, fn: (SparkSession, String) => DataFrame): Op =
+    Op(name, fn, None)
+
+  // ---------------------------------------------------------------- //
+  // Relational operator surface (SURVEY §2 mapping targets + Spark    //
+  // capabilities the rebuild exposes as first-class operators).       //
+  // ---------------------------------------------------------------- //
+  private val relational: Seq[Op] = Seq(
+    op("q1_agg", RelationalOps.q1Agg,
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        |  sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus"""),
+    op("q3_topk_join", RelationalOps.q3TopkJoin,
+      """SELECT l_orderkey,
+        |  sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10"""),
+    op("q5_multijoin", RelationalOps.q5MultiJoin,
+      """SELECT n_name,
+        |  sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY n_name"""),
+    op("q_window", RelationalOps.qWindow,
+      """SELECT o_custkey, rn, o_orderkey, running_spend FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+        |  FROM orders) t
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn"""),
+    op("q_sort_limit", RelationalOps.qSortLimit,
+      """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total
+        |FROM orders
+        |ORDER BY total DESC, o_orderkey
+        |LIMIT 10"""),
+    op("q_intersect", RelationalOps.qIntersect,
+      """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY custkey"""),
+    op("q_except", RelationalOps.qExcept,
+      """SELECT o_orderkey AS okey FROM orders
+        |EXCEPT
+        |SELECT l_orderkey AS okey FROM lineitem
+        |ORDER BY okey"""),
+    op("q_semi_join", RelationalOps.qSemiJoin,
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey"""),
+    op("q_anti_join", RelationalOps.qAntiJoin,
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey"""),
+    op("q_scalar_funcs", RelationalOps.qScalarFuncs,
+      """SELECT p_partkey,
+        |  upper(p_type) AS type_up,
+        |  substr(p_name, 1, 8) AS name_pfx,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  CAST(round(p_retailprice*0.8, 2) AS DECIMAL(18,2)) AS discounted,
+        |  CASE WHEN p_size >= 25 THEN 'large'
+        |       WHEN p_size >= 10 THEN 'medium'
+        |       ELSE 'small' END AS size_class
+        |FROM part
+        |ORDER BY p_partkey"""),
+    op("q_date_funcs", RelationalOps.qDateFuncs,
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |  count(*) AS n_orders,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |FROM orders
+        |GROUP BY 1, 2
+        |ORDER BY yr, mo"""),
+    op("q_distinct_agg", RelationalOps.qDistinctAgg,
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag"""),
+    op("q_having", RelationalOps.qHaving,
+      """SELECT o_custkey, count(*) AS n_orders
+        |FROM orders
+        |GROUP BY o_custkey
+        |HAVING count(*) >= 8
+        |ORDER BY o_custkey"""),
+    op("q_rollup", RelationalOps.qRollup,
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls"""),
+    opNoOracle("q_approx_distinct", RelationalOps.qApproxDistinct),
+  )
+
+  // ---------------------------------------------------------------- //
+  // RDF parity surface (SURVEY §2.1-2.3) on the testdata triple view. //
+  // ---------------------------------------------------------------- //
+  private val rdfParity: Seq[Op] = Seq(
+    op("rdf_ap_spo", RdfOps.apSpo, RdfOps.apSpoSql),
+    op("rdf_ap_po", RdfOps.apPo, RdfOps.apPoSql),
+    op("rdf_ap_so", RdfOps.apSo, RdfOps.apSoSql),
+    op("rdf_ap_sp", RdfOps.apSp, RdfOps.apSpSql),
+    op("rdf_ap_o", RdfOps.apO, RdfOps.apOSql),
+    op("rdf_ap_p", RdfOps.apP, RdfOps.apPSql),
+    op("rdf_ap_s", RdfOps.apS, RdfOps.apSSql),
+    op("rdf_ap_full", RdfOps.apFull, RdfOps.apFullSql),
+    op("rdf_bgp_join", RdfOps.bgpJoin, RdfOps.bgpJoinSql),
+    op("rdf_insert", RdfOps.insert, RdfOps.insertSql),
+    op("rdf_remove", RdfOps.remove, RdfOps.removeSql),
+    op("rdf_dict_encode", RdfOps.dictEncode, RdfOps.dictEncodeSql),
+    op("rdf_persist_roundtrip", RdfOps.persistRoundtrip, RdfOps.persistRoundtripSql),
+  )
+
+  val ops: Seq[Op] = relational ++ rdfParity
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    ops.map(o => o.name -> o.fn).toMap
+  def oracleSql: Map[String, String] =
+    ops.collect { case Op(n, _, Some(sql)) => n -> sql }.toMap
+}

@@ -1,0 +1,186 @@
+package graft.operators
+
+import graft.Tables._
+import graft.query.{Bgp, Sparql}
+import graft.store.Dict
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's query surface (SURVEY §2.1-2.3) exercised against a
+  * triple view derived from the relational testdata, so that every
+  * access path, the BGP conjunction, mutations, dictionary encoding and
+  * the persistence round-trip are all checkable against a DuckDB
+  * oracle running plain SQL on the same parquet tables.
+  *
+  * The triple view (a labeled directed graph):
+  *   (n_name)  --in_region-->  (r_name)
+  *   (c_name)  --in_nation-->  (n_name)
+  *   (s_name)  --in_nation-->  (n_name)
+  *   (c_name)  --in_segment--> (c_mktsegment)
+  *
+  * All eight bound/unbound triple-pattern shapes (reference:
+  * graph.rs:842-1009) compile to ONE Catalyst filter each — predicate
+  * pushdown subsumes the reference's 8-way access-path dispatch.
+  */
+object RdfOps {
+
+  /** The shared triple view. Dimension joins are broadcast. */
+  def tripleView(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val r = region(s, d)
+    val n = nation(s, d)
+    val c = customer(s, d)
+    val sup = supplier(s, d)
+    val nr = n.join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .select($"n_name".as("s"), lit("in_region").as("p"), $"r_name".as("o"))
+    val cn = c.join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .select($"c_name".as("s"), lit("in_nation").as("p"), $"n_name".as("o"))
+    val sn = sup.join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+      .select($"s_name".as("s"), lit("in_nation").as("p"), $"n_name".as("o"))
+    val cs = c.select($"c_name".as("s"), lit("in_segment").as("p"), $"c_mktsegment".as("o"))
+    nr.union(cn).union(sn).union(cs)
+  }
+
+  /** DuckDB CTE equivalent of [[tripleView]], prefixed to oracle SQL. */
+  val tripleViewSql: String =
+    """WITH t AS (
+      |  SELECT n_name AS s, 'in_region' AS p, r_name AS o
+      |    FROM nation JOIN region ON n_regionkey = r_regionkey
+      |  UNION ALL
+      |  SELECT c_name, 'in_nation', n_name
+      |    FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |  UNION ALL
+      |  SELECT s_name, 'in_nation', n_name
+      |    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |  UNION ALL
+      |  SELECT c_name, 'in_segment', c_mktsegment FROM customer
+      |)""".stripMargin
+
+  private def sorted(df: DataFrame): DataFrame = {
+    df.orderBy(df.columns.map(df(_)).toSeq: _*)
+  }
+
+  /** One access path = ONE filter with whatever positions are bound
+    * (SURVEY §2.3: Catalyst predicate pushdown + partition pruning
+    * subsume the reference's 8-way dispatch, graph.rs:842-853). */
+  private def accessPath(s: SparkSession, d: String,
+      sv: Option[String], pv: Option[String], ov: Option[String]): DataFrame = {
+    var df = tripleView(s, d)
+    sv.foreach(v => df = df.filter(df("s") === v))
+    pv.foreach(v => df = df.filter(df("p") === v))
+    ov.foreach(v => df = df.filter(df("o") === v))
+    sorted(df.select("s", "p", "o"))
+  }
+
+  private def apSql(conds: Seq[String]): String = {
+    val where = if (conds.isEmpty) "" else conds.mkString("WHERE ", " AND ", "")
+    s"$tripleViewSql\nSELECT s, p, o FROM t $where ORDER BY s, p, o"
+  }
+
+  // The 8 access paths (reference Q3-Q10, graph.rs:854-1009)
+  def apSpo(s: SparkSession, d: String): DataFrame =
+    accessPath(s, d, Some("NATION_2"), Some("in_region"), Some("ASIA"))
+  val apSpoSql: String = apSql(Seq("s = 'NATION_2'", "p = 'in_region'", "o = 'ASIA'"))
+
+  def apPo(s: SparkSession, d: String): DataFrame =
+    accessPath(s, d, None, Some("in_region"), Some("ASIA"))
+  val apPoSql: String = apSql(Seq("p = 'in_region'", "o = 'ASIA'"))
+
+  def apSo(s: SparkSession, d: String): DataFrame =
+    accessPath(s, d, Some("NATION_2"), None, Some("ASIA"))
+  val apSoSql: String = apSql(Seq("s = 'NATION_2'", "o = 'ASIA'"))
+
+  def apSp(s: SparkSession, d: String): DataFrame =
+    accessPath(s, d, Some("NATION_2"), Some("in_region"), None)
+  val apSpSql: String = apSql(Seq("s = 'NATION_2'", "p = 'in_region'"))
+
+  def apO(s: SparkSession, d: String): DataFrame =
+    accessPath(s, d, None, None, Some("ASIA"))
+  val apOSql: String = apSql(Seq("o = 'ASIA'"))
+
+  def apP(s: SparkSession, d: String): DataFrame =
+    accessPath(s, d, None, Some("in_nation"), None)
+  val apPSql: String = apSql(Seq("p = 'in_nation'"))
+
+  def apS(s: SparkSession, d: String): DataFrame =
+    accessPath(s, d, Some("NATION_2"), None, None)
+  val apSSql: String = apSql(Seq("s = 'NATION_2'"))
+
+  def apFull(s: SparkSession, d: String): DataFrame =
+    accessPath(s, d, None, None, None)
+  val apFullSql: String = apSql(Nil)
+
+  /** Conjunctive BGP with two shared variables (reference Q1,
+    * graph.rs:333-413, generalized to n-variable joins): customers in
+    * an ASIA nation with BUILDING segment. */
+  def bgpJoin(s: SparkSession, d: String): DataFrame = {
+    val q = Sparql()
+      .select(Seq("$c", "$n"))
+      .filter(Seq(
+        Seq("$c", "in_nation", "$n"),
+        Seq("$n", "in_region", "ASIA"),
+        Seq("$c", "in_segment", "BUILDING")))
+    val res = Bgp.compile(tripleView(s, d), q)
+    res.orderBy(res("c"), res("n"))
+  }
+  val bgpJoinSql: String =
+    s"""$tripleViewSql
+       |SELECT DISTINCT t1.s AS c, t1.o AS n
+       |FROM t t1, t t2, t t3
+       |WHERE t1.p = 'in_nation'
+       |  AND t2.p = 'in_region' AND t2.o = 'ASIA' AND t2.s = t1.o
+       |  AND t3.p = 'in_segment' AND t3.o = 'BUILDING' AND t3.s = t1.s
+       |ORDER BY c, n""".stripMargin
+
+  /** Insert (reference M1, graph.rs:414-509): union + distinct. */
+  def insert(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val extra = Seq(
+      ("GABE", "likes", "RIPPLE"),
+      ("NATION_2", "in_region", "ASIA") // duplicate — must not duplicate
+    ).toDF("s", "p", "o")
+    sorted(tripleView(s, d).union(extra).distinct())
+  }
+  val insertSql: String =
+    s"""$tripleViewSql
+       |SELECT DISTINCT s, p, o FROM (
+       |  SELECT * FROM t
+       |  UNION ALL VALUES ('GABE', 'likes', 'RIPPLE'), ('NATION_2', 'in_region', 'ASIA'))
+       |ORDER BY s, p, o""".stripMargin
+
+  /** Remove (reference M2, graph.rs:510-629): except. */
+  def remove(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val gone = Seq(("NATION_2", "in_region", "ASIA")).toDF("s", "p", "o")
+    sorted(tripleView(s, d).except(gone))
+  }
+  val removeSql: String =
+    s"""$tripleViewSql
+       |SELECT s, p, o FROM t
+       |EXCEPT SELECT 'NATION_2', 'in_region', 'ASIA'
+       |ORDER BY s, p, o""".stripMargin
+
+  /** Dictionary encoding (reference S2, parser.rs:22-87): dense
+    * deterministic ids over the subject∪object term set. */
+  def dictEncode(s: SparkSession, d: String): DataFrame = {
+    val t = tripleView(s, d)
+    val terms = t.select(t("s").as("term")).union(t.select(t("o").as("term")))
+    val enc = Dict.encode(terms, Seq("term"))
+    enc.orderBy(enc("id"))
+  }
+  val dictEncodeSql: String =
+    s"""$tripleViewSql
+       |SELECT term, CAST(row_number() OVER (ORDER BY term) - 1 AS BIGINT) AS id
+       |FROM (SELECT DISTINCT s AS term FROM t UNION SELECT DISTINCT o FROM t) u
+       |ORDER BY id""".stripMargin
+
+  /** Persistence round-trip (reference S4+S5, graph.rs:54-222,630-695):
+    * write predicate-partitioned parquet, read it back, prove identity. */
+  def persistRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_persist").toString
+    tripleView(s, d).write.mode("overwrite").partitionBy("p").parquet(dir)
+    val back = s.read.parquet(dir).select("s", "p", "o")
+    sorted(back)
+  }
+  val persistRoundtripSql: String = apSql(Nil)
+}

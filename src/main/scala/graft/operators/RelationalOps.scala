@@ -1,0 +1,204 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Core relational operator surface: scan, filter, project, aggregate,
+  * join (broadcast/shuffle/semi/anti), window, sort/limit, set ops,
+  * scalar functions, rollup.
+  *
+  * Every query returns a deterministically ordered result whose columns
+  * are aliased identically to the DuckDB oracle SQL in
+  * [[graft.OpRegistry]]. Money-like aggregates are cast to DECIMAL before
+  * summing so Spark and DuckDB both do exact decimal arithmetic
+  * (double-sum order would otherwise diverge between engines).
+  *
+  * Scale notes (100 TB posture):
+  *  - dimension tables (region/nation/supplier/customer at TPC-H ratios)
+  *    are broadcast explicitly; fact-fact joins shuffle on their keys.
+  *  - aggregations are expressed as groupBy/agg so Catalyst plans
+  *    partial (map-side) aggregation before the shuffle.
+  *  - filters are plain Column predicates on the scan → pushed to
+  *    parquet (PushedFilters), and only referenced columns are read.
+  */
+object RelationalOps {
+
+  private def dec(c: Column, scale: Int = 2): Column =
+    c.cast(DecimalType(18, scale))
+
+  /** TPC-H Q1 shape: scan+filter+group+aggregate with map-side combine. */
+  def q1Agg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .filter($"l_shipdate" <= lit("1998-09-01").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum(dec($"l_quantity")).as("sum_qty"),
+        sum(dec($"l_extendedprice")).as("sum_base_price"),
+        sum(dec($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4)).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** TPC-H Q3 shape: two shuffled fact joins + agg + top-k. */
+  def q3TopkJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = customer(s, d).filter($"c_mktsegment" === "BUILDING")
+    val o = orders(s, d)
+    val l = lineitem(s, d)
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey")
+      .agg(sum(dec($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4)).as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: star join over 6 tables, dims broadcast. */
+  def q5MultiJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val r = region(s, d).filter($"r_name" === "ASIA")
+    lineitem(s, d)
+      .join(orders(s, d), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(customer(s, d)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(supplier(s, d)),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(nation(s, d)), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(sum(dec($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4)).as("revenue"))
+      .orderBy($"n_name")
+  }
+
+  /** Window functions: ranking + running aggregate per partition. */
+  def qWindow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    orders(s, d)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("running_spend",
+        sum(dec($"o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter($"rn" <= 3)
+      .select($"o_custkey", $"rn", $"o_orderkey", $"running_spend")
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  /** Global sort + limit (Spark plans TakeOrderedAndProject — no full sort). */
+  def qSortLimit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    orders(s, d)
+      .select($"o_orderkey", $"o_custkey", dec($"o_totalprice").as("total"))
+      .orderBy($"total".desc, $"o_orderkey")
+      .limit(10)
+  }
+
+  /** Set operations: INTERSECT and EXCEPT (both set-distinct semantics). */
+  def qIntersect(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val building = customer(s, d).filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey".as("custkey"))
+    val open = orders(s, d).filter($"o_orderstatus" === "O")
+      .select($"o_custkey".as("custkey"))
+    building.intersect(open).orderBy($"custkey")
+  }
+
+  def qExcept(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val all = orders(s, d).select($"o_orderkey".as("okey"))
+    val shipped = lineitem(s, d).select($"l_orderkey".as("okey"))
+    all.except(shipped).orderBy($"okey")
+  }
+
+  /** Semi join (EXISTS): customers having at least one urgent order. */
+  def qSemiJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val urgent = orders(s, d).filter($"o_orderpriority" === "1-URGENT")
+    customer(s, d)
+      .join(urgent, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  /** Anti join (NOT EXISTS): customers with no urgent order. */
+  def qAntiJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val urgent = orders(s, d).filter($"o_orderpriority" === "1-URGENT")
+    customer(s, d)
+      .join(urgent, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  /** Scalar function surface: string / math / conditional expressions. */
+  def qScalarFuncs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    part(s, d)
+      .select(
+        $"p_partkey",
+        upper($"p_type").as("type_up"),
+        substring($"p_name", 1, 8).as("name_pfx"),
+        length($"p_name").cast("long").as("name_len"),
+        dec(round($"p_retailprice" * 0.8, 2)).as("discounted"),
+        when($"p_size" >= 25, lit("large"))
+          .when($"p_size" >= 10, lit("medium"))
+          .otherwise(lit("small")).as("size_class"))
+      .orderBy($"p_partkey")
+  }
+
+  /** Date/time functions over orders. */
+  def qDateFuncs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    orders(s, d)
+      .groupBy(year($"o_orderdate").cast("long").as("yr"),
+        month($"o_orderdate").cast("long").as("mo"))
+      .agg(count(lit(1)).as("n_orders"), sum(dec($"o_totalprice")).as("spend"))
+      .orderBy($"yr", $"mo")
+  }
+
+  /** DISTINCT aggregation: exact distinct counts per group. */
+  def qDistinctAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Aggregate + HAVING: repeat customers. */
+  def qHaving(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    orders(s, d)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"))
+      .filter($"n_orders" >= 8)
+      .orderBy($"o_custkey")
+  }
+
+  /** ROLLUP grouping sets (nulls coalesced so ordering is engine-neutral). */
+  def qRollup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(sum(dec($"l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("rf"),
+        coalesce($"l_linestatus", lit("ALL")).as("ls"),
+        $"sum_qty", $"n")
+      .orderBy($"rf", $"ls")
+  }
+
+  /** Approximate distinct (HLL++) — no cross-engine oracle, rows-only. */
+  def qApproxDistinct(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_partkey").as("approx_parts"))
+      .orderBy($"l_returnflag")
+  }
+}

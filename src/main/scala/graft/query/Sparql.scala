@@ -1,0 +1,101 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's query AST rebuilt 1:1 (reference: src/rdf/query.rs:2-31):
+  * a `select` list of `$`-prefixed variables plus a `filter` of triple
+  * patterns. Undeclared variables in `filter` fail fast — the reference
+  * panics (query.rs:54); here it throws IllegalArgumentException.
+  *
+  * Divergences from the reference, by design (SURVEY §2.3 quirks are
+  * artifacts, not features):
+  *  - n shared variables join correctly (reference assumes exactly one);
+  *  - results are set-distinct rows over ALL selected variables
+  *    (reference: bag with a first-index-only dedup bug);
+  *  - pattern values match any term by value (reference coerces literals
+  *    to Named IRIs, making literals unmatchable, graph.rs:338-344).
+  */
+final case class Sparql(vars: Seq[String], conds: Seq[(QueryUnit, QueryUnit, QueryUnit)]) {
+
+  def select(vs: Seq[String]): Sparql = copy(vars = vars ++ vs.map(stripVar))
+
+  def filter(patterns: Seq[Seq[String]]): Sparql = {
+    val parsed = patterns.map { p =>
+      require(p.length == 3, s"triple pattern must have 3 positions, got $p")
+      (QueryUnit.parse(p(0)), QueryUnit.parse(p(1)), QueryUnit.parse(p(2)))
+    }
+    parsed.flatMap(t => Seq(t._1, t._2, t._3)).foreach {
+      case QVar(n) => require(vars.contains(n), s"variable $$$n not declared in select")
+      case _       => ()
+    }
+    copy(conds = conds ++ parsed)
+  }
+
+  private def stripVar(v: String): String =
+    if (v.startsWith("$")) v.substring(1) else v
+}
+
+object Sparql {
+  def apply(): Sparql = Sparql(Nil, Nil)
+}
+
+sealed trait QueryUnit
+final case class QVal(value: String) extends QueryUnit
+final case class QVar(name: String) extends QueryUnit
+
+object QueryUnit {
+  /** `$x` → variable x; anything else → value (reference query.rs:8-25). */
+  def parse(s: String): QueryUnit =
+    if (s.startsWith("$")) QVar(s.substring(1)) else QVal(s)
+}
+
+/** Generic conjunctive basic-graph-pattern compiler over any DataFrame
+  * with columns (s, p, o). This is the rebuild of the reference's entire
+  * query engine (`Graph::get` + the 8 access paths, graph.rs:333-1009):
+  * bound positions become pushed-down filters — Catalyst's predicate
+  * pushdown plus parquet partition pruning on `p` subsume the 8-way
+  * access-path dispatch — and shared variables become equi-joins.
+  *
+  * `matchValue` adapts the compiler to the physical term type: for a
+  * plain string triple view it is the column itself; for
+  * `Dataset[Triple]` it is the term struct's `value` field.
+  */
+object Bgp {
+  private val positions = Seq("s", "p", "o")
+
+  def compile(
+      triples: DataFrame,
+      q: Sparql,
+      matchValue: (DataFrame, String) => Column = (df, pos) => df(pos),
+      distinct: Boolean = true): DataFrame = {
+    require(q.conds.nonEmpty, "empty BGP")
+    val patternDfs = q.conds.map { case (s, p, o) =>
+      val units = Seq(s, p, o)
+      // filter bound positions
+      var df = triples
+      units.zip(positions).foreach {
+        case (QVal(v), pos) => df = df.filter(matchValue(df, pos) === lit(v))
+        case _              => ()
+      }
+      // same variable twice in one pattern → positional equality
+      val varPos = units.zip(positions).collect { case (QVar(n), pos) => (n, pos) }
+      varPos.groupBy(_._1).values.filter(_.length > 1).foreach { dup =>
+        dup.sliding(2).foreach {
+          case Seq((_, p1), (_, p2)) => df = df.filter(df(p1) === df(p2))
+          case _                     => ()
+        }
+      }
+      // project variables, first occurrence wins
+      val cols = varPos.distinctBy(_._1).map { case (n, pos) => df(pos).as(n) }
+      df.select(cols: _*)
+    }
+    val joined = patternDfs.reduce { (l, rIn) =>
+      val shared = l.columns.intersect(rIn.columns).toSeq
+      // avoid ambiguous-column collisions on the non-join columns
+      if (shared.nonEmpty) l.join(rIn, shared, "inner") else l.crossJoin(rIn)
+    }
+    val projected = joined.select(q.vars.distinct.map(joined(_)): _*)
+    if (distinct) projected.distinct() else projected
+  }
+}

@@ -1,0 +1,166 @@
+package graft.store
+
+import graft.rdf.{RdfTerm, RdfXmlParser, RdfXmlWriter, Triple}
+import graft.query.{Bgp, Sparql}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The rebuild of the reference's `Graph` (reference:
+  * src/datastore/graph.rs:29-38) as an immutable wrapper around a
+  * `Dataset[Triple]`.
+  *
+  * Physical design translation (SURVEY §1.3):
+  *  - dictionary-encoded per-predicate K2Tree bit matrices →
+  *    predicate-partitioned parquet of (s_id, p_id, o_id) int triples
+  *    plus two derived dictionary tables; parquet dictionary/RLE
+  *    encoding replaces bit-level compression, partition pruning on
+  *    p_id replaces slice selection;
+  *  - in-place insert/remove with tombstone id recycling
+  *    (graph.rs:414-629) → union/except snapshots; all dictionary GC
+  *    bookkeeping disappears because dictionaries are derived;
+  *  - the 8 access paths (graph.rs:842-1009) → one Catalyst filter.
+  *
+  * At 100 TB: triples live partitioned by predicate (the classic
+  * vertical-partitioning RDF layout), so per-predicate scans touch one
+  * directory; BGP joins shuffle on term ids (ints, not strings) and
+  * dictionaries join broadcast when under the threshold.
+  */
+final class TripleStore private (
+    val spark: SparkSession,
+    val triples: Dataset[Triple]) {
+
+  import spark.implicits._
+
+  def count(): Long = triples.count()
+
+  /** Insert one triple (reference: insert_triple, graph.rs:414-509).
+    * Set semantics: re-inserting an existing triple is a no-op. */
+  def insertTriple(t: Triple): TripleStore = insertTriples(Seq(t))
+
+  def insertTriples(ts: Seq[Triple]): TripleStore =
+    new TripleStore(spark, triples.union(ts.toDS()).distinct())
+
+  /** Remove one triple (reference: remove_triple, graph.rs:510-629).
+    * Removing an absent triple is a silent no-op, matching the
+    * reference (graph.rs:513-519). */
+  def removeTriple(t: Triple): TripleStore = removeTriples(Seq(t))
+
+  def removeTriples(ts: Seq[Triple]): TripleStore =
+    new TripleStore(spark, triples.except(ts.toDS()))
+
+  /** Distributed BGP query: variable columns hold full term structs. */
+  def query(q: Sparql): DataFrame =
+    Bgp.compile(triples.toDF(), q,
+      matchValue = (df, pos) => df(pos).getField("value"))
+
+  /** Parity API (reference: Graph::get, graph.rs:333-413): collect the
+    * first selected variable as a flat term list. */
+  def get(q: Sparql): Seq[RdfTerm] = {
+    val head = q.vars.head
+    query(q).selectExpr(s"$head.*").as[RdfTerm].collect().toSeq
+  }
+
+  /** Subject+object term dictionary (terms, id) — dense, deterministic,
+    * shared between subjects and objects like the reference's `dict`
+    * (graph.rs:30); predicates get their own id space (`predicates`,
+    * graph.rs:33). */
+  def termDict: DataFrame =
+    Dict.encode(
+      triples.select($"s.*").union(triples.select($"o.*")).toDF(
+        "kind", "value", "lang", "datatype"),
+      Seq("kind", "value", "lang", "datatype"))
+
+  def predicateDict: DataFrame =
+    Dict.encode(triples.select($"p.*").toDF("kind", "value", "lang", "datatype"),
+      Seq("kind", "value", "lang", "datatype"))
+
+  /** Persist as dictionary-encoded, predicate-partitioned parquet
+    * (reference: persist, graph.rs:630-695; layout mirrors
+    * trees/<predId>.json as triples/p_id=<id>/). */
+  def persist(path: String): Unit = {
+    val terms = termDict.cache()
+    val preds = predicateDict.cache()
+    terms.write.mode("overwrite").parquet(s"$path/terms")
+    preds.write.mode("overwrite").parquet(s"$path/predicates")
+    val t = triples.toDF()
+    val sId = terms.select(struct($"kind", $"value", $"lang", $"datatype").as("term"), $"id".as("s_id"))
+    val oId = terms.select(struct($"kind", $"value", $"lang", $"datatype").as("term"), $"id".as("o_id"))
+    val pId = preds.select(struct($"kind", $"value", $"lang", $"datatype").as("term"), $"id".as("p_id"))
+    t.join(broadcast(sId), t("s") === sId("term"))
+      .join(broadcast(oId), t("o") === oId("term"))
+      .join(broadcast(pId), t("p") === pId("term"))
+      .select($"s_id", $"p_id", $"o_id")
+      .write.mode("overwrite").partitionBy("p_id").parquet(s"$path/triples")
+    terms.unpersist(); preds.unpersist()
+  }
+
+  /** Full-scan iterator (reference: Graph::iter, graph.rs:696-760). */
+  def iter: Iterator[Triple] = {
+    import scala.jdk.CollectionConverters._
+    triples.toLocalIterator().asScala
+  }
+
+  /** RDF/XML export (reference: Graph::to_rdf via RdfBuilder,
+    * src/rdf/builder.rs:11-40). Driver-side byte array for parity. */
+  def toRdfXml: Array[Byte] = RdfXmlWriter.triplesToRdfXml(iter)
+
+  /** Estimated in-memory size (reference: footprint, graph.rs:1010-1027). */
+  def footprint: BigInt =
+    triples.queryExecution.optimizedPlan.stats.sizeInBytes
+
+  def cache(): TripleStore = { triples.cache(); this }
+}
+
+object TripleStore {
+
+  def fromTriples(spark: SparkSession, ts: Seq[Triple]): TripleStore = {
+    import spark.implicits._
+    new TripleStore(spark, ts.toDS())
+  }
+
+  def fromDataset(ds: Dataset[Triple]): TripleStore =
+    new TripleStore(ds.sparkSession, ds)
+
+  /** Bulk load from RDF/XML files (reference: Graph::from_rdf,
+    * graph.rs:223-330). The reference hand-schedules a thread pool by
+    * tree size; here Spark's task scheduler parallelizes per FILE
+    * (RDF/XML is not line-splittable). Blank node ids are prefixed per
+    * file — nodeIDs are document-scoped in RDF. */
+  def fromRdf(spark: SparkSession, path: String): TripleStore = {
+    import spark.implicits._
+    val f = new java.io.File(path)
+    val files: Seq[String] =
+      if (f.isDirectory) f.listFiles().filter(_.getName.endsWith(".rdf")).map(_.getPath).sorted.toSeq
+      else Seq(path)
+    val n = math.max(1, files.length)
+    val ds = spark.sparkContext
+      .parallelize(files.zipWithIndex, math.min(n, 64))
+      .flatMap { case (file, idx) =>
+        RdfXmlParser.parseFile(file).map { t =>
+          def fix(term: RdfTerm): RdfTerm =
+            if (term.kind == RdfTerm.Blank) term.copy(value = s"f${idx}_${term.value}")
+            else term
+          Triple(fix(t.s), fix(t.p), fix(t.o))
+        }
+      }.toDS()
+    new TripleStore(spark, ds)
+  }
+
+  /** Restore from persisted layout (reference: Graph::from_backup,
+    * graph.rs:54-222): join ids back to terms; dictionaries broadcast. */
+  def fromBackup(spark: SparkSession, path: String): TripleStore = {
+    import spark.implicits._
+    val terms = spark.read.parquet(s"$path/terms")
+    val preds = spark.read.parquet(s"$path/predicates")
+    val ids = spark.read.parquet(s"$path/triples")
+    def dim(df: DataFrame, as: String, idAs: String): DataFrame =
+      df.select(struct($"kind", $"value", $"lang", $"datatype").as(as), $"id".as(idAs))
+    val ds = ids
+      .join(broadcast(dim(terms, "s", "sid")), $"s_id" === $"sid")
+      .join(broadcast(dim(terms, "o", "oid")), $"o_id" === $"oid")
+      .join(broadcast(dim(preds, "p", "pid")), $"p_id" === $"pid")
+      .select($"s", $"p", $"o")
+      .as[Triple]
+    new TripleStore(spark, ds)
+  }
+}

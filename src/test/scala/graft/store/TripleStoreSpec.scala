@@ -1,0 +1,87 @@
+package graft.store
+
+import graft.SparkSpec
+import graft.rdf.{RdfTerm, Triple}
+import graft.query.Sparql
+
+class TripleStoreSpec extends SparkSpec {
+
+  def t(s: String, p: String, o: String): Triple =
+    Triple(RdfTerm.named(s), RdfTerm.named(p), RdfTerm.named(o))
+
+  // the COOKBOOK.md:83-100 example graph shape
+  lazy val graph = Seq(
+    t("gabe", "is", "cool"),
+    t("gabe", "loves", "Ripple"),
+    t("james", "is", "cool"),
+    t("james", "hates", "Ripple"),
+    t("ripple", "is", "awesome"))
+
+  lazy val store = TripleStore.fromTriples(spark, graph).cache()
+
+  test("conjunctive BGP query (the reference's flagship example)") {
+    val q = Sparql().select(Seq("$name"))
+      .filter(Seq(Seq("$name", "is", "cool"), Seq("$name", "loves", "Ripple")))
+    assert(store.get(q).map(_.value).sorted == Seq("gabe"))
+  }
+
+  test("single-pattern variable query") {
+    val q = Sparql().select(Seq("$who")).filter(Seq(Seq("$who", "is", "cool")))
+    assert(store.get(q).map(_.value).sorted == Seq("gabe", "james"))
+  }
+
+  test("undeclared variable in filter throws (reference panics, query.rs:54)") {
+    intercept[IllegalArgumentException] {
+      Sparql().select(Seq("$a")).filter(Seq(Seq("$a", "is", "$b")))
+    }
+  }
+
+  test("insert then remove round-trips") {
+    val added = store.insertTriple(t("zoe", "is", "cool"))
+    assert(added.count() == graph.size + 1)
+    // idempotent insert (set semantics, bit-set parity)
+    assert(added.insertTriple(t("zoe", "is", "cool")).count() == graph.size + 1)
+    val removed = added.removeTriple(t("zoe", "is", "cool"))
+    assert(removed.count() == graph.size)
+    // removing absent triple is a silent no-op (graph.rs:513-519)
+    assert(removed.removeTriple(t("nobody", "is", "here")).count() == graph.size)
+  }
+
+  test("persist → fromBackup round-trips the triple set") {
+    val dir = java.nio.file.Files.createTempDirectory("ts_persist").toString
+    store.persist(dir)
+    val back = TripleStore.fromBackup(spark, dir)
+    assert(back.triples.collect().toSet == store.triples.collect().toSet)
+    // dictionary tables are dense 0..n-1
+    val ids = spark.read.parquet(s"$dir/terms").select("id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (0L until ids.length).toSeq)
+  }
+
+  test("iter + toRdfXml export round-trip") {
+    val xml = new String(store.toRdfXml, "UTF-8")
+    val back = graft.rdf.RdfXmlParser.parseString(xml)
+    assert(back.toSet == graph.toSet)
+  }
+
+  test("fromRdf distributes per file and prefixes blank nodes") {
+    val st = TripleStore.fromRdf(spark, "/root/reference/models/cold-2010-complete.rdf")
+    assert(st.count() > 0)
+    // blanks from different files can't collide: all have f<idx>_ prefix
+    val blanks = st.triples.collect().flatMap(tr => Seq(tr.s, tr.o))
+      .filter(_.kind == RdfTerm.Blank)
+    assert(blanks.forall(_.value.startsWith("f0_")))
+  }
+
+  test("typed/lang literals survive store round-trip") {
+    val lits = Seq(
+      Triple(RdfTerm.named("s1"), RdfTerm.named("p"), RdfTerm.langLit("hi", "en")),
+      Triple(RdfTerm.named("s2"), RdfTerm.named("p"), RdfTerm.typedLit("5", "xsd:int")),
+      Triple(RdfTerm.named("s3"), RdfTerm.named("p"), RdfTerm.raw("plain")),
+      Triple(RdfTerm.blank("b0"), RdfTerm.named("p"), RdfTerm.named("o")))
+    val st = TripleStore.fromTriples(spark, lits)
+    val dir = java.nio.file.Files.createTempDirectory("ts_lit").toString
+    st.persist(dir)
+    assert(TripleStore.fromBackup(spark, dir).triples.collect().toSet == lits.toSet)
+  }
+}
