@@ -155,7 +155,36 @@ object OpRegistry {
     op("rdf_persist_roundtrip", RdfOps.persistRoundtrip, RdfOps.persistRoundtripSql),
   )
 
-  val ops: Seq[Op] = relational ++ rdfParity
+  // ---------------------------------------------------------------- //
+  // LLM-data-pipeline extensions (dedup, similarity, text, multimodal)//
+  // + events/streaming + GraphX analytics (BASELINE.json north star). //
+  // ---------------------------------------------------------------- //
+  private val pipeline: Seq[Op] = Seq(
+    op("text_stats", TextOps.textStats, TextOps.textStatsSql),
+    op("text_quality", TextOps.textQuality, TextOps.textQualitySql),
+    op("text_langid", TextOps.textLangId, TextOps.textLangIdSql),
+    op("text_fingerprint", TextOps.textFingerprint, TextOps.textFingerprintSql),
+    opNoOracle("text_simhash", TextOps.textSimhash),
+    op("dedup_exact", DedupOps.dedupExact, DedupOps.dedupExactSql),
+    op("dedup_norm", DedupOps.dedupNorm, DedupOps.dedupNormSql),
+    op("dedup_ngram_jaccard", DedupOps.dedupNgramJaccard, DedupOps.dedupNgramJaccardSql),
+    opNoOracle("dedup_minhash_lsh", DedupOps.dedupMinhashLsh),
+    opNoOracle("dedup_simhash", DedupOps.dedupSimhash),
+    op("dedup_embedding_cosine", DedupOps.dedupEmbeddingCosine, DedupOps.dedupEmbeddingCosineSql),
+    op("sim_topk_brute", SimilarityOps.simTopkBrute, SimilarityOps.simTopkBruteSql),
+    opNoOracle("sim_ann_lsh", SimilarityOps.simAnnLsh),
+    op("mm_metadata", MultimodalOps.mmMetadata, MultimodalOps.mmMetadataSql),
+    op("mm_frame_sample", MultimodalOps.mmFrameSample, MultimodalOps.mmFrameSampleSql),
+    op("ev_window_agg", EventOps.evWindowAgg, EventOps.evWindowAggSql),
+    op("ev_json", EventOps.evJson, EventOps.evJsonSql),
+    op("ev_sessionize", EventOps.evSessionize, EventOps.evSessionizeSql),
+    op("ev_stream_window", EventOps.evStreamWindow, EventOps.evWindowAggSql),
+    op("graphx_degrees", GraphOps.graphxDegrees, GraphOps.graphxDegreesSql),
+    opNoOracle("graphx_cc", GraphOps.graphxCc),
+    opNoOracle("graphx_pagerank", GraphOps.graphxPagerank),
+  )
+
+  val ops: Seq[Op] = relational ++ rdfParity ++ pipeline
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.map(o => o.name -> o.fn).toMap

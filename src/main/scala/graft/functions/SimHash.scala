@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** 64-bit SimHash over a token array — a native Catalyst expression
+  * (not a Scala UDF) so it evaluates per-row inside the operator
+  * pipeline with zero shuffle amplification: the naive SQL formulation
+  * explodes |tokens| × 64 rows per document, which at 100 TB is a
+  * non-starter; this computes the signature in one pass over the array.
+  *
+  * Bit b of the signature is 1 iff the sum over tokens of
+  * sign(bit b of xxhash64(token, seed=42)) is positive — the standard
+  * Charikar construction. Near-duplicate docs differ in few bits, so
+  * candidate pairs come from banding the signature (see
+  * [[graft.operators.DedupOps.dedupSimhash]]) and Hamming distance is
+  * `bit_count(a ^ b)` (native, codegen'd).
+  */
+case class SimHash(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var r = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) r |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(r)
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash = copy(child = c)
+}
+
+/** Session registration for graft's native functions (SQL-callable). */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash", exprs => SimHash(exprs.head), "scala_udf")
+  }
+}

@@ -1,0 +1,177 @@
+package graft.operators
+
+import graft.Tables._
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for an LLM-data pipeline, each designed to
+  * scale: exact (hash groupBy — one shuffle on the content hash),
+  * normalized-prefix exact, n-gram Jaccard (shingle inverted index —
+  * the self-join shuffles on shingle, so frequent-shingle skew is the
+  * scale risk; MinHash+LSH below is the 100 TB path), MinHash+LSH
+  * (constant-size signatures, band-bucket join), SimHash (one 64-bit
+  * signature per doc, banded Hamming join), and embedding cosine
+  * near-dup (brute-force n² — see SimilarityOps for the bucketed path).
+  */
+object DedupOps {
+
+  /** Exact dedup: group on content hash, keep min doc_id.
+    * At scale: map-side partial agg on md5 → one shuffle. */
+  def dedupExact(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .groupBy(md5($"text").as("key"))
+      .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_dups"))
+      .orderBy($"key")
+  }
+  val dedupExactSql: String =
+    """SELECT md5(text) AS key, min(doc_id) AS keeper, count(*) AS n_dups
+      |FROM documents GROUP BY 1 ORDER BY key""".stripMargin
+
+  /** Normalization-based exact dedup: key = first 5 tokens. */
+  def dedupNorm(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .groupBy(concat_ws(" ", slice(split($"text", " "), 1, 5)).as("key"))
+      .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_dups"))
+      .orderBy($"key")
+  }
+  val dedupNormSql: String =
+    """SELECT array_to_string(string_split(text,' ')[1:5], ' ') AS key,
+      |  min(doc_id) AS keeper, count(*) AS n_dups
+      |FROM documents GROUP BY 1 ORDER BY key""".stripMargin
+
+  /** Distinct word-3-gram shingles per doc: (doc_id, shingle). */
+  private def shingles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .select($"doc_id", explode(array_distinct(expr(
+        "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")))
+        .as("g"))
+  }
+
+  /** N-gram Jaccard near-dup pairs (threshold 1/2, exact integer
+    * arithmetic: 2·|∩| ≥ |∪| avoids any float boundary). */
+  def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = shingles(s, d).cache()
+    val n = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.toDF("da", "g")
+    val b = sh.toDF("db", "g")
+    val common = a.join(b, "g").filter($"da" < $"db")
+      .groupBy($"da", $"db").agg(count(lit(1)).as("c"))
+    common
+      .join(n.toDF("da", "na"), "da")
+      .join(n.toDF("db", "nb"), "db")
+      .filter(lit(2) * $"c" >= $"na" + $"nb" - $"c")
+      .select($"da", $"db", $"c", $"na", $"nb")
+      .orderBy($"da", $"db")
+  }
+  val dedupNgramJaccardSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |         [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)])) AS g
+      |       FROM tok),
+      |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id da, b.doc_id db, count(*) c
+      |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT da, db, c, na.n AS na, nb.n AS nb
+      |FROM pairs JOIN n na ON na.doc_id = da JOIN n nb ON nb.doc_id = db
+      |WHERE 2*c >= (na.n + nb.n - c)
+      |ORDER BY da, db""".stripMargin
+
+  private val MinhashK = 16 // 4 bands × 4 rows
+
+  /** MinHash signature columns sig_0..sig_{K-1} over the shingle set:
+    * sig_i = min over shingles of xxhash64(shingle, i). Computed
+    * per-row from the shingle array — no shuffle. */
+  private def withMinhash(docs: DataFrame): DataFrame = {
+    val sigs = (0 until MinhashK).map { i =>
+      expr(s"array_min(transform(gs, g -> xxhash64(g, $i)))").as(s"sig_$i")
+    }
+    docs.select(col("doc_id") +: col("gs") +: sigs: _*)
+  }
+
+  /** MinHash + LSH near-dup pairs: band the K-row signature into 4
+    * buckets, candidate pairs share ≥1 band bucket, then verify with
+    * exact Jaccard ≥ 1/2 on the shingle sets. The 100 TB path: the
+    * candidate join shuffles fixed-width longs, never shingle sets;
+    * verification touches only candidates. No DuckDB xxhash64 →
+    * rows-only check; DedupSpec pins recall vs the exact operator. */
+  def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .select($"doc_id", expr(
+        "array_distinct(transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))")
+        .as("gs"))
+    val sig = withMinhash(docs).cache()
+    val bands = (0 until 4).map { b =>
+      val cols = (4 * b until 4 * b + 4).map(i => col(s"sig_$i"))
+      sig.select($"doc_id",
+        lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
+    }.reduce(_ union _)
+    val cand = bands.toDF("da", "band", "bucket")
+      .join(bands.toDF("db", "band", "bucket"), Seq("band", "bucket"))
+      .filter($"da" < $"db")
+      .select($"da", $"db").distinct()
+    val sets = sig.select($"doc_id", $"gs")
+    val verified = cand
+      .join(sets.toDF("da", "ga"), "da")
+      .join(sets.toDF("db", "gb"), "db")
+      .select($"da", $"db",
+        size(array_intersect($"ga", $"gb")).as("c"),
+        size($"ga").as("na"), size($"gb").as("nb"))
+      .filter(lit(2) * $"c" >= $"na" + $"nb" - $"c")
+    verified.select($"da", $"db").orderBy($"da", $"db")
+  }
+
+  /** SimHash near-dup pairs: one 64-bit signature per doc via the
+    * native SimHash expression; band the signature into 4×16-bit
+    * chunks (Hamming ≤ 3 ⇒ some band equal, pigeonhole), verify with
+    * bit_count(xor) ≤ 8. rows-only (no DuckDB xxhash64). */
+  def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    val sig = documents(s, d)
+      .select($"doc_id", expr("simhash(split(text,' '))").as("sig"))
+      .cache()
+    val bands = (0 until 4).map { b =>
+      sig.select($"doc_id", $"sig", lit(b).as("band"),
+        shiftright($"sig", 16 * b).bitwiseAND(lit(0xFFFFL)).as("chunk"))
+    }.reduce(_ union _)
+    val cand = bands.toDF("da", "siga", "band", "chunk")
+      .join(bands.toDF("db", "sigb", "band", "chunk"), Seq("band", "chunk"))
+      .filter($"da" < $"db")
+      .select($"da", $"db", bit_count($"siga".bitwiseXOR($"sigb")).as("hamming"))
+      .distinct()
+    cand.filter($"hamming" <= 8).orderBy($"da", $"db")
+  }
+
+  /** Embedding cosine near-dup pairs, brute force n² in exact double
+    * arithmetic (index-order accumulation both engines). */
+  def dedupEmbeddingCosine(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d).select($"vec_id",
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val withNorm = e.select($"vec_id", $"v",
+      expr("sqrt(aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x))").as("nrm"))
+    val a = withNorm.toDF("i", "va", "na")
+    val b = withNorm.toDF("j", "vb", "nb")
+    a.crossJoin(b).filter($"i" < $"j")
+      .select($"i", $"j",
+        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+          .as("dot"), $"na", $"nb")
+      .filter($"dot" / ($"na" * $"nb") > 0.4)
+      .select($"i", $"j")
+      .orderBy($"i", $"j")
+  }
+  val dedupEmbeddingCosineSql: String =
+    """SELECT a.vec_id AS i, b.vec_id AS j
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.4
+      |ORDER BY i, j""".stripMargin
+}

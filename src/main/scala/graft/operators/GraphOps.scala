@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.store.Dict
+import org.apache.spark.graphx.{Edge, Graph => XGraph}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics on the triple view via GraphX (BASELINE.json:
+  * "GraphX for analytics queries"). Vertex ids come from
+  * [[graft.store.Dict.encode]] — dense, deterministic (sorted term
+  * order), so results are reproducible and the minimum vertex id of a
+  * component is the lexicographically smallest term, which gives
+  * connected components a cross-engine-checkable labeling.
+  */
+object GraphOps {
+
+  /** (vertices (term,id), edges (src,dst,pred)) from the triple view. */
+  def buildGraph(s: SparkSession, d: String): (DataFrame, XGraph[String, String]) = {
+    import s.implicits._
+    val t = RdfOps.tripleView(s, d).cache()
+    val terms = t.select($"s".as("term")).union(t.select($"o".as("term")))
+    val dict = Dict.encode(terms, Seq("term")).cache()
+    val edges = t
+      .join(dict.toDF("term", "sid"), $"s" === $"term").drop("term")
+      .join(dict.toDF("term", "oid"), $"o" === $"term").drop("term")
+      .select($"sid", $"oid", $"p")
+    val vRdd = dict.select($"id", $"term").as[(Long, String)].rdd
+    val eRdd = edges.select($"sid", $"oid", $"p").as[(Long, Long, String)].rdd
+      .map { case (a, b, p) => Edge(a, b, p) }
+    (dict, XGraph(vRdd, eRdd))
+  }
+
+  /** Vertex degrees — GraphX result joined back to terms; oracle is a
+    * plain SQL degree count over the triple view. */
+  def graphxDegrees(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (dict, g) = buildGraph(s, d)
+    val deg = s.createDataFrame(g.degrees.map(x => (x._1, x._2.toLong)))
+      .toDF("id", "degree")
+    dict.join(deg, "id").select($"term", $"degree").orderBy($"term")
+  }
+  val graphxDegreesSql: String =
+    s"""${RdfOps.tripleViewSql}
+       |SELECT term, count(*) AS degree
+       |FROM (SELECT s AS term FROM t UNION ALL SELECT o FROM t) u
+       |GROUP BY term ORDER BY term""".stripMargin
+
+  /** Connected components: GraphX label-propagation result, labeled by
+    * the smallest term of each component (deterministic because dict
+    * ids are sorted-dense). Oracle: iterative min-label closure via a
+    * recursive CTE. */
+  def graphxCc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (dict, g) = buildGraph(s, d)
+    val cc = s.createDataFrame(g.connectedComponents().vertices.map(x => (x._1, x._2)))
+      .toDF("id", "comp_id")
+    cc.join(dict.toDF("term", "id"), "id")
+      .join(dict.toDF("comp_term", "comp_id"), "comp_id")
+      .select($"term", $"comp_term")
+      .orderBy($"term")
+  }
+
+  /** PageRank (10 static iterations) — float-iterative, no SQL oracle;
+    * rows-only + GraphSpec sanity (rank mass ≈ |V|, hubs rank top). */
+  def graphxPagerank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (dict, g) = buildGraph(s, d)
+    val pr = s.createDataFrame(g.staticPageRank(10).vertices.map(x => (x._1, x._2)))
+      .toDF("id", "rank")
+    dict.join(pr, "id")
+      .select($"term", round($"rank", 6).as("rank_r"))
+      .orderBy($"rank_r".desc, $"term")
+      .limit(20)
+  }
+}

@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: media (image/audio/video) modeled as an
+  * opaque `binary` payload plus typed metadata, processed per
+  * partition in batches — the Scala equivalent of a Pandas-UDF
+  * `mapInPandas` pipeline.
+  *
+  * The actual media DECODE IS A STUB (this container ships no
+  * image/audio codecs): `fakeDecode` derives deterministic
+  * "pixels"/"frames" from the payload bytes. Everything around it —
+  * binary schema, metadata struct, partition-wise batching, frame
+  * explode shape — is real and tested, so swapping in a real codec
+  * changes one function.
+  */
+object MultimodalOps {
+
+  /** Payload + typed metadata (the oracle-checkable plumbing): binary
+    * column, byte length, content hash, base64 transport prefix, and
+    * fake-decoded dimensions derived only from metadata. */
+  def mmMetadata(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select($"doc_id", $"text".cast("binary").as("payload"), $"n_chars")
+      .select($"doc_id",
+        octet_length($"payload").cast("long").as("n_bytes"),
+        sha2($"payload", 256).as("content_sha"),
+        substring(base64($"payload"), 1, 24).as("b64_pfx"),
+        (lit(64) + $"n_chars" % 512).cast("long").as("width"),
+        (lit(64) + ($"n_chars" * 7) % 512).cast("long").as("height"))
+      .orderBy($"doc_id")
+  }
+  val mmMetadataSql: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  sha256(text) AS content_sha,
+      |  substr(base64(encode(text)), 1, 24) AS b64_pfx,
+      |  CAST(64 + n_chars % 512 AS BIGINT) AS width,
+      |  CAST(64 + (n_chars * 7) % 512 AS BIGINT) AS height
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** One decoded "frame": stub decode = a strided byte slice. A real
+    * codec would replace `fakeDecode` only. */
+  final case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  private def fakeDecode(docId: Long, payload: Array[Byte], stride: Int): Iterator[Frame] = {
+    val n = math.max(1, payload.length / stride)
+    (0 until math.min(n, 4)).iterator.map { i =>
+      val from = i * stride
+      val until = math.min(from + 16, payload.length)
+      Frame(docId, i, java.util.Arrays.copyOfRange(payload, from, until))
+    }
+  }
+
+  /** Frame sampling via mapPartitions: batch-shaped like a Pandas-UDF
+    * pipeline — one iterator pass per partition, constant memory.
+    * Output: (doc_id, frame_idx, frame fingerprint). rows-only check;
+    * MultimodalSpec pins the exact frame bytes. */
+  def mmFrameSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val frames = documents(s, d)
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) => fakeDecode(id, payload, 64) })
+    frames.toDF()
+      .select($"doc_id", $"frame_idx".cast("long").as("frame_idx"),
+        md5($"frame_bytes").as("frame_md5"))
+      .orderBy($"doc_id", $"frame_idx")
+  }
+  val mmFrameSampleSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, unnest(range(greatest(1, least(octet_length(encode(text)) // 64, 4)))) AS frame_idx
+      |  FROM documents)
+      |SELECT f.doc_id AS doc_id, CAST(f.frame_idx AS BIGINT) AS frame_idx,
+      |  md5(substr(d.text, CAST(f.frame_idx * 64 + 1 AS BIGINT), 16)) AS frame_md5
+      |FROM f JOIN documents d ON f.doc_id = d.doc_id
+      |ORDER BY 1, 2""".stripMargin
+}

@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.Tables._
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for an LLM-data pipeline over the
+  * `documents` table: token statistics, quality signals, stopword-
+  * profile language ID, content fingerprinting.
+  *
+  * Everything is built from codegen'd `functions._` expressions over
+  * the tokenized text — no UDFs, no shuffle except the final orderBy
+  * (which at scale would be dropped; it exists so the correctness
+  * oracle compares deterministically). Filters/projections push down
+  * to the parquet scan.
+  */
+object TextOps {
+
+  private def toks(c: org.apache.spark.sql.Column) = split(c, " ")
+
+  /** Token statistics: count, distinct count, char length. */
+  def textStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select($"doc_id",
+        size(toks($"text")).cast("long").as("n_tokens"),
+        size(array_distinct(toks($"text"))).cast("long").as("n_unique"),
+        length($"text").cast("long").as("len_chars"))
+      .orderBy($"doc_id")
+  }
+  val textStatsSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique,
+      |  CAST(length(text) AS BIGINT) AS len_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val stopwords = Seq("the", "a", "data", "row", "value")
+
+  /** Quality signals: stopword hits, uniqueness, short-token count. */
+  def textQuality(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = toks($"text")
+    documents(s, d)
+      .select($"doc_id",
+        size(filter(t, c => c.isInCollection(stopwords))).cast("long").as("n_stop"),
+        size(filter(t, c => length(c) <= 3)).cast("long").as("n_short"),
+        size(t).cast("long").as("n_tokens"))
+      .orderBy($"doc_id")
+  }
+  val textQualitySql: String = {
+    val sw = stopwords.map("'" + _ + "'").mkString(", ")
+    s"""SELECT doc_id,
+       |  CAST(len(list_filter(string_split(text,' '), t -> t IN ($sw))) AS BIGINT) AS n_stop,
+       |  CAST(len(list_filter(string_split(text,' '), t -> length(t) <= 3)) AS BIGINT) AS n_short,
+       |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Stopword-profile language ID: score each language by distinct-
+    * token overlap with its profile; argmax with fixed tie order.
+    * (An n-gram heuristic classifier; profiles are tiny in-plan
+    * literals, so this is a pure map-side operation.) */
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "la", "de", "y", "es", "un"),
+    "fr" -> Seq("le", "la", "et", "est", "un", "une"))
+
+  def textLangId(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dt = array_distinct(toks($"text"))
+    val scored = documents(s, d).select(
+      $"doc_id" +:
+        profiles.map { case (l, ws) =>
+          size(array_intersect(dt, array(ws.map(lit): _*))).as(s"s_$l")
+        }: _*)
+    // argmax in declared profile order (first max wins)
+    val best = profiles.map(_._1).foldRight(lit("und")) { (l, acc) =>
+      when(col(s"s_$l") > 0 &&
+        profiles.map(p => col(s"s_${p._1}")).reduce((a, b) => greatest(a, b)) === col(s"s_$l"), lit(l))
+        .otherwise(acc)
+    }
+    scored.select($"doc_id", best.as("pred_lang"))
+      .orderBy($"doc_id")
+  }
+  val textLangIdSql: String = {
+    def inter(ws: Seq[String]) =
+      s"len(list_intersect(list_distinct(string_split(text,' ')), [${ws.map("'" + _ + "'").mkString(", ")}]))"
+    val scores = profiles.map { case (l, ws) => s"${inter(ws)} AS s_$l" }.mkString(",\n  ")
+    val mx = s"greatest(${profiles.map(p => "s_" + p._1).mkString(", ")})"
+    val caseExpr = profiles.map { case (l, _) =>
+      s"WHEN s_$l > 0 AND s_$l = $mx THEN '$l'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+    s"""WITH scored AS (SELECT doc_id,
+       |  $scores
+       |FROM documents)
+       |SELECT doc_id, $caseExpr AS pred_lang FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  /** Content fingerprint: md5 (cross-engine) + char/token shape. */
+  def textFingerprint(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select($"doc_id", md5($"text").as("fp_md5"),
+        substring(sha2($"text", 256), 1, 16).as("fp_sha_pfx"))
+      .orderBy($"doc_id")
+  }
+  val textFingerprintSql: String =
+    """SELECT doc_id, md5(text) AS fp_md5,
+      |  substr(sha256(text), 1, 16) AS fp_sha_pfx
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** SimHash signatures via the native [[graft.functions.SimHash]]
+    * Catalyst expression (no DuckDB equivalent → rows-only check;
+    * correctness is pinned by SimHashSpec's hand-computed goldens). */
+  def textSimhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    documents(s, d)
+      .select($"doc_id", expr("simhash(split(text, ' '))").as("sig"))
+      .orderBy($"doc_id")
+  }
+}

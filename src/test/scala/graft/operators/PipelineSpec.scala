@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+  import org.apache.spark.sql.Row
+
+  test("simhash: deterministic, near-dup sensitive, disjoint-insensitive") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+      (3L, "completely different words entirely unrelated content here now"),
+      (4L, "the quick brown fox jumps over the lazy dog")  // exact dup of 1
+    ).toDF("id", "text")
+    val sigs = docs.select($"id", expr("simhash(split(text,' '))").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sigs(1L) == sigs(4L), "identical docs must have identical signatures")
+    assert(hamming(sigs(1L), sigs(2L)) < hamming(sigs(1L), sigs(3L)),
+      "near-dup must be closer than unrelated doc")
+    assert(hamming(sigs(1L), sigs(2L)) <= 16)
+  }
+
+  test("minhash+LSH recovers the exact n-gram jaccard pairs (full recall at sf0.001)") {
+    val exact = DedupOps.dedupNgramJaccard(spark, sf0001)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupOps.dedupMinhashLsh(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    // LSH verifies candidates with the exact criterion → precision 1
+    assert(lsh.subsetOf(exact))
+    // banding 16 rows into 4 bands at threshold 0.5 → near-total recall
+    assert(lsh.size >= (exact.size * 0.8).toInt)
+  }
+
+  test("ANN LSH results are a valid ranked subset of brute-force candidates") {
+    val brute = SimilarityOps.simTopkBrute(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ann = SimilarityOps.simAnnLsh(spark, sf0001).collect()
+    assert(brute.nonEmpty && ann.nonEmpty)
+    val perQ = ann.groupBy(_.getLong(0))
+    perQ.foreach { case (_, rows) =>
+      assert(rows.length <= 3)
+      assert(rows.map(_.getLong(1)).sorted.sameElements(1L to rows.length))
+    }
+  }
+
+  test("streaming window agg equals batch window agg (semantic parity)") {
+    val batch = EventOps.evWindowAgg(spark, sf0001).collect().toSeq
+    val stream = EventOps.evStreamWindow(spark, sf0001).collect().toSeq
+    assert(stream == batch)
+  }
+
+  test("multimodal frame sample: stub decode produces the documented bytes") {
+    import spark.implicits._
+    val doc = graft.Tables.documents(spark, sf0001)
+      .filter($"doc_id" === 0L).select($"text").as[String].head()
+    val frames = MultimodalOps.mmFrameSample(spark, sf0001)
+      .filter($"doc_id" === 0L).collect()
+    val expectedFirst = org.apache.commons.codec.digest.DigestUtils.md5Hex(
+      doc.getBytes("UTF-8").slice(0, 16))
+    assert(frames.head.getAs[String]("frame_md5") == expectedFirst)
+    assert(frames.length == math.min(math.max(1, doc.getBytes("UTF-8").length / 64), 4))
+  }
+
+  test("graphx degrees sum to 2x edge count; cc labels by min term") {
+    val t = RdfOps.tripleView(spark, sf0001)
+    val nEdges = t.count()
+    val degs = GraphOps.graphxDegrees(spark, sf0001)
+    val total = degs.agg(sum("degree")).head().getLong(0)
+    assert(total == 2 * nEdges)
+    val cc = GraphOps.graphxCc(spark, sf0001).collect()
+    // every component label must be ≤ its member (lexicographically)
+    assert(cc.forall(r => r.getString(1) <= r.getString(0)))
+  }
+
+  test("langid is deterministic and total") {
+    val out = TextOps.textLangId(spark, sf0001).collect()
+    assert(out.length == 500)
+    assert(out.forall(r => Set("en", "de", "es", "fr", "und").contains(r.getString(1))))
+  }
+}
