@@ -151,21 +151,17 @@ object DedupOps {
     cand.filter($"hamming" <= 8).orderBy($"da", $"db")
   }
 
-  /** Embedding cosine near-dup pairs, brute force n² in exact double
-    * arithmetic (index-order accumulation both engines). */
+  /** Embedding cosine near-dup pairs, brute force n² via the native
+    * [[graft.functions.CosineSim]] kernel (double accumulation in
+    * index order — bit-compatible with the DuckDB oracle). */
   def dedupEmbeddingCosine(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val e = embeddings(s, d).select($"vec_id",
-      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-    val withNorm = e.select($"vec_id", $"v",
-      expr("sqrt(aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x))").as("nrm"))
-    val a = withNorm.toDF("i", "va", "na")
-    val b = withNorm.toDF("j", "vb", "nb")
+    GraftFunctions.register(s)
+    val e = embeddings(s, d).select($"vec_id", $"embedding")
+    val a = e.toDF("i", "va")
+    val b = e.toDF("j", "vb")
     a.crossJoin(b).filter($"i" < $"j")
-      .select($"i", $"j",
-        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
-          .as("dot"), $"na", $"nb")
-      .filter($"dot" / ($"na" * $"nb") > 0.4)
+      .filter(expr("cosine_sim(va, vb)") > 0.4)
       .select($"i", $"j")
       .orderBy($"i", $"j")
   }

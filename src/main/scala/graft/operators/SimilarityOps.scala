@@ -17,22 +17,16 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  private def withNorm(df: DataFrame, id: String, v: String, n: String): DataFrame =
-    df.select(col("vec_id").as(id),
-      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as(v))
-      .withColumn(n, expr(s"sqrt(aggregate($v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x))"))
-
-  private val cosExpr =
-    "aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
-
-  /** Brute-force cosine top-3 for query vectors vec_id < 5. */
+  /** Brute-force cosine top-3 for query vectors vec_id < 5 (native
+    * [[graft.functions.CosineSim]] kernel in the inner loop). */
   def simTopkBrute(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val e = embeddings(s, d)
-    val q = withNorm(e.filter($"vec_id" < 5), "qid", "va", "na")
-    val c = withNorm(e, "nid", "vb", "nb")
+    graft.functions.GraftFunctions.register(s)
+    val e = embeddings(s, d).select($"vec_id", $"embedding")
+    val q = e.filter($"vec_id" < 5).toDF("qid", "va")
+    val c = e.toDF("nid", "vb")
     val scored = q.crossJoin(c).filter($"qid" =!= $"nid")
-      .select($"qid", $"nid", (expr(cosExpr) / ($"na" * $"nb")).as("cos"))
+      .select($"qid", $"nid", expr("cosine_sim(va, vb)").as("cos"))
     val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= 3)
@@ -79,15 +73,15 @@ object SimilarityOps {
         s"aggregate(zip_with(v, $arr, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)") > 0,
         lit(1L << i)).otherwise(lit(0L))
     }
+    graft.functions.GraftFunctions.register(s)
     val e = embeddings(s, d).select($"vec_id",
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x))"))
       .withColumn("bucket", sigCols.reduce(_ + _))
       .cache()
-    val q = e.filter($"vec_id" < 5).toDF("qid", "va", "na", "bucket")
-    val c = e.toDF("nid", "vb", "nb", "bucket")
+    val q = e.filter($"vec_id" < 5).toDF("qid", "va", "bucket")
+    val c = e.toDF("nid", "vb", "bucket")
     val scored = q.join(c, "bucket").filter($"qid" =!= $"nid")
-      .select($"qid", $"nid", (expr(cosExpr) / ($"na" * $"nb")).as("cos"))
+      .select($"qid", $"nid", expr("cosine_sim(va, vb)").as("cos"))
     val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= 3)
