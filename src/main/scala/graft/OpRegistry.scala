@@ -179,6 +179,10 @@ object OpRegistry {
     op("ev_json", EventOps.evJson, EventOps.evJsonSql),
     op("ev_sessionize", EventOps.evSessionize, EventOps.evSessionizeSql),
     op("ev_stream_window", EventOps.evStreamWindow, EventOps.evWindowAggSql),
+    op("ev_stream_sessionize", EventOps.evStreamSessionize, EventOps.evSessionizeSql),
+    op("rdf_xml_source", RdfXmlOps.xmlSource, RdfXmlOps.xmlOracleSql),
+    op("rdf_xml_roundtrip", RdfXmlOps.xmlRoundtrip, RdfXmlOps.xmlOracleSql),
+    opNoOracle("rdf_footprint", RdfXmlOps.footprint),
     op("graphx_degrees", GraphOps.graphxDegrees, GraphOps.graphxDegreesSql),
     opNoOracle("graphx_cc", GraphOps.graphxCc),
     opNoOracle("graphx_pagerank", GraphOps.graphxPagerank),

@@ -73,6 +73,51 @@ object EventOps {
       |  count(*) AS n_events
       |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** One event row for typed stateful processing. */
+  final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
+
+  /** Stateful streaming sessionization via flatMapGroupsWithState —
+    * the KeyValueGroupedDataset custom-state path. Each micro-batch
+    * sorts a user's events and counts >30-min gaps; state carries the
+    * last seen timestamp + running count across batches, so the logic
+    * is correct under any batch slicing (the file source happens to
+    * deliver one batch, which makes the output comparable to the batch
+    * sessionizer's oracle). */
+  def evStreamSessionize(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    val name = "graft_sess_" + math.abs(d.hashCode).toString
+    val evs = s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", timestamp_micros(($"ts" / 1000L).cast("long")))
+      .select($"event_id", $"ts", $"user_id")
+      .as[Ev]
+
+    def fn(userId: Long, rows: Iterator[Ev], state: GroupState[(Long, Long, Long)])
+        : Iterator[(Long, Long, Long)] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var (sessions, events, lastMs) = state.getOption.getOrElse((0L, 0L, Long.MinValue))
+      sorted.foreach { e =>
+        if (lastMs == Long.MinValue || e.ts.getTime - lastMs > 1800L * 1000L) sessions += 1
+        events += 1
+        lastMs = e.ts.getTime
+      }
+      state.update((sessions, events, lastMs))
+      Iterator.single((userId, sessions, events))
+    }
+
+    val q = evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
+      .toDF("user_id", "n_sessions", "n_events")
+      .writeStream.format("memory").queryName(name).outputMode("update").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name).orderBy($"user_id")
+  }
+
   /** The SAME tumbling-window agg as a Structured Streaming query:
     * file source replays the parquet as a stream; watermark bounds
     * state; memory sink in complete mode captures the final answer.

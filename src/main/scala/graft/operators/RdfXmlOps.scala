@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.rdf.{RdfXmlParser, RdfXmlWriter}
+import graft.store.TripleStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** RDF/XML source (SURVEY S1) and sink (S8) as oracle-checked queries:
+  * a fixed RDF/XML document with hand-computed triples is parsed by the
+  * engine (and, for the round-trip variant, re-serialized and re-parsed
+  * through [[RdfXmlWriter]]); the DuckDB oracle is the literal VALUES
+  * list of the expected triples — the parser earns its hash-match.
+  */
+object RdfXmlOps {
+
+  val fixtureXml: String =
+    """<?xml version="1.0"?>
+      |<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+      |         xmlns:ex="http://g.test/">
+      |  <ex:Person rdf:about="http://g.test/alice">
+      |    <ex:name xml:lang="en">Alice</ex:name>
+      |    <ex:age rdf:datatype="http://www.w3.org/2001/XMLSchema#int">30</ex:age>
+      |    <ex:knows rdf:resource="http://g.test/bob"/>
+      |  </ex:Person>
+      |  <rdf:Description rdf:about="http://g.test/bob">
+      |    <ex:name>Bob</ex:name>
+      |  </rdf:Description>
+      |</rdf:RDF>""".stripMargin
+
+  /** (s,p,o) term values of the fixture, as the engine must parse them. */
+  private val expectedRows: Seq[(String, String, String)] = Seq(
+    ("http://g.test/alice", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "http://g.test/Person"),
+    ("http://g.test/alice", "http://g.test/name", "Alice"),
+    ("http://g.test/alice", "http://g.test/age", "30"),
+    ("http://g.test/alice", "http://g.test/knows", "http://g.test/bob"),
+    ("http://g.test/bob", "http://g.test/name", "Bob"))
+
+  private def toDf(s: SparkSession, ts: Seq[graft.rdf.Triple]): DataFrame = {
+    import s.implicits._
+    val store = TripleStore.fromTriples(s, ts)
+    store.triples.toDF()
+      .select($"s.value".as("s"), $"p.value".as("p"), $"o.value".as("o"))
+      .orderBy($"s", $"p", $"o")
+  }
+
+  /** S1: RDF/XML → TripleStore → (s,p,o) values. */
+  def xmlSource(s: SparkSession, d: String): DataFrame =
+    toDf(s, RdfXmlParser.parseString(fixtureXml))
+
+  /** S8 (+S1): parse → serialize with RdfXmlWriter → re-parse. */
+  def xmlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val once = RdfXmlParser.parseString(fixtureXml)
+    val xml = new String(RdfXmlWriter.triplesToRdfXml(once.iterator), "UTF-8")
+    toDf(s, RdfXmlParser.parseString(xml))
+  }
+
+  val xmlOracleSql: String = {
+    val values = expectedRows
+      .map { case (a, b, c) => s"('$a', '$b', '$c')" }.mkString(",\n  ")
+    s"""SELECT * FROM (VALUES
+       |  $values) AS t(s, p, o)
+       |ORDER BY s, p, o""".stripMargin
+  }
+
+  /** M3 footprint (graph.rs:1010-1027): optimizer size estimate of the
+    * testdata triple view — value is engine-specific → rows-only. */
+  def footprint(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = RdfOps.tripleView(s, d)
+    val bytes = t.queryExecution.optimizedPlan.stats.sizeInBytes
+    Seq((t.count(), bytes.toLong)).toDF("n_triples", "est_bytes")
+  }
+}
