@@ -184,7 +184,7 @@ object OpRegistry {
     op("rdf_xml_roundtrip", RdfXmlOps.xmlRoundtrip, RdfXmlOps.xmlOracleSql),
     opNoOracle("rdf_footprint", RdfXmlOps.footprint),
     op("graphx_degrees", GraphOps.graphxDegrees, GraphOps.graphxDegreesSql),
-    opNoOracle("graphx_cc", GraphOps.graphxCc),
+    op("graphx_cc", GraphOps.graphxCc, GraphOps.graphxCcSql),
     opNoOracle("graphx_pagerank", GraphOps.graphxPagerank),
   )
 

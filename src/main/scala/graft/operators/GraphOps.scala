@@ -45,10 +45,11 @@ object GraphOps {
        |FROM (SELECT s AS term FROM t UNION ALL SELECT o FROM t) u
        |GROUP BY term ORDER BY term""".stripMargin
 
-  /** Connected components: GraphX label-propagation result, labeled by
-    * the smallest term of each component (deterministic because dict
-    * ids are sorted-dense). Oracle: iterative min-label closure via a
-    * recursive CTE. */
+  /** Connected components: GraphX result labeled by the smallest term
+    * of each component — deterministic because dict ids are
+    * sorted-dense, so GraphX's min-vertex-id label IS the
+    * lexicographically smallest term. Oracle: reachability closure via
+    * a recursive CTE + min per source. */
   def graphxCc(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val (dict, g) = buildGraph(s, d)
@@ -58,6 +59,18 @@ object GraphOps {
       .join(dict.toDF("comp_term", "comp_id"), "comp_id")
       .select($"term", $"comp_term")
       .orderBy($"term")
+  }
+
+  val graphxCcSql: String = {
+    val recursiveView = RdfOps.tripleViewSql.replaceFirst("WITH t AS", "WITH RECURSIVE t AS")
+    s"""$recursiveView,
+       |e AS (SELECT s a, o b FROM t UNION SELECT o, s FROM t),
+       |reach(x, y) AS (
+       |  SELECT a, a FROM e
+       |  UNION
+       |  SELECT r.x, e.b FROM reach r JOIN e ON r.y = e.a)
+       |SELECT x AS term, min(y) AS comp_term FROM reach GROUP BY x
+       |ORDER BY term""".stripMargin
   }
 
   /** PageRank (10 static iterations) — float-iterative, no SQL oracle;

@@ -38,6 +38,28 @@ final case class Sparql(vars: Seq[String], conds: Seq[(QueryUnit, QueryUnit, Que
 
 object Sparql {
   def apply(): Sparql = Sparql(Nil, Nil)
+
+  /** Tiny string front-end (the reference declares a `sparql!` macro
+    * but leaves it `unimplemented!()`, query.rs:74-77 — this completes
+    * the intent). Grammar:
+    *
+    *   select $a $b where { $a <pred> <obj> . <subj> <pred> $b }
+    *
+    * Whitespace-tokenized; patterns separated by '.'; `$`-prefixed
+    * tokens are variables; everything else is a value. */
+  def parse(q: String): Sparql = {
+    val lower = q.trim
+    val si = lower.toLowerCase.indexOf("select")
+    val wi = lower.toLowerCase.indexOf("where")
+    require(si == 0 && wi > 0, s"expected 'select … where { … }', got: $q")
+    val vars = lower.substring(si + 6, wi).trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    val body = lower.substring(wi + 5).trim
+    require(body.startsWith("{") && body.endsWith("}"), "where clause must be braced")
+    val pats = body.substring(1, body.length - 1).split("\\.")
+      .map(_.trim).filter(_.nonEmpty)
+      .map(_.split("\\s+").toSeq).toSeq
+    Sparql().select(vars).filter(pats)
+  }
 }
 
 sealed trait QueryUnit

@@ -25,6 +25,11 @@ class TripleStoreSpec extends SparkSpec {
     assert(store.get(q).map(_.value).sorted == Seq("gabe"))
   }
 
+  test("string front-end parses select/where to the same query") {
+    val q = Sparql.parse("select $name where { $name is cool . $name loves Ripple }")
+    assert(store.get(q).map(_.value).sorted == Seq("gabe"))
+  }
+
   test("single-pattern variable query") {
     val q = Sparql().select(Seq("$who")).filter(Seq(Seq("$who", "is", "cool")))
     assert(store.get(q).map(_.value).sorted == Seq("gabe", "james"))
