@@ -134,6 +134,24 @@ object OpRegistry {
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rf, ls"""),
     opNoOracle("q_approx_distinct", RelationalOps.qApproxDistinct),
+    op("q_asof_join", RelationalOps.qAsofJoin,
+      """WITH ord AS (
+        |  SELECT o_custkey AS key, o_orderdate AS t, max(o_orderkey) AS okey
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, o.okey
+        |FROM events e ASOF JOIN ord o
+        |  ON e.user_id = o.key AND e.ts >= o.t
+        |ORDER BY event_id"""),
+    op("q_salted_agg", RelationalOps.qSaltedAgg,
+      """SELECT l_returnflag,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    op("q_percentile", RelationalOps.qPercentile,
+      """SELECT l_returnflag,
+        |  quantile_disc(l_extendedprice, 0.5) AS p50,
+        |  quantile_disc(l_extendedprice, 0.9) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
   )
 
   // ---------------------------------------------------------------- //

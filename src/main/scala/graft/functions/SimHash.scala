@@ -62,3 +62,25 @@ object GraftFunctions {
       "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "scala_udf")
   }
 }
+
+/** SparkSessionExtensions entry point: lets a deployment inject graft's
+  * native functions at session build time —
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions)
+  *   // or spark.sql.extensions=graft.functions.GraftExtensions
+  *
+  * so `simhash` / `cosine_sim` are available in plain SQL on every
+  * session of a cluster without any per-session registration call.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    e.injectFunction((FunctionIdentifier("simhash"),
+      new ExpressionInfo(classOf[SimHash].getName, "simhash"),
+      (exprs: Seq[Expression]) => SimHash(exprs.head)))
+    e.injectFunction((FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
+  }
+}

@@ -193,6 +193,57 @@ object RelationalOps {
       .orderBy($"rf", $"ls")
   }
 
+  /** As-of join (each event ↦ the most recent order of that customer
+    * at or before the event), composed scalably from built-ins: tag
+    * both sides, union, one sort per key, last-non-null propagation.
+    * One shuffle on the key; no range explosion — this is the pattern
+    * that survives 100 TB, vs. a naive t1 ≤ t2 theta-join. Orders are
+    * pre-deduped per (custkey, date) so ties are deterministic. */
+  def qAsofJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ord = orders(s, d)
+      .groupBy($"o_custkey".as("key"), $"o_orderdate".as("t"))
+      .agg(max($"o_orderkey").as("okey"))
+      .select($"key", $"t", $"okey", lit(null).cast("long").as("event_id"), lit(0).as("tag"))
+    val ev = events(s, d)
+      .select($"user_id".as("key"), $"ts".as("t"), lit(null).cast("long").as("okey"),
+        $"event_id", lit(1).as("tag"))
+    val w = Window.partitionBy($"key").orderBy($"t", $"tag", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ord.union(ev)
+      .withColumn("matched", last($"okey", ignoreNulls = true).over(w))
+      .filter($"tag" === 1 && $"matched".isNotNull)
+      .select($"event_id", $"key".as("user_id"), $"matched".as("okey"))
+      .orderBy($"event_id")
+  }
+
+  /** Skew-safe aggregation: pre-aggregate on (key, salt) to spread a
+    * hot key over 8 reducers, then merge partials. Decimal-exact, so
+    * the result is identical to the plain GROUP BY the oracle runs —
+    * demonstrating that salting changes the plan, never the answer. */
+  def qSaltedAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .withColumn("salt", pmod(hash($"l_orderkey"), lit(8)))
+      .groupBy($"l_returnflag", $"salt")
+      .agg(sum(dec($"l_quantity")).as("pq"), count(lit(1)).as("pn"))
+      .groupBy($"l_returnflag")
+      .agg(sum($"pq").as("sum_qty"), sum($"pn").as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Discrete percentiles (value-picking, so doubles match exactly
+    * across engines — interpolating variants would not). */
+  def qPercentile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)").as("p90"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Approximate distinct (HLL++) — no cross-engine oracle, rows-only. */
   def qApproxDistinct(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
