@@ -147,6 +147,29 @@ object OpRegistry {
         |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    op("q_pivot", RelationalOps.qPivot,
+      """SELECT l_returnflag,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'F') AS qty_f,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'O') AS qty_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    op("q_string_agg", RelationalOps.qStringAgg,
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name"""),
+    op("q_scalar_subquery", RelationalOps.qScalarSubquery,
+      """SELECT c_custkey,
+        |  (SELECT max(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders
+        |   WHERE o_custkey = c_custkey) AS max_order
+        |FROM customer ORDER BY c_custkey"""),
+    op("q_null_handling", RelationalOps.qNullHandling,
+      """SELECT l_returnflag,
+        |  count(nullif(CAST(l_discount AS DECIMAL(18,2)), 0)) AS n_nonnull,
+        |  count(*) AS n_all,
+        |  coalesce(min(nullif(CAST(l_discount AS DECIMAL(18,2)), 0)), -1) AS min_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    op("q_cross_join", RelationalOps.qCrossJoin,
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name"""),
     op("q_percentile", RelationalOps.qPercentile,
       """SELECT l_returnflag,
         |  quantile_disc(l_extendedprice, 0.5) AS p50,

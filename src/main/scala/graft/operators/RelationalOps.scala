@@ -244,6 +244,56 @@ object RelationalOps {
       .orderBy($"l_returnflag")
   }
 
+  /** Pivot: linestatus → columns, decimal sums per returnflag. */
+  def qPivot(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .pivot($"l_linestatus", Seq("F", "O"))
+      .agg(sum(dec($"l_quantity")))
+      .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
+      .orderBy($"l_returnflag")
+  }
+
+  /** Ordered string aggregation (deterministic via explicit sort). */
+  def qStringAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    nation(s, d).join(broadcast(region(s, d)), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name")
+      .agg(concat_ws(",", sort_array(collect_list($"n_name"))).as("nations"))
+      .orderBy($"r_name")
+  }
+
+  /** Correlated scalar subquery shape: each customer's max order. */
+  def qScalarSubquery(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val mx = orders(s, d).groupBy($"o_custkey")
+      .agg(max(dec($"o_totalprice")).as("max_order"))
+    customer(s, d)
+      .join(mx, $"c_custkey" === $"o_custkey", "left")
+      .select($"c_custkey", $"max_order")
+      .orderBy($"c_custkey")
+  }
+
+  /** NULL semantics: nullif/coalesce + null-aware counts and sort. */
+  def qNullHandling(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .select($"l_returnflag", nullif(dec($"l_discount", 2), lit(0).cast(DecimalType(18, 2))).as("disc"))
+      .groupBy($"l_returnflag")
+      .agg(count($"disc").as("n_nonnull"), count(lit(1)).as("n_all"),
+        coalesce(min($"disc"), lit(-1).cast(DecimalType(18, 2))).as("min_disc"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Explicit cross join (tiny dims). */
+  def qCrossJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    region(s, d).select($"r_name").crossJoin(
+      nation(s, d).select($"n_name"))
+      .orderBy($"r_name", $"n_name")
+  }
+
   /** Approximate distinct (HLL++) — no cross-engine oracle, rows-only. */
   def qApproxDistinct(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
