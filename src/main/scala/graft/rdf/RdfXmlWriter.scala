@@ -23,18 +23,23 @@ object RdfXmlWriter {
       bySubject.getOrElseUpdate(t.s, new scala.collection.mutable.ArrayBuffer) += ((t.p, t.o))
     }
 
-    // collect predicate namespaces → prefixes
+    // collect predicate namespaces → prefixes. Split = longest suffix
+    // that is a valid NCName (digits/dots/hyphens may appear but not
+    // lead), the standard RDF/XML writer rule; ns may be any string.
     val nsMap = new scala.collection.mutable.LinkedHashMap[String, String]()
+    def ncChar(c: Char) = Character.isLetterOrDigit(c) || c == '_' || c == '-' || c == '.'
+    def ncStart(c: Char) = Character.isLetter(c) || c == '_'
     def splitIri(iri: String): (String, String) = {
-      val cut = math.max(iri.lastIndexOf('#'), iri.lastIndexOf('/'))
-      // local name must be a valid NCName start; fall back further left if not
-      var c = cut
-      while (c > 0 && c < iri.length - 1 && !Character.isLetter(iri.charAt(c + 1)) && iri.charAt(c + 1) != '_')
-        c = math.max(iri.lastIndexOf('#', c - 1), iri.lastIndexOf('/', c - 1))
-      // no splittable namespace → emit without an XML namespace so the
-      // predicate IRI round-trips verbatim (ns "" on re-parse)
-      if (c <= 0 || c >= iri.length - 1) ("", iri)
-      else (iri.substring(0, c + 1), iri.substring(c + 1))
+      var i = iri.length
+      while (i > 0 && ncChar(iri.charAt(i - 1))) i -= 1
+      var j = i
+      while (j < iri.length && !ncStart(iri.charAt(j))) j += 1
+      if (j >= iri.length)
+        throw new IllegalArgumentException(
+          s"predicate IRI has no NCName suffix, not serializable as RDF/XML: $iri")
+      // ns "" → emit without an XML namespace so the bare predicate
+      // round-trips verbatim (reference graphs use bare names like "is")
+      (iri.substring(0, j), iri.substring(j))
     }
     bySubject.valuesIterator.flatten.foreach { case (p, _) =>
       val (ns, _) = splitIri(p.value)

@@ -1,0 +1,68 @@
+package graft
+
+import graft.rdf.{RdfTerm, Triple}
+import graft.store.TripleStore
+
+/** Locks in the 100 TB posture as regression tests: these assert on the
+  * PHYSICAL PLAN, so a change that silently drops pushdown, partition
+  * pruning, or broadcast turns the build red even though results stay
+  * correct.
+  */
+class ScaleSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    // other suites may have cached the triple view; a cache hit would
+    // replace the parquet scans these assertions inspect
+    spark.catalog.clearCache()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q1_agg pushes the date filter into the parquet scan") {
+    val p = plan(operators.RelationalOps.q1Agg(spark, sf0001))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+  }
+
+  test("q5_multijoin broadcasts every dimension join") {
+    val p = plan(operators.RelationalOps.q5MultiJoin(spark, sf0001))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 5)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("access path on p prunes dead union branches (vertical partitioning)") {
+    // p='in_region' must eliminate the customer/supplier branches:
+    // only nation+region scans remain
+    val p = plan(operators.RdfOps.apPo(spark, sf0001))
+    assert(!p.contains("customer.parquet"))
+    assert(!p.contains("supplier.parquet"))
+    assert(p.contains("nation.parquet"))
+  }
+
+  test("persisted store prunes predicate partitions on read") {
+    import spark.implicits._
+    def t(s: String, p: String, o: String) =
+      Triple(RdfTerm.named(s), RdfTerm.named(p), RdfTerm.named(o))
+    val dir = java.nio.file.Files.createTempDirectory("prune").toString
+    TripleStore.fromTriples(spark,
+      Seq(t("a", "p1", "b"), t("a", "p2", "c"), t("b", "p1", "c"))).persist(dir)
+    val preds = spark.read.parquet(s"$dir/predicates")
+    val p1Id = preds.filter($"value" === "p1").select("id").head().getLong(0)
+    val scan = spark.read.parquet(s"$dir/triples").filter($"p_id" === p1Id)
+    val physical = scan.queryExecution.executedPlan.toString
+    assert(physical.contains("PartitionFilters: [isnotnull(p_id"))
+    assert(scan.count() == 2)
+  }
+
+  test("BGP conjunction shuffles on int-sized var columns only after filters") {
+    // the compiled plan must place pattern filters BELOW the join
+    val q = query.Sparql()
+      .select(Seq("$c", "$n"))
+      .filter(Seq(Seq("$c", "in_nation", "$n"), Seq("$n", "in_region", "ASIA")))
+    val df = query.Bgp.compile(operators.RdfOps.tripleView(spark, sf0001), q)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // no Filter node sits above a Join in the optimized plan
+    val joinIdx = optimized.indexOf("Join")
+    val filterIdx = optimized.indexOf("Filter")
+    assert(joinIdx >= 0 && (filterIdx == -1 || filterIdx > joinIdx),
+      s"filters should be pushed below the join:\n$optimized")
+  }
+}
