@@ -224,6 +224,7 @@ object OpRegistry {
     op("rdf_xml_source", RdfXmlOps.xmlSource, RdfXmlOps.xmlOracleSql),
     op("rdf_xml_roundtrip", RdfXmlOps.xmlRoundtrip, RdfXmlOps.xmlOracleSql),
     opNoOracle("rdf_footprint", RdfXmlOps.footprint),
+    opNoOracle("rdf_build_corpus", RdfXmlOps.buildCorpus),
     op("graphx_degrees", GraphOps.graphxDegrees, GraphOps.graphxDegreesSql),
     op("graphx_cc", GraphOps.graphxCc, GraphOps.graphxCcSql),
     opNoOracle("graphx_pagerank", GraphOps.graphxPagerank),

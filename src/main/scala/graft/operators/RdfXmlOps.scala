@@ -62,6 +62,23 @@ object RdfXmlOps {
        |ORDER BY s, p, o""".stripMargin
   }
 
+  /** S1+S3 at the reference's own scale: distributed ingest of the
+    * ENTIRE reference corpus (53 RDF/XML files, 18.3 MB — the
+    * reference's bench suite loops these; its published numbers are
+    * 4.55 s for the 1 MB www-2011 file alone, ~35 s for the 2.8 MB
+    * lrec-2008 file). One Spark task per file; output is per-file-free
+    * aggregate stats so the result is deterministic. rows-only check
+    * (no RDF parser in DuckDB). */
+  def buildCorpus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val st = TripleStore.fromRdf(s, "/root/reference/models")
+    st.triples.toDF()
+      .agg(
+        count(lit(1)).as("n_triples"),
+        countDistinct($"s").as("n_subjects"),
+        countDistinct($"p").as("n_predicates"))
+  }
+
   /** M3 footprint (graph.rs:1010-1027): optimizer size estimate of the
     * testdata triple view — value is engine-specific → rows-only. */
   def footprint(s: SparkSession, d: String): DataFrame = {
