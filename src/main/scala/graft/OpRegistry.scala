@@ -206,6 +206,7 @@ object OpRegistry {
     op("text_langid", TextOps.textLangId, TextOps.textLangIdSql),
     op("text_fingerprint", TextOps.textFingerprint, TextOps.textFingerprintSql),
     opNoOracle("text_simhash", TextOps.textSimhash),
+    op("text_top_tokens", TextOps.textTopTokens, TextOps.textTopTokensSql),
     op("dedup_exact", DedupOps.dedupExact, DedupOps.dedupExactSql),
     op("dedup_norm", DedupOps.dedupNorm, DedupOps.dedupNormSql),
     op("dedup_ngram_jaccard", DedupOps.dedupNgramJaccard, DedupOps.dedupNgramJaccardSql),

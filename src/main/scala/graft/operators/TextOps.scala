@@ -112,6 +112,24 @@ object TextOps {
       |  substr(sha256(text), 1, 16) AS fp_sha_pfx
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Corpus token frequencies, top 50: explode → two-phase aggregate
+    * (map-side combine before the shuffle — the wordcount shape that
+    * scales to any corpus size). Deterministic top-k via (count desc,
+    * token) ordering. */
+  def textTopTokens(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select(explode(toks($"text")).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"token")
+      .limit(50)
+  }
+  val textTopTokensSql: String =
+    """SELECT token, count(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+      |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin
+
   /** SimHash signatures via the native [[graft.functions.SimHash]]
     * Catalyst expression (no DuckDB equivalent → rows-only check;
     * correctness is pinned by SimHashSpec's hand-computed goldens). */
