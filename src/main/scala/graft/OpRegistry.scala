@@ -215,6 +215,8 @@ object OpRegistry {
     op("dedup_embedding_cosine", DedupOps.dedupEmbeddingCosine, DedupOps.dedupEmbeddingCosineSql),
     op("sim_topk_brute", SimilarityOps.simTopkBrute, SimilarityOps.simTopkBruteSql),
     opNoOracle("sim_ann_lsh", SimilarityOps.simAnnLsh),
+    opNoOracle("dedup_minhash_ml", MlOps.dedupMinhashMl),
+    opNoOracle("sim_ann_ivf", MlOps.simAnnIvf),
     op("mm_metadata", MultimodalOps.mmMetadata, MultimodalOps.mmMetadataSql),
     op("mm_frame_sample", MultimodalOps.mmFrameSample, MultimodalOps.mmFrameSampleSql),
     op("ev_window_agg", EventOps.evWindowAgg, EventOps.evWindowAggSql),
