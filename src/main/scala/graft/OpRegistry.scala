@@ -67,6 +67,27 @@ object OpRegistry {
         |  FROM orders) t
         |WHERE rn <= 3
         |ORDER BY o_custkey, rn"""),
+    op("q_window_frames", RelationalOps.qWindowFrames,
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(lag(o_totalprice) OVER w AS DECIMAL(18,2)) AS prev_price,
+        |  CAST(lead(o_totalprice) OVER w AS DECIMAL(18,2)) AS next_price,
+        |  CAST(first_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DECIMAL(18,2)) AS first_price,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DECIMAL(18,2)) AS neighborhood_sum
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        |ORDER BY o_custkey, o_orderkey"""),
+    op("q_full_outer", RelationalOps.qFullOuter,
+      """WITH c AS (SELECT c_custkey AS k, CAST(1 AS BIGINT) AS is_cust
+        |           FROM customer WHERE c_mktsegment = 'MACHINERY'),
+        |o AS (SELECT o_custkey AS k, count(*) AS n_urgent
+        |      FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1)
+        |SELECT coalesce(c.k, o.k) AS k,
+        |  coalesce(is_cust, 0) AS is_cust,
+        |  coalesce(n_urgent, 0) AS n_urgent
+        |FROM c FULL OUTER JOIN o ON c.k = o.k
+        |ORDER BY k"""),
     op("q_sort_limit", RelationalOps.qSortLimit,
       """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total
         |FROM orders
@@ -207,6 +228,7 @@ object OpRegistry {
     op("text_fingerprint", TextOps.textFingerprint, TextOps.textFingerprintSql),
     opNoOracle("text_simhash", TextOps.textSimhash),
     op("text_top_tokens", TextOps.textTopTokens, TextOps.textTopTokensSql),
+    opNoOracle("text_simhash_by_source", TextOps.textSimhashBySource),
     op("dedup_exact", DedupOps.dedupExact, DedupOps.dedupExactSql),
     op("dedup_norm", DedupOps.dedupNorm, DedupOps.dedupNormSql),
     op("dedup_ngram_jaccard", DedupOps.dedupNgramJaccard, DedupOps.dedupNgramJaccardSql),

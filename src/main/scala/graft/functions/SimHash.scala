@@ -60,6 +60,9 @@ object GraftFunctions {
       "simhash", exprs => SimHash(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_agg",
+      exprs => SimHashAgg(exprs.head).toAggregateExpression(), "scala_udf")
   }
 }
 

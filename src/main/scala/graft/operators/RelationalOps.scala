@@ -86,6 +86,35 @@ object RelationalOps {
       .orderBy($"o_custkey", $"rn")
   }
 
+  /** Window frame zoo: RANGE frame, lead/lag, first/last over frames. */
+  def qWindowFrames(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byCust = Window.partitionBy($"o_custkey").orderBy($"o_orderkey")
+    orders(s, d)
+      .withColumn("prev_price", dec(lag($"o_totalprice", 1).over(byCust)))
+      .withColumn("next_price", dec(lead($"o_totalprice", 1).over(byCust)))
+      .withColumn("first_price", dec(first($"o_totalprice").over(
+        byCust.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))))
+      .withColumn("neighborhood_sum", dec(sum(dec($"o_totalprice")).over(
+        byCust.rowsBetween(-1, 1)), 2))
+      .select($"o_custkey", $"o_orderkey", $"prev_price", $"next_price",
+        $"first_price", $"neighborhood_sum")
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** Full outer join with null-aware aggregation on both sides. */
+  def qFullOuter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = customer(s, d).filter($"c_mktsegment" === "MACHINERY")
+      .select($"c_custkey".as("k"), lit(1L).as("is_cust"))
+    val o = orders(s, d).filter($"o_orderpriority" === "1-URGENT")
+      .groupBy($"o_custkey".as("k")).agg(count(lit(1)).as("n_urgent"))
+    c.join(o, Seq("k"), "full_outer")
+      .select($"k", coalesce($"is_cust", lit(0L)).as("is_cust"),
+        coalesce($"n_urgent", lit(0L)).as("n_urgent"))
+      .orderBy($"k")
+  }
+
   /** Global sort + limit (Spark plans TakeOrderedAndProject — no full sort). */
   def qSortLimit(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

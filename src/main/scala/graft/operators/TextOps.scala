@@ -140,4 +140,19 @@ object TextOps {
       .select($"doc_id", expr("simhash(split(text, ' '))").as("sig"))
       .orderBy($"doc_id")
   }
+
+  /** Per-SOURCE corpus signature via the custom TypedImperativeAggregate
+    * [[graft.functions.SimHashAgg]]: partial aggregation ships one
+    * 256-byte counter buffer per group through the shuffle, never the
+    * tokens. rows-only; group≡concat equivalence pinned in
+    * FunctionsSpec. */
+  def textSimhashBySource(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    documents(s, d)
+      .groupBy($"source")
+      .agg(expr("simhash_agg(split(text, ' '))").as("corpus_sig"),
+        count(lit(1)).as("n_docs"))
+      .orderBy($"source")
+  }
 }

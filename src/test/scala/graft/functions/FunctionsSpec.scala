@@ -23,6 +23,22 @@ class FunctionsSpec extends SparkSpec {
     assert(z == 0.0)
   }
 
+  test("simhash_agg over rows equals scalar simhash of concatenated tokens") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val rows = Seq(("g1", "the quick brown"), ("g1", "fox jumps high"),
+      ("g2", "completely other words"))
+    val grouped = rows.toDF("g", "text")
+      .groupBy($"g").agg(expr("simhash_agg(split(text,' '))").as("sig"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val concat = Seq(("g1", "the quick brown fox jumps high"),
+      ("g2", "completely other words"))
+      .toDF("g", "text")
+      .select($"g", expr("simhash(split(text,' '))").as("sig"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(grouped == concat)
+  }
+
   test("dict ids are dense, deterministic, sorted") {
     import spark.implicits._
     val df = Seq("c", "a", "b", "a", "c").toDF("term")
