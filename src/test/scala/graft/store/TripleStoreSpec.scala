@@ -78,6 +78,22 @@ class TripleStoreSpec extends SparkSpec {
     assert(blanks.forall(_.value.startsWith("f0_")))
   }
 
+  test("corpus persists smaller than its RDF/XML source (parquet replaces K2Tree compression)") {
+    val st = TripleStore.fromRdf(spark, "/root/reference/models")
+    val dir = java.nio.file.Files.createTempDirectory("corpus_persist").toString
+    st.persist(dir)
+    def duBytes(p: java.io.File): Long =
+      if (p.isFile) p.length
+      else Option(p.listFiles).map(_.map(duBytes).sum).getOrElse(0L)
+    val parquetBytes = duBytes(new java.io.File(dir))
+    val xmlBytes = duBytes(new java.io.File("/root/reference/models"))
+    info(f"corpus: xml=${xmlBytes / 1e6}%.1f MB → persisted=${parquetBytes / 1e6}%.1f MB " +
+      f"(${100.0 * parquetBytes / xmlBytes}%.0f%%)")
+    assert(parquetBytes < xmlBytes)
+    // restore equals original
+    assert(TripleStore.fromBackup(spark, dir).count() == st.count())
+  }
+
   test("typed/lang literals survive store round-trip") {
     val lits = Seq(
       Triple(RdfTerm.named("s1"), RdfTerm.named("p"), RdfTerm.langLit("hi", "en")),
