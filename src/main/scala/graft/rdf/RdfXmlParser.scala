@@ -16,7 +16,8 @@ import scala.collection.mutable.ArrayBuffer
   *   - nested node elements, rdf:parseType="Resource" and "Literal"
   *   - rdf:parseType="Collection" (first/rest/nil lists)
   *   - containers: rdf:li → rdf:_1, rdf:_2, … per node element
-  *   - xml:lang inheritance, rdf:datatype typed literals
+  *   - xml:lang and xml:base inheritance (relative IRI resolution),
+  *     rdf:datatype typed literals
   *   - property attributes on node elements
   *
   * RDF/XML is not line-splittable, so distribution happens per FILE:
@@ -48,6 +49,8 @@ object RdfXmlParser {
     finally r.close()
   }
 
+  private final case class Ctx(lang: Option[String], base: Option[String])
+
   private final class Parser(r: XMLStreamReader) {
     private val out = new ArrayBuffer[Triple]()
     private var blankCounter = 0
@@ -61,25 +64,35 @@ object RdfXmlParser {
       while (r.hasNext && r.getEventType != XMLStreamConstants.START_ELEMENT) r.next()
       if (!r.hasNext) return out.toSeq
       if (r.getNamespaceURI == RdfNs && r.getLocalName == "RDF") {
-        val lang = xmlLang(None)
+        val ctx0 = ctx(Ctx(None, None))
         var depth = 0
         while (r.hasNext && depth >= 0) {
           r.next() match {
-            case XMLStreamConstants.START_ELEMENT => nodeElement(lang)
+            case XMLStreamConstants.START_ELEMENT => nodeElement(ctx0)
             case XMLStreamConstants.END_ELEMENT   => depth -= 1
             case _                                => ()
           }
         }
-      } else nodeElement(None)
+      } else nodeElement(Ctx(None, None))
       out.toSeq
     }
 
+    /** Resolve an IRI reference against the in-scope xml:base. */
+    private def resolve(iri: String, base: Option[String]): String =
+      base match {
+        case Some(b) if !iri.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*") =>
+          try new java.net.URI(b).resolve(iri).toString
+          catch { case _: Exception => iri }
+        case _ => iri
+      }
+
     /** Parse a node element the reader is positioned ON; consumes
       * through its END_ELEMENT. Returns the subject term. */
-    private def nodeElement(inheritedLang: Option[String]): RdfTerm = {
+    private def nodeElement(inherited: Ctx): RdfTerm = {
       val ns = r.getNamespaceURI
       val ln = r.getLocalName
-      val lang = xmlLang(inheritedLang)
+      val c = ctx(inherited)
+      val lang = c.lang
 
       var subject: RdfTerm = null
       val propAttrs = new ArrayBuffer[(String, String)]()
@@ -89,10 +102,10 @@ object RdfXmlParser {
         val aln = r.getAttributeLocalName(i)
         val av  = r.getAttributeValue(i)
         (ans, aln) match {
-          case (RdfNs, "about")  => subject = RdfTerm.named(av)
-          case (RdfNs, "ID")     => subject = RdfTerm.named("#" + av)
+          case (RdfNs, "about")  => subject = RdfTerm.named(resolve(av, c.base))
+          case (RdfNs, "ID")     => subject = RdfTerm.named(resolve("#" + av, c.base))
           case (RdfNs, "nodeID") => subject = RdfTerm.blank(av)
-          case (XmlNs, _)        => () // xml:lang handled above, xml:base unsupported
+          case (XmlNs, _)        => () // xml:lang/xml:base handled via ctx
           case (RdfNs, _)        => ()
           case _                 => propAttrs += ((ans + aln, av))
         }
@@ -112,7 +125,7 @@ object RdfXmlParser {
         r.next() match {
           case XMLStreamConstants.START_ELEMENT =>
             liCounter += 1
-            propertyElement(subject, lang, liCounter)
+            propertyElement(subject, c, liCounter)
           case XMLStreamConstants.END_ELEMENT => done = true
           case _                              => ()
         }
@@ -121,13 +134,14 @@ object RdfXmlParser {
     }
 
     /** Parse a property element the reader is positioned ON. */
-    private def propertyElement(subject: RdfTerm, inheritedLang: Option[String], liIndex: Int): Unit = {
+    private def propertyElement(subject: RdfTerm, inherited: Ctx, liIndex: Int): Unit = {
       val ns = Option(r.getNamespaceURI).getOrElse("")
       val ln = r.getLocalName
       val predIri =
         if (ns == RdfNs && ln == "li") RdfNs + "_" + liIndex else ns + ln
       val pred = RdfTerm.named(predIri)
-      val lang = xmlLang(inheritedLang)
+      val c = ctx(inherited)
+      val lang = c.lang
 
       var resource: RdfTerm = null
       var datatype: Option[String] = None
@@ -139,7 +153,7 @@ object RdfXmlParser {
         val aln = r.getAttributeLocalName(i)
         val av  = r.getAttributeValue(i)
         (ans, aln) match {
-          case (RdfNs, "resource")  => resource = RdfTerm.named(av)
+          case (RdfNs, "resource")  => resource = RdfTerm.named(resolve(av, c.base))
           case (RdfNs, "nodeID")    => resource = RdfTerm.blank(av)
           case (RdfNs, "datatype")  => datatype = Some(av)
           case (RdfNs, "parseType") => parseType = Some(av)
@@ -161,7 +175,7 @@ object RdfXmlParser {
             r.next() match {
               case XMLStreamConstants.START_ELEMENT =>
                 liCounter += 1
-                propertyElement(obj, lang, liCounter)
+                propertyElement(obj, c, liCounter)
               case XMLStreamConstants.END_ELEMENT => done = true
               case _                              => ()
             }
@@ -175,7 +189,7 @@ object RdfXmlParser {
           var done = false
           while (!done && r.hasNext) {
             r.next() match {
-              case XMLStreamConstants.START_ELEMENT => items += nodeElement(lang)
+              case XMLStreamConstants.START_ELEMENT => items += nodeElement(c)
               case XMLStreamConstants.END_ELEMENT   => done = true
               case _                                => ()
             }
@@ -206,7 +220,7 @@ object RdfXmlParser {
                 case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
                   text.append(r.getText)
                 case XMLStreamConstants.START_ELEMENT =>
-                  nested = nodeElement(lang)
+                  nested = nodeElement(c)
                 case XMLStreamConstants.END_ELEMENT => done = true
                 case _                              => ()
               }
@@ -228,15 +242,20 @@ object RdfXmlParser {
         }
       }
 
-    private def xmlLang(inherited: Option[String]): Option[String] = {
+    /** In-scope xml:lang / xml:base, read from the current element's
+      * attributes with inheritance from ancestors. */
+    private def ctx(inherited: Ctx): Ctx = {
+      var lang: Option[String] = None
+      var base: Option[String] = None
       var i = 0
-      var found: Option[String] = None
       while (i < r.getAttributeCount) {
         if (r.getAttributeNamespace(i) == XmlNs && r.getAttributeLocalName(i) == "lang")
-          found = Some(r.getAttributeValue(i)).filter(_.nonEmpty)
+          lang = Some(r.getAttributeValue(i)).filter(_.nonEmpty)
+        if (r.getAttributeNamespace(i) == XmlNs && r.getAttributeLocalName(i) == "base")
+          base = Some(r.getAttributeValue(i)).filter(_.nonEmpty)
         i += 1
       }
-      found.orElse(inherited)
+      Ctx(lang.orElse(inherited.lang), base.orElse(inherited.base))
     }
 
     /** Serialize the raw XML content of a parseType="Literal" element. */

@@ -48,6 +48,20 @@ final class TripleStore private (
   def removeTriples(ts: Seq[Triple]): TripleStore =
     new TripleStore(spark, triples.except(ts.toDS()))
 
+  /** Remove every triple matching a pattern (None = wildcard) — the
+    * reference's promised-but-unshipped "remove-queries"
+    * (COOKBOOK.md:76 "Remove-queries coming soon"). One Catalyst
+    * filter; no materialization. */
+  def removePattern(
+      s: Option[RdfTerm], p: Option[RdfTerm], o: Option[RdfTerm]): TripleStore = {
+    import org.apache.spark.sql.functions.typedlit
+    var cond = org.apache.spark.sql.functions.lit(true)
+    s.foreach(t => cond = cond && triples("s") === typedlit(t))
+    p.foreach(t => cond = cond && triples("p") === typedlit(t))
+    o.foreach(t => cond = cond && triples("o") === typedlit(t))
+    new TripleStore(spark, triples.filter(!cond))
+  }
+
   /** Distributed BGP query: variable columns hold full term structs. */
   def query(q: Sparql): DataFrame =
     Bgp.compile(triples.toDF(), q,

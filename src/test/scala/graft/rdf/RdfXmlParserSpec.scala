@@ -105,6 +105,42 @@ class RdfXmlParserSpec extends SparkSpec {
     }
   }
 
+  test("xml:base resolves relative IRIs with inheritance") {
+    val xml =
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:ex="http://example.org/ns#"
+        |         xml:base="http://base.example/dir/">
+        |  <rdf:Description rdf:about="doc1">
+        |    <ex:rel rdf:resource="doc2"/>
+        |    <ex:abs rdf:resource="http://other.example/x"/>
+        |  </rdf:Description>
+        |  <rdf:Description rdf:about="#frag" xml:base="http://inner.example/a">
+        |    <ex:rel rdf:resource="b"/>
+        |  </rdf:Description>
+        |</rdf:RDF>""".stripMargin
+    val ts = RdfXmlParser.parseString(xml)
+    assert(ts.contains(Triple(RdfTerm.named("http://base.example/dir/doc1"),
+      RdfTerm.named("http://example.org/ns#rel"),
+      RdfTerm.named("http://base.example/dir/doc2"))))
+    // absolute IRIs untouched
+    assert(ts.exists(_.o.value == "http://other.example/x"))
+    // inner xml:base overrides; fragment resolves against it
+    assert(ts.contains(Triple(RdfTerm.named("http://inner.example/a#frag"),
+      RdfTerm.named("http://example.org/ns#rel"),
+      RdfTerm.named("http://inner.example/b"))))
+  }
+
+  test("removePattern deletes by wildcard pattern (the reference's promised remove-queries)") {
+    import graft.store.TripleStore
+    def t(s: String, p: String, o: String) =
+      Triple(RdfTerm.named(s), RdfTerm.named(p), RdfTerm.named(o))
+    val st = TripleStore.fromTriples(spark,
+      Seq(t("a", "is", "x"), t("b", "is", "y"), t("a", "has", "z")))
+    assert(st.removePattern(Some(RdfTerm.named("a")), None, None).count() == 1)
+    assert(st.removePattern(None, Some(RdfTerm.named("is")), None).count() == 1)
+    assert(st.removePattern(None, None, None).count() == 0)
+  }
+
   test("parseType=Collection builds first/rest/nil list") {
     val xml =
       """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
