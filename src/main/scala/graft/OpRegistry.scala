@@ -246,6 +246,9 @@ object OpRegistry {
     op("ev_sessionize", EventOps.evSessionize, EventOps.evSessionizeSql),
     op("ev_stream_window", EventOps.evStreamWindow, EventOps.evWindowAggSql),
     op("ev_stream_sessionize", EventOps.evStreamSessionize, EventOps.evSessionizeSql),
+    op("ev_stream_enrich", EventOps.evStreamEnrich, EventOps.evStreamEnrichSql),
+    op("ev_stream_stream_join", EventOps.evStreamStreamJoin, EventOps.evStreamStreamJoinSql),
+    op("ev_stream_dedup", EventOps.evStreamDedup, EventOps.evStreamDedupSql),
     op("rdf_xml_source", RdfXmlOps.xmlSource, RdfXmlOps.xmlOracleSql),
     op("rdf_xml_roundtrip", RdfXmlOps.xmlRoundtrip, RdfXmlOps.xmlOracleSql),
     opNoOracle("rdf_footprint", RdfXmlOps.footprint),

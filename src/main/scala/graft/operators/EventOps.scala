@@ -73,6 +73,88 @@ object EventOps {
       |  count(*) AS n_events
       |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  private def eventsStream(s: SparkSession, d: String) = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", timestamp_micros(($"ts" / 1000L).cast("long")))
+  }
+
+  private def runToTable(s: SparkSession, df: DataFrame, name: String,
+      mode: String): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name)
+  }
+
+  /** Stream-static join: the event stream enriched against the static
+    * customer dimension (broadcast per micro-batch — no stream state),
+    * then aggregated by segment. Oracle: the equivalent batch join. */
+  def evStreamEnrich(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cust = customer(s, d).select($"c_custkey", $"c_mktsegment")
+    val joined = eventsStream(s, d)
+      .join(broadcast(cust), $"user_id" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(DecimalType(18, 4))).as("sum_value"))
+    val t = runToTable(s, joined, "graft_enrich_" + math.abs(d.hashCode), "complete")
+    t.orderBy($"c_mktsegment")
+  }
+  val evStreamEnrichSql: String =
+    """SELECT c_mktsegment, count(*) AS n,
+      |  sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Stream-stream self-join with an event-time interval constraint:
+    * pairs of DIFFERENT events from the same user within 10 minutes.
+    * Both sides watermarked so the join state is bounded. Oracle: the
+    * same interval join in batch SQL. */
+  def evStreamStreamJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val a = eventsStream(s, d)
+      .select($"event_id".as("ea"), $"user_id".as("ua"), $"ts".as("tsa"))
+      .withWatermark("tsa", "30 minutes")
+    val b = eventsStream(s, d)
+      .select($"event_id".as("eb"), $"user_id".as("ub"), $"ts".as("tsb"))
+      .withWatermark("tsb", "30 minutes")
+    val joined = a.join(b,
+      $"ua" === $"ub" && $"ea" < $"eb" &&
+        $"tsb" >= $"tsa" && $"tsb" <= $"tsa" + expr("INTERVAL 10 MINUTES"))
+      .select($"ua".as("user_id"), $"ea", $"eb")
+    val t = runToTable(s, joined, "graft_ssj_" + math.abs(d.hashCode), "append")
+    t.orderBy($"user_id", $"ea", $"eb")
+  }
+  val evStreamStreamJoinSql: String =
+    """SELECT a.user_id AS user_id, a.event_id AS ea, b.event_id AS eb
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+      | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+      |ORDER BY 1, 2, 3""".stripMargin
+
+  /** Streaming deduplication with watermarked state: first event per
+    * (user, hour) survives. Deterministic because the file source
+    * preserves order within the single batch. Oracle: batch min() per
+    * group. */
+  def evStreamDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dedup = eventsStream(s, d)
+      .withColumn("hour", date_trunc("hour", $"ts"))
+      .withWatermark("hour", "2 hours")
+      .dropDuplicates("user_id", "hour")
+      .select($"user_id", $"hour", $"event_id")
+    val t = runToTable(s, dedup, "graft_dedup_" + math.abs(d.hashCode), "append")
+    t.orderBy($"user_id", $"hour")
+  }
+  val evStreamDedupSql: String =
+    """SELECT user_id, date_trunc('hour', ts) AS hour, min(event_id) AS event_id
+      |FROM events GROUP BY 1, 2 ORDER BY user_id, hour""".stripMargin
+
   /** One event row for typed stateful processing. */
   final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
 
