@@ -27,9 +27,9 @@ object OpRegistry {
   private val relational: Seq[Op] = Seq(
     op("q1_agg", RelationalOps.q1Agg,
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        |  sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -37,7 +37,7 @@ object OpRegistry {
         |ORDER BY l_returnflag, l_linestatus"""),
     op("q3_topk_join", RelationalOps.q3TopkJoin,
       """SELECT l_orderkey,
-        |  sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS revenue
+        |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -47,7 +47,7 @@ object OpRegistry {
         |LIMIT 10"""),
     op("q5_multijoin", RelationalOps.q5MultiJoin,
       """SELECT n_name,
-        |  sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS revenue
+        |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -61,20 +61,20 @@ object OpRegistry {
       """SELECT o_custkey, rn, o_orderkey, running_spend FROM (
         |  SELECT o_custkey, o_orderkey,
         |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
-        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
         |      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
         |  FROM orders) t
         |WHERE rn <= 3
         |ORDER BY o_custkey, rn"""),
     op("q_window_frames", RelationalOps.qWindowFrames,
       """SELECT o_custkey, o_orderkey,
-        |  CAST(lag(o_totalprice) OVER w AS DECIMAL(18,2)) AS prev_price,
-        |  CAST(lead(o_totalprice) OVER w AS DECIMAL(18,2)) AS next_price,
-        |  CAST(first_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DECIMAL(18,2)) AS first_price,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
-        |    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DECIMAL(18,2)) AS neighborhood_sum
+        |  CAST(CAST(lag(o_totalprice) OVER w AS DECIMAL(18,2)) AS DOUBLE) AS prev_price,
+        |  CAST(CAST(lead(o_totalprice) OVER w AS DECIMAL(18,2)) AS DOUBLE) AS next_price,
+        |  CAST(CAST(first_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DECIMAL(18,2)) AS DOUBLE) AS first_price,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DECIMAL(18,2)) AS DOUBLE) AS neighborhood_sum
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
         |ORDER BY o_custkey, o_orderkey"""),
@@ -89,7 +89,7 @@ object OpRegistry {
         |FROM c FULL OUTER JOIN o ON c.k = o.k
         |ORDER BY k"""),
     op("q_sort_limit", RelationalOps.qSortLimit,
-      """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total
+      """SELECT o_orderkey, o_custkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
         |FROM orders
         |ORDER BY total DESC, o_orderkey
         |LIMIT 10"""),
@@ -118,7 +118,7 @@ object OpRegistry {
         |  upper(p_type) AS type_up,
         |  substr(p_name, 1, 8) AS name_pfx,
         |  CAST(length(p_name) AS BIGINT) AS name_len,
-        |  CAST(round(p_retailprice*0.8, 2) AS DECIMAL(18,2)) AS discounted,
+        |  CAST(CAST(round(p_retailprice*0.8, 2) AS DECIMAL(18,2)) AS DOUBLE) AS discounted,
         |  CASE WHEN p_size >= 25 THEN 'large'
         |       WHEN p_size >= 10 THEN 'medium'
         |       ELSE 'small' END AS size_class
@@ -128,7 +128,7 @@ object OpRegistry {
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
         |  CAST(month(o_orderdate) AS BIGINT) AS mo,
         |  count(*) AS n_orders,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
         |FROM orders
         |GROUP BY 1, 2
         |ORDER BY yr, mo"""),
@@ -149,7 +149,7 @@ object OpRegistry {
     op("q_rollup", RelationalOps.qRollup,
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
         |  coalesce(l_linestatus, 'ALL') AS ls,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  count(*) AS n
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
@@ -165,13 +165,13 @@ object OpRegistry {
         |ORDER BY event_id"""),
     op("q_salted_agg", RelationalOps.qSaltedAgg,
       """SELECT l_returnflag,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
     op("q_pivot", RelationalOps.qPivot,
       """SELECT l_returnflag,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'F') AS qty_f,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'O') AS qty_o
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'F') AS DOUBLE) AS qty_f,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'O') AS DOUBLE) AS qty_o
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
     op("q_string_agg", RelationalOps.qStringAgg,
       """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
@@ -179,14 +179,14 @@ object OpRegistry {
         |GROUP BY r_name ORDER BY r_name"""),
     op("q_scalar_subquery", RelationalOps.qScalarSubquery,
       """SELECT c_custkey,
-        |  (SELECT max(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders
+        |  (SELECT CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM orders
         |   WHERE o_custkey = c_custkey) AS max_order
         |FROM customer ORDER BY c_custkey"""),
     op("q_null_handling", RelationalOps.qNullHandling,
       """SELECT l_returnflag,
         |  count(nullif(CAST(l_discount AS DECIMAL(18,2)), 0)) AS n_nonnull,
         |  count(*) AS n_all,
-        |  coalesce(min(nullif(CAST(l_discount AS DECIMAL(18,2)), 0)), -1) AS min_disc
+        |  CAST(coalesce(min(nullif(CAST(l_discount AS DECIMAL(18,2)), 0)), -1) AS DOUBLE) AS min_disc
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
     op("q_cross_join", RelationalOps.qCrossJoin,
       """SELECT r_name, n_name FROM region CROSS JOIN nation

@@ -27,10 +27,12 @@ object Tables {
     * this is lossless and matches DuckDB's TIMESTAMP_NS semantics). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // `div` (integer division) — `/` is double division and int64 nanos
+    // exceed a double's 53-bit mantissa, which can shift boundary values
+    // by 1µs after the truncating cast.
     table(s, d, "events")
       .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

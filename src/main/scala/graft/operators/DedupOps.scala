@@ -48,7 +48,11 @@ object DedupOps {
     documents(s, d)
       .select($"doc_id", split($"text", " ").as("ws"))
       .select($"doc_id", explode(array_distinct(expr(
-        "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")))
+        // guard: sequence(0, -1) steps DOWNWARD in Spark, which would
+        // fabricate 1-2-token shingles for docs shorter than 3 tokens
+        """CASE WHEN size(ws) >= 3
+          |THEN transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))
+          |ELSE array() END""".stripMargin)))
         .as("g"))
   }
 
@@ -106,7 +110,9 @@ object DedupOps {
     val docs = documents(s, d)
       .select($"doc_id", split($"text", " ").as("ws"))
       .select($"doc_id", expr(
-        "array_distinct(transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))")
+        """CASE WHEN size(ws) >= 3
+          |THEN array_distinct(transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))
+          |ELSE array() END""".stripMargin)
         .as("gs"))
     val sig = withMinhash(docs).cache()
     val bands = (0 until 4).map { b =>

@@ -23,14 +23,14 @@ object EventOps {
     events(s, d)
       .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
       .agg(count(lit(1)).as("n"),
-        sum($"value".cast(DecimalType(18, 4))).as("sum_value"))
+        sum($"value".cast(DecimalType(18, 4))).cast("double").as("sum_value"))
       .select($"w.start".as("w_start"), $"event_type", $"n", $"sum_value")
       .orderBy($"w_start", $"event_type")
   }
   val evWindowAggSql: String =
     """SELECT date_trunc('hour', ts) AS w_start, event_type,
       |  count(*) AS n,
-      |  sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY w_start, event_type""".stripMargin
@@ -80,7 +80,7 @@ object EventOps {
     s.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
-      .withColumn("ts", timestamp_micros(($"ts" / 1000L).cast("long")))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
   private def runToTable(s: SparkSession, df: DataFrame, name: String,
@@ -101,13 +101,13 @@ object EventOps {
       .join(broadcast(cust), $"user_id" === $"c_custkey")
       .groupBy($"c_mktsegment")
       .agg(count(lit(1)).as("n"),
-        sum($"value".cast(DecimalType(18, 4))).as("sum_value"))
+        sum($"value".cast(DecimalType(18, 4))).cast("double").as("sum_value"))
     val t = runToTable(s, joined, "graft_enrich_" + math.abs(d.hashCode), "complete")
     t.orderBy($"c_mktsegment")
   }
   val evStreamEnrichSql: String =
     """SELECT c_mktsegment, count(*) AS n,
-      |  sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
@@ -137,23 +137,24 @@ object EventOps {
       | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
       |ORDER BY 1, 2, 3""".stripMargin
 
-  /** Streaming deduplication with watermarked state: first event per
-    * (user, hour) survives. Deterministic because the file source
-    * preserves order within the single batch. Oracle: batch min() per
-    * group. */
+  /** Streaming deduplication with watermarked state: one event per
+    * (user, hour) survives. dropDuplicates keeps whichever duplicate
+    * arrives first, which depends on partitioning — so the comparable
+    * output is the surviving KEY SET only (deterministic under any
+    * input order), not the surviving event_id. */
   def evStreamDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val dedup = eventsStream(s, d)
       .withColumn("hour", date_trunc("hour", $"ts"))
       .withWatermark("hour", "2 hours")
       .dropDuplicates("user_id", "hour")
-      .select($"user_id", $"hour", $"event_id")
+      .select($"user_id", $"hour")
     val t = runToTable(s, dedup, "graft_dedup_" + math.abs(d.hashCode), "append")
     t.orderBy($"user_id", $"hour")
   }
   val evStreamDedupSql: String =
-    """SELECT user_id, date_trunc('hour', ts) AS hour, min(event_id) AS event_id
-      |FROM events GROUP BY 1, 2 ORDER BY user_id, hour""".stripMargin
+    """SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour
+      |FROM events ORDER BY user_id, hour""".stripMargin
 
   /** One event row for typed stateful processing. */
   final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
@@ -174,7 +175,7 @@ object EventOps {
     val evs = s.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
-      .withColumn("ts", timestamp_micros(($"ts" / 1000L).cast("long")))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .select($"event_id", $"ts", $"user_id")
       .as[Ev]
 
@@ -215,11 +216,11 @@ object EventOps {
     val stream = s.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
-      .withColumn("ts", timestamp_micros(($"ts" / 1000L).cast("long")))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", "1 hour")
       .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
       .agg(count(lit(1)).as("n"),
-        sum($"value".cast(DecimalType(18, 4))).as("sum_value"))
+        sum($"value".cast(DecimalType(18, 4))).cast("double").as("sum_value"))
     val q = stream.writeStream
       .format("memory").queryName(name).outputMode("complete").start()
     try q.processAllAvailable()

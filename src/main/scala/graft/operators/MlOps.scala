@@ -25,7 +25,9 @@ object MlOps {
     val sh = documents(s, d)
       .select($"doc_id", split($"text", " ").as("ws"))
       .select($"doc_id", expr(
-        "array_distinct(transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))")
+        """CASE WHEN size(ws) >= 3
+          |THEN array_distinct(transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))
+          |ELSE array() END""".stripMargin)
         .as("gs"))
     // sparse binary vectors over a hashed shingle space
     val dim = 1 << 18

@@ -14,7 +14,12 @@ import org.apache.spark.sql.types.DecimalType
   * are aliased identically to the DuckDB oracle SQL in
   * [[graft.OpRegistry]]. Money-like aggregates are cast to DECIMAL before
   * summing so Spark and DuckDB both do exact decimal arithmetic
-  * (double-sum order would otherwise diverge between engines).
+  * (double-sum order would otherwise diverge between engines); the FINAL
+  * output is then cast to DOUBLE on both sides — casting the same exact
+  * decimal to double is correctly rounded in both engines, so the values
+  * are bit-identical, and a double renders the same everywhere, whereas
+  * a decimal's trailing zeros ("257436.00" vs 257436.0) depend on the
+  * comparator's reader.
   *
   * Scale notes (100 TB posture):
   *  - dimension tables (region/nation/supplier/customer at TPC-H ratios)
@@ -36,9 +41,9 @@ object RelationalOps {
       .filter($"l_shipdate" <= lit("1998-09-01").cast("timestamp"))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        sum(dec($"l_quantity")).as("sum_qty"),
-        sum(dec($"l_extendedprice")).as("sum_base_price"),
-        sum(dec($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4)).as("sum_disc_price"),
+        sum(dec($"l_quantity")).cast("double").as("sum_qty"),
+        sum(dec($"l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(dec($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4)).cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }
@@ -52,7 +57,7 @@ object RelationalOps {
     l.join(o, $"l_orderkey" === $"o_orderkey")
       .join(broadcast(c), $"o_custkey" === $"c_custkey")
       .groupBy($"l_orderkey")
-      .agg(sum(dec($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4)).as("revenue"))
+      .agg(sum(dec($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4)).cast("double").as("revenue"))
       .orderBy($"revenue".desc, $"l_orderkey")
       .limit(10)
   }
@@ -69,7 +74,7 @@ object RelationalOps {
       .join(broadcast(nation(s, d)), $"s_nationkey" === $"n_nationkey")
       .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
       .groupBy($"n_name")
-      .agg(sum(dec($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4)).as("revenue"))
+      .agg(sum(dec($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4)).cast("double").as("revenue"))
       .orderBy($"n_name")
   }
 
@@ -80,7 +85,7 @@ object RelationalOps {
     orders(s, d)
       .withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("running_spend",
-        sum(dec($"o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        sum(dec($"o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double"))
       .filter($"rn" <= 3)
       .select($"o_custkey", $"rn", $"o_orderkey", $"running_spend")
       .orderBy($"o_custkey", $"rn")
@@ -91,12 +96,12 @@ object RelationalOps {
     import s.implicits._
     val byCust = Window.partitionBy($"o_custkey").orderBy($"o_orderkey")
     orders(s, d)
-      .withColumn("prev_price", dec(lag($"o_totalprice", 1).over(byCust)))
-      .withColumn("next_price", dec(lead($"o_totalprice", 1).over(byCust)))
+      .withColumn("prev_price", dec(lag($"o_totalprice", 1).over(byCust)).cast("double"))
+      .withColumn("next_price", dec(lead($"o_totalprice", 1).over(byCust)).cast("double"))
       .withColumn("first_price", dec(first($"o_totalprice").over(
-        byCust.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))))
+        byCust.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))).cast("double"))
       .withColumn("neighborhood_sum", dec(sum(dec($"o_totalprice")).over(
-        byCust.rowsBetween(-1, 1)), 2))
+        byCust.rowsBetween(-1, 1)), 2).cast("double"))
       .select($"o_custkey", $"o_orderkey", $"prev_price", $"next_price",
         $"first_price", $"neighborhood_sum")
       .orderBy($"o_custkey", $"o_orderkey")
@@ -119,7 +124,7 @@ object RelationalOps {
   def qSortLimit(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     orders(s, d)
-      .select($"o_orderkey", $"o_custkey", dec($"o_totalprice").as("total"))
+      .select($"o_orderkey", $"o_custkey", dec($"o_totalprice").cast("double").as("total"))
       .orderBy($"total".desc, $"o_orderkey")
       .limit(10)
   }
@@ -170,7 +175,7 @@ object RelationalOps {
         upper($"p_type").as("type_up"),
         substring($"p_name", 1, 8).as("name_pfx"),
         length($"p_name").cast("long").as("name_len"),
-        dec(round($"p_retailprice" * 0.8, 2)).as("discounted"),
+        dec(round($"p_retailprice" * 0.8, 2)).cast("double").as("discounted"),
         when($"p_size" >= 25, lit("large"))
           .when($"p_size" >= 10, lit("medium"))
           .otherwise(lit("small")).as("size_class"))
@@ -183,7 +188,7 @@ object RelationalOps {
     orders(s, d)
       .groupBy(year($"o_orderdate").cast("long").as("yr"),
         month($"o_orderdate").cast("long").as("mo"))
-      .agg(count(lit(1)).as("n_orders"), sum(dec($"o_totalprice")).as("spend"))
+      .agg(count(lit(1)).as("n_orders"), sum(dec($"o_totalprice")).cast("double").as("spend"))
       .orderBy($"yr", $"mo")
   }
 
@@ -214,7 +219,7 @@ object RelationalOps {
     import s.implicits._
     lineitem(s, d)
       .rollup($"l_returnflag", $"l_linestatus")
-      .agg(sum(dec($"l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .agg(sum(dec($"l_quantity")).cast("double").as("sum_qty"), count(lit(1)).as("n"))
       .select(
         coalesce($"l_returnflag", lit("ALL")).as("rf"),
         coalesce($"l_linestatus", lit("ALL")).as("ls"),
@@ -257,7 +262,7 @@ object RelationalOps {
       .groupBy($"l_returnflag", $"salt")
       .agg(sum(dec($"l_quantity")).as("pq"), count(lit(1)).as("pn"))
       .groupBy($"l_returnflag")
-      .agg(sum($"pq").as("sum_qty"), sum($"pn").as("n"))
+      .agg(sum($"pq").cast("double").as("sum_qty"), sum($"pn").as("n"))
       .orderBy($"l_returnflag")
   }
 
@@ -281,6 +286,8 @@ object RelationalOps {
       .pivot($"l_linestatus", Seq("F", "O"))
       .agg(sum(dec($"l_quantity")))
       .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
+      .withColumn("qty_f", $"qty_f".cast("double"))
+      .withColumn("qty_o", $"qty_o".cast("double"))
       .orderBy($"l_returnflag")
   }
 
@@ -297,7 +304,7 @@ object RelationalOps {
   def qScalarSubquery(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val mx = orders(s, d).groupBy($"o_custkey")
-      .agg(max(dec($"o_totalprice")).as("max_order"))
+      .agg(max(dec($"o_totalprice")).cast("double").as("max_order"))
     customer(s, d)
       .join(mx, $"c_custkey" === $"o_custkey", "left")
       .select($"c_custkey", $"max_order")
@@ -311,7 +318,7 @@ object RelationalOps {
       .select($"l_returnflag", nullif(dec($"l_discount", 2), lit(0).cast(DecimalType(18, 2))).as("disc"))
       .groupBy($"l_returnflag")
       .agg(count($"disc").as("n_nonnull"), count(lit(1)).as("n_all"),
-        coalesce(min($"disc"), lit(-1).cast(DecimalType(18, 2))).as("min_disc"))
+        coalesce(min($"disc"), lit(-1).cast(DecimalType(18, 2))).cast("double").as("min_disc"))
       .orderBy($"l_returnflag")
   }
 

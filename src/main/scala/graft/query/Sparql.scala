@@ -45,8 +45,11 @@ object Sparql {
     *
     *   select $a $b where { $a <pred> <obj> . <subj> <pred> $b }
     *
-    * Whitespace-tokenized; patterns separated by '.'; `$`-prefixed
-    * tokens are variables; everything else is a value. */
+    * Whitespace-tokenized; patterns separated by a STANDALONE '.'
+    * token (a dot surrounded by whitespace, or the final dot before
+    * '}') — dots inside values (IRIs like http://g.test/alice) are
+    * preserved; `$`-prefixed tokens are variables; everything else is
+    * a value. */
   def parse(q: String): Sparql = {
     val lower = q.trim
     val si = lower.toLowerCase.indexOf("select")
@@ -55,9 +58,18 @@ object Sparql {
     val vars = lower.substring(si + 6, wi).trim.split("\\s+").toSeq.filter(_.nonEmpty)
     val body = lower.substring(wi + 5).trim
     require(body.startsWith("{") && body.endsWith("}"), "where clause must be braced")
-    val pats = body.substring(1, body.length - 1).split("\\.")
-      .map(_.trim).filter(_.nonEmpty)
-      .map(_.split("\\s+").toSeq).toSeq
+    val tokens = body.substring(1, body.length - 1).trim
+      .split("\\s+").toSeq.filter(_.nonEmpty)
+    val pats = tokens.foldLeft(Vector(Vector.empty[String])) {
+      case (acc, ".") => acc :+ Vector.empty
+      case (acc, tok) =>
+        // a trailing dot on a token ends the pattern too ("<o> ." vs "<o>.")
+        val (t, closes) =
+          if (tok.length > 1 && tok.endsWith(".")) (tok.dropRight(1), true)
+          else (tok, false)
+        val grown = acc.init :+ (acc.last :+ t)
+        if (closes) grown :+ Vector.empty else grown
+    }.map(_.toSeq).filter(_.nonEmpty)
     Sparql().select(vars).filter(pats)
   }
 }

@@ -124,7 +124,9 @@ object RdfXmlParser {
       while (!done && r.hasNext) {
         r.next() match {
           case XMLStreamConstants.START_ELEMENT =>
-            liCounter += 1
+            // spec numbers rdf:li elements only — a non-li property
+            // between two li's must not skip an rdf:_n index
+            if (r.getNamespaceURI == RdfNs && r.getLocalName == "li") liCounter += 1
             propertyElement(subject, c, liCounter)
           case XMLStreamConstants.END_ELEMENT => done = true
           case _                              => ()
@@ -174,7 +176,7 @@ object RdfXmlParser {
           while (!done && r.hasNext) {
             r.next() match {
               case XMLStreamConstants.START_ELEMENT =>
-                liCounter += 1
+                if (r.getNamespaceURI == RdfNs && r.getLocalName == "li") liCounter += 1
                 propertyElement(obj, c, liCounter)
               case XMLStreamConstants.END_ELEMENT => done = true
               case _                              => ()
@@ -245,39 +247,58 @@ object RdfXmlParser {
     /** In-scope xml:lang / xml:base, read from the current element's
       * attributes with inheritance from ancestors. */
     private def ctx(inherited: Ctx): Ctx = {
-      var lang: Option[String] = None
+      // tri-state for xml:lang: absent → inherit; present-empty → RESET
+      // to no language (xml:lang="" explicitly clears inheritance);
+      // present-nonempty → that language.
+      var lang: Option[Option[String]] = None
       var base: Option[String] = None
       var i = 0
       while (i < r.getAttributeCount) {
         if (r.getAttributeNamespace(i) == XmlNs && r.getAttributeLocalName(i) == "lang")
-          lang = Some(r.getAttributeValue(i)).filter(_.nonEmpty)
+          lang = Some(Some(r.getAttributeValue(i)).filter(_.nonEmpty))
         if (r.getAttributeNamespace(i) == XmlNs && r.getAttributeLocalName(i) == "base")
           base = Some(r.getAttributeValue(i)).filter(_.nonEmpty)
         i += 1
       }
-      Ctx(lang.orElse(inherited.lang), base.orElse(inherited.base))
+      Ctx(lang.getOrElse(inherited.lang), base.orElse(inherited.base))
     }
 
-    /** Serialize the raw XML content of a parseType="Literal" element. */
+    /** Serialize the raw XML content of a parseType="Literal" element,
+      * keeping element/attribute prefixes and emitting the namespace
+      * declarations present on each element (XMLLiteral values must
+      * stay namespace-meaningful when re-serialized). */
     private def captureXmlLiteral(): String = {
       val sb = new java.lang.StringBuilder()
+      def qname(prefix: String, local: String): String =
+        if (prefix == null || prefix.isEmpty) local else prefix + ":" + local
       var depth = 0
       var done = false
       while (!done && r.hasNext) {
         r.next() match {
           case XMLStreamConstants.START_ELEMENT =>
             depth += 1
-            sb.append('<').append(r.getLocalName)
+            sb.append('<').append(qname(r.getPrefix, r.getLocalName))
+            var n = 0
+            while (n < r.getNamespaceCount) {
+              val p = r.getNamespacePrefix(n)
+              sb.append(' ')
+                .append(if (p == null || p.isEmpty) "xmlns" else "xmlns:" + p)
+                .append("=\"").append(r.getNamespaceURI(n)).append('"')
+              n += 1
+            }
             var i = 0
             while (i < r.getAttributeCount) {
-              sb.append(' ').append(r.getAttributeLocalName(i))
+              sb.append(' ').append(qname(r.getAttributePrefix(i), r.getAttributeLocalName(i)))
                 .append("=\"").append(r.getAttributeValue(i)).append('"')
               i += 1
             }
             sb.append('>')
           case XMLStreamConstants.END_ELEMENT =>
             if (depth == 0) done = true
-            else { depth -= 1; sb.append("</").append(r.getLocalName).append('>') }
+            else {
+              depth -= 1
+              sb.append("</").append(qname(r.getPrefix, r.getLocalName)).append('>')
+            }
           case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
             sb.append(r.getText)
           case _ => ()

@@ -16,18 +16,29 @@ import duckdb
 
 
 def norm(v):
+    # STRICT, type-tagged rendering. Round 1 lesson: normalizing decimal
+    # trailing zeros here hid 13 driver hash mismatches (Spark decimal
+    # "257436.00" vs the driver's float-rendered oracle "257436.0").
+    # Queries must now emit the SAME physical type on both sides
+    # (decimal math internally, final CAST AS DOUBLE) — so any type or
+    # scale difference is a real failure.
     if v is None:
         return "NULL"
+    if isinstance(v, bool):
+        return "B:" + str(v)
     if isinstance(v, float):
-        return repr(v)
+        return "f:" + repr(v)
     if isinstance(v, decimal.Decimal):
-        # normalize trailing zeros: 1.50 and 1.5 hash alike
-        return repr(v.normalize())
+        return "d:" + str(v)  # keeps scale: 1.50 != 1.5, and != float 1.5
     if isinstance(v, datetime.datetime):
-        return v.isoformat()
+        return "t:" + v.isoformat()
+    if isinstance(v, datetime.date):
+        return "D:" + v.isoformat()
     if isinstance(v, bytes):
-        return v.hex()
-    return str(v)
+        return "b:" + v.hex()
+    if isinstance(v, int):
+        return "i:" + str(v)
+    return "s:" + str(v)
 
 
 def table_of(rows, cols):
