@@ -228,6 +228,7 @@ object OpRegistry {
     op("text_fingerprint", TextOps.textFingerprint, TextOps.textFingerprintSql),
     opNoOracle("text_simhash", TextOps.textSimhash),
     op("text_top_tokens", TextOps.textTopTokens, TextOps.textTopTokensSql),
+    op("text_tokens_bpe", TextOps.textTokensBpe, TextOps.textTokensBpeSql),
     opNoOracle("text_simhash_by_source", TextOps.textSimhashBySource),
     op("dedup_exact", DedupOps.dedupExact, DedupOps.dedupExactSql),
     op("dedup_norm", DedupOps.dedupNorm, DedupOps.dedupNormSql),
@@ -251,6 +252,7 @@ object OpRegistry {
     op("ev_stream_dedup", EventOps.evStreamDedup, EventOps.evStreamDedupSql),
     op("rdf_xml_source", RdfXmlOps.xmlSource, RdfXmlOps.xmlOracleSql),
     op("rdf_xml_roundtrip", RdfXmlOps.xmlRoundtrip, RdfXmlOps.xmlOracleSql),
+    op("rdf_nt_roundtrip", RdfXmlOps.ntRoundtrip, RdfOps.apFullSql),
     opNoOracle("rdf_footprint", RdfXmlOps.footprint),
     opNoOracle("rdf_build_corpus", RdfXmlOps.buildCorpus),
     op("graphx_degrees", GraphOps.graphxDegrees, GraphOps.graphxDegreesSql),

@@ -83,11 +83,35 @@ object EventOps {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** Stateful streaming operators create one state store per shuffle
+    * partition PER stateful operator, and every micro-batch pays
+    * task + snapshot overhead for each — so partition count must track
+    * input volume, not default to the batch setting. ~32 MB of source
+    * per state partition, capped at cluster parallelism: a 100 TB
+    * stream still fans out fully, while the test corpus collapses to a
+    * couple of stores instead of 32 mostly-empty ones. */
+  private def streamParts(s: SparkSession, d: String): Int = {
+    val f = new java.io.File(s"$d/events.parquet")
+    val bytes =
+      if (f.isFile) f.length
+      else Option(f.listFiles).map(_.map(_.length).sum).getOrElse(0L)
+    math.max(1, math.min(
+      s.sparkContext.defaultParallelism, (bytes / (32L << 20)).toInt))
+  }
+
+  /** The shuffle-partition conf is captured when the query STARTS, so
+    * set it just for the start call and restore afterwards — batch
+    * queries in the same session keep their own sizing. */
   private def runToTable(s: SparkSession, df: DataFrame, name: String,
-      mode: String): DataFrame = {
-    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
-    try q.processAllAvailable()
-    finally q.stop()
+      mode: String, parts: Int): DataFrame = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, parts.toString)
+    try {
+      val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally s.conf.set(key, prev)
     s.table(name)
   }
 
@@ -102,7 +126,7 @@ object EventOps {
       .groupBy($"c_mktsegment")
       .agg(count(lit(1)).as("n"),
         sum($"value".cast(DecimalType(18, 4))).cast("double").as("sum_value"))
-    val t = runToTable(s, joined, "graft_enrich_" + math.abs(d.hashCode), "complete")
+    val t = runToTable(s, joined, "graft_enrich_" + math.abs(d.hashCode), "complete", streamParts(s, d))
     t.orderBy($"c_mktsegment")
   }
   val evStreamEnrichSql: String =
@@ -127,7 +151,7 @@ object EventOps {
       $"ua" === $"ub" && $"ea" < $"eb" &&
         $"tsb" >= $"tsa" && $"tsb" <= $"tsa" + expr("INTERVAL 10 MINUTES"))
       .select($"ua".as("user_id"), $"ea", $"eb")
-    val t = runToTable(s, joined, "graft_ssj_" + math.abs(d.hashCode), "append")
+    val t = runToTable(s, joined, "graft_ssj_" + math.abs(d.hashCode), "append", streamParts(s, d))
     t.orderBy($"user_id", $"ea", $"eb")
   }
   val evStreamStreamJoinSql: String =
@@ -149,7 +173,7 @@ object EventOps {
       .withWatermark("hour", "2 hours")
       .dropDuplicates("user_id", "hour")
       .select($"user_id", $"hour")
-    val t = runToTable(s, dedup, "graft_dedup_" + math.abs(d.hashCode), "append")
+    val t = runToTable(s, dedup, "graft_dedup_" + math.abs(d.hashCode), "append", streamParts(s, d))
     t.orderBy($"user_id", $"hour")
   }
   val evStreamDedupSql: String =
@@ -192,13 +216,11 @@ object EventOps {
       Iterator.single((userId, sessions, events))
     }
 
-    val q = evs.groupByKey(_.user_id)
+    val sessionized = evs.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
       .toDF("user_id", "n_sessions", "n_events")
-      .writeStream.format("memory").queryName(name).outputMode("update").start()
-    try q.processAllAvailable()
-    finally q.stop()
-    s.table(name).orderBy($"user_id")
+    runToTable(s, sessionized, name, "update", streamParts(s, d))
+      .orderBy($"user_id")
   }
 
   /** The SAME tumbling-window agg as a Structured Streaming query:
@@ -221,11 +243,7 @@ object EventOps {
       .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
       .agg(count(lit(1)).as("n"),
         sum($"value".cast(DecimalType(18, 4))).cast("double").as("sum_value"))
-    val q = stream.writeStream
-      .format("memory").queryName(name).outputMode("complete").start()
-    try q.processAllAvailable()
-    finally q.stop()
-    s.table(name)
+    runToTable(s, stream, name, "complete", streamParts(s, d))
       .select($"w.start".as("w_start"), $"event_type", $"n", $"sum_value")
       .orderBy($"w_start", $"event_type")
   }

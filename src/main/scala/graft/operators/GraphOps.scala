@@ -14,7 +14,15 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
-  /** (vertices (term,id), edges (src,dst,pred)) from the triple view. */
+  /** (vertices (term,id), edges (src,dst,pred)) from the triple view.
+    *
+    * Partition sizing: iterative GraphX jobs (Pregel) pay per-partition
+    * shuffle/task overhead EVERY iteration, so the graph RDDs are
+    * coalesced to ~1M edges per partition (capped at the cluster's
+    * parallelism). A tiny graph collapses to one partition and the
+    * 10-iteration PageRank runs as 10 cheap tasks; a 100 TB triple set
+    * still fans out to full parallelism.
+    */
   def buildGraph(s: SparkSession, d: String): (DataFrame, XGraph[String, String]) = {
     import s.implicits._
     val t = RdfOps.tripleView(s, d).cache()
@@ -24,9 +32,12 @@ object GraphOps {
       .join(dict.toDF("term", "sid"), $"s" === $"term").drop("term")
       .join(dict.toDF("term", "oid"), $"o" === $"term").drop("term")
       .select($"sid", $"oid", $"p")
-    val vRdd = dict.select($"id", $"term").as[(Long, String)].rdd
+    val nEdges = edges.count()
+    val parts = math.max(1, math.min(
+      s.sparkContext.defaultParallelism, (nEdges / 1000000L).toInt))
+    val vRdd = dict.select($"id", $"term").as[(Long, String)].rdd.coalesce(parts)
     val eRdd = edges.select($"sid", $"oid", $"p").as[(Long, Long, String)].rdd
-      .map { case (a, b, p) => Edge(a, b, p) }
+      .map { case (a, b, p) => Edge(a, b, p) }.coalesce(parts)
     (dict, XGraph(vRdd, eRdd))
   }
 

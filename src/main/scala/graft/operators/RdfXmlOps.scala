@@ -62,6 +62,28 @@ object RdfXmlOps {
        |ORDER BY s, p, o""".stripMargin
   }
 
+  /** N-Triples round-trip over the REAL triple view: distributed write
+    * (one NT line per triple) then distributed read (`spark.read.text`
+    * splits the files; parsing is per-line). This is the scale
+    * ingest/export format — RDF/XML can only parallelize per FILE,
+    * N-Triples splits a single 100 TB file across the cluster. Oracle:
+    * the triple view itself (the round-trip must be lossless). */
+  def ntRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val view = RdfOps.tripleView(s, d)
+    val ds = view.as[(String, String, String)].map { case (sv, pv, ov) =>
+      graft.rdf.Triple(
+        graft.rdf.RdfTerm.named(sv),
+        graft.rdf.RdfTerm.named(pv),
+        graft.rdf.RdfTerm.named(ov))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nt").toString
+    graft.rdf.NTriples.write(ds, tmp)
+    graft.rdf.NTriples.read(s, tmp).toDF()
+      .select($"s.value".as("s"), $"p.value".as("p"), $"o.value".as("o"))
+      .orderBy($"s", $"p", $"o")
+  }
+
   /** S1+S3 at the reference's own scale: distributed ingest of the
     * ENTIRE reference corpus (53 RDF/XML files, 18.3 MB — the
     * reference's bench suite loops these; its published numbers are

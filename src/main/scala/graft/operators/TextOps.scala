@@ -112,6 +112,31 @@ object TextOps {
       |  substr(sha256(text), 1, 16) AS fp_sha_pfx
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** BPE-ish pre-tokenization pattern (GPT-2 style, minus lookarounds
+    * so Java regex and RE2 agree): contraction suffixes, letter runs,
+    * digit runs, punctuation runs. */
+  private val bpePattern = "'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s']+"
+
+  /** Token counting two ways — whitespace and the BPE-ish regex — the
+    * "how many tokens is this corpus" primitive of a training-data
+    * pipeline. Pure codegen'd expressions; no shuffle except the
+    * deterministic orderBy for the oracle. */
+  def textTokensBpe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select($"doc_id",
+        size(toks($"text")).cast("long").as("n_ws"),
+        size(regexp_extract_all($"text", lit(bpePattern), lit(0))).cast("long").as("n_bpe"))
+      .orderBy($"doc_id")
+  }
+  val textTokensBpeSql: String = {
+    val pat = bpePattern.replace("'", "''") // SQL-quote; backslashes pass through
+    s"""SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+       |  CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_bpe
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   /** Corpus token frequencies, top 50: explode → two-phase aggregate
     * (map-side combine before the shuffle — the wordcount shape that
     * scales to any corpus size). Deterministic top-k via (count desc,

@@ -1,0 +1,47 @@
+package graft.rdf
+
+import graft.SparkSpec
+
+class NTriplesSpec extends SparkSpec {
+
+  private val nasty: Seq[Triple] = Seq(
+    Triple(RdfTerm.named("http://g.test/a"), RdfTerm.named("http://g.test/p"),
+      RdfTerm.named("http://g.test/b")),
+    Triple(RdfTerm.blank("b1"), RdfTerm.named("http://g.test/p"),
+      RdfTerm.raw("say \"hi\"\nline2\ttab\\done")),
+    Triple(RdfTerm.named("http://g.test/a"), RdfTerm.named("http://g.test/label"),
+      RdfTerm.langLit("héllo wörld", "de-AT")),
+    Triple(RdfTerm.named("http://g.test/a"), RdfTerm.named("http://g.test/age"),
+      RdfTerm.typedLit("30", "http://www.w3.org/2001/XMLSchema#int")),
+    Triple(RdfTerm.named("http://g.test/a"), RdfTerm.named("http://g.test/note"),
+      RdfTerm.raw("dot . inside and <angle> and 'quote'")))
+
+  test("line codec round-trips every term kind and escape") {
+    nasty.foreach { t =>
+      val line = NTriples.serialize(t)
+      assert(NTriples.parseLine(line) === Some(t), s"line: $line")
+    }
+  }
+
+  test("unicode escapes parse (\\u and \\U)") {
+    val line = "<http://g.test/a> <http://g.test/p> \"\\u0041\\U0001F600\" ."
+    val t = NTriples.parseLine(line).get
+    assert(t.o.value === "A😀")
+  }
+
+  test("comments and blank lines are skipped; junk is dropped") {
+    assert(NTriples.parseLine("# a comment") === None)
+    assert(NTriples.parseLine("   ") === None)
+    assert(NTriples.parseLine("not a triple at all") === None)
+    assert(NTriples.parseLine("<unterminated iri ...") === None)
+  }
+
+  test("distributed write/read round-trips through spark.read.text") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nt_spec").toString
+    val ds = spark.createDataset(nasty)
+    NTriples.write(ds, tmp)
+    val back = NTriples.read(spark, tmp).collect().toSet
+    assert(back === nasty.toSet)
+  }
+}
