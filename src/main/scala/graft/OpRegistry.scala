@@ -242,6 +242,14 @@ object OpRegistry {
     opNoOracle("sim_ann_ivf", MlOps.simAnnIvf),
     op("mm_metadata", MultimodalOps.mmMetadata, MultimodalOps.mmMetadataSql),
     op("mm_frame_sample", MultimodalOps.mmFrameSample, MultimodalOps.mmFrameSampleSql),
+    op("mm_feature", MultimodalOps.mmFeature, MultimodalOps.mmFeatureSql),
+    op("mm_resize", MultimodalOps.mmResize, MultimodalOps.mmResizeSql),
+    op("doc_jsonl_roundtrip", graft.sources.DocSourceOps.jsonlRoundtrip,
+      graft.sources.DocSourceOps.fingerprintSql),
+    op("doc_csv_roundtrip", graft.sources.DocSourceOps.csvRoundtrip,
+      graft.sources.DocSourceOps.fingerprintSql),
+    op("doc_orc_roundtrip", graft.sources.DocSourceOps.orcRoundtrip,
+      graft.sources.DocSourceOps.fingerprintSql),
     op("ev_window_agg", EventOps.evWindowAgg, EventOps.evWindowAggSql),
     op("ev_json", EventOps.evJson, EventOps.evJsonSql),
     op("ev_sessionize", EventOps.evSessionize, EventOps.evSessionizeSql),

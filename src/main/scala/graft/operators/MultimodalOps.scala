@@ -79,4 +79,78 @@ object MultimodalOps {
       |  md5(substr(d.text, CAST(f.frame_idx * 64 + 1 AS BIGINT), 16)) AS frame_md5
       |FROM f JOIN documents d ON f.doc_id = d.doc_id
       |ORDER BY 1, 2""".stripMargin
+
+  /** Feature extraction over the binary payload: a byte-class
+    * histogram (the stub stand-in for an image-embedding model) via
+    * the same mapPartitions batch shape. The four emitted buckets are
+    * ASCII ranges, so DuckDB can oracle them with regexp counts over
+    * the text — the FEATURE VALUES are checkable, not just row counts.
+    * A real model swaps the histogram for an ONNX/JNI call; schema,
+    * batching and partitioning stay. */
+  final case class Feat(doc_id: Long, n_bytes: Long,
+      h_punct: Long, h_digit: Long, h_upper: Long, h_lower: Long)
+
+  def mmFeature(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        var punct = 0L; var digit = 0L; var upper = 0L; var lower = 0L
+        var i = 0
+        while (i < p.length) {
+          val b = p(i) & 0xFF
+          if (b >= 0x20 && b <= 0x2F) punct += 1
+          else if (b >= 0x30 && b <= 0x39) digit += 1
+          else if (b >= 0x41 && b <= 0x5A) upper += 1
+          else if (b >= 0x61 && b <= 0x7A) lower += 1
+          i += 1
+        }
+        Feat(id, p.length.toLong, punct, digit, upper, lower)
+      })
+      .toDF()
+      .orderBy($"doc_id")
+  }
+  val mmFeatureSql: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  CAST(len(regexp_extract_all(text, '[\x20-\x2f]')) AS BIGINT) AS h_punct,
+      |  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS h_digit,
+      |  CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS h_upper,
+      |  CAST(len(regexp_extract_all(text, '[a-z]')) AS BIGINT) AS h_lower
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Resize stub: a fixed 64-"pixel" thumbnail sampled at a stride
+    * derived from payload length (a real resize kernel replaces the
+    * sampling loop; the fixed output shape is the contract). Output is
+    * the thumbnail fingerprint, oracled by rebuilding the same strided
+    * sample in SQL. */
+  def mmResize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        val stride = math.max(1, p.length / 64)
+        val sb = new java.lang.StringBuilder(64)
+        var i = 0
+        while (i < 64) {
+          val pos = i * stride
+          if (pos < p.length) sb.append((p(pos) & 0xFF).toChar)
+          i += 1
+        }
+        (id, 8L, 8L, sb.toString)
+      })
+      .toDF("doc_id", "thumb_w", "thumb_h", "thumb")
+      .select($"doc_id", $"thumb_w", $"thumb_h", md5($"thumb").as("thumb_md5"))
+      .orderBy($"doc_id")
+  }
+  val mmResizeSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text, greatest(1, octet_length(encode(text)) // 64) AS stride
+      |  FROM documents)
+      |SELECT doc_id, CAST(8 AS BIGINT) AS thumb_w, CAST(8 AS BIGINT) AS thumb_h,
+      |  md5(array_to_string(
+      |    [substr(text, CAST(1 + i*stride AS BIGINT), 1) for i in range(64)], '')) AS thumb_md5
+      |FROM t ORDER BY doc_id""".stripMargin
 }

@@ -148,6 +148,7 @@ object RdfXmlParser {
       var resource: RdfTerm = null
       var datatype: Option[String] = None
       var parseType: Option[String] = None
+      var reifyIri: Option[String] = None
       val propAttrs = new ArrayBuffer[(String, String)]()
       var i = 0
       while (i < r.getAttributeCount) {
@@ -159,18 +160,32 @@ object RdfXmlParser {
           case (RdfNs, "nodeID")    => resource = RdfTerm.blank(av)
           case (RdfNs, "datatype")  => datatype = Some(av)
           case (RdfNs, "parseType") => parseType = Some(av)
-          case (RdfNs, "ID")        => () // reification id — ignored
+          case (RdfNs, "ID")        => reifyIri = Some(resolve("#" + av, c.base))
           case (XmlNs, _)           => ()
           case _                    => propAttrs += ((ans + aln, av))
         }
         i += 1
       }
 
+      /** Emit the statement triple; rdf:ID on a property element
+        * additionally REIFIES it (spec §2.17): the id names an
+        * rdf:Statement with subject/predicate/object triples. */
+      def emit(obj: RdfTerm): Unit = {
+        out += Triple(subject, pred, obj)
+        reifyIri.foreach { id =>
+          val stmt = RdfTerm.named(id)
+          out += Triple(stmt, RdfTerm.named(Rdf.TypeIri), RdfTerm.named(RdfNs + "Statement"))
+          out += Triple(stmt, RdfTerm.named(RdfNs + "subject"), subject)
+          out += Triple(stmt, RdfTerm.named(RdfNs + "predicate"), pred)
+          out += Triple(stmt, RdfTerm.named(RdfNs + "object"), obj)
+        }
+      }
+
       parseType match {
         case Some("Resource") =>
           // object is a fresh blank whose children are property elements
           val obj = freshBlank()
-          out += Triple(subject, pred, obj)
+          emit(obj)
           var liCounter = 0
           var done = false
           while (!done && r.hasNext) {
@@ -184,8 +199,7 @@ object RdfXmlParser {
           }
         case Some("Literal") =>
           val xml = captureXmlLiteral()
-          out += Triple(subject, pred,
-            RdfTerm.typedLit(xml, RdfNs + "XMLLiteral"))
+          emit(RdfTerm.typedLit(xml, RdfNs + "XMLLiteral"))
         case Some("Collection") =>
           val items = new ArrayBuffer[RdfTerm]()
           var done = false
@@ -203,11 +217,11 @@ object RdfXmlParser {
             out += Triple(cell, RdfTerm.named(RdfNs + "rest"), tail)
             tail = cell
           }
-          out += Triple(subject, pred, tail)
+          emit(tail)
         case _ =>
           if (resource != null || propAttrs.nonEmpty) {
             val obj = if (resource != null) resource else freshBlank()
-            out += Triple(subject, pred, obj)
+            emit(obj)
             propAttrs.foreach { case (p, v) =>
               out += Triple(obj, RdfTerm.named(p), literal(v, lang, None))
             }
@@ -230,7 +244,7 @@ object RdfXmlParser {
             val obj =
               if (nested != null) nested
               else literal(text.toString, lang, datatype)
-            out += Triple(subject, pred, obj)
+            emit(obj)
           }
       }
     }

@@ -160,4 +160,52 @@ class RdfXmlParserSpec extends SparkSpec {
     assert(ts.exists(t => t.p.value == rest && t.o.value == Rdf.RdfNs + "nil"))
     assert(ts.exists(t => t.p.value == first && t.o.value == "http://example.org/a"))
   }
+
+  test("rdf:ID on a property element reifies the statement") {
+    val xml =
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:ex="http://example.org/"
+        |         xml:base="http://example.org/doc">
+        |  <rdf:Description rdf:about="http://example.org/s">
+        |    <ex:says rdf:ID="st1">hello</ex:says>
+        |  </rdf:Description>
+        |</rdf:RDF>""".stripMargin
+    val ts = RdfXmlParser.parseString(xml)
+    val stmt = "http://example.org/doc#st1"
+    // the base triple still appears
+    assert(ts.exists(t => t.s.value == "http://example.org/s" &&
+      t.p.value == "http://example.org/says" && t.o.value == "hello"))
+    // plus the four reification triples
+    assert(ts.exists(t => t.s.value == stmt && t.p.value == Rdf.TypeIri &&
+      t.o.value == Rdf.RdfNs + "Statement"))
+    assert(ts.exists(t => t.s.value == stmt && t.p.value == Rdf.RdfNs + "subject" &&
+      t.o.value == "http://example.org/s"))
+    assert(ts.exists(t => t.s.value == stmt && t.p.value == Rdf.RdfNs + "predicate" &&
+      t.o.value == "http://example.org/says"))
+    assert(ts.exists(t => t.s.value == stmt && t.p.value == Rdf.RdfNs + "object" &&
+      t.o.value == "hello" && t.o.kind == "raw"))
+    assert(ts.size == 5)
+  }
+
+  test("rdf:li numbering skips non-li properties; xml:lang empty resets") {
+    val xml =
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:ex="http://example.org/" xml:lang="en">
+        |  <rdf:Seq rdf:about="http://example.org/seq">
+        |    <rdf:li>one</rdf:li>
+        |    <ex:note xml:lang="">plain</ex:note>
+        |    <rdf:li>two</rdf:li>
+        |  </rdf:Seq>
+        |</rdf:RDF>""".stripMargin
+    val ts = RdfXmlParser.parseString(xml)
+    // second li must be rdf:_2, not rdf:_3
+    assert(ts.exists(t => t.p.value == Rdf.RdfNs + "_1" && t.o.value == "one"))
+    assert(ts.exists(t => t.p.value == Rdf.RdfNs + "_2" && t.o.value == "two"))
+    assert(!ts.exists(t => t.p.value == Rdf.RdfNs + "_3"))
+    // xml:lang="" resets: "plain" is a raw literal, not @en
+    val note = ts.find(_.p.value == "http://example.org/note").get
+    assert(note.o.kind == "raw")
+    // the li literals still inherit @en from the root
+    assert(ts.find(_.p.value == Rdf.RdfNs + "_1").get.o.lang.contains("en"))
+  }
 }
