@@ -115,11 +115,12 @@ object DedupOps {
           |ELSE array() END""".stripMargin)
         .as("gs"))
     val sig = withMinhash(docs).cache()
-    val bands = (0 until 4).map { b =>
-      val cols = (4 * b until 4 * b + 4).map(i => col(s"sig_$i"))
-      sig.select($"doc_id",
-        lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
-    }.reduce(_ union _)
+    // one pass: each row explodes to its 4 (band, bucket) pairs —
+    // no 4-way union re-scan of the signature table
+    val bands = sig.select($"doc_id", posexplode(array(
+      (0 until 4).map { b =>
+        xxhash64((4 * b until 4 * b + 4).map(i => col(s"sig_$i")): _*)
+      }: _*))).toDF("doc_id", "band", "bucket")
     val cand = bands.toDF("da", "band", "bucket")
       .join(bands.toDF("db", "band", "bucket"), Seq("band", "bucket"))
       .filter($"da" < $"db")
@@ -145,10 +146,11 @@ object DedupOps {
     val sig = documents(s, d)
       .select($"doc_id", expr("simhash(split(text,' '))").as("sig"))
       .cache()
-    val bands = (0 until 4).map { b =>
-      sig.select($"doc_id", $"sig", lit(b).as("band"),
-        shiftright($"sig", 16 * b).bitwiseAND(lit(0xFFFFL)).as("chunk"))
-    }.reduce(_ union _)
+    // single pass over sig: posexplode the 4 chunk values per row
+    val bands = sig.select($"doc_id", $"sig", posexplode(array(
+      (0 until 4).map(b =>
+        shiftright($"sig", 16 * b).bitwiseAND(lit(0xFFFFL))): _*)))
+      .toDF("doc_id", "sig", "band", "chunk")
     val cand = bands.toDF("da", "siga", "band", "chunk")
       .join(bands.toDF("db", "sigb", "band", "chunk"), Seq("band", "chunk"))
       .filter($"da" < $"db")

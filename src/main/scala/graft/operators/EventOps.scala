@@ -86,18 +86,27 @@ object EventOps {
   /** Stateful streaming operators create one state store per shuffle
     * partition PER stateful operator, and every micro-batch pays
     * task + snapshot overhead for each — so partition count must track
-    * input volume, not default to the batch setting. ~32 MB of source
-    * per state partition, capped at cluster parallelism: a 100 TB
-    * stream still fans out fully, while the test corpus collapses to a
-    * couple of stores instead of 32 mostly-empty ones. */
-  private def streamParts(s: SparkSession, d: String): Int = {
-    val f = new java.io.File(s"$d/events.parquet")
-    val bytes =
-      if (f.isFile) f.length
-      else Option(f.listFiles).map(_.map(_.length).sum).getOrElse(0L)
-    math.max(1, math.min(
-      s.sparkContext.defaultParallelism, (bytes / (32L << 20)).toInt))
-  }
+    * input volume, not default to the batch setting. Capped at cluster
+    * parallelism: a 100 TB stream still fans out fully, while the test
+    * corpus collapses to a few stores instead of 32 mostly-empty ones.
+    *
+    * `bytesPerPart` is operator-dependent: windowed aggregation /
+    * dedup state is per-KEY (small) → store overhead dominates, use
+    * large partitions (32 MB). A stream-stream join keeps and probes
+    * state per ROW on both sides → CPU dominates, so partitions must
+    * be much smaller (measured on 100k rows: 1 part 7.0s, 8 parts
+    * 3.3s, 32 parts 9.3s — sized here to land near the measured
+    * optimum at any scale). */
+  private def streamParts(s: SparkSession, d: String,
+      bytesPerPart: Long = 32L << 20): Int =
+    sys.env.get("SPARK_GRAFT_STREAM_PARTS").map(_.toInt).getOrElse {
+      val f = new java.io.File(s"$d/events.parquet")
+      val bytes =
+        if (f.isFile) f.length
+        else Option(f.listFiles).map(_.map(_.length).sum).getOrElse(0L)
+      math.max(1, math.min(
+        s.sparkContext.defaultParallelism, (bytes / bytesPerPart).toInt))
+    }
 
   /** The shuffle-partition conf is captured when the query STARTS, so
     * set it just for the start call and restore afterwards — batch
@@ -151,7 +160,8 @@ object EventOps {
       $"ua" === $"ub" && $"ea" < $"eb" &&
         $"tsb" >= $"tsa" && $"tsb" <= $"tsa" + expr("INTERVAL 10 MINUTES"))
       .select($"ua".as("user_id"), $"ea", $"eb")
-    val t = runToTable(s, joined, "graft_ssj_" + math.abs(d.hashCode), "append", streamParts(s, d))
+    val t = runToTable(s, joined, "graft_ssj_" + math.abs(d.hashCode), "append",
+      streamParts(s, d, bytesPerPart = 256L << 10))
     t.orderBy($"user_id", $"ea", $"eb")
   }
   val evStreamStreamJoinSql: String =
