@@ -211,6 +211,7 @@ object OpRegistry {
     op("rdf_ap_s", RdfOps.apS, RdfOps.apSSql),
     op("rdf_ap_full", RdfOps.apFull, RdfOps.apFullSql),
     op("rdf_bgp_join", RdfOps.bgpJoin, RdfOps.bgpJoinSql),
+    op("rdf_bgp_optional", RdfOps.bgpOptional, RdfOps.bgpOptionalSql),
     op("rdf_insert", RdfOps.insert, RdfOps.insertSql),
     op("rdf_remove", RdfOps.remove, RdfOps.removeSql),
     op("rdf_dict_encode", RdfOps.dictEncode, RdfOps.dictEncodeSql),
@@ -258,6 +259,8 @@ object OpRegistry {
     op("ev_stream_enrich", EventOps.evStreamEnrich, EventOps.evStreamEnrichSql),
     op("ev_stream_stream_join", EventOps.evStreamStreamJoin, EventOps.evStreamStreamJoinSql),
     op("ev_stream_dedup", EventOps.evStreamDedup, EventOps.evStreamDedupSql),
+    op("ev_session_window", EventOps.evSessionWindow, EventOps.evSessionWindowSql),
+    op("ev_stream_session_window", EventOps.evStreamSessionWindow, EventOps.evSessionWindowSql),
     op("rdf_xml_source", RdfXmlOps.xmlSource, RdfXmlOps.xmlOracleSql),
     op("rdf_xml_roundtrip", RdfXmlOps.xmlRoundtrip, RdfXmlOps.xmlOracleSql),
     op("rdf_nt_roundtrip", RdfXmlOps.ntRoundtrip, RdfOps.apFullSql),

@@ -73,6 +73,50 @@ object EventOps {
       |  count(*) AS n_events
       |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Session windows via Spark's native session_window (gap-merged,
+    * end-exclusive: an event exactly `gap` after the previous one
+    * starts a NEW session — hence >= in the oracle, where the lag
+    * sessionizer above uses >). Emits one row per session. */
+  def evSessionWindow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"w.start".as("sess_start"), $"n_events")
+      .orderBy($"user_id", $"sess_start")
+  }
+  val evSessionWindowSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM flagged)
+      |SELECT user_id, min(ts) AS sess_start, count(*) AS n_events
+      |FROM sess GROUP BY user_id, sess_id
+      |ORDER BY user_id, sess_start""".stripMargin
+
+  /** The same session-window aggregation as a Structured Streaming
+    * query — session_window + watermark is the canonical streaming
+    * sessionization; state merges windows as events arrive. */
+  def evStreamSessionWindow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val agg = eventsStream(s, d)
+      .withWatermark("ts", "2 hours")
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+    val t = runToTable(s, agg, "graft_sw_" + math.abs(d.hashCode), "complete",
+      streamParts(s, d))
+    t.select($"user_id", $"w.start".as("sess_start"), $"n_events")
+      .orderBy($"user_id", $"sess_start")
+  }
+
   private def eventsStream(s: SparkSession, d: String) = {
     import s.implicits._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -132,6 +132,24 @@ object RdfOps {
        |  AND t3.p = 'in_segment' AND t3.o = 'BUILDING' AND t3.s = t1.s
        |ORDER BY c, n""".stripMargin
 
+  /** OPTIONAL (left-join) BGP — beyond the reference, standard SPARQL:
+    * every entity with a nation, plus its market segment IF it has one
+    * (customers do, suppliers don't → real nulls). Parsed from the
+    * string front-end to exercise the full path. */
+  def bgpOptional(s: SparkSession, d: String): DataFrame = {
+    val q = Sparql.parse(
+      "select $x $n $seg where { $x in_nation $n . optional { $x in_segment $seg } }")
+    val res = Bgp.compile(tripleView(s, d), q)
+    res.orderBy(res("x"), res("n"), res("seg"))
+  }
+  val bgpOptionalSql: String =
+    s"""$tripleViewSql
+       |SELECT DISTINCT req.s AS x, req.o AS n, opt.o AS seg
+       |FROM (SELECT * FROM t WHERE p = 'in_nation') req
+       |LEFT JOIN (SELECT * FROM t WHERE p = 'in_segment') opt
+       |  ON req.s = opt.s
+       |ORDER BY x, n, seg""".stripMargin
+
   /** Insert (reference M1, graph.rs:414-509): union + distinct. */
   def insert(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

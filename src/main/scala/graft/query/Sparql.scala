@@ -16,11 +16,24 @@ import org.apache.spark.sql.functions._
   *  - pattern values match any term by value (reference coerces literals
   *    to Named IRIs, making literals unmatchable, graph.rs:338-344).
   */
-final case class Sparql(vars: Seq[String], conds: Seq[(QueryUnit, QueryUnit, QueryUnit)]) {
+final case class Sparql(
+    vars: Seq[String],
+    conds: Seq[(QueryUnit, QueryUnit, QueryUnit)],
+    optionals: Seq[Seq[(QueryUnit, QueryUnit, QueryUnit)]] = Nil) {
 
   def select(vs: Seq[String]): Sparql = copy(vars = vars ++ vs.map(stripVar))
 
-  def filter(patterns: Seq[Seq[String]]): Sparql = {
+  def filter(patterns: Seq[Seq[String]]): Sparql =
+    copy(conds = conds ++ parsePatterns(patterns))
+
+  /** OPTIONAL group (beyond the reference — standard SPARQL): its
+    * patterns left-join onto the required solution; unmatched rows
+    * keep nulls for the group's variables. */
+  def optional(patterns: Seq[Seq[String]]): Sparql =
+    copy(optionals = optionals :+ parsePatterns(patterns))
+
+  private def parsePatterns(
+      patterns: Seq[Seq[String]]): Seq[(QueryUnit, QueryUnit, QueryUnit)] = {
     val parsed = patterns.map { p =>
       require(p.length == 3, s"triple pattern must have 3 positions, got $p")
       (QueryUnit.parse(p(0)), QueryUnit.parse(p(1)), QueryUnit.parse(p(2)))
@@ -29,7 +42,7 @@ final case class Sparql(vars: Seq[String], conds: Seq[(QueryUnit, QueryUnit, Que
       case QVar(n) => require(vars.contains(n), s"variable $$$n not declared in select")
       case _       => ()
     }
-    copy(conds = conds ++ parsed)
+    parsed
   }
 
   private def stripVar(v: String): String =
@@ -59,18 +72,41 @@ object Sparql {
     val body = lower.substring(wi + 5).trim
     require(body.startsWith("{") && body.endsWith("}"), "where clause must be braced")
     val tokens = body.substring(1, body.length - 1).trim
+      // make braces standalone tokens so "optional{" parses too
+      .replace("{", " { ").replace("}", " } ")
       .split("\\s+").toSeq.filter(_.nonEmpty)
-    val pats = tokens.foldLeft(Vector(Vector.empty[String])) {
-      case (acc, ".") => acc :+ Vector.empty
-      case (acc, tok) =>
-        // a trailing dot on a token ends the pattern too ("<o> ." vs "<o>.")
-        val (t, closes) =
-          if (tok.length > 1 && tok.endsWith(".")) (tok.dropRight(1), true)
-          else (tok, false)
-        val grown = acc.init :+ (acc.last :+ t)
-        if (closes) grown :+ Vector.empty else grown
-    }.map(_.toSeq).filter(_.nonEmpty)
-    Sparql().select(vars).filter(pats)
+
+    def toPatterns(toks: Seq[String]): Seq[Seq[String]] =
+      toks.foldLeft(Vector(Vector.empty[String])) {
+        case (acc, ".") => acc :+ Vector.empty
+        case (acc, tok) =>
+          // a trailing dot on a token ends the pattern too ("<o> ." vs "<o>.")
+          val (t, closes) =
+            if (tok.length > 1 && tok.endsWith(".")) (tok.dropRight(1), true)
+            else (tok, false)
+          val grown = acc.init :+ (acc.last :+ t)
+          if (closes) grown :+ Vector.empty else grown
+      }.map(_.toSeq).filter(_.nonEmpty)
+
+    // split the body into required tokens and optional { ... } groups
+    val required = Vector.newBuilder[String]
+    val optGroups = Vector.newBuilder[Seq[String]]
+    var i = 0
+    while (i < tokens.length) {
+      if (tokens(i).equalsIgnoreCase("optional")) {
+        require(i + 1 < tokens.length && tokens(i + 1) == "{",
+          "optional must be followed by a braced group")
+        val close = tokens.indexOf("}", i + 2)
+        require(close > 0, "unclosed optional group")
+        optGroups += tokens.slice(i + 2, close)
+        i = close + 1
+      } else {
+        required += tokens(i)
+        i += 1
+      }
+    }
+    val base = Sparql().select(vars).filter(toPatterns(required.result()))
+    optGroups.result().foldLeft(base)((q, g) => q.optional(toPatterns(g)))
   }
 }
 
@@ -104,8 +140,9 @@ object Bgp {
       matchValue: (DataFrame, String) => Column = (df, pos) => df(pos),
       distinct: Boolean = true): DataFrame = {
     require(q.conds.nonEmpty, "empty BGP")
-    val patternDfs = q.conds.map { case (s, p, o) =>
-      val units = Seq(s, p, o)
+
+    def patternDf(pat: (QueryUnit, QueryUnit, QueryUnit)): DataFrame = {
+      val units = Seq(pat._1, pat._2, pat._3)
       // filter bound positions
       var df = triples
       units.zip(positions).foreach {
@@ -124,10 +161,21 @@ object Bgp {
       val cols = varPos.distinctBy(_._1).map { case (n, pos) => df(pos).as(n) }
       df.select(cols: _*)
     }
-    val joined = patternDfs.reduce { (l, rIn) =>
+
+    def joinAll(dfs: Seq[DataFrame]): DataFrame = dfs.reduce { (l, rIn) =>
       val shared = l.columns.intersect(rIn.columns).toSeq
       // avoid ambiguous-column collisions on the non-join columns
       if (shared.nonEmpty) l.join(rIn, shared, "inner") else l.crossJoin(rIn)
+    }
+
+    val required = joinAll(q.conds.map(patternDf))
+    // OPTIONAL groups: each compiles as its own mini-BGP and
+    // left-joins on the variables it shares with the required part
+    val joined = q.optionals.foldLeft(required) { (acc, group) =>
+      val opt = joinAll(group.map(patternDf))
+      val shared = acc.columns.intersect(opt.columns).toSeq
+      require(shared.nonEmpty, "optional group shares no variable with the required patterns")
+      acc.join(opt, shared, "left_outer")
     }
     val projected = joined.select(q.vars.distinct.map(joined(_)): _*)
     if (distinct) projected.distinct() else projected

@@ -1,0 +1,49 @@
+package graft.query
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** The string front-end: dotted IRIs must survive pattern splitting
+  * (round-1 advice: splitting on every '.' mangled every real IRI),
+  * and OPTIONAL groups compile to left joins. */
+class SparqlParseSpec extends SparkSpec {
+
+  test("dots inside IRIs do not split patterns") {
+    val q = Sparql.parse(
+      "select $a $b where { $a http://g.test/knows http://g.test/bob . http://g.test/carol http://g.test/knows $b }")
+    assert(q.conds.length == 2)
+    assert(q.conds.head._2 == QVal("http://g.test/knows"))
+    assert(q.conds.head._3 == QVal("http://g.test/bob"))
+    assert(q.conds(1)._1 == QVal("http://g.test/carol"))
+  }
+
+  test("trailing dot attached to a token closes the pattern") {
+    val q = Sparql.parse(
+      "select $a where { $a p1 o1. $a p2 o2 }")
+    assert(q.conds.length == 2)
+    assert(q.conds.head._3 == QVal("o1"))
+  }
+
+  test("optional group parses and compiles to a left join") {
+    import spark.implicits._
+    val triples = Seq(
+      ("alice", "knows", "bob"),
+      ("bob", "knows", "carol"),
+      ("alice", "mail", "a@x.org")).toDF("s", "p", "o")
+    val q = Sparql.parse(
+      "select $x $y $m where { $x knows $y . optional { $x mail $m } }")
+    assert(q.conds.length == 1 && q.optionals.length == 1)
+    val res = Bgp.compile(triples, q).orderBy("x")
+    assert(res.collect().toSeq == Seq(
+      Row("alice", "bob", "a@x.org"),
+      Row("bob", "carol", null)))
+  }
+
+  test("optional group must share a variable with the required part") {
+    import spark.implicits._
+    val triples = Seq(("a", "p", "b")).toDF("s", "p", "o")
+    val q = Sparql.parse(
+      "select $x $y $z $w where { $x p $y . optional { $z q $w } }")
+    assertThrows[IllegalArgumentException](Bgp.compile(triples, q))
+  }
+}
