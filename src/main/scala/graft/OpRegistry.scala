@@ -212,6 +212,7 @@ object OpRegistry {
     op("rdf_ap_full", RdfOps.apFull, RdfOps.apFullSql),
     op("rdf_bgp_join", RdfOps.bgpJoin, RdfOps.bgpJoinSql),
     op("rdf_bgp_optional", RdfOps.bgpOptional, RdfOps.bgpOptionalSql),
+    op("rdf_bgp_union", RdfOps.bgpUnion, RdfOps.bgpUnionSql),
     op("rdf_insert", RdfOps.insert, RdfOps.insertSql),
     op("rdf_remove", RdfOps.remove, RdfOps.removeSql),
     op("rdf_dict_encode", RdfOps.dictEncode, RdfOps.dictEncodeSql),

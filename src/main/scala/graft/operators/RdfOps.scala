@@ -150,6 +150,32 @@ object RdfOps {
        |  ON req.s = opt.s
        |ORDER BY x, n, seg""".stripMargin
 
+  /** UNION BGP — the remaining piece of the SPARQL algebra trio
+    * (conjunction, OPTIONAL, UNION): entities in an ASIA nation,
+    * whether customers (via in_nation) or nations themselves (via
+    * in_region). Parsed from the string front-end. */
+  def bgpUnion(s: SparkSession, d: String): DataFrame = {
+    val qs = Sparql.parseUnion(
+      """select $x $n where {
+        |  { $x in_nation $n . $n in_region ASIA }
+        |  union
+        |  { $x in_region ASIA . $x in_region $n }
+        |}""".stripMargin)
+    val res = Bgp.compileUnion(tripleView(s, d), qs)
+    res.orderBy(res("x"), res("n"))
+  }
+  val bgpUnionSql: String =
+    s"""$tripleViewSql
+       |SELECT DISTINCT x, n FROM (
+       |  SELECT t1.s AS x, t1.o AS n
+       |  FROM t t1 JOIN t t2 ON t1.o = t2.s
+       |  WHERE t1.p = 'in_nation' AND t2.p = 'in_region' AND t2.o = 'ASIA'
+       |  UNION
+       |  SELECT t3.s AS x, t3.o AS n
+       |  FROM t t3
+       |  WHERE t3.p = 'in_region' AND t3.o = 'ASIA') u
+       |ORDER BY x, n""".stripMargin
+
   /** Insert (reference M1, graph.rs:414-509): union + distinct. */
   def insert(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

@@ -108,6 +108,40 @@ object Sparql {
     val base = Sparql().select(vars).filter(toPatterns(required.result()))
     optGroups.result().foldLeft(base)((q, g) => q.optional(toPatterns(g)))
   }
+
+  /** Parse a query whose where-body is a top-level alternation:
+    *   select $v … where { { …patterns… } union { …patterns… } … }
+    * Returns one [[Sparql]] per alternative (all sharing the select
+    * list); evaluate with [[Bgp.compileUnion]]. A body without
+    * top-level `union` yields a single-element result. */
+  def parseUnion(q: String): Seq[Sparql] = {
+    val lower = q.trim
+    val si = lower.toLowerCase.indexOf("select")
+    val wi = lower.toLowerCase.indexOf("where")
+    require(si == 0 && wi > 0, s"expected 'select … where {{ … }} …', got: $q")
+    val selectPart = lower.substring(0, wi)
+    val body = lower.substring(wi + 5).trim
+    require(body.startsWith("{") && body.endsWith("}"), "where clause must be braced")
+    val inner = body.substring(1, body.length - 1).trim
+    if (!inner.startsWith("{")) return Seq(parse(q))
+    // split "{ A } union { B } union { C }" at brace depth 0
+    val groups = Vector.newBuilder[String]
+    var depth = 0
+    var start = -1
+    var i = 0
+    while (i < inner.length) {
+      inner.charAt(i) match {
+        case '{' => if (depth == 0) start = i + 1; depth += 1
+        case '}' =>
+          depth -= 1
+          if (depth == 0) { groups += inner.substring(start, i); start = -1 }
+        case _ => ()
+      }
+      i += 1
+    }
+    require(depth == 0, "unbalanced braces in union body")
+    groups.result().map(g => parse(s"$selectPart where { $g }"))
+  }
 }
 
 sealed trait QueryUnit
@@ -177,7 +211,28 @@ object Bgp {
       require(shared.nonEmpty, "optional group shares no variable with the required patterns")
       acc.join(opt, shared, "left_outer")
     }
-    val projected = joined.select(q.vars.distinct.map(joined(_)): _*)
+    // a selected variable no pattern binds projects as null (SPARQL
+    // unbound semantics — also what lets UNION alternatives bind
+    // different variable subsets)
+    val projected = joined.select(q.vars.distinct.map { v =>
+      if (joined.columns.contains(v)) joined(v)
+      else lit(null).cast("string").as(v)
+    }: _*)
     if (distinct) projected.distinct() else projected
+  }
+
+  /** SPARQL UNION: evaluate each alternative and take the set union.
+    * Alternatives may bind different variable subsets — missing
+    * columns null-fill (standard SPARQL multiset-union semantics,
+    * then set-distinct like [[compile]]). */
+  def compileUnion(
+      triples: DataFrame,
+      qs: Seq[Sparql],
+      matchValue: (DataFrame, String) => Column = (df, pos) => df(pos),
+      distinct: Boolean = true): DataFrame = {
+    require(qs.nonEmpty, "empty union")
+    val compiled = qs.map(q => compile(triples, q, matchValue, distinct = false))
+    val unioned = compiled.reduce(_.unionByName(_, allowMissingColumns = true))
+    if (distinct) unioned.distinct() else unioned
   }
 }

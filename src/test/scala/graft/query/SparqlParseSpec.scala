@@ -39,6 +39,25 @@ class SparqlParseSpec extends SparkSpec {
       Row("bob", "carol", null)))
   }
 
+  test("union alternatives parse, null-fill unbound vars, and set-union") {
+    import spark.implicits._
+    val triples = Seq(
+      ("alice", "knows", "bob"),
+      ("carol", "likes", "dave")).toDF("s", "p", "o")
+    val qs = Sparql.parseUnion(
+      "select $x $y $z where { { $x knows $y } union { $x likes $z } }")
+    assert(qs.length == 2)
+    val res = Bgp.compileUnion(triples, qs).orderBy("x").collect().toSeq
+    assert(res == Seq(
+      Row("alice", "bob", null),
+      Row("carol", null, "dave")))
+  }
+
+  test("parseUnion without top-level union falls back to a single query") {
+    val qs = Sparql.parseUnion("select $a where { $a p o }")
+    assert(qs.length == 1 && qs.head.conds.length == 1)
+  }
+
   test("optional group must share a variable with the required part") {
     import spark.implicits._
     val triples = Seq(("a", "p", "b")).toDF("s", "p", "o")
