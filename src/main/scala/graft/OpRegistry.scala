@@ -154,6 +154,19 @@ object OpRegistry {
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rf, ls"""),
+    op("q_cube", RelationalOps.qCube,
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls"""),
+    op("q_salted_join", RelationalOps.qSaltedJoin,
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
     opNoOracle("q_approx_distinct", RelationalOps.qApproxDistinct),
     op("q_asof_join", RelationalOps.qAsofJoin,
       """WITH ord AS (
@@ -262,6 +275,7 @@ object OpRegistry {
     op("ev_stream_dedup", EventOps.evStreamDedup, EventOps.evStreamDedupSql),
     op("ev_session_window", EventOps.evSessionWindow, EventOps.evSessionWindowSql),
     op("ev_stream_session_window", EventOps.evStreamSessionWindow, EventOps.evSessionWindowSql),
+    op("ev_stream_to_parquet", EventOps.evStreamToParquet, EventOps.evStreamToParquetSql),
     op("rdf_xml_source", RdfXmlOps.xmlSource, RdfXmlOps.xmlOracleSql),
     op("rdf_xml_roundtrip", RdfXmlOps.xmlRoundtrip, RdfXmlOps.xmlOracleSql),
     op("rdf_nt_roundtrip", RdfXmlOps.ntRoundtrip, RdfOps.apFullSql),

@@ -117,6 +117,41 @@ object EventOps {
       .orderBy($"user_id", $"sess_start")
   }
 
+  /** Streaming → parquet via foreachBatch (the production sink shape:
+    * each micro-batch lands as parquet files, exactly-once per batch
+    * id). The comparable output re-reads what was WRITTEN and
+    * aggregates — proving the landed files carry the full stream.
+    * Oracle: the same aggregate over the source table. */
+  def evStreamToParquet(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val stream = eventsStream(s, d)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, streamParts(s, d).toString)
+    try {
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(tmp)
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally s.conf.set(key, prev)
+    s.read.parquet(tmp)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(DecimalType(18, 4))).cast("double").as("sum_value"),
+        min($"event_id").as("min_id"), max($"event_id").as("max_id"))
+      .orderBy($"event_type")
+  }
+  val evStreamToParquetSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+      |  min(event_id) AS min_id, max(event_id) AS max_id
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   private def eventsStream(s: SparkSession, d: String) = {
     import s.implicits._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -32,7 +32,10 @@ object GraphOps {
       .join(dict.toDF("term", "sid"), $"s" === $"term").drop("term")
       .join(dict.toDF("term", "oid"), $"o" === $"term").drop("term")
       .select($"sid", $"oid", $"p")
-    val nEdges = edges.count()
+    // |edges| == |triples|: count the CACHED view, not `edges`, which
+    // would execute the dict joins once for the count and again when
+    // the RDD materializes
+    val nEdges = t.count()
     val parts = math.max(1, math.min(
       s.sparkContext.defaultParallelism, (nEdges / 1000000L).toInt))
     val vRdd = dict.select($"id", $"term").as[(Long, String)].rdd.coalesce(parts)

@@ -227,6 +227,44 @@ object RelationalOps {
       .orderBy($"rf", $"ls")
   }
 
+  /** CUBE grouping sets: all 4 grouping combinations in one pass
+    * (Catalyst expands + partial-aggregates before the shuffle). */
+  def qCube(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(sum(dec($"l_quantity")).cast("double").as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("rf"),
+        coalesce($"l_linestatus", lit("ALL")).as("ls"),
+        $"sum_qty", $"n")
+      .orderBy($"rf", $"ls")
+  }
+
+  /** Skew-safe JOIN via salt replication (the join-side counterpart of
+    * [[qSaltedAgg]]): the build side is replicated once per salt value
+    * and the probe side picks a uniform salt, so one hot key spreads
+    * over 8 reducers instead of stalling one. Results are identical to
+    * the plain join — the oracle runs the unsalted equivalent. At
+    * 100 TB this is the manual fallback when AQE's skew-join split
+    * can't help (e.g. aggregation after the join keyed on the hot
+    * column). */
+  def qSaltedJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nSalt = 8
+    val fact = lineitem(s, d)
+      .select($"l_orderkey", $"l_extendedprice",
+        pmod(hash($"l_linenumber", $"l_partkey"), lit(nSalt)).as("salt"))
+    val dim = orders(s, d)
+      .select($"o_orderkey", $"o_orderpriority",
+        explode(array((0 until nSalt).map(lit(_)): _*)).as("salt"))
+    fact.join(dim, $"l_orderkey" === $"o_orderkey" && fact("salt") === dim("salt"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(dec($"l_extendedprice")).cast("double").as("total"))
+      .orderBy($"o_orderpriority")
+  }
+
   /** As-of join (each event ↦ the most recent order of that customer
     * at or before the event), composed scalably from built-ins: tag
     * both sides, union, one sort per key, last-non-null propagation.
