@@ -244,10 +244,13 @@ object OpRegistry {
     opNoOracle("text_simhash", TextOps.textSimhash),
     op("text_top_tokens", TextOps.textTopTokens, TextOps.textTopTokensSql),
     op("text_tokens_bpe", TextOps.textTokensBpe, TextOps.textTokensBpeSql),
+    op("text_repetition", TextOps.textRepetition, TextOps.textRepetitionSql),
+    op("text_pii", TextOps.textPii, TextOps.textPiiSql),
     opNoOracle("text_simhash_by_source", TextOps.textSimhashBySource),
     op("dedup_exact", DedupOps.dedupExact, DedupOps.dedupExactSql),
     op("dedup_norm", DedupOps.dedupNorm, DedupOps.dedupNormSql),
     op("dedup_ngram_jaccard", DedupOps.dedupNgramJaccard, DedupOps.dedupNgramJaccardSql),
+    op("dedup_clusters", DedupOps.dedupClusters, DedupOps.dedupClustersSql),
     opNoOracle("dedup_minhash_lsh", DedupOps.dedupMinhashLsh),
     opNoOracle("dedup_simhash", DedupOps.dedupSimhash),
     op("dedup_embedding_cosine", DedupOps.dedupEmbeddingCosine, DedupOps.dedupEmbeddingCosineSql),

@@ -136,6 +136,38 @@ object DedupOps {
     verified.select($"da", $"db").orderBy($"da", $"db")
   }
 
+  /** Dedup CLUSTERING — the production step after pair generation:
+    * near-dup pairs become edges, connected components become cluster
+    * ids, and each doc maps to its canonical representative (the
+    * cluster's min doc_id — GraphX's min-vertex-id CC label directly).
+    * Keep-one-per-cluster is then a filter `doc_id == canonical`.
+    * Oracle: recursive-CTE closure over the same pair set (tiny at
+    * sf0.01; the Spark side is the scale path). */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph => XGraph}
+    import s.implicits._
+    val pairs = dedupNgramJaccard(s, d).select($"da", $"db")
+    val docs = documents(s, d).select($"doc_id")
+    val vRdd = docs.as[Long].rdd.map(id => (id, ())).coalesce(1)
+    val eRdd = pairs.as[(Long, Long)].rdd.map { case (a, b) => Edge(a, b, ()) }.coalesce(1)
+    val cc = XGraph(vRdd, eRdd).connectedComponents().vertices
+    s.createDataFrame(cc).toDF("doc_id", "canonical")
+      .orderBy($"doc_id")
+  }
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE jpairs AS (
+       |${dedupNgramJaccardSql.linesIterator.filterNot(_.startsWith("ORDER BY"))
+           .map("  " + _).mkString("\n")}
+       |),
+       |e AS (SELECT da AS a, db AS b FROM jpairs
+       |      UNION SELECT db, da FROM jpairs),
+       |reach(x, y) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.x, e.b FROM reach r JOIN e ON r.y = e.a)
+       |SELECT x AS doc_id, min(y) AS canonical FROM reach GROUP BY x
+       |ORDER BY doc_id""".stripMargin
+
   /** SimHash near-dup pairs: one 64-bit signature per doc via the
     * native SimHash expression; band the signature into 4×16-bit
     * chunks (Hamming ≤ 3 ⇒ some band equal, pigeonhole), verify with

@@ -137,6 +137,60 @@ object TextOps {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Repetition scoring — the fraction of duplicate 3-gram shingles,
+    * a standard low-quality/boilerplate signal for LLM corpora. The
+    * ratio divides the same two BIGINTs in both engines → identical
+    * doubles. */
+  def textRepetition(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .select($"doc_id", expr(
+        """CASE WHEN size(ws) >= 3
+          |THEN transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))
+          |ELSE array() END""".stripMargin).as("gs"))
+      .select($"doc_id",
+        size($"gs").cast("long").as("n_grams"),
+        size(array_distinct($"gs")).cast("long").as("n_unique"))
+      .withColumn("rep_ratio",
+        when($"n_grams" > 0, ($"n_grams" - $"n_unique").cast("double") / $"n_grams")
+          .otherwise(lit(0.0)))
+      .orderBy($"doc_id")
+  }
+  val textRepetitionSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id,
+      |         CASE WHEN len(ws) >= 3
+      |           THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]
+      |           ELSE [] END AS gs
+      |       FROM tok)
+      |SELECT doc_id,
+      |  CAST(len(gs) AS BIGINT) AS n_grams,
+      |  CAST(len(list_distinct(gs)) AS BIGINT) AS n_unique,
+      |  CASE WHEN len(gs) > 0
+      |    THEN CAST(len(gs) - len(list_distinct(gs)) AS DOUBLE) / len(gs)
+      |    ELSE 0.0 END AS rep_ratio
+      |FROM sh ORDER BY doc_id""".stripMargin
+
+  /** Pattern-count filtering signals (emails / URLs) with a shared
+    * lookaround-free regex — the PII / boilerplate pre-filter shape. */
+  def textPii(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select($"doc_id",
+        size(regexp_extract_all($"text",
+          lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all($"text",
+          lit("https?://[^ ]+"), lit(0))).cast("long").as("n_urls"))
+      .orderBy($"doc_id")
+  }
+  val textPiiSql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT) AS n_urls
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Corpus token frequencies, top 50: explode → two-phase aggregate
     * (map-side combine before the shuffle — the wordcount shape that
     * scales to any corpus size). Deterministic top-k via (count desc,
