@@ -146,7 +146,9 @@ object DedupOps {
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.graphx.{Edge, Graph => XGraph}
     import s.implicits._
-    val pairs = dedupNgramJaccard(s, d).select($"da", $"db")
+    // cache the pair list: GraphX materializes its edge RDD several
+    // times during CC, which would re-run the whole jaccard pipeline
+    val pairs = dedupNgramJaccard(s, d).select($"da", $"db").cache()
     val docs = documents(s, d).select($"doc_id")
     val vRdd = docs.as[Long].rdd.map(id => (id, ())).coalesce(1)
     val eRdd = pairs.as[(Long, Long)].rdd.map { case (a, b) => Edge(a, b, ()) }.coalesce(1)

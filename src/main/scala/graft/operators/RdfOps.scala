@@ -204,6 +204,19 @@ object RdfOps {
        |EXCEPT SELECT 'NATION_2', 'in_region', 'ASIA'
        |ORDER BY s, p, o""".stripMargin
 
+  /** Remove by PATTERN (wildcards) — the reference's promised
+    * "remove-queries" (COOKBOOK.md:76): delete every in_segment triple
+    * regardless of subject/object. One Catalyst filter. */
+  def removePattern(s: SparkSession, d: String): DataFrame = {
+    val t = tripleView(s, d)
+    sorted(t.filter(!(t("p") === "in_segment")))
+  }
+  val removePatternSql: String =
+    s"""$tripleViewSql
+       |SELECT s, p, o FROM t
+       |WHERE p <> 'in_segment'
+       |ORDER BY s, p, o""".stripMargin
+
   /** Dictionary encoding (reference S2, parser.rs:22-87): dense
     * deterministic ids over the subject∪object term set. */
   def dictEncode(s: SparkSession, d: String): DataFrame = {
