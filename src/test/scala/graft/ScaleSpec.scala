@@ -52,6 +52,42 @@ class ScaleSpec extends SparkSpec {
     assert(scan.count() == 2)
   }
 
+  test("OPTIONAL compiles to a left join below the projection") {
+    val q = query.Sparql.parse(
+      "select $x $n $seg where { $x in_nation $n . optional { $x in_segment $seg } }")
+    val df = query.Bgp.compile(operators.RdfOps.tripleView(spark, sf0001), q)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("LeftOuter"), optimized)
+  }
+
+  test("text ops prune the documents scan to the referenced columns") {
+    val p = plan(operators.TextOps.textTokensBpe(spark, sf0001))
+    // only doc_id and text should be read, never lang/source/n_chars
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("q_salted_join equals the plain join (salting never changes answers)") {
+    import spark.implicits._
+    val salted = operators.RelationalOps.qSaltedJoin(spark, sf0001)
+    val l = Tables.lineitem(spark, sf0001)
+    val o = Tables.orders(spark, sf0001)
+    val expect = l.join(o, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .orderBy($"o_orderpriority")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val got = salted.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expect)
+  }
+
+  test("mm pipeline ops stay off the driver (no collect in the plan)") {
+    // mapPartitions-based ops must be a single distributed pass:
+    // DeserializeToObject/MapPartitions/SerializeFromObject, no Expand
+    val p = plan(operators.MultimodalOps.mmFeature(spark, sf0001))
+    assert(p.contains("MapPartitions"), p)
+  }
+
   test("BGP conjunction shuffles on int-sized var columns only after filters") {
     // the compiled plan must place pattern filters BELOW the join
     val q = query.Sparql()
