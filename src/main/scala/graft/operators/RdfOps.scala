@@ -150,6 +150,26 @@ object RdfOps {
        |  ON req.s = opt.s
        |ORDER BY x, n, seg""".stripMargin
 
+  /** FILTER BGP — value constraints on the joined solution (beyond
+    * the reference, standard SPARQL): ASIA customers excluding one
+    * nation, parsed from the string front-end. */
+  def bgpFilter(s: SparkSession, d: String): DataFrame = {
+    val q = Sparql.parse(
+      """select $c $n where {
+        |  $c in_nation $n . $n in_region ASIA . filter ( $n != NATION_2 )
+        |}""".stripMargin)
+    val res = Bgp.compile(tripleView(s, d), q)
+    res.orderBy(res("c"), res("n"))
+  }
+  val bgpFilterSql: String =
+    s"""$tripleViewSql
+       |SELECT DISTINCT t1.s AS c, t1.o AS n
+       |FROM t t1 JOIN t t2 ON t1.o = t2.s
+       |WHERE t1.p = 'in_nation'
+       |  AND t2.p = 'in_region' AND t2.o = 'ASIA'
+       |  AND t1.o <> 'NATION_2'
+       |ORDER BY c, n""".stripMargin
+
   /** UNION BGP — the remaining piece of the SPARQL algebra trio
     * (conjunction, OPTIONAL, UNION): entities in an ASIA nation,
     * whether customers (via in_nation) or nations themselves (via

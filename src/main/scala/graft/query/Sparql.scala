@@ -19,7 +19,8 @@ import org.apache.spark.sql.functions._
 final case class Sparql(
     vars: Seq[String],
     conds: Seq[(QueryUnit, QueryUnit, QueryUnit)],
-    optionals: Seq[Seq[(QueryUnit, QueryUnit, QueryUnit)]] = Nil) {
+    optionals: Seq[Seq[(QueryUnit, QueryUnit, QueryUnit)]] = Nil,
+    constraints: Seq[(QueryUnit, String, QueryUnit)] = Nil) {
 
   def select(vs: Seq[String]): Sparql = copy(vars = vars ++ vs.map(stripVar))
 
@@ -31,6 +32,20 @@ final case class Sparql(
     * keep nulls for the group's variables. */
   def optional(patterns: Seq[Seq[String]]): Sparql =
     copy(optionals = optionals :+ parsePatterns(patterns))
+
+  /** FILTER constraint (beyond the reference — standard SPARQL):
+    * a comparison applied to the joined solution. Supported ops:
+    * == != < <= > >= regex. */
+  def constraint(lhs: String, op: String, rhs: String): Sparql = {
+    require(Sparql.ConstraintOps.contains(op), s"unsupported filter op: $op")
+    val l = QueryUnit.parse(lhs)
+    val r = QueryUnit.parse(rhs)
+    Seq(l, r).foreach {
+      case QVar(n) => require(vars.contains(n), s"variable $$$n not declared in select")
+      case _       => ()
+    }
+    copy(constraints = constraints :+ ((l, op, r)))
+  }
 
   private def parsePatterns(
       patterns: Seq[Seq[String]]): Seq[(QueryUnit, QueryUnit, QueryUnit)] = {
@@ -52,6 +67,8 @@ final case class Sparql(
 object Sparql {
   def apply(): Sparql = Sparql(Nil, Nil)
 
+  val ConstraintOps: Set[String] = Set("==", "!=", "<", "<=", ">", ">=", "regex")
+
   /** Tiny string front-end (the reference declares a `sparql!` macro
     * but leaves it `unimplemented!()`, query.rs:74-77 — this completes
     * the intent). Grammar:
@@ -72,8 +89,9 @@ object Sparql {
     val body = lower.substring(wi + 5).trim
     require(body.startsWith("{") && body.endsWith("}"), "where clause must be braced")
     val tokens = body.substring(1, body.length - 1).trim
-      // make braces standalone tokens so "optional{" parses too
+      // make braces/parens standalone tokens so "optional{"/"filter(" parse
       .replace("{", " { ").replace("}", " } ")
+      .replace("(", " ( ").replace(")", " ) ")
       .split("\\s+").toSeq.filter(_.nonEmpty)
 
     def toPatterns(toks: Seq[String]): Seq[Seq[String]] =
@@ -88,9 +106,11 @@ object Sparql {
           if (closes) grown :+ Vector.empty else grown
       }.map(_.toSeq).filter(_.nonEmpty)
 
-    // split the body into required tokens and optional { ... } groups
+    // split the body into required tokens, optional { … } groups, and
+    // filter ( lhs op rhs ) constraints
     val required = Vector.newBuilder[String]
     val optGroups = Vector.newBuilder[Seq[String]]
+    val filterExprs = Vector.newBuilder[(String, String, String)]
     var i = 0
     while (i < tokens.length) {
       if (tokens(i).equalsIgnoreCase("optional")) {
@@ -100,13 +120,23 @@ object Sparql {
         require(close > 0, "unclosed optional group")
         optGroups += tokens.slice(i + 2, close)
         i = close + 1
+      } else if (tokens(i).equalsIgnoreCase("filter")) {
+        require(i + 1 < tokens.length && tokens(i + 1) == "(",
+          "filter must be followed by a parenthesized comparison")
+        val close = tokens.indexOf(")", i + 2)
+        require(close == i + 5, "filter expects exactly ( lhs op rhs )")
+        filterExprs += ((tokens(i + 2), tokens(i + 3), tokens(i + 4)))
+        i = close + 1
       } else {
         required += tokens(i)
         i += 1
       }
     }
     val base = Sparql().select(vars).filter(toPatterns(required.result()))
-    optGroups.result().foldLeft(base)((q, g) => q.optional(toPatterns(g)))
+    val withOpt = optGroups.result().foldLeft(base)((q, g) => q.optional(toPatterns(g)))
+    filterExprs.result().foldLeft(withOpt) {
+      case (q, (l, op, r)) => q.constraint(l, op, r)
+    }
   }
 
   /** Parse a query whose where-body is a top-level alternation:
@@ -211,11 +241,29 @@ object Bgp {
       require(shared.nonEmpty, "optional group shares no variable with the required patterns")
       acc.join(opt, shared, "left_outer")
     }
+    // FILTER constraints apply to the joined solution (after OPTIONAL,
+    // per SPARQL filter scope)
+    val constrained = q.constraints.foldLeft(joined) { case (acc, (l, op, r)) =>
+      def operand(u: QueryUnit): Column = u match {
+        case QVar(n) => acc(n)
+        case QVal(v) => lit(v)
+      }
+      val (lc, rc) = (operand(l), operand(r))
+      acc.filter(op match {
+        case "==" => lc === rc
+        case "!=" => lc =!= rc
+        case "<"  => lc < rc
+        case "<=" => lc <= rc
+        case ">"  => lc > rc
+        case ">=" => lc >= rc
+        case "regex" => lc.rlike(r match { case QVal(v) => v; case QVar(n) => n })
+      })
+    }
     // a selected variable no pattern binds projects as null (SPARQL
     // unbound semantics — also what lets UNION alternatives bind
     // different variable subsets)
-    val projected = joined.select(q.vars.distinct.map { v =>
-      if (joined.columns.contains(v)) joined(v)
+    val projected = constrained.select(q.vars.distinct.map { v =>
+      if (constrained.columns.contains(v)) constrained(v)
       else lit(null).cast("string").as(v)
     }: _*)
     if (distinct) projected.distinct() else projected

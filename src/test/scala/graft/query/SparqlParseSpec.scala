@@ -58,6 +58,24 @@ class SparqlParseSpec extends SparkSpec {
     assert(qs.length == 1 && qs.head.conds.length == 1)
   }
 
+  test("filter constraints parse and restrict the solution") {
+    import spark.implicits._
+    val triples = Seq(
+      ("alice", "age", "31"),
+      ("bob", "age", "29"),
+      ("carol", "age", "31")).toDF("s", "p", "o")
+    val q = Sparql.parse(
+      "select $x $a where { $x age $a . filter ( $a != 29 ) . filter ( $x regex ^[ac] ) }")
+    assert(q.constraints.length == 2)
+    val res = Bgp.compile(triples, q).orderBy("x").collect().toSeq
+    assert(res == Seq(Row("alice", "31"), Row("carol", "31")))
+  }
+
+  test("unsupported filter op fails fast") {
+    assertThrows[IllegalArgumentException](
+      Sparql.parse("select $x $y where { $x p $y . filter ( $x like $y ) }"))
+  }
+
   test("optional group must share a variable with the required part") {
     import spark.implicits._
     val triples = Seq(("a", "p", "b")).toDF("s", "p", "o")
