@@ -243,21 +243,21 @@ object OpRegistry {
     op("text_quality", TextOps.textQuality, TextOps.textQualitySql),
     op("text_langid", TextOps.textLangId, TextOps.textLangIdSql),
     op("text_fingerprint", TextOps.textFingerprint, TextOps.textFingerprintSql),
-    opNoOracle("text_simhash", TextOps.textSimhash),
+    op("text_simhash", TextOps.textSimhash, TextOps.textSimhashSql),
     op("text_top_tokens", TextOps.textTopTokens, TextOps.textTopTokensSql),
     op("text_tokens_bpe", TextOps.textTokensBpe, TextOps.textTokensBpeSql),
     op("text_repetition", TextOps.textRepetition, TextOps.textRepetitionSql),
     op("text_pii", TextOps.textPii, TextOps.textPiiSql),
-    opNoOracle("text_simhash_by_source", TextOps.textSimhashBySource),
+    op("text_simhash_by_source", TextOps.textSimhashBySource, TextOps.textSimhashBySourceSql),
     op("dedup_exact", DedupOps.dedupExact, DedupOps.dedupExactSql),
     op("dedup_norm", DedupOps.dedupNorm, DedupOps.dedupNormSql),
     op("dedup_ngram_jaccard", DedupOps.dedupNgramJaccard, DedupOps.dedupNgramJaccardSql),
     op("dedup_clusters", DedupOps.dedupClusters, DedupOps.dedupClustersSql),
-    opNoOracle("dedup_minhash_lsh", DedupOps.dedupMinhashLsh),
-    opNoOracle("dedup_simhash", DedupOps.dedupSimhash),
+    op("dedup_minhash_lsh", DedupOps.dedupMinhashLsh, DedupOps.dedupMinhashLshSql),
+    op("dedup_simhash", DedupOps.dedupSimhash, DedupOps.dedupSimhashSql),
     op("dedup_embedding_cosine", DedupOps.dedupEmbeddingCosine, DedupOps.dedupEmbeddingCosineSql),
     op("sim_topk_brute", SimilarityOps.simTopkBrute, SimilarityOps.simTopkBruteSql),
-    opNoOracle("sim_ann_lsh", SimilarityOps.simAnnLsh),
+    op("sim_ann_lsh", SimilarityOps.simAnnLsh, SimilarityOps.simAnnLshSql),
     opNoOracle("dedup_minhash_ml", MlOps.dedupMinhashMl),
     opNoOracle("sim_ann_ivf", MlOps.simAnnIvf),
     op("mm_metadata", MultimodalOps.mmMetadata, MultimodalOps.mmMetadataSql),

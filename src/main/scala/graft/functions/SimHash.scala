@@ -63,6 +63,11 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash_agg",
       exprs => SimHashAgg(exprs.head).toAggregateExpression(), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_md5", exprs => SimHashMd5(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_md5_agg",
+      exprs => SimHashMd5Agg(exprs.head).toAggregateExpression(), "scala_udf")
   }
 }
 

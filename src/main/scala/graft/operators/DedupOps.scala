@@ -90,11 +90,17 @@ object DedupOps {
   private val MinhashK = 16 // 4 bands × 4 rows
 
   /** MinHash signature columns sig_0..sig_{K-1} over the shingle set:
-    * sig_i = min over shingles of xxhash64(shingle, i). Computed
-    * per-row from the shingle array — no shuffle. */
+    * sig_i = min over shingles of md5(shingle ++ '_' ++ i). The hash is
+    * the 32-char lowercase hex STRING — fixed-length hex compares
+    * lexicographically exactly like the 128-bit value, and any ANSI
+    * engine computes the identical string, which is what makes this
+    * operator oracle-checkable (round-2 verdict #1). Computed per-row
+    * from the shingle array — no shuffle. The hash family is pluggable:
+    * swap md5 for xxhash64(g, i) for ~5× hashing throughput when
+    * cross-engine verification is not needed. */
   private def withMinhash(docs: DataFrame): DataFrame = {
     val sigs = (0 until MinhashK).map { i =>
-      expr(s"array_min(transform(gs, g -> xxhash64(g, $i)))").as(s"sig_$i")
+      expr(s"array_min(transform(gs, g -> md5(concat(g, '_$i'))))").as(s"sig_$i")
     }
     docs.select(col("doc_id") +: col("gs") +: sigs: _*)
   }
@@ -102,9 +108,10 @@ object DedupOps {
   /** MinHash + LSH near-dup pairs: band the K-row signature into 4
     * buckets, candidate pairs share ≥1 band bucket, then verify with
     * exact Jaccard ≥ 1/2 on the shingle sets. The 100 TB path: the
-    * candidate join shuffles fixed-width longs, never shingle sets;
-    * verification touches only candidates. No DuckDB xxhash64 →
-    * rows-only check; DedupSpec pins recall vs the exact operator. */
+    * candidate join shuffles fixed-width band keys, never shingle
+    * sets; verification touches only candidates. Docs with no shingle
+    * (< 3 tokens) have no signature and generate no candidates — they
+    * are filtered before banding (both sides of the oracle). */
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = documents(s, d)
@@ -114,12 +121,13 @@ object DedupOps {
           |THEN array_distinct(transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))
           |ELSE array() END""".stripMargin)
         .as("gs"))
+      .filter(size($"gs") > 0)
     val sig = withMinhash(docs).cache()
     // one pass: each row explodes to its 4 (band, bucket) pairs —
     // no 4-way union re-scan of the signature table
     val bands = sig.select($"doc_id", posexplode(array(
       (0 until 4).map { b =>
-        xxhash64((4 * b until 4 * b + 4).map(i => col(s"sig_$i")): _*)
+        md5(concat_ws("|", (4 * b until 4 * b + 4).map(i => col(s"sig_$i")): _*))
       }: _*))).toDF("doc_id", "band", "bucket")
     val cand = bands.toDF("da", "band", "bucket")
       .join(bands.toDF("db", "band", "bucket"), Seq("band", "bucket"))
@@ -135,6 +143,25 @@ object DedupOps {
       .filter(lit(2) * $"c" >= $"na" + $"nb" - $"c")
     verified.select($"da", $"db").orderBy($"da", $"db")
   }
+  /** DuckDB replica of the full MinHash+LSH pipeline — identical md5
+    * signatures, banding, and Jaccard verification. */
+  val dedupMinhashLshSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |gsx AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+      |          THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)])
+      |          ELSE [] END AS gs FROM tok),
+      |gs2 AS (SELECT doc_id, gs FROM gsx WHERE len(gs) > 0),
+      |sig AS (SELECT doc_id,
+      |          [list_min([md5(g || '_' || CAST(i AS VARCHAR)) for g in gs]) for i in range(0,16)] AS sigs
+      |        FROM gs2),
+      |bands AS (SELECT doc_id, b,
+      |            md5(sigs[4*b+1] || '|' || sigs[4*b+2] || '|' || sigs[4*b+3] || '|' || sigs[4*b+4]) AS bucket
+      |          FROM sig, range(0,4) t(b)),
+      |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |         FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      |v AS (SELECT da, db, len(list_intersect(ga.gs, gb.gs)) AS c, len(ga.gs) AS na, len(gb.gs) AS nb
+      |      FROM cand JOIN gs2 ga ON ga.doc_id = da JOIN gs2 gb ON gb.doc_id = db)
+      |SELECT da, db FROM v WHERE 2*c >= na + nb - c ORDER BY da, db""".stripMargin
 
   /** Dedup CLUSTERING — the production step after pair generation:
     * near-dup pairs become edges, connected components become cluster
@@ -149,9 +176,17 @@ object DedupOps {
     // cache the pair list: GraphX materializes its edge RDD several
     // times during CC, which would re-run the whole jaccard pipeline
     val pairs = dedupNgramJaccard(s, d).select($"da", $"db").cache()
-    val docs = documents(s, d).select($"doc_id")
-    val vRdd = docs.as[Long].rdd.map(id => (id, ())).coalesce(1)
-    val eRdd = pairs.as[(Long, Long)].rdd.map { case (a, b) => Edge(a, b, ()) }.coalesce(1)
+    val docs = documents(s, d).select($"doc_id").cache()
+    // size the graph RDDs from the input like GraphOps.buildGraph —
+    // iterative Pregel pays per-partition overhead every round, so
+    // target ~1M rows/partition capped at the cluster parallelism
+    // (round-2 verdict #2: a constant coalesce(1) funnels the whole
+    // 100 TB doc-id + pair set through one task)
+    val n = math.max(pairs.count(), docs.count())
+    val parts = math.max(1, math.min(
+      s.sparkContext.defaultParallelism, (n / 1000000L).toInt))
+    val vRdd = docs.as[Long].rdd.map(id => (id, ())).coalesce(parts)
+    val eRdd = pairs.as[(Long, Long)].rdd.map { case (a, b) => Edge(a, b, ()) }.coalesce(parts)
     val cc = XGraph(vRdd, eRdd).connectedComponents().vertices
     s.createDataFrame(cc).toDF("doc_id", "canonical")
       .orderBy($"doc_id")
@@ -171,27 +206,50 @@ object DedupOps {
        |ORDER BY doc_id""".stripMargin
 
   /** SimHash near-dup pairs: one 64-bit signature per doc via the
-    * native SimHash expression; band the signature into 4×16-bit
-    * chunks (Hamming ≤ 3 ⇒ some band equal, pigeonhole), verify with
-    * bit_count(xor) ≤ 8. rows-only (no DuckDB xxhash64). */
+    * native [[graft.functions.SimHashMd5]] expression (4 × 16-bit band
+    * chunks); candidate pairs share a band (Hamming ≤ 3 ⇒ some band
+    * equal, pigeonhole), verified with total Hamming ≤ 8. The md5 bit
+    * derivation is reproducible in DuckDB, so this is hash-checked
+    * end-to-end (round-2 verdict #1); swap in the xxhash64 `simhash`
+    * expression for max throughput when verification isn't needed. */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     GraftFunctions.register(s)
     val sig = documents(s, d)
-      .select($"doc_id", expr("simhash(split(text,' '))").as("sig"))
+      .select($"doc_id", expr("simhash_md5(split(text,' '))").as("sig"))
       .cache()
     // single pass over sig: posexplode the 4 chunk values per row
-    val bands = sig.select($"doc_id", $"sig", posexplode(array(
-      (0 until 4).map(b =>
-        shiftright($"sig", 16 * b).bitwiseAND(lit(0xFFFFL))): _*)))
+    val bands = sig.select($"doc_id", $"sig", posexplode($"sig"))
       .toDF("doc_id", "sig", "band", "chunk")
     val cand = bands.toDF("da", "siga", "band", "chunk")
       .join(bands.toDF("db", "sigb", "band", "chunk"), Seq("band", "chunk"))
       .filter($"da" < $"db")
-      .select($"da", $"db", bit_count($"siga".bitwiseXOR($"sigb")).as("hamming"))
+      .select($"da", $"db", expr(
+        """CAST(bit_count(siga[0] ^ sigb[0]) + bit_count(siga[1] ^ sigb[1])
+          |   + bit_count(siga[2] ^ sigb[2]) + bit_count(siga[3] ^ sigb[3]) AS BIGINT)""".stripMargin)
+        .as("hamming"))
       .distinct()
     cand.filter($"hamming" <= 8).orderBy($"da", $"db")
   }
+  /** DuckDB replica: same md5 nibble-bit SimHash, banding, and Hamming
+    * verification (see [[graft.functions.Md5Bits]] for the contract). */
+  val dedupSimhashSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |hs AS (SELECT doc_id, [md5(t) for t in ws] AS hs FROM tok),
+      |bits AS (SELECT doc_id,
+      |           [CASE WHEN list_sum([CASE WHEN ((strpos('0123456789abcdef', substr(h, j//4+1, 1))-1) >> (j%4)) & 1 = 1
+      |                                     THEN 1 ELSE -1 END for h in hs]) > 0
+      |                 THEN 1 ELSE 0 END for j in range(0,64)] AS bits
+      |         FROM hs),
+      |sig AS (SELECT doc_id,
+      |          [CAST(list_sum([bits[16*b+k+1] * (1::BIGINT << k) for k in range(0,16)]) AS BIGINT) for b in range(0,4)] AS sig
+      |        FROM bits),
+      |bands AS (SELECT doc_id, sig, b AS band, sig[b+1] AS chunk FROM sig, range(0,4) t(b)),
+      |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+      |           CAST(bit_count(xor(a.sig[1], b.sig[1])) + bit_count(xor(a.sig[2], b.sig[2]))
+      |              + bit_count(xor(a.sig[3], b.sig[3])) + bit_count(xor(a.sig[4], b.sig[4])) AS BIGINT) AS hamming
+      |         FROM bands a JOIN bands b ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+      |SELECT da, db, hamming FROM cand WHERE hamming <= 8 ORDER BY da, db""".stripMargin
 
   /** Embedding cosine near-dup pairs, brute force n² via the native
     * [[graft.functions.CosineSim]] kernel (double accumulation in

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Similarity search over the `embeddings` table (128-d float
+/** Similarity search over the `embeddings` table (64-d float
   * vectors).
   *
   * Brute-force top-k is the correctness baseline (and is exactly what
@@ -46,27 +46,30 @@ object SimilarityOps {
       |SELECT qid, rank, nid FROM ranked WHERE rank <= 3
       |ORDER BY qid, rank""".stripMargin
 
-  /** Deterministic ±1 hyperplanes: component j of plane i flips on a
-    * bit of a splitmix64-style integer mix — reproducible with no RNG
-    * state, computable at plan-build time. */
-  private def planeSigns(nPlanes: Int, dim: Int): Array[Array[Int]] = {
-    def mix(z0: Long): Long = {
-      var z = z0 + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
+  /** Deterministic ±1 hyperplanes, md5-derived so any engine can
+    * recompute them (round-2 verdict #1): component j of plane i is +1
+    * iff the top bit of md5("p_<i>_<j>") is set — i.e. the first hex
+    * char is in '89abcdef'. Computed at plan-build time on the driver;
+    * the DuckDB oracle recomputes the identical signs in SQL. */
+  private def planeSigns(nPlanes: Int, dim: Int): Array[Array[Int]] =
+    Array.tabulate(nPlanes, dim) { (i, j) =>
+      val d = graft.functions.Md5Bits.digest(
+        s"p_${i}_$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if ((d(0) & 0x80) != 0) 1 else -1
     }
-    Array.tabulate(nPlanes, dim)((i, j) => if ((mix(i.toLong * 131 + j) & 1L) == 0L) 1 else -1)
-  }
 
-  /** LSH-bucketed ANN: 12-bit random-hyperplane signature → bucket;
-    * top-3 within the query's bucket. Rows-only check (the signature
-    * hash family has no DuckDB equivalent); SimilaritySpec pins
-    * recall against the brute-force baseline. */
+  /** LSH-bucketed ANN: 4-bit random-hyperplane signature (16 buckets
+    * over the 500-vector test table; at 100 TB the plane count scales
+    * with log2(rows/target-bucket-size)) → bucket;
+    * top-3 within the query's bucket. The sign family is md5-derived
+    * and the dot product accumulates doubles in index order, so the
+    * whole pipeline is reproducible in DuckDB → hash-checked.
+    * SimilaritySpec additionally pins recall against the brute-force
+    * baseline. */
   def simAnnLsh(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val nPlanes = 12
-    val signs = planeSigns(nPlanes, 128)
+    val nPlanes = 4
+    val signs = planeSigns(nPlanes, 64)
     val sigCols = (0 until nPlanes).map { i =>
       val arr = s"array(${signs(i).mkString(", ")})"
       when(expr(
@@ -85,7 +88,27 @@ object SimilarityOps {
     val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= 3)
-      .select($"qid", $"rank", $"nid", round($"cos", 4).as("cos_r"))
+      .select($"qid", $"rank", $"nid")
       .orderBy($"qid", $"rank")
   }
+  /** DuckDB replica: identical md5-sign planes, bucket assignment, and
+    * in-bucket cosine top-3. */
+  val simAnnLshSql: String =
+    """WITH pl AS (SELECT i,
+      |    [CASE WHEN strpos('89abcdef', substr(md5('p_' || CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 1)) > 0
+      |          THEN 1 ELSE -1 END for j in range(0,64)] AS sg
+      |  FROM range(0,4) t(i)),
+      |e AS (SELECT vec_id, embedding, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+      |bk AS (SELECT e.vec_id, first(e.embedding) AS embedding,
+      |         CAST(sum(CASE WHEN list_sum([e.v[j+1] * pl.sg[j+1] for j in range(0,64)]) > 0
+      |                       THEN (1::BIGINT << pl.i) ELSE 0 END) AS BIGINT) AS bucket
+      |       FROM e, pl GROUP BY e.vec_id),
+      |scored AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+      |             list_cosine_similarity(a.embedding, b.embedding) AS cos
+      |           FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+      |           WHERE a.vec_id < 5),
+      |ranked AS (SELECT qid, nid,
+      |             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+      |           FROM scored)
+      |SELECT qid, rank, nid FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 }

@@ -209,29 +209,68 @@ object TextOps {
       |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
       |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin
 
-  /** SimHash signatures via the native [[graft.functions.SimHash]]
-    * Catalyst expression (no DuckDB equivalent → rows-only check;
-    * correctness is pinned by SimHashSpec's hand-computed goldens). */
+  /** SimHash signatures via the native [[graft.functions.SimHashMd5]]
+    * Catalyst expression, emitted as the 4 16-bit band chunks c0..c3.
+    * The md5 nibble-bit derivation is reproducible in DuckDB →
+    * hash-checked (round-2 verdict #1); the xxhash64 `simhash`
+    * expression remains the unchecked throughput path. */
   def textSimhash(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     GraftFunctions.register(s)
     documents(s, d)
-      .select($"doc_id", expr("simhash(split(text, ' '))").as("sig"))
+      .select($"doc_id", expr("simhash_md5(split(text, ' '))").as("sig"))
+      .select($"doc_id", $"sig"(0).as("c0"), $"sig"(1).as("c1"),
+        $"sig"(2).as("c2"), $"sig"(3).as("c3"))
       .orderBy($"doc_id")
   }
+  val textSimhashSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |hs AS (SELECT doc_id, [md5(t) for t in ws] AS hs FROM tok),
+      |bits AS (SELECT doc_id,
+      |           [CASE WHEN list_sum([CASE WHEN ((strpos('0123456789abcdef', substr(h, j//4+1, 1))-1) >> (j%4)) & 1 = 1
+      |                                     THEN 1 ELSE -1 END for h in hs]) > 0
+      |                 THEN 1 ELSE 0 END for j in range(0,64)] AS bits
+      |         FROM hs)
+      |SELECT doc_id,
+      |  CAST(list_sum([bits[k+1]  * (1::BIGINT << k) for k in range(0,16)]) AS BIGINT) AS c0,
+      |  CAST(list_sum([bits[16+k+1] * (1::BIGINT << k) for k in range(0,16)]) AS BIGINT) AS c1,
+      |  CAST(list_sum([bits[32+k+1] * (1::BIGINT << k) for k in range(0,16)]) AS BIGINT) AS c2,
+      |  CAST(list_sum([bits[48+k+1] * (1::BIGINT << k) for k in range(0,16)]) AS BIGINT) AS c3
+      |FROM bits ORDER BY doc_id""".stripMargin
 
   /** Per-SOURCE corpus signature via the custom TypedImperativeAggregate
-    * [[graft.functions.SimHashAgg]]: partial aggregation ships one
+    * [[graft.functions.SimHashMd5Agg]]: partial aggregation ships one
     * 256-byte counter buffer per group through the shuffle, never the
-    * tokens. rows-only; group≡concat equivalence pinned in
-    * FunctionsSpec. */
+    * tokens. group≡concat equivalence pinned in FunctionsSpec; md5 bit
+    * family makes it DuckDB-checkable. */
   def textSimhashBySource(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     GraftFunctions.register(s)
     documents(s, d)
       .groupBy($"source")
-      .agg(expr("simhash_agg(split(text, ' '))").as("corpus_sig"),
+      .agg(expr("simhash_md5_agg(split(text, ' '))").as("sig"),
         count(lit(1)).as("n_docs"))
+      .select($"source", $"sig"(0).as("c0"), $"sig"(1).as("c1"),
+        $"sig"(2).as("c2"), $"sig"(3).as("c3"), $"n_docs")
       .orderBy($"source")
   }
+  val textSimhashBySourceSql: String =
+    """WITH tok AS (SELECT source, doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+      |hb AS (SELECT source, md5(tk) AS h FROM tok),
+      |bitsum AS (SELECT source, j,
+      |             sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, j//4+1, 1))-1) >> (j%4)) & 1 = 1
+      |                      THEN 1 ELSE -1 END) AS sm
+      |           FROM hb, range(0,64) t(j) GROUP BY source, j),
+      |chunks AS (SELECT source, j//16 AS b,
+      |             sum(CASE WHEN sm > 0 THEN (1::BIGINT << (j%16)) ELSE 0 END) AS chunk
+      |           FROM bitsum GROUP BY source, j//16),
+      |nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+      |SELECT c.source,
+      |  CAST(max(CASE WHEN b=0 THEN chunk END) AS BIGINT) AS c0,
+      |  CAST(max(CASE WHEN b=1 THEN chunk END) AS BIGINT) AS c1,
+      |  CAST(max(CASE WHEN b=2 THEN chunk END) AS BIGINT) AS c2,
+      |  CAST(max(CASE WHEN b=3 THEN chunk END) AS BIGINT) AS c3,
+      |  max(nd.n_docs) AS n_docs
+      |FROM chunks c JOIN nd ON nd.source = c.source
+      |GROUP BY c.source ORDER BY c.source""".stripMargin
 }
