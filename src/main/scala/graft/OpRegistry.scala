@@ -227,6 +227,7 @@ object OpRegistry {
     op("rdf_bgp_optional", RdfOps.bgpOptional, RdfOps.bgpOptionalSql),
     op("rdf_bgp_union", RdfOps.bgpUnion, RdfOps.bgpUnionSql),
     op("rdf_bgp_filter", RdfOps.bgpFilter, RdfOps.bgpFilterSql),
+    op("rdf_bgp_filter_num", RdfOps.bgpFilterNum, RdfOps.bgpFilterNumSql),
     op("rdf_insert", RdfOps.insert, RdfOps.insertSql),
     op("rdf_remove", RdfOps.remove, RdfOps.removeSql),
     op("rdf_remove_pattern", RdfOps.removePattern, RdfOps.removePatternSql),

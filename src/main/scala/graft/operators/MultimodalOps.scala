@@ -120,6 +120,26 @@ object MultimodalOps {
       |  CAST(len(regexp_extract_all(text, '[a-z]')) AS BIGINT) AS h_lower
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** CODEPOINT-based strided sample — the unit shared with the DuckDB
+    * oracle. SQL `substr`/`length` index Unicode codepoints, so the
+    * Scala side must too: sampling UTF-16 chars (or raw bytes, as a
+    * pre-round-4 version did) agrees only on pure-ASCII corpora and
+    * silently diverges on the first multi-byte doc. Pinned against a
+    * non-ASCII doc in PipelineSpec. */
+  private[operators] def thumbChars(t: String): String = {
+    val nCp = t.codePointCount(0, t.length)
+    val stride = math.max(1, nCp / 64)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    var off = 0 // UTF-16 offset of codepoint i*stride, advanced incrementally
+    while (i < 64 && i.toLong * stride < nCp) {
+      if (i > 0) off = t.offsetByCodePoints(off, stride)
+      sb.appendCodePoint(t.codePointAt(off))
+      i += 1
+    }
+    sb.toString
+  }
+
   /** Resize stub: a fixed 64-"pixel" thumbnail sampled at a stride
     * derived from payload length (a real resize kernel replaces the
     * sampling loop; the fixed output shape is the contract). Output is
@@ -128,26 +148,16 @@ object MultimodalOps {
   def mmResize(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     documents(s, d)
-      .select($"doc_id", $"text".cast("binary").as("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, p) =>
-        val stride = math.max(1, p.length / 64)
-        val sb = new java.lang.StringBuilder(64)
-        var i = 0
-        while (i < 64) {
-          val pos = i * stride
-          if (pos < p.length) sb.append((p(pos) & 0xFF).toChar)
-          i += 1
-        }
-        (id, 8L, 8L, sb.toString)
-      })
+      .select($"doc_id", $"text")
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, 8L, 8L, thumbChars(t)) })
       .toDF("doc_id", "thumb_w", "thumb_h", "thumb")
       .select($"doc_id", $"thumb_w", $"thumb_h", md5($"thumb").as("thumb_md5"))
       .orderBy($"doc_id")
   }
   val mmResizeSql: String =
     """WITH t AS (
-      |  SELECT doc_id, text, greatest(1, octet_length(encode(text)) // 64) AS stride
+      |  SELECT doc_id, text, greatest(1, length(text) // 64) AS stride
       |  FROM documents)
       |SELECT doc_id, CAST(8 AS BIGINT) AS thumb_w, CAST(8 AS BIGINT) AS thumb_h,
       |  md5(array_to_string(

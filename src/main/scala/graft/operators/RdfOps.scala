@@ -170,6 +170,26 @@ object RdfOps {
        |  AND t1.o <> 'NATION_2'
        |ORDER BY c, n""".stripMargin
 
+  /** NUMERIC FILTER BGP (round-3 verdict #1b): object terms are numeric
+    * strings, and `filter ( $k < 9 )` must dispatch to a NUMERIC
+    * comparison — a lexicographic compare would wrongly admit "10".."24"
+    * (since '1' < '9'), so this oracle fails if the string-compare bug
+    * regresses. */
+  def bgpFilterNum(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val numView = customer(s, d).select(
+      $"c_name".as("s"), lit("has_nationkey").as("p"),
+      $"c_nationkey".cast("string").as("o"))
+    val q = Sparql.parse(
+      "select $c $k where { $c has_nationkey $k . filter ( $k < 9 ) }")
+    val res = Bgp.compile(numView, q)
+    res.orderBy(res("c"), res("k"))
+  }
+  val bgpFilterNumSql: String =
+    """SELECT DISTINCT c_name AS c, CAST(c_nationkey AS VARCHAR) AS k
+      |FROM customer WHERE c_nationkey < 9
+      |ORDER BY c, k""".stripMargin
+
   /** UNION BGP — the remaining piece of the SPARQL algebra trio
     * (conjunction, OPTIONAL, UNION): entities in an ASIA nation,
     * whether customers (via in_nation) or nations themselves (via
@@ -212,11 +232,19 @@ object RdfOps {
        |  UNION ALL VALUES ('GABE', 'likes', 'RIPPLE'), ('NATION_2', 'in_region', 'ASIA'))
        |ORDER BY s, p, o""".stripMargin
 
-  /** Remove (reference M2, graph.rs:510-629): except. */
+  /** Remove (reference M2, graph.rs:510-629) as a broadcast LEFT-ANTI
+    * join (round-2 verdict #6): `.except()` shuffles + distincts every
+    * surviving triple to delete one row, while the removal list is a
+    * driver-side handful — broadcasting it makes the delete a pure
+    * map-side filter pass. Equivalent to the oracle's EXCEPT because
+    * the view is duplicate-free (set semantics). */
   def remove(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val gone = Seq(("NATION_2", "in_region", "ASIA")).toDF("s", "p", "o")
-    sorted(tripleView(s, d).except(gone))
+    val gone = Seq(("NATION_2", "in_region", "ASIA")).toDF("gs", "gp", "go")
+    val t = tripleView(s, d)
+    sorted(t.join(broadcast(gone),
+      t("s") === gone("gs") && t("p") === gone("gp") && t("o") === gone("go"),
+      "left_anti"))
   }
   val removeSql: String =
     s"""$tripleViewSql

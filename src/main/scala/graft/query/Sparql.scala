@@ -40,6 +40,10 @@ final case class Sparql(
     require(Sparql.ConstraintOps.contains(op), s"unsupported filter op: $op")
     val l = QueryUnit.parse(lhs)
     val r = QueryUnit.parse(rhs)
+    // rlike needs a literal pattern; silently matching against the
+    // variable NAME (pre-round-4 behavior) produced wrong results
+    require(op != "regex" || r.isInstanceOf[QVal],
+      s"regex pattern must be a literal, got variable $rhs")
     Seq(l, r).foreach {
       case QVar(n) => require(vars.contains(n), s"variable $$$n not declared in select")
       case _       => ()
@@ -248,7 +252,21 @@ object Bgp {
         case QVar(n) => acc(n)
         case QVal(v) => lit(v)
       }
-      val (lc, rc) = (operand(l), operand(r))
+      def numericLit(u: QueryUnit): Boolean = u match {
+        case QVal(v) => scala.util.Try(v.toDouble).isSuccess
+        case _       => false
+      }
+      // SPARQL operator dispatch: a numeric literal on either side makes
+      // the comparison NUMERIC — both sides cast to double, so
+      // `filter ( $age < 35 )` compares 9 < 35, never "9" > "35"
+      // lexicographically. try_cast (not cast — ANSI mode throws) turns
+      // terms that don't parse as numbers into null, which fails the
+      // filter (SPARQL type-error semantics). String comparisons are
+      // untouched when neither side looks numeric.
+      val numeric = op != "regex" && Seq(l, r).exists(numericLit)
+      def side(u: QueryUnit): Column =
+        if (numeric) operand(u).try_cast("double") else operand(u)
+      val (lc, rc) = (side(l), side(r))
       acc.filter(op match {
         case "==" => lc === rc
         case "!=" => lc =!= rc
@@ -256,7 +274,11 @@ object Bgp {
         case "<=" => lc <= rc
         case ">"  => lc > rc
         case ">=" => lc >= rc
-        case "regex" => lc.rlike(r match { case QVal(v) => v; case QVar(n) => n })
+        case "regex" => r match {
+          case QVal(v) => lc.rlike(v)
+          case QVar(n) => throw new IllegalArgumentException(
+            s"regex pattern must be a literal, got variable $$$n")
+        }
       })
     }
     // a selected variable no pattern binds projects as null (SPARQL

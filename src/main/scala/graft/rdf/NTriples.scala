@@ -17,10 +17,31 @@ import org.apache.spark.sql.{Dataset, SparkSession}
 object NTriples {
 
   /** Distributed read: one task per input split, malformed lines are
-    * dropped (count them upstream if needed). */
+    * dropped (use [[readCounted]] to count them). */
   def read(spark: SparkSession, path: String): Dataset[Triple] = {
     import spark.implicits._
     spark.read.textFile(path).flatMap(parseLine _)
+  }
+
+  /** [[read]] plus a malformed-line count: silent drops on
+    * externally-produced NT are data loss, so the count makes them
+    * observable. The accumulator is valid after the dataset's first
+    * action (standard Spark accumulator semantics — it can overcount
+    * under task retries, which is fine for a data-quality signal). */
+  def readCounted(
+      spark: SparkSession,
+      path: String): (Dataset[Triple], org.apache.spark.util.LongAccumulator) = {
+    import spark.implicits._
+    val dropped = spark.sparkContext.longAccumulator("nt_malformed_lines")
+    val ds = spark.read.textFile(path).flatMap { line =>
+      val t = parseLine(line)
+      if (t.isEmpty) {
+        val trimmed = line.trim
+        if (trimmed.nonEmpty && !trimmed.startsWith("#")) dropped.add(1)
+      }
+      t
+    }
+    (ds, dropped)
   }
 
   /** Distributed write: one NT line per triple. */
@@ -102,7 +123,15 @@ object NTriples {
       expect('_'); expect(':')
       val start = i
       while (i < s.length && !s.charAt(i).isWhitespace) i += 1
-      RdfTerm.blank(s.substring(start, i))
+      var end = i
+      // A blank label may contain dots but cannot END with one
+      // (N-Triples 1.1 BLANK_NODE_LABEL), so a trailing '.' is the
+      // statement terminator abutting the label — "<s> <p> _:b1." is
+      // spec-valid. Back off one char so expect('.') consumes it;
+      // pre-round-4 the label absorbed the dot and the line was
+      // silently dropped.
+      if (end > start && s.charAt(end - 1) == '.') { end -= 1; i -= 1 }
+      RdfTerm.blank(s.substring(start, end))
     }
     def literal(): RdfTerm = {
       expect('"')
@@ -137,7 +166,15 @@ object NTriples {
       if (i < s.length && s.charAt(i) == '@') {
         i += 1
         val start = i
-        while (i < s.length && !s.charAt(i).isWhitespace) i += 1
+        // LANGTAG is [a-zA-Z]+('-'[a-zA-Z0-9]+)* — scan that char class
+        // instead of "until whitespace" so the terminating dot of
+        // `"x"@en.` (spec-valid, dot abutting the tag) is left for
+        // expect('.') rather than absorbed into the tag
+        while (i < s.length && {
+          val c = s.charAt(i)
+          (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+            (c >= '0' && c <= '9') || c == '-'
+        }) i += 1
         RdfTerm.langLit(v, s.substring(start, i))
       } else if (i + 1 < s.length && s.charAt(i) == '^' && s.charAt(i + 1) == '^') {
         i += 2

@@ -67,6 +67,21 @@ class PipelineSpec extends SparkSpec {
     assert(frames.length == math.min(math.max(1, doc.getBytes("UTF-8").length / 64), 4))
   }
 
+  test("mm_resize thumbnail samples CODEPOINTS — SQL substr semantics on non-ASCII") {
+    // round-3 verdict #1a: the pre-round-4 byte sampler agreed with the
+    // char-indexed DuckDB oracle only on pure-ASCII corpora. 128
+    // codepoints mixing 2-byte (é), 3-byte (日), and astral (😀) chars →
+    // stride 2, thumb = every 2nd CODEPOINT (not byte, not UTF-16 char).
+    val text = (0 until 32).map(i => s"é日😀${i % 10}").mkString
+    val cps = text.codePoints().toArray
+    assert(cps.length == 128)
+    val expected = new java.lang.StringBuilder(64)
+    (0 until 64).foreach(i => expected.appendCodePoint(cps(i * 2)))
+    assert(MultimodalOps.thumbChars(text) == expected.toString)
+    // short doc: stride 1, truncates at the end instead of padding
+    assert(MultimodalOps.thumbChars("ab") == "ab")
+  }
+
   test("graphx degrees sum to 2x edge count; cc labels by min term") {
     val t = RdfOps.tripleView(spark, sf0001)
     val nEdges = t.count()

@@ -36,6 +36,36 @@ class NTriplesSpec extends SparkSpec {
     assert(NTriples.parseLine("<unterminated iri ...") === None)
   }
 
+  test("terminating dot abutting the final term parses (spec-valid NT)") {
+    // round-3 verdict #1c: these externally-producible forms were
+    // silently dropped because the blank label / lang tag absorbed the dot
+    val b = NTriples.parseLine("<http://g.test/s> <http://g.test/p> _:b1.").get
+    assert(b.o === RdfTerm.blank("b1"))
+    val l = NTriples.parseLine("<http://g.test/s> <http://g.test/p> \"x\"@en.").get
+    assert(l.o === RdfTerm.langLit("x", "en"))
+    val l2 = NTriples.parseLine("<http://g.test/s> <http://g.test/p> \"x\"@en-GB.").get
+    assert(l2.o === RdfTerm.langLit("x", "en-GB"))
+    // the previously-working abutting forms stay working
+    assert(NTriples.parseLine("<http://g.test/s> <http://g.test/p> \"x\".").get.o
+      === RdfTerm.raw("x"))
+    assert(NTriples.parseLine("<http://g.test/s> <http://g.test/p> <http://g.test/o>.").get.o
+      === RdfTerm.named("http://g.test/o"))
+  }
+
+  test("readCounted surfaces silently-dropped malformed lines") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nt_count")
+    val f = tmp.resolve("part.nt")
+    java.nio.file.Files.write(f, java.util.Arrays.asList(
+      "<http://g.test/s> <http://g.test/p> _:ok.",
+      "# comment lines are not malformed",
+      "",
+      "this line is junk",
+      "<unterminated <http://g.test/p> \"x\" ."))
+    val (ds, dropped) = NTriples.readCounted(spark, tmp.toString)
+    assert(ds.count() === 1)
+    assert(dropped.value === 2)
+  }
+
   test("distributed write/read round-trips through spark.read.text") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_nt_spec").toString
