@@ -252,13 +252,31 @@ object RelationalOps {
   def qSaltedJoin(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val nSalt = 8
+    // Only keys ABOVE this per-key count are salted (round-3 verdict
+    // #4): replicating the whole build side ×8 — the pre-round-4
+    // version — multiplies the shuffle for the 99% of keys that are
+    // not skewed. At 100 TB, set the threshold to the per-key row
+    // count one reducer can absorb; here it is low enough (4, vs the
+    // fixture's 1–7 lineitems/order) that BOTH the salted and the
+    // unsalted path are exercised by every run.
+    val hotThreshold = 4L
     val fact = lineitem(s, d)
       .select($"l_orderkey", $"l_extendedprice",
-        pmod(hash($"l_linenumber", $"l_partkey"), lit(nSalt)).as("salt"))
-    val dim = orders(s, d)
-      .select($"o_orderkey", $"o_orderpriority",
-        explode(array((0 until nSalt).map(lit(_)): _*)).as("salt"))
-    fact.join(dim, $"l_orderkey" === $"o_orderkey" && fact("salt") === dim("salt"))
+        pmod(hash($"l_linenumber", $"l_partkey"), lit(nSalt)).as("rnd"))
+    // hot-key detection is one map-side-combined count; the surviving
+    // key list is tiny by definition → broadcast to both sides
+    val hot = fact.groupBy($"l_orderkey").agg(count(lit(1)).as("kn"))
+      .filter($"kn" > hotThreshold).select($"l_orderkey".as("hk"))
+    val factS = fact.join(broadcast(hot), $"l_orderkey" === $"hk", "left")
+      .withColumn("salt", when($"hk".isNotNull, $"rnd").otherwise(lit(0)))
+      .select($"l_orderkey", $"l_extendedprice", $"salt")
+    val dimS = orders(s, d).select($"o_orderkey", $"o_orderpriority")
+      .join(broadcast(hot), $"o_orderkey" === $"hk", "left")
+      .withColumn("salt", explode(when($"hk".isNotNull,
+        array((0 until nSalt).map(lit(_)): _*)).otherwise(array(lit(0)))))
+      .select($"o_orderkey", $"o_orderpriority", $"salt")
+    factS.join(dimS,
+      $"l_orderkey" === $"o_orderkey" && factS("salt") === dimS("salt"))
       .groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("n"),
         sum(dec($"l_extendedprice")).cast("double").as("total"))

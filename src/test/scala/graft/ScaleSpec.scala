@@ -52,6 +52,30 @@ class ScaleSpec extends SparkSpec {
     assert(scan.count() == 2)
   }
 
+  test("dictionary joins are unhinted; the driver-side delete list is broadcast") {
+    // round-2 verdict #3 / round-3 #2: term dictionaries scale WITH the
+    // data (billions of rows at 100 TB), so persist/restore must NOT
+    // force a broadcast — with the auto threshold disabled, no
+    // BroadcastHashJoin may appear. The removeTriples list is the
+    // opposite case: driver-side by construction, so its hint must
+    // survive even at threshold -1.
+    def t(s: String, p: String, o: String) =
+      Triple(RdfTerm.named(s), RdfTerm.named(p), RdfTerm.named(o))
+    val store = TripleStore.fromTriples(spark,
+      Seq(t("a", "p1", "b"), t("b", "p1", "c")))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val enc = store.encodedTriples(store.termDict, store.predicateDict)
+      val encPlan = enc.queryExecution.executedPlan.toString
+      assert(!encPlan.contains("BroadcastHashJoin"), encPlan)
+      val rmPlan = store.removeTriples(Seq(t("a", "p1", "b")))
+        .triples.queryExecution.executedPlan.toString
+      assert(rmPlan.contains("BroadcastHashJoin"), rmPlan)
+      assert(rmPlan.contains("LeftAnti"), rmPlan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("OPTIONAL compiles to a left join below the projection") {
     val q = query.Sparql.parse(
       "select $x $n $seg where { $x in_nation $n . optional { $x in_segment $seg } }")
