@@ -42,18 +42,28 @@ object DedupOps {
       |  min(doc_id) AS keeper, count(*) AS n_dups
       |FROM documents GROUP BY 1 ORDER BY key""".stripMargin
 
-  /** Distinct word-3-gram shingles per doc: (doc_id, shingle). */
+  /** Spread a raw (doc_id, text) scan across the cluster when the
+    * input has fewer splits than cores: shingling/signatures are
+    * CPU-bound, so inheriting one small parquet split means one core
+    * does all the hashing. The exchange moves plain rows (cheap); at
+    * 100 TB the split count exceeds defaultParallelism and this is a
+    * no-op. */
+  private def spreadDocs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = documents(s, d).select($"doc_id", $"text")
+    val parts = s.sparkContext.defaultParallelism
+    if (base.rdd.getNumPartitions < parts) base.repartition(parts) else base
+  }
+
+  /** Distinct word-3-gram shingles per doc: (doc_id, shingle), via the
+    * native one-pass [[graft.functions.WordShingles]] expression (the
+    * interpreted transform/array_distinct formulation it replaces cost
+    * ~4 s of the sf0.1 LSH wall — see that class's scaladoc). */
   private def shingles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    documents(s, d)
-      .select($"doc_id", split($"text", " ").as("ws"))
-      .select($"doc_id", explode(array_distinct(expr(
-        // guard: sequence(0, -1) steps DOWNWARD in Spark, which would
-        // fabricate 1-2-token shingles for docs shorter than 3 tokens
-        """CASE WHEN size(ws) >= 3
-          |THEN transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))
-          |ELSE array() END""".stripMargin)))
-        .as("g"))
+    GraftFunctions.register(s)
+    spreadDocs(s, d)
+      .select($"doc_id", explode(expr("word_shingles(split(text, ' '))")).as("g"))
   }
 
   /** N-gram Jaccard near-dup pairs (threshold 1/2, exact integer
@@ -94,15 +104,18 @@ object DedupOps {
     * the 32-char lowercase hex STRING — fixed-length hex compares
     * lexicographically exactly like the 128-bit value, and any ANSI
     * engine computes the identical string, which is what makes this
-    * operator oracle-checkable (round-2 verdict #1). Computed per-row
-    * from the shingle array — no shuffle. The hash family is pluggable:
-    * swap md5 for xxhash64(g, i) for ~5× hashing throughput when
-    * cross-engine verification is not needed. */
+    * operator oracle-checkable (round-2 verdict #1). Computed by the
+    * native single-pass [[graft.functions.MinHashMd5]] expression — the
+    * same contract as `array_min(transform(gs, g -> md5(...)))` but one
+    * array pass with raw-digest minima instead of K=16 interpreted
+    * transform passes allocating hex strings per (shingle, i), which
+    * was round 3's 2× regression (verdict #5). Per-row, no shuffle.
+    * The hash family is pluggable: swap in xxhash64(g, i) for ~5×
+    * hashing throughput when cross-engine verification is not needed. */
   private def withMinhash(docs: DataFrame): DataFrame = {
-    val sigs = (0 until MinhashK).map { i =>
-      expr(s"array_min(transform(gs, g -> md5(concat(g, '_$i'))))").as(s"sig_$i")
-    }
-    docs.select(col("doc_id") +: col("gs") +: sigs: _*)
+    val withSigs = docs.withColumn("sigs", expr("minhash_md5(gs)"))
+    val sigs = (0 until MinhashK).map(i => col("sigs").getItem(i).as(s"sig_$i"))
+    withSigs.select(col("doc_id") +: col("gs") +: sigs: _*)
   }
 
   /** MinHash + LSH near-dup pairs: band the K-row signature into 4
@@ -114,13 +127,9 @@ object DedupOps {
     * are filtered before banding (both sides of the oracle). */
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val docs = documents(s, d)
-      .select($"doc_id", split($"text", " ").as("ws"))
-      .select($"doc_id", expr(
-        """CASE WHEN size(ws) >= 3
-          |THEN array_distinct(transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))
-          |ELSE array() END""".stripMargin)
-        .as("gs"))
+    GraftFunctions.register(s)
+    val docs = spreadDocs(s, d)
+      .select($"doc_id", expr("word_shingles(split(text, ' '))").as("gs"))
       .filter(size($"gs") > 0)
     val sig = withMinhash(docs).cache()
     // one pass: each row explodes to its 4 (band, bucket) pairs —

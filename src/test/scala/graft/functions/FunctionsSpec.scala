@@ -39,6 +39,86 @@ class FunctionsSpec extends SparkSpec {
     assert(grouped == concat)
   }
 
+  test("minhash_md5 equals the 16-pass transform/md5 SQL formulation") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("a b c", "b c d", "c d e")),
+      (2L, Seq("zz yy xx")),
+      (3L, Seq("héllo wörld", "日本語 text here"))).toDF("id", "gs")
+    val fast = df.select($"id", expr("minhash_md5(gs)").as("sigs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val slow = df.select($"id", array((0 until 16).map(i =>
+        expr(s"array_min(transform(gs, g -> md5(concat(g, '_$i'))))")): _*).as("sigs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(fast == slow)
+    // null/empty semantics mirror array_min-over-transform: null
+    val empty = Seq((4L, Seq.empty[String])).toDF("id", "gs")
+      .select(expr("minhash_md5(gs)")).head()
+    assert(empty.isNullAt(0))
+  }
+
+  test("word_shingles equals the transform/array_distinct SQL formulation") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      "the quick brown fox jumps",
+      "a b", // < 3 tokens → empty array, never downward-stepping junk
+      "x y z",
+      "dup dup dup dup dup", // duplicate shingles collapse
+      "a  b c d" // double space → empty token survives split
+    ).toDF("text").select(split($"text", " ").as("ws"))
+    val fast = df.select(expr("word_shingles(ws)")).collect().map(_.getSeq[String](0))
+    val slow = df.select(expr(
+      """CASE WHEN size(ws) >= 3
+        |THEN array_distinct(transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))
+        |ELSE array() END""".stripMargin)).collect().map(_.getSeq[String](0))
+    fast.zip(slow).foreach { case (f, sl) => assert(f == sl) }
+  }
+
+  test("simhash_md5 matches the documented hex-nibble bit contract") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // independent reimplementation of the Md5Bits contract from the
+    // scaladoc formula (hex-string indexing, not byte twiddling)
+    def bitsOf(token: String): Seq[Int] = {
+      val hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(
+        token.getBytes("UTF-8"))
+      (0 until 64).map { j =>
+        val nibble = "0123456789abcdef".indexOf(hex.charAt(j / 4))
+        (nibble >> (j % 4)) & 1
+      }
+    }
+    val tokens = Seq("the", "quick", "brown", "fox", "the")
+    val counts = (0 until 64).map(j =>
+      tokens.map(t => if (bitsOf(t)(j) == 1) 1 else -1).sum)
+    val expected = (0 until 4).map { b =>
+      (0 until 16).foldLeft(0L)((acc, k) =>
+        if (counts(16 * b + k) > 0) acc | (1L << k) else acc)
+    }
+    val got = Seq(tokens).toDF("ws")
+      .select(expr("simhash_md5(ws)")).head().getSeq[Long](0)
+    assert(got == expected)
+  }
+
+  test("simhash_md5_agg over rows equals scalar simhash_md5 of concatenated tokens") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // repartition(7) forces multiple partial buffers → exercises the
+    // serialize/deserialize/merge path of the TypedImperativeAggregate
+    val rows = Seq(("g1", "the quick brown"), ("g1", "fox jumps high"),
+      ("g1", "over lazy dogs"), ("g2", "completely other words"))
+    val grouped = rows.toDF("g", "text").repartition(7)
+      .groupBy($"g").agg(expr("simhash_md5_agg(split(text,' '))").as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val concat = Seq(("g1", "the quick brown fox jumps high over lazy dogs"),
+      ("g2", "completely other words"))
+      .toDF("g", "text")
+      .select($"g", expr("simhash_md5(split(text,' '))").as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(grouped == concat)
+  }
+
   test("dict ids are dense, deterministic, sorted") {
     import spark.implicits._
     val df = Seq("c", "a", "b", "a", "c").toDF("term")
