@@ -228,6 +228,8 @@ object OpRegistry {
     op("rdf_bgp_union", RdfOps.bgpUnion, RdfOps.bgpUnionSql),
     op("rdf_bgp_filter", RdfOps.bgpFilter, RdfOps.bgpFilterSql),
     op("rdf_bgp_filter_num", RdfOps.bgpFilterNum, RdfOps.bgpFilterNumSql),
+    op("rdf_bgp_order_limit", RdfOps.bgpOrderLimit, RdfOps.bgpOrderLimitSql),
+    op("rdf_bgp_typed", RdfOps.bgpTyped, RdfOps.bgpTypedSql),
     op("rdf_insert", RdfOps.insert, RdfOps.insertSql),
     op("rdf_remove", RdfOps.remove, RdfOps.removeSql),
     op("rdf_remove_pattern", RdfOps.removePattern, RdfOps.removePatternSql),
@@ -259,6 +261,10 @@ object OpRegistry {
     op("dedup_embedding_cosine", DedupOps.dedupEmbeddingCosine, DedupOps.dedupEmbeddingCosineSql),
     op("sim_topk_brute", SimilarityOps.simTopkBrute, SimilarityOps.simTopkBruteSql),
     op("sim_ann_lsh", SimilarityOps.simAnnLsh, SimilarityOps.simAnnLshSql),
+    // Intentionally rows-only: both depend on MLlib model internals
+    // (MinHashLSH's seeded coefficients, KMeans centroids) that no
+    // external engine can reproduce; MlOpsSpec pins recall/overlap
+    // against the oracle-checked exact baselines instead.
     opNoOracle("dedup_minhash_ml", MlOps.dedupMinhashMl),
     opNoOracle("sim_ann_ivf", MlOps.simAnnIvf),
     op("mm_metadata", MultimodalOps.mmMetadata, MultimodalOps.mmMetadataSql),

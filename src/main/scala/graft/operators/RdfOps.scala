@@ -190,6 +190,81 @@ object RdfOps {
       |FROM customer WHERE c_nationkey < 9
       |ORDER BY c, k""".stripMargin
 
+  /** Solution modifiers (round-3 verdict #7 — beyond the reference,
+    * standard SPARQL): DISTINCT + ORDER BY … DESC/ASC + LIMIT through
+    * the parsed string front-end. The (c, n) pair is the whole row, so
+    * the two-key order totally ranks rows and LIMIT is deterministic. */
+  def bgpOrderLimit(s: SparkSession, d: String): DataFrame = {
+    val q = Sparql.parse(
+      """select distinct $c $n where {
+        |  $c in_nation $n . $n in_region ASIA
+        |} order by $n desc $c asc limit 50""".stripMargin)
+    Bgp.compile(tripleView(s, d), q)
+  }
+  val bgpOrderLimitSql: String =
+    s"""$tripleViewSql
+       |SELECT DISTINCT t1.s AS c, t1.o AS n
+       |FROM t t1 JOIN t t2 ON t1.o = t2.s
+       |WHERE t1.p = 'in_nation' AND t2.p = 'in_region' AND t2.o = 'ASIA'
+       |ORDER BY n DESC, c ASC LIMIT 50""".stripMargin
+
+  /** Kind-aware triple view: the same graph shape as [[tripleView]] but
+    * terms are (kind, value) structs, with a deliberate cross-kind value
+    * collision — every nation name appears BOTH as an IRI (`in_nation`
+    * object, an entity) and as a raw literal (`nation_label` object, a
+    * string). Typed patterns must tell them apart. */
+  def typedTripleView(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.Column
+    def iri(c: Column) = struct(lit("named").as("kind"), c.as("value"))
+    def raw(c: Column) = struct(lit("raw").as("kind"), c.as("value"))
+    val cn = customer(s, d).join(broadcast(nation(s, d)), $"c_nationkey" === $"n_nationkey")
+    cn.select(iri($"c_name").as("s"), iri(lit("in_nation")).as("p"), iri($"n_name").as("o"))
+      .union(cn.select(iri($"c_name").as("s"), iri(lit("nation_label")).as("p"),
+        raw($"n_name").as("o")))
+  }
+
+  /** TYPED pattern matching (round-3 verdict #9): the same lexical
+    * object value queried three ways — literal-typed (`"NATION_2"`),
+    * IRI-typed (`<NATION_2>`), and bare (kind-agnostic, the documented
+    * round-1 divergence). Each alternative must select exactly its
+    * kind's edges; the bare form returns both. */
+  def bgpTyped(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val view = typedTripleView(s, d)
+    val mk = Some((df: DataFrame, pos: String, kind: String) => kind match {
+      case graft.query.QueryUnit.Iri   => df(pos).getField("kind") === "named"
+      case graft.query.QueryUnit.Blank => df(pos).getField("kind") === "blank"
+      case _ => df(pos).getField("kind").isin("raw", "lang", "typed")
+    })
+    def run(tag: String, pattern: String): DataFrame =
+      Bgp.compile(view,
+          Sparql.parse(s"select $$x $$p where { $$x $$p $pattern }"),
+          matchValue = (df, pos) => df(pos).getField("value"),
+          matchKind = mk)
+        .select(lit(tag).as("q"), $"x.value".as("x"), $"p.value".as("p"))
+    val res = run("lit", "\"NATION_2\"")
+      .union(run("iri", "<NATION_2>"))
+      .union(run("any", "NATION_2"))
+    res.orderBy(res("q"), res("x"), res("p"))
+  }
+  val bgpTypedSql: String =
+    """WITH t AS (
+      |  SELECT c_name AS s, 'in_nation' AS p, 'named' AS o_kind, n_name AS o
+      |    FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |  UNION ALL
+      |  SELECT c_name, 'nation_label', 'raw', n_name
+      |    FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |)
+      |SELECT q, x, p FROM (
+      |  SELECT DISTINCT 'lit' AS q, s AS x, p
+      |    FROM t WHERE o = 'NATION_2' AND o_kind IN ('raw', 'lang', 'typed')
+      |  UNION ALL
+      |  SELECT DISTINCT 'iri', s, p FROM t WHERE o = 'NATION_2' AND o_kind = 'named'
+      |  UNION ALL
+      |  SELECT DISTINCT 'any', s, p FROM t WHERE o = 'NATION_2') u
+      |ORDER BY q, x, p""".stripMargin
+
   /** UNION BGP — the remaining piece of the SPARQL algebra trio
     * (conjunction, OPTIONAL, UNION): entities in an ASIA nation,
     * whether customers (via in_nation) or nations themselves (via

@@ -34,10 +34,15 @@ object SimilarityOps {
       .orderBy($"qid", $"rank")
   }
   val simTopkBruteSql: String =
-    """WITH scored AS (
+    """WITH e AS (
+      |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+      |scored AS (
+      |  -- cosine on DOUBLE lists mirrors Spark's double accumulation
+      |  -- over exactly-widened floats; FLOAT[] cosine can rank
+      |  -- near-equal neighbors differently and flip the top-3
       |  SELECT a.vec_id AS qid, b.vec_id AS nid,
-      |    list_cosine_similarity(a.embedding, b.embedding) AS cos
-      |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      |    list_cosine_similarity(a.v, b.v) AS cos
+      |  FROM e a JOIN e b ON a.vec_id <> b.vec_id
       |  WHERE a.vec_id < 5),
       |ranked AS (
       |  SELECT qid, nid,
@@ -99,12 +104,14 @@ object SimilarityOps {
       |          THEN 1 ELSE -1 END for j in range(0,64)] AS sg
       |  FROM range(0,4) t(i)),
       |e AS (SELECT vec_id, embedding, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
-      |bk AS (SELECT e.vec_id, first(e.embedding) AS embedding,
+      |bk AS (SELECT e.vec_id, first(e.v) AS v,
       |         CAST(sum(CASE WHEN list_sum([e.v[j+1] * pl.sg[j+1] for j in range(0,64)]) > 0
       |                       THEN (1::BIGINT << pl.i) ELSE 0 END) AS BIGINT) AS bucket
       |       FROM e, pl GROUP BY e.vec_id),
+      |-- cosine on the DOUBLE lists (not raw FLOAT[]) so ranking ties
+      |-- break identically to Spark's double accumulation
       |scored AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
-      |             list_cosine_similarity(a.embedding, b.embedding) AS cos
+      |             list_cosine_similarity(a.v, b.v) AS cos
       |           FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
       |           WHERE a.vec_id < 5),
       |ranked AS (SELECT qid, nid,

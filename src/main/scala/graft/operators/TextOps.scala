@@ -218,13 +218,18 @@ object TextOps {
     import s.implicits._
     GraftFunctions.register(s)
     documents(s, d)
+      // NULL text diverges between engines (Spark: NULL sig; the DuckDB
+      // replica's CASE folds a NULL list_sum to bit 0) — excluded
+      // identically on both sides so the contract is engine-independent
+      .filter($"text".isNotNull)
       .select($"doc_id", expr("simhash_md5(split(text, ' '))").as("sig"))
       .select($"doc_id", $"sig"(0).as("c0"), $"sig"(1).as("c1"),
         $"sig"(2).as("c2"), $"sig"(3).as("c3"))
       .orderBy($"doc_id")
   }
   val textSimhashSql: String =
-    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |             WHERE text IS NOT NULL),
       |hs AS (SELECT doc_id, [md5(t) for t in ws] AS hs FROM tok),
       |bits AS (SELECT doc_id,
       |           [CASE WHEN list_sum([CASE WHEN ((strpos('0123456789abcdef', substr(h, j//4+1, 1))-1) >> (j%4)) & 1 = 1
@@ -247,6 +252,10 @@ object TextOps {
     import s.implicits._
     GraftFunctions.register(s)
     documents(s, d)
+      // same cross-engine NULL contract as [[textSimhash]]: NULL text
+      // would hash differently, and a NULL source group would survive
+      // Spark's groupBy but fall out of the replica's equi-join
+      .filter($"text".isNotNull && $"source".isNotNull)
       .groupBy($"source")
       .agg(expr("simhash_md5_agg(split(text, ' '))").as("sig"),
         count(lit(1)).as("n_docs"))
@@ -255,7 +264,9 @@ object TextOps {
       .orderBy($"source")
   }
   val textSimhashBySourceSql: String =
-    """WITH tok AS (SELECT source, doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+    """WITH docs AS (SELECT source, doc_id, text FROM documents
+      |              WHERE text IS NOT NULL AND source IS NOT NULL),
+      |tok AS (SELECT source, doc_id, unnest(string_split(text, ' ')) AS tk FROM docs),
       |hb AS (SELECT source, md5(tk) AS h FROM tok),
       |bitsum AS (SELECT source, j,
       |             sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, j//4+1, 1))-1) >> (j%4)) & 1 = 1
@@ -264,7 +275,7 @@ object TextOps {
       |chunks AS (SELECT source, j//16 AS b,
       |             sum(CASE WHEN sm > 0 THEN (1::BIGINT << (j%16)) ELSE 0 END) AS chunk
       |           FROM bitsum GROUP BY source, j//16),
-      |nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+      |nd AS (SELECT source, count(*) AS n_docs FROM docs GROUP BY source)
       |SELECT c.source,
       |  CAST(max(CASE WHEN b=0 THEN chunk END) AS BIGINT) AS c0,
       |  CAST(max(CASE WHEN b=1 THEN chunk END) AS BIGINT) AS c1,

@@ -13,14 +13,35 @@ import org.apache.spark.sql.functions._
   *  - n shared variables join correctly (reference assumes exactly one);
   *  - results are set-distinct rows over ALL selected variables
   *    (reference: bag with a first-index-only dedup bug);
-  *  - pattern values match any term by value (reference coerces literals
-  *    to Named IRIs, making literals unmatchable, graph.rs:338-344).
+  *  - BARE pattern values match any term by value (reference coerces
+  *    literals to Named IRIs, making literals unmatchable,
+  *    graph.rs:338-344); typed syntax (`<x>` / `"x"` / `_:x`) restricts
+  *    the match to that term kind.
   */
 final case class Sparql(
     vars: Seq[String],
     conds: Seq[(QueryUnit, QueryUnit, QueryUnit)],
     optionals: Seq[Seq[(QueryUnit, QueryUnit, QueryUnit)]] = Nil,
-    constraints: Seq[(QueryUnit, String, QueryUnit)] = Nil) {
+    constraints: Seq[(QueryUnit, String, QueryUnit)] = Nil,
+    orderKeys: Seq[(String, Boolean)] = Nil, // (var, ascending)
+    limitN: Option[Int] = None,
+    distinctKeyword: Boolean = false) {
+
+  /** ORDER BY modifier (standard SPARQL; the reference has no solution
+    * modifiers at all). Applied after projection/DISTINCT, before LIMIT. */
+  def orderBy(keys: (String, Boolean)*): Sparql = {
+    keys.foreach { case (v, _) =>
+      require(vars.contains(stripVar(v)), s"order by variable $v not declared in select")
+    }
+    copy(orderKeys = orderKeys ++ keys.map { case (v, asc) => (stripVar(v), asc) })
+  }
+
+  /** LIMIT modifier: deterministic only under an ORDER BY whose keys
+    * uniquely rank rows — same contract as SQL. */
+  def limit(n: Int): Sparql = {
+    require(n >= 0, s"limit must be non-negative, got $n")
+    copy(limitN = Some(n))
+  }
 
   def select(vs: Seq[String]): Sparql = copy(vars = vars ++ vs.map(stripVar))
 
@@ -77,21 +98,44 @@ object Sparql {
     * but leaves it `unimplemented!()`, query.rs:74-77 — this completes
     * the intent). Grammar:
     *
-    *   select $a $b where { $a <pred> <obj> . <subj> <pred> $b }
+    *   select [distinct] $a $b
+    *   where { $a pred obj . subj pred $b
+    *           [optional { … }] [filter ( lhs op rhs )] }
+    *   [order by $a [asc|desc] …] [limit N]
     *
     * Whitespace-tokenized; patterns separated by a STANDALONE '.'
     * token (a dot surrounded by whitespace, or the final dot before
     * '}') — dots inside values (IRIs like http://g.test/alice) are
     * preserved; `$`-prefixed tokens are variables; everything else is
-    * a value. */
+    * a value (typed via [[QueryUnit.parse]]: `<x>` IRI-only, `"x"`
+    * literal-only, `_:x` blank-only, bare = any kind by value). */
   def parse(q: String): Sparql = {
     val lower = q.trim
     val si = lower.toLowerCase.indexOf("select")
     val wi = lower.toLowerCase.indexOf("where")
     require(si == 0 && wi > 0, s"expected 'select … where { … }', got: $q")
-    val vars = lower.substring(si + 6, wi).trim.split("\\s+").toSeq.filter(_.nonEmpty)
-    val body = lower.substring(wi + 5).trim
-    require(body.startsWith("{") && body.endsWith("}"), "where clause must be braced")
+    val selToks = lower.substring(si + 6, wi).trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    val hasDistinct = selToks.headOption.exists(_.equalsIgnoreCase("distinct"))
+    val vars = if (hasDistinct) selToks.tail else selToks
+    val afterWhere = lower.substring(wi + 5).trim
+    require(afterWhere.startsWith("{"), "where clause must be braced")
+    // depth-scan to the matching close brace: solution modifiers
+    // (order by / limit) follow AFTER it
+    var depth = 0
+    var end = -1
+    var scan = 0
+    while (scan < afterWhere.length && end < 0) {
+      afterWhere.charAt(scan) match {
+        case '{' => depth += 1
+        case '}' => depth -= 1; if (depth == 0) end = scan
+        case _   => ()
+      }
+      scan += 1
+    }
+    require(end > 0, "where clause must be braced")
+    val body = afterWhere.substring(0, end + 1)
+    val modifierToks = afterWhere.substring(end + 1).trim
+      .split("\\s+").toSeq.filter(_.nonEmpty)
     val tokens = body.substring(1, body.length - 1).trim
       // make braces/parens standalone tokens so "optional{"/"filter(" parse
       .replace("{", " { ").replace("}", " } ")
@@ -138,9 +182,46 @@ object Sparql {
     }
     val base = Sparql().select(vars).filter(toPatterns(required.result()))
     val withOpt = optGroups.result().foldLeft(base)((q, g) => q.optional(toPatterns(g)))
-    filterExprs.result().foldLeft(withOpt) {
+    val withFilters = filterExprs.result().foldLeft(withOpt) {
       case (q, (l, op, r)) => q.constraint(l, op, r)
     }
+    val withDistinct =
+      if (hasDistinct) withFilters.copy(distinctKeyword = true) else withFilters
+    parseModifiers(withDistinct, modifierToks)
+  }
+
+  /** `order by $v [asc|desc] … limit N` after the where block. */
+  private def parseModifiers(q0: Sparql, toks: Seq[String]): Sparql = {
+    var q = q0
+    var i = 0
+    while (i < toks.length) {
+      toks(i).toLowerCase match {
+        case "order" =>
+          require(i + 1 < toks.length && toks(i + 1).equalsIgnoreCase("by"),
+            "order must be followed by 'by'")
+          i += 2
+          var any = false
+          while (i < toks.length && toks(i).startsWith("$")) {
+            val v = toks(i)
+            i += 1
+            val asc =
+              if (i < toks.length && toks(i).equalsIgnoreCase("desc")) { i += 1; false }
+              else if (i < toks.length && toks(i).equalsIgnoreCase("asc")) { i += 1; true }
+              else true
+            q = q.orderBy((v, asc))
+            any = true
+          }
+          require(any, "order by needs at least one $variable")
+        case "limit" =>
+          require(i + 1 < toks.length, "limit needs a count")
+          q = q.limit(toks(i + 1).toInt)
+          i += 2
+        case other =>
+          throw new IllegalArgumentException(
+            s"unexpected token after where block: $other")
+      }
+    }
+    q
   }
 
   /** Parse a query whose where-body is a top-level alternation:
@@ -179,13 +260,30 @@ object Sparql {
 }
 
 sealed trait QueryUnit
-final case class QVal(value: String) extends QueryUnit
+final case class QVal(value: String, kind: Option[String] = None) extends QueryUnit
 final case class QVar(name: String) extends QueryUnit
 
 object QueryUnit {
-  /** `$x` → variable x; anything else → value (reference query.rs:8-25). */
+  /** Kind tags for TYPED pattern values (round-3 verdict #9): a bare
+    * value matches any term with that lexical value — the documented
+    * round-1 divergence from the reference's coerce-to-IRI bug
+    * (graph.rs:338-344) — while the typed syntaxes restrict by kind so
+    * the IRI `alice` and the literal `"alice"` are distinguishable. */
+  val Iri = "iri"
+  val Lit = "lit" // matches raw, lang-tagged, and typed literals by lexical value
+  val Blank = "blank"
+
+  /** `$x` → variable x (reference query.rs:8-25); `<x>` → IRI-typed
+    * value; `"x"` → literal-typed value; `_:x` → blank-typed value;
+    * anything else → untyped value (matches any kind by value). */
   def parse(s: String): QueryUnit =
-    if (s.startsWith("$")) QVar(s.substring(1)) else QVal(s)
+    if (s.startsWith("$")) QVar(s.substring(1))
+    else if (s.length >= 2 && s.startsWith("<") && s.endsWith(">"))
+      QVal(s.substring(1, s.length - 1), Some(Iri))
+    else if (s.length >= 2 && s.startsWith("\"") && s.endsWith("\""))
+      QVal(s.substring(1, s.length - 1), Some(Lit))
+    else if (s.startsWith("_:")) QVal(s.substring(2), Some(Blank))
+    else QVal(s)
 }
 
 /** Generic conjunctive basic-graph-pattern compiler over any DataFrame
@@ -206,16 +304,26 @@ object Bgp {
       triples: DataFrame,
       q: Sparql,
       matchValue: (DataFrame, String) => Column = (df, pos) => df(pos),
-      distinct: Boolean = true): DataFrame = {
+      distinct: Boolean = true,
+      matchKind: Option[(DataFrame, String, String) => Column] = None): DataFrame = {
     require(q.conds.nonEmpty, "empty BGP")
 
     def patternDf(pat: (QueryUnit, QueryUnit, QueryUnit)): DataFrame = {
       val units = Seq(pat._1, pat._2, pat._3)
-      // filter bound positions
+      // filter bound positions; a TYPED value additionally constrains
+      // the term kind via the store-provided predicate — plain string
+      // triple views carry no kind, so typed syntax there fails fast
+      // rather than silently matching by value only
       var df = triples
       units.zip(positions).foreach {
-        case (QVal(v), pos) => df = df.filter(matchValue(df, pos) === lit(v))
-        case _              => ()
+        case (QVal(v, k), pos) =>
+          df = df.filter(matchValue(df, pos) === lit(v))
+          k.foreach { kind =>
+            require(matchKind.isDefined,
+              s"typed pattern (kind=$kind) requires a kind-aware store")
+            df = df.filter(matchKind.get(df, pos, kind))
+          }
+        case _ => ()
       }
       // same variable twice in one pattern → positional equality
       val varPos = units.zip(positions).collect { case (QVar(n), pos) => (n, pos) }
@@ -249,12 +357,12 @@ object Bgp {
     // per SPARQL filter scope)
     val constrained = q.constraints.foldLeft(joined) { case (acc, (l, op, r)) =>
       def operand(u: QueryUnit): Column = u match {
-        case QVar(n) => acc(n)
-        case QVal(v) => lit(v)
+        case QVar(n)    => acc(n)
+        case QVal(v, _) => lit(v)
       }
       def numericLit(u: QueryUnit): Boolean = u match {
-        case QVal(v) => scala.util.Try(v.toDouble).isSuccess
-        case _       => false
+        case QVal(v, _) => scala.util.Try(v.toDouble).isSuccess
+        case _          => false
       }
       // SPARQL operator dispatch: a numeric literal on either side makes
       // the comparison NUMERIC — both sides cast to double, so
@@ -275,7 +383,7 @@ object Bgp {
         case ">"  => lc > rc
         case ">=" => lc >= rc
         case "regex" => r match {
-          case QVal(v) => lc.rlike(v)
+          case QVal(v, _) => lc.rlike(v)
           case QVar(n) => throw new IllegalArgumentException(
             s"regex pattern must be a literal, got variable $$$n")
         }
@@ -288,7 +396,17 @@ object Bgp {
       if (constrained.columns.contains(v)) constrained(v)
       else lit(null).cast("string").as(v)
     }: _*)
-    if (distinct) projected.distinct() else projected
+    // solution modifiers, in SPARQL order: DISTINCT → ORDER BY → LIMIT
+    // (set semantics stay the compile-level default — the documented
+    // round-1 divergence; the DISTINCT keyword matters to callers that
+    // pass distinct = false)
+    val dedup = if (distinct || q.distinctKeyword) projected.distinct() else projected
+    val ordered =
+      if (q.orderKeys.isEmpty) dedup
+      else dedup.orderBy(q.orderKeys.map { case (v, asc) =>
+        if (asc) dedup(v).asc else dedup(v).desc
+      }: _*)
+    q.limitN.fold(ordered)(ordered.limit)
   }
 
   /** SPARQL UNION: evaluate each alternative and take the set union.

@@ -75,10 +75,25 @@ final class TripleStore private (
     new TripleStore(spark, triples.filter(!cond))
   }
 
-  /** Distributed BGP query: variable columns hold full term structs. */
+  /** Distributed BGP query: variable columns hold full term structs.
+    * Typed pattern values (`<x>` / `"x"` / `_:x`, round-3 verdict #9)
+    * additionally constrain the term KIND, so the IRI `alice` and the
+    * literal `"alice"` are distinguishable; bare values keep the
+    * documented match-any-kind-by-value divergence. */
   def query(q: Sparql): DataFrame =
     Bgp.compile(triples.toDF(), q,
-      matchValue = (df, pos) => df(pos).getField("value"))
+      matchValue = (df, pos) => df(pos).getField("value"),
+      matchKind = Some((df, pos, kind) => {
+        val k = df(pos).getField("kind")
+        kind match {
+          case graft.query.QueryUnit.Iri   => k === RdfTerm.Named
+          case graft.query.QueryUnit.Blank => k === RdfTerm.Blank
+          // "lit" spans all three literal kinds (lexical-value match;
+          // lang/datatype refinement is not in the pattern syntax)
+          case graft.query.QueryUnit.Lit =>
+            k.isin(RdfTerm.Raw, RdfTerm.Lang, RdfTerm.Typed)
+        }
+      }))
 
   /** Parity API (reference: Graph::get, graph.rs:333-413): collect the
     * first selected variable as a flat term list. */

@@ -23,6 +23,21 @@ class QuirkDivergenceSpec extends SparkSpec {
     assert(st.get(q).map(_.value).sorted == Seq("doc1", "doc2"))
   }
 
+  test("TYPED pattern values restrict the term kind (round-3 verdict #9)") {
+    val st = TripleStore.fromTriples(spark, Seq(
+      Triple(n("doc1"), n("title"), RdfTerm.raw("cool")),
+      Triple(n("doc2"), n("title"), n("cool")),
+      Triple(n("doc3"), n("title"), RdfTerm.langLit("cool", "en")),
+      Triple(n("doc4"), n("title"), RdfTerm.blank("cool"))))
+    def ask(pattern: String): Seq[String] =
+      st.get(Sparql.parse(s"select $$d where { $$d title $pattern }"))
+        .map(_.value).sorted
+    assert(ask("\"cool\"") == Seq("doc1", "doc3")) // raw + lang-tagged literals
+    assert(ask("<cool>") == Seq("doc2"))           // IRI only
+    assert(ask("_:cool") == Seq("doc4"))           // blank only
+    assert(ask("cool") == Seq("doc1", "doc2", "doc3", "doc4")) // bare: any kind
+  }
+
   test("multi-variable BGPs join correctly (reference assumes exactly one var, graph.rs:334)") {
     val st = TripleStore.fromTriples(spark, Seq(
       Triple(n("a"), n("in"), n("x")), Triple(n("x"), n("part_of"), n("top")),

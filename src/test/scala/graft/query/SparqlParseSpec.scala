@@ -105,6 +105,44 @@ class SparqlParseSpec extends SparkSpec {
       Sparql.parse("select $x $y where { $x p $y . filter ( $x regex $y ) }"))
   }
 
+  test("distinct / order by / limit modifiers parse and apply in SPARQL order") {
+    import spark.implicits._
+    val triples = Seq(
+      ("alice", "age", "31"),
+      ("alice", "age", "31"), // duplicate — distinct collapses it
+      ("bob", "age", "29"),
+      ("carol", "age", "27")).toDF("s", "p", "o")
+    val q = Sparql.parse(
+      "select distinct $x $a where { $x age $a } order by $a desc limit 2")
+    assert(q.distinctKeyword && q.limitN.contains(2) && q.orderKeys == Seq(("a", false)))
+    // collect() preserves the compiled ORDER BY; limit fires AFTER the
+    // sort, so the two HIGHEST ages survive
+    val res = Bgp.compile(triples, q, distinct = false).collect().toSeq
+    assert(res == Seq(Row("alice", "31"), Row("bob", "29")))
+  }
+
+  test("order by an undeclared variable and junk after the where block fail fast") {
+    assertThrows[IllegalArgumentException](
+      Sparql.parse("select $x where { $x p $y } order by $y"))
+    assertThrows[IllegalArgumentException](
+      Sparql.parse("select $x where { $x p o } frobnicate"))
+  }
+
+  test("typed pattern values parse with kinds, bare values stay untyped") {
+    assert(QueryUnit.parse("<http://g.test/a>") == QVal("http://g.test/a", Some(QueryUnit.Iri)))
+    assert(QueryUnit.parse("\"alice\"") == QVal("alice", Some(QueryUnit.Lit)))
+    assert(QueryUnit.parse("_:b1") == QVal("b1", Some(QueryUnit.Blank)))
+    assert(QueryUnit.parse("alice") == QVal("alice", None))
+    assert(QueryUnit.parse("$alice") == QVar("alice"))
+  }
+
+  test("typed pattern against a kind-less triple view fails fast") {
+    import spark.implicits._
+    val triples = Seq(("a", "p", "b")).toDF("s", "p", "o")
+    val q = Sparql.parse("select $x where { $x p \"b\" }")
+    assertThrows[IllegalArgumentException](Bgp.compile(triples, q))
+  }
+
   test("optional group must share a variable with the required part") {
     import spark.implicits._
     val triples = Seq(("a", "p", "b")).toDF("s", "p", "o")
