@@ -190,6 +190,26 @@ object RdfOps {
       |FROM customer WHERE c_nationkey < 9
       |ORDER BY c, k""".stripMargin
 
+  /** Boolean FILTER connectives (`&&` / `||`, && binding tighter —
+    * standard SPARQL, round-3 "missing" #1): customers in NATION_2, or
+    * in NATION_7 with a name ending in 1. Exercises the DNF compile
+    * path (OR of AND-groups) through the string front-end. */
+  def bgpFilterBool(s: SparkSession, d: String): DataFrame = {
+    val q = Sparql.parse(
+      """select $c $n where {
+        |  $c in_nation $n .
+        |  filter ( $n == NATION_2 || $n == NATION_7 && $c regex 1$ )
+        |}""".stripMargin)
+    val res = Bgp.compile(tripleView(s, d), q)
+    res.orderBy(res("c"), res("n"))
+  }
+  val bgpFilterBoolSql: String =
+    s"""$tripleViewSql
+       |SELECT DISTINCT s AS c, o AS n FROM t
+       |WHERE p = 'in_nation'
+       |  AND (o = 'NATION_2' OR (o = 'NATION_7' AND regexp_matches(s, '1$$')))
+       |ORDER BY c, n""".stripMargin
+
   /** Solution modifiers (round-3 verdict #7 — beyond the reference,
     * standard SPARQL): DISTINCT + ORDER BY … DESC/ASC + LIMIT through
     * the parsed string front-end. The (c, n) pair is the whole row, so

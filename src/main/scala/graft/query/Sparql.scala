@@ -23,6 +23,9 @@ final case class Sparql(
     conds: Seq[(QueryUnit, QueryUnit, QueryUnit)],
     optionals: Seq[Seq[(QueryUnit, QueryUnit, QueryUnit)]] = Nil,
     constraints: Seq[(QueryUnit, String, QueryUnit)] = Nil,
+    // each entry is one FILTER expression in DNF: outer Seq = ||-groups,
+    // inner Seq = &&-chained comparisons (SPARQL: && binds tighter)
+    disjunctions: Seq[Seq[Seq[(QueryUnit, String, QueryUnit)]]] = Nil,
     orderKeys: Seq[(String, Boolean)] = Nil, // (var, ascending)
     limitN: Option[Int] = None,
     distinctKeyword: Boolean = false) {
@@ -57,7 +60,20 @@ final case class Sparql(
   /** FILTER constraint (beyond the reference — standard SPARQL):
     * a comparison applied to the joined solution. Supported ops:
     * == != < <= > >= regex. */
-  def constraint(lhs: String, op: String, rhs: String): Sparql = {
+  def constraint(lhs: String, op: String, rhs: String): Sparql =
+    copy(constraints = constraints :+ parseComparison(lhs, op, rhs))
+
+  /** FILTER with `&&` / `||` (standard SPARQL boolean connectives,
+    * `&&` binding tighter): groups are the ||-separated alternatives,
+    * each a &&-chain of comparisons. */
+  def constraintOr(groups: Seq[Seq[(String, String, String)]]): Sparql = {
+    require(groups.nonEmpty && groups.forall(_.nonEmpty), "empty filter expression")
+    copy(disjunctions = disjunctions :+
+      groups.map(_.map { case (l, op, r) => parseComparison(l, op, r) }))
+  }
+
+  private def parseComparison(
+      lhs: String, op: String, rhs: String): (QueryUnit, String, QueryUnit) = {
     require(Sparql.ConstraintOps.contains(op), s"unsupported filter op: $op")
     val l = QueryUnit.parse(lhs)
     val r = QueryUnit.parse(rhs)
@@ -69,7 +85,7 @@ final case class Sparql(
       case QVar(n) => require(vars.contains(n), s"variable $$$n not declared in select")
       case _       => ()
     }
-    copy(constraints = constraints :+ ((l, op, r)))
+    (l, op, r)
   }
 
   private def parsePatterns(
@@ -100,7 +116,8 @@ object Sparql {
     *
     *   select [distinct] $a $b
     *   where { $a pred obj . subj pred $b
-    *           [optional { … }] [filter ( lhs op rhs )] }
+    *           [optional { … }]
+    *           [filter ( lhs op rhs [&& …] [|| …] )] }
     *   [order by $a [asc|desc] …] [limit N]
     *
     * Whitespace-tokenized; patterns separated by a STANDALONE '.'
@@ -158,7 +175,7 @@ object Sparql {
     // filter ( lhs op rhs ) constraints
     val required = Vector.newBuilder[String]
     val optGroups = Vector.newBuilder[Seq[String]]
-    val filterExprs = Vector.newBuilder[(String, String, String)]
+    val filterExprs = Vector.newBuilder[Seq[Seq[(String, String, String)]]]
     var i = 0
     while (i < tokens.length) {
       if (tokens(i).equalsIgnoreCase("optional")) {
@@ -172,8 +189,17 @@ object Sparql {
         require(i + 1 < tokens.length && tokens(i + 1) == "(",
           "filter must be followed by a parenthesized comparison")
         val close = tokens.indexOf(")", i + 2)
-        require(close == i + 5, "filter expects exactly ( lhs op rhs )")
-        filterExprs += ((tokens(i + 2), tokens(i + 3), tokens(i + 4)))
+        require(close > i + 2, "unclosed filter expression")
+        // ( c1 && c2 || c3 ) → DNF: split at || first (&& binds tighter)
+        def splitOn(ts: Seq[String], sep: String): Seq[Seq[String]] =
+          ts.foldLeft(Vector(Vector.empty[String])) {
+            case (acc, `sep`) => acc :+ Vector.empty
+            case (acc, t)     => acc.init :+ (acc.last :+ t)
+          }
+        val groups = splitOn(tokens.slice(i + 2, close), "||").map(splitOn(_, "&&"))
+        groups.flatten.foreach(c =>
+          require(c.length == 3, s"filter comparison must be `lhs op rhs`, got: ${c.mkString(" ")}"))
+        filterExprs += groups.map(_.map(c => (c(0), c(1), c(2))))
         i = close + 1
       } else {
         required += tokens(i)
@@ -183,7 +209,10 @@ object Sparql {
     val base = Sparql().select(vars).filter(toPatterns(required.result()))
     val withOpt = optGroups.result().foldLeft(base)((q, g) => q.optional(toPatterns(g)))
     val withFilters = filterExprs.result().foldLeft(withOpt) {
-      case (q, (l, op, r)) => q.constraint(l, op, r)
+      // a single bare comparison stays on the legacy conjunctive list
+      // (back-compat for callers inspecting q.constraints)
+      case (q, Seq(Seq((l, op, r)))) => q.constraint(l, op, r)
+      case (q, groups)               => q.constraintOr(groups)
     }
     val withDistinct =
       if (hasDistinct) withFilters.copy(distinctKeyword = true) else withFilters
@@ -355,7 +384,8 @@ object Bgp {
     }
     // FILTER constraints apply to the joined solution (after OPTIONAL,
     // per SPARQL filter scope)
-    val constrained = q.constraints.foldLeft(joined) { case (acc, (l, op, r)) =>
+    def comparison(acc: DataFrame)(c: (QueryUnit, String, QueryUnit)): Column = {
+      val (l, op, r) = c
       def operand(u: QueryUnit): Column = u match {
         case QVar(n)    => acc(n)
         case QVal(v, _) => lit(v)
@@ -375,7 +405,7 @@ object Bgp {
       def side(u: QueryUnit): Column =
         if (numeric) operand(u).try_cast("double") else operand(u)
       val (lc, rc) = (side(l), side(r))
-      acc.filter(op match {
+      op match {
         case "==" => lc === rc
         case "!=" => lc =!= rc
         case "<"  => lc < rc
@@ -387,7 +417,12 @@ object Bgp {
           case QVar(n) => throw new IllegalArgumentException(
             s"regex pattern must be a literal, got variable $$$n")
         }
-      })
+      }
+    }
+    val conjoined = q.constraints.foldLeft(joined)((acc, c) => acc.filter(comparison(acc)(c)))
+    // each disjunction is one FILTER in DNF: OR over &&-groups
+    val constrained = q.disjunctions.foldLeft(conjoined) { (acc, dnf) =>
+      acc.filter(dnf.map(_.map(comparison(acc)).reduce(_ && _)).reduce(_ || _))
     }
     // a selected variable no pattern binds projects as null (SPARQL
     // unbound semantics — also what lets UNION alternatives bind

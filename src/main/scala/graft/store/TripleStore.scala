@@ -146,6 +146,14 @@ final class TripleStore private (
     encodedTriples(terms, preds)
       .write.mode("overwrite").partitionBy("p_id").parquet(s"$path/triples")
     terms.unpersist(); preds.unpersist()
+    // layout marker, the analogue of the reference's .ripplebackup file
+    // (graph.rs:171) — fromBackup validates it before touching parquet.
+    // Hadoop FS API, not java.nio: backups live on HDFS/S3 at scale
+    val marker = new org.apache.hadoop.fs.Path(path, TripleStore.BackupMarker)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(marker, true)
+    try out.write("graft-backup-v1\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Full-scan iterator (reference: Graph::iter, graph.rs:696-760). */
@@ -200,13 +208,29 @@ object TripleStore {
     new TripleStore(spark, ds)
   }
 
+  /** Marker file written by [[TripleStore.persist]] — the analogue of
+    * the reference's `.ripplebackup` (graph.rs:171). */
+  val BackupMarker = ".graftbackup"
+
   /** Restore from persisted layout (reference: Graph::from_backup,
-    * graph.rs:54-222): join ids back to terms. Like [[persist]], the
-    * dictionary joins carry no broadcast hint — the dicts scale with
-    * the data, so AQE decides broadcast-vs-shuffle from their actual
-    * size at runtime. */
+    * graph.rs:54-222): join ids back to terms. Validates the 4-part
+    * layout (marker + terms/predicates/triples dirs) up front, like the
+    * reference's existence checks (graph.rs:167-184) — a clear error
+    * beats a parquet scan failure deep inside a job. Like [[persist]],
+    * the dictionary joins carry no broadcast hint — the dicts scale
+    * with the data, so AQE decides broadcast-vs-shuffle from their
+    * actual size at runtime. */
   def fromBackup(spark: SparkSession, path: String): TripleStore = {
     import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.isDirectory(root), s"missing backup: $path")
+    Seq("terms", "predicates", "triples").foreach { part =>
+      require(fs.isDirectory(new org.apache.hadoop.fs.Path(root, part)),
+        s"invalid backup (missing $part/): $path")
+    }
+    require(fs.isFile(new org.apache.hadoop.fs.Path(root, BackupMarker)),
+      s"invalid backup (missing $BackupMarker marker): $path")
     val terms = spark.read.parquet(s"$path/terms")
     val preds = spark.read.parquet(s"$path/predicates")
     val ids = spark.read.parquet(s"$path/triples")

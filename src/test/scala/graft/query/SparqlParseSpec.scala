@@ -105,6 +105,25 @@ class SparqlParseSpec extends SparkSpec {
       Sparql.parse("select $x $y where { $x p $y . filter ( $x regex $y ) }"))
   }
 
+  test("filter && / || connectives: && binds tighter, DNF compiles correctly") {
+    import spark.implicits._
+    val triples = Seq(
+      ("alice", "age", "31"),
+      ("bob", "age", "29"),
+      ("carol", "age", "27"),
+      ("dave", "age", "31")).toDF("s", "p", "o")
+    // a || b && c must read a || (b && c): carol OR (age 31 AND name ~ ^d)
+    val q = Sparql.parse(
+      "select $x $a where { $x age $a . filter ( $x == carol || $a == 31 && $x regex ^d ) }")
+    assert(q.constraints.isEmpty && q.disjunctions.length == 1)
+    assert(q.disjunctions.head.map(_.length) == Seq(1, 2))
+    val res = Bgp.compile(triples, q).orderBy("x").collect().toSeq
+    assert(res == Seq(Row("carol", "27"), Row("dave", "31")))
+    // malformed chains fail fast
+    assertThrows[IllegalArgumentException](
+      Sparql.parse("select $x where { $x p o . filter ( $x == a && ) }"))
+  }
+
   test("distinct / order by / limit modifiers parse and apply in SPARQL order") {
     import spark.implicits._
     val triples = Seq(

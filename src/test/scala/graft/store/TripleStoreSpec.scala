@@ -63,6 +63,19 @@ class TripleStoreSpec extends SparkSpec {
     assert(ids.toSeq == (0L until ids.length).toSeq)
   }
 
+  test("fromBackup validates the layout before reading (graph.rs:167-184)") {
+    val missing = java.nio.file.Files.createTempDirectory("ts_bad").toString
+    assertThrows[IllegalArgumentException]( // empty dir: no parts, no marker
+      TripleStore.fromBackup(spark, s"$missing/sub"))
+    assertThrows[IllegalArgumentException](
+      TripleStore.fromBackup(spark, missing))
+    val dir = java.nio.file.Files.createTempDirectory("ts_marker").toString
+    store.persist(dir)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, TripleStore.BackupMarker))
+    assertThrows[IllegalArgumentException]( // parts present but marker gone
+      TripleStore.fromBackup(spark, dir))
+  }
+
   test("iter + toRdfXml export round-trip") {
     val xml = new String(store.toRdfXml, "UTF-8")
     val back = graft.rdf.RdfXmlParser.parseString(xml)
