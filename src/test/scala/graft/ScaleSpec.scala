@@ -112,6 +112,33 @@ class ScaleSpec extends SparkSpec {
     assert(p.contains("MapPartitions"), p)
   }
 
+  test("ORDER BY + LIMIT compiles to TakeOrderedAndProject, not a global sort") {
+    // a full sort materializes every row on one ordering pass; with a
+    // LIMIT Spark must instead keep a bounded top-N heap per partition
+    // and merge — the only shape that survives 100 TB of solutions
+    val p = plan(operators.RdfOps.bgpOrderLimit(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("typed-pattern kind filter constant-folds away the wrong-kind union branch") {
+    // the view's term kinds are struct literals, so `o.kind === 'raw'`
+    // folds at plan time: the IRI-object branch (in_nation) is pruned
+    // entirely and no Union or kind predicate survives — the typed
+    // restriction costs NOTHING at runtime, like the access-path
+    // dead-branch pruning above
+    val q = query.Sparql.parse("select $x $p where { $x $p \"NATION_2\" }")
+    val view = operators.RdfOps.typedTripleView(spark, sf0001)
+    val df = query.Bgp.compile(view, q,
+      matchValue = (d, pos) => d(pos).getField("value"),
+      matchKind = Some((d, pos, _) => d(pos).getField("kind") === "raw"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("Union"), optimized)
+    assert(optimized.contains("nation_label"), optimized) // surviving branch
+    assert(!optimized.contains("[named,in_nation]"), optimized) // pruned branch
+    // the value restriction is pushed into the nation scan as a filter
+    assert(optimized.contains("n_name#") && optimized.contains("= NATION_2"), optimized)
+  }
+
   test("BGP conjunction shuffles on int-sized var columns only after filters") {
     // the compiled plan must place pattern filters BELOW the join
     val q = query.Sparql()
