@@ -268,6 +268,7 @@ object OpRegistry {
     // against the oracle-checked exact baselines instead.
     opNoOracle("dedup_minhash_ml", MlOps.dedupMinhashMl),
     opNoOracle("sim_ann_ivf", MlOps.simAnnIvf),
+    opNoOracle("sim_ann_ivf_index", MlOps.simAnnIvfIndex),
     op("mm_metadata", MultimodalOps.mmMetadata, MultimodalOps.mmMetadataSql),
     op("mm_frame_sample", MultimodalOps.mmFrameSample, MultimodalOps.mmFrameSampleSql),
     op("mm_feature", MultimodalOps.mmFeature, MultimodalOps.mmFeatureSql),

@@ -139,6 +139,20 @@ class ScaleSpec extends SparkSpec {
     assert(optimized.contains("n_name#") && optimized.contains("= NATION_2"), optimized)
   }
 
+  test("IVF index probe prunes list partitions (reads 2/16ths, not the table)") {
+    import spark.implicits._
+    // miniature stand-in for the sim_ann_ivf_index layout: the pin is
+    // on the SCAN SHAPE — an isin() over list_id must become a
+    // partition filter, never a full read + post-filter
+    val dir = java.nio.file.Files.createTempDirectory("ivf_prune").toString
+    (0 until 64).map(i => (i.toLong, i % 16)).toDF("vec_id", "list_id")
+      .write.mode("overwrite").partitionBy("list_id").parquet(dir)
+    val probed = spark.read.parquet(dir).filter($"list_id".isin(3, 7))
+    val physical = probed.queryExecution.executedPlan.toString
+    assert(physical.contains("PartitionFilters: [list_id"), physical)
+    assert(probed.count() == 8)
+  }
+
   test("BGP conjunction shuffles on int-sized var columns only after filters") {
     // the compiled plan must place pattern filters BELOW the join
     val q = query.Sparql()

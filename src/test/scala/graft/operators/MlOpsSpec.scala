@@ -29,4 +29,13 @@ class MlOpsSpec extends SparkSpec {
     // probing 2/16 lists still recovers a meaningful share of true top-3
     assert((ivfPairs intersect brute).nonEmpty)
   }
+
+  test("parquet-partitioned IVF index answers identically to the in-memory probe") {
+    // same seed, same k, same probe depth, same ranking contract — the
+    // only difference is that the lists live as list_id= partitions on
+    // disk, so the results must be row-identical
+    val mem = MlOps.simAnnIvf(spark, sf0001).collect().toSeq
+    val disk = MlOps.simAnnIvfIndex(spark, sf0001).collect().toSeq
+    assert(mem == disk)
+  }
 }
