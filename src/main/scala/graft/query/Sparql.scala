@@ -28,6 +28,7 @@ final case class Sparql(
     disjunctions: Seq[Seq[Seq[(QueryUnit, String, QueryUnit)]]] = Nil,
     orderKeys: Seq[(String, Boolean)] = Nil, // (var, ascending)
     limitN: Option[Int] = None,
+    offsetN: Option[Int] = None,
     distinctKeyword: Boolean = false) {
 
   /** ORDER BY modifier (standard SPARQL; the reference has no solution
@@ -44,6 +45,13 @@ final case class Sparql(
   def limit(n: Int): Sparql = {
     require(n >= 0, s"limit must be non-negative, got $n")
     copy(limitN = Some(n))
+  }
+
+  /** OFFSET modifier — applied before LIMIT (SPARQL slice order), so
+    * `offset 10 limit 5` yields ordered rows 11..15. */
+  def offset(n: Int): Sparql = {
+    require(n >= 0, s"offset must be non-negative, got $n")
+    copy(offsetN = Some(n))
   }
 
   def select(vs: Seq[String]): Sparql = copy(vars = vars ++ vs.map(stripVar))
@@ -245,6 +253,10 @@ object Sparql {
           require(i + 1 < toks.length, "limit needs a count")
           q = q.limit(toks(i + 1).toInt)
           i += 2
+        case "offset" =>
+          require(i + 1 < toks.length, "offset needs a count")
+          q = q.offset(toks(i + 1).toInt)
+          i += 2
         case other =>
           throw new IllegalArgumentException(
             s"unexpected token after where block: $other")
@@ -431,17 +443,18 @@ object Bgp {
       if (constrained.columns.contains(v)) constrained(v)
       else lit(null).cast("string").as(v)
     }: _*)
-    // solution modifiers, in SPARQL order: DISTINCT → ORDER BY → LIMIT
-    // (set semantics stay the compile-level default — the documented
-    // round-1 divergence; the DISTINCT keyword matters to callers that
-    // pass distinct = false)
+    // solution modifiers, in SPARQL order: DISTINCT → ORDER BY →
+    // OFFSET → LIMIT (set semantics stay the compile-level default —
+    // the documented round-1 divergence; the DISTINCT keyword matters
+    // to callers that pass distinct = false)
     val dedup = if (distinct || q.distinctKeyword) projected.distinct() else projected
     val ordered =
       if (q.orderKeys.isEmpty) dedup
       else dedup.orderBy(q.orderKeys.map { case (v, asc) =>
         if (asc) dedup(v).asc else dedup(v).desc
       }: _*)
-    q.limitN.fold(ordered)(ordered.limit)
+    val sliced = q.offsetN.fold(ordered)(ordered.offset)
+    q.limitN.fold(sliced)(sliced.limit)
   }
 
   /** SPARQL UNION: evaluate each alternative and take the set union.
