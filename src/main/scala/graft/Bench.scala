@@ -53,7 +53,13 @@ object Bench {
     // survive, independent of how stdout is captured.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
-    catch { case _: Throwable => () }
+    catch {
+      // NonFatal only: a fatal VM error must not be swallowed, and a
+      // failed write needs a signal — otherwise the persisted numbers
+      // go stale silently, defeating the fallback's purpose.
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"graft: failed to persist bench line to $out: $e")
+    }
     println(line)
     spark.stop()
   }

@@ -228,6 +228,7 @@ object OpRegistry {
     op("rdf_bgp_union", RdfOps.bgpUnion, RdfOps.bgpUnionSql),
     op("rdf_bgp_filter", RdfOps.bgpFilter, RdfOps.bgpFilterSql),
     op("rdf_bgp_filter_num", RdfOps.bgpFilterNum, RdfOps.bgpFilterNumSql),
+    op("rdf_bgp_filter_varvar", RdfOps.bgpFilterVarVar, RdfOps.bgpFilterVarVarSql),
     op("rdf_bgp_filter_bool", RdfOps.bgpFilterBool, RdfOps.bgpFilterBoolSql),
     op("rdf_bgp_order_limit", RdfOps.bgpOrderLimit, RdfOps.bgpOrderLimitSql),
     op("rdf_bgp_typed", RdfOps.bgpTyped, RdfOps.bgpTypedSql),

@@ -113,7 +113,13 @@ object MlOps {
       .setFeaturesCol("features").fit(e)
     val centroids = model.clusterCenters.zipWithIndex
 
-    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    // Index root comes from config so a cluster deployment points it at
+    // shared storage (HDFS/S3 URI); the java.io.tmpdir default is only
+    // correct for local[k]. All I/O below goes through the Hadoop FS
+    // API, so any supported scheme works unchanged.
+    val root = s.conf.getOption("spark.graft.indexRoot")
+      .getOrElse(System.getProperty("java.io.tmpdir") + "/graft_ivf")
+    val dir = s"$root/ivf_${java.util.UUID.randomUUID}"
     model.transform(e)
       .select($"vec_id", $"embedding", $"prediction".as("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(dir)
@@ -137,9 +143,20 @@ object MlOps {
       .select($"qid", $"vec_id".as("nid"),
         expr("cosine_sim(qe, embedding)").as("cos"))
     val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
-    scored.withColumn("rank", row_number().over(w).cast("long"))
+    val out = scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= 3)
       .select($"qid", $"rank", $"nid")
       .orderBy($"qid", $"rank")
+    // Materialize the (queries × k — tiny by construction) result so
+    // the index directory can be deleted before returning; otherwise
+    // the caller would hold a lazy plan over files we remove here, and
+    // repeated runs would leak one index tree per call.
+    import scala.jdk.CollectionConverters._
+    val rows = out.collect().toSeq
+    e.unpersist()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    s.createDataFrame(rows.asJava, out.schema)
   }
 }

@@ -190,6 +190,32 @@ object RdfOps {
       |FROM customer WHERE c_nationkey < 9
       |ORDER BY c, k""".stripMargin
 
+  /** Var-vs-var numeric FILTER (round-4 ADVICE): with no literal to
+    * classify the comparison at parse time, `filter ( $k < $l )` must
+    * classify per row — both terms numeric ⇒ numeric compare. The
+    * nationkey ("0".."24") vs name-length ("18") pairing is chosen so a
+    * lexicographic compare gives a different row set ("9" < "18" is
+    * false lexically, true numerically). */
+  def bgpFilterVarVar(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = customer(s, d)
+    val numView = c.select(
+        $"c_name".as("s"), lit("has_nationkey").as("p"),
+        $"c_nationkey".cast("string").as("o"))
+      .union(c.select(
+        $"c_name".as("s"), lit("name_len").as("p"),
+        length($"c_name").cast("string").as("o")))
+    val q = Sparql.parse(
+      "select $c $k $l where { $c has_nationkey $k . $c name_len $l . filter ( $k < $l ) }")
+    val res = Bgp.compile(numView, q)
+    res.orderBy(res("c"), res("k"), res("l"))
+  }
+  val bgpFilterVarVarSql: String =
+    """SELECT DISTINCT c_name AS c, CAST(c_nationkey AS VARCHAR) AS k,
+      |  CAST(length(c_name) AS VARCHAR) AS l
+      |FROM customer WHERE c_nationkey < length(c_name)
+      |ORDER BY c, k, l""".stripMargin
+
   /** Boolean FILTER connectives (`&&` / `||`, && binding tighter —
     * standard SPARQL, round-3 "missing" #1): customers in NATION_2, or
     * in NATION_7 with a name ending in 1. Exercises the DNF compile

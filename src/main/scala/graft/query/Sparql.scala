@@ -229,6 +229,13 @@ object Sparql {
 
   /** `order by $v [asc|desc] … limit N` after the where block. */
   private def parseModifiers(q0: Sparql, toks: Seq[String]): Sparql = {
+    // every parse error here is IllegalArgumentException (the contract
+    // the fail-fast tests pin) — including a non-integer count
+    def intTok(kw: String, t: String): Int =
+      try t.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$kw expects an integer, got $t")
+      }
     var q = q0
     var i = 0
     while (i < toks.length) {
@@ -251,11 +258,11 @@ object Sparql {
           require(any, "order by needs at least one $variable")
         case "limit" =>
           require(i + 1 < toks.length, "limit needs a count")
-          q = q.limit(toks(i + 1).toInt)
+          q = q.limit(intTok("limit", toks(i + 1)))
           i += 2
         case "offset" =>
           require(i + 1 < toks.length, "offset needs a count")
-          q = q.offset(toks(i + 1).toInt)
+          q = q.offset(intTok("offset", toks(i + 1)))
           i += 2
         case other =>
           throw new IllegalArgumentException(
@@ -414,18 +421,30 @@ object Bgp {
       // filter (SPARQL type-error semantics). String comparisons are
       // untouched when neither side looks numeric.
       val numeric = op != "regex" && Seq(l, r).exists(numericLit)
+      // A var-vs-var comparison has no literal to classify at parse
+      // time, so classify per ROW: when both terms parse as numbers the
+      // comparison is numeric, otherwise it falls back to the string
+      // compare — `filter ( $a < $b )` over numeric-string terms must
+      // agree with the `$a < 35` literal path, not sort lexically.
+      val bothVars = op != "regex" && !numeric &&
+        Seq(l, r).forall(_.isInstanceOf[QVar])
       def side(u: QueryUnit): Column =
         if (numeric) operand(u).try_cast("double") else operand(u)
-      val (lc, rc) = (side(l), side(r))
+      def cmp(f: (Column, Column) => Column): Column =
+        if (bothVars) {
+          val (ls, rs) = (operand(l), operand(r))
+          val (ln, rn) = (ls.try_cast("double"), rs.try_cast("double"))
+          when(ln.isNotNull && rn.isNotNull, f(ln, rn)).otherwise(f(ls, rs))
+        } else f(side(l), side(r))
       op match {
-        case "==" => lc === rc
-        case "!=" => lc =!= rc
-        case "<"  => lc < rc
-        case "<=" => lc <= rc
-        case ">"  => lc > rc
-        case ">=" => lc >= rc
+        case "==" => cmp(_ === _)
+        case "!=" => cmp(_ =!= _)
+        case "<"  => cmp(_ < _)
+        case "<=" => cmp(_ <= _)
+        case ">"  => cmp(_ > _)
+        case ">=" => cmp(_ >= _)
         case "regex" => r match {
-          case QVal(v, _) => lc.rlike(v)
+          case QVal(v, _) => side(l).rlike(v)
           case QVar(n) => throw new IllegalArgumentException(
             s"regex pattern must be a literal, got variable $$$n")
         }

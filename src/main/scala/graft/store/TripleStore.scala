@@ -213,8 +213,8 @@ object TripleStore {
   val BackupMarker = ".graftbackup"
 
   /** Restore from persisted layout (reference: Graph::from_backup,
-    * graph.rs:54-222): join ids back to terms. Validates the 4-part
-    * layout (marker + terms/predicates/triples dirs) up front, like the
+    * graph.rs:54-222): join ids back to terms. Validates the layout
+    * (terms/predicates/triples dirs; marker if present) up front, like the
     * reference's existence checks (graph.rs:167-184) — a clear error
     * beats a parquet scan failure deep inside a job. Like [[persist]],
     * the dictionary joins carry no broadcast hint — the dicts scale
@@ -229,8 +229,14 @@ object TripleStore {
       require(fs.isDirectory(new org.apache.hadoop.fs.Path(root, part)),
         s"invalid backup (missing $part/): $path")
     }
-    require(fs.isFile(new org.apache.hadoop.fs.Path(root, BackupMarker)),
-      s"invalid backup (missing $BackupMarker marker): $path")
+    // Pre-marker backups (written before the marker existed) stay
+    // restorable: when all three parquet dirs validate, a missing
+    // marker downgrades from error to warning. The marker's job is to
+    // fail fast on arbitrary non-backup directories, and a directory
+    // with exactly this three-dir layout is not arbitrary.
+    if (!fs.isFile(new org.apache.hadoop.fs.Path(root, BackupMarker)))
+      System.err.println(s"graft: restoring marker-less backup layout at " +
+        s"$path (no $BackupMarker; re-persist to add it)")
     val terms = spark.read.parquet(s"$path/terms")
     val preds = spark.read.parquet(s"$path/predicates")
     val ids = spark.read.parquet(s"$path/triples")

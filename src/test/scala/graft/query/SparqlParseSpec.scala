@@ -147,6 +147,29 @@ class SparqlParseSpec extends SparkSpec {
       Sparql.parse("select $x where { $x p o } frobnicate"))
   }
 
+  test("non-integer limit / offset counts fail fast as IllegalArgumentException") {
+    assertThrows[IllegalArgumentException](
+      Sparql.parse("select $x where { $x p o } limit foo"))
+    assertThrows[IllegalArgumentException](
+      Sparql.parse("select $x where { $x p o } offset 1.5"))
+  }
+
+  test("var-vs-var FILTER compares numerically when both terms are numeric") {
+    import spark.implicits._
+    val triples = Seq(
+      ("alice", "age", "9"),
+      ("alice", "cap", "35"),   // "9" < "35" numerically, not lexically
+      ("bob", "age", "40"),
+      ("bob", "cap", "35"),
+      ("carol", "age", "young"),
+      ("carol", "cap", "zz")).toDF("s", "p", "o")
+    val q = Sparql.parse(
+      "select $x $a $c where { $x age $a . $x cap $c . filter ( $a < $c ) }")
+    val res = Bgp.compile(triples, q).orderBy("x").collect().toSeq
+    // carol survives via the string fallback: "young" < "zz" lexically
+    assert(res == Seq(Row("alice", "9", "35"), Row("carol", "young", "zz")))
+  }
+
   test("typed pattern values parse with kinds, bare values stay untyped") {
     assert(QueryUnit.parse("<http://g.test/a>") == QVal("http://g.test/a", Some(QueryUnit.Iri)))
     assert(QueryUnit.parse("\"alice\"") == QVal("alice", Some(QueryUnit.Lit)))

@@ -72,8 +72,10 @@ class TripleStoreSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("ts_marker").toString
     store.persist(dir)
     java.nio.file.Files.delete(java.nio.file.Paths.get(dir, TripleStore.BackupMarker))
-    assertThrows[IllegalArgumentException]( // parts present but marker gone
-      TripleStore.fromBackup(spark, dir))
+    // marker-less but otherwise valid layout = a pre-marker backup;
+    // restore succeeds (with a warning) instead of stranding old data
+    val back = TripleStore.fromBackup(spark, dir)
+    assert(back.triples.collect().toSet == store.triples.collect().toSet)
   }
 
   test("iter + toRdfXml export round-trip") {
