@@ -261,6 +261,7 @@ object OpRegistry {
     op("dedup_minhash_lsh", DedupOps.dedupMinhashLsh, DedupOps.dedupMinhashLshSql),
     op("dedup_simhash", DedupOps.dedupSimhash, DedupOps.dedupSimhashSql),
     op("dedup_embedding_cosine", DedupOps.dedupEmbeddingCosine, DedupOps.dedupEmbeddingCosineSql),
+    op("dedup_embedding_lsh", DedupOps.dedupEmbeddingLsh, DedupOps.dedupEmbeddingLshSql),
     op("sim_topk_brute", SimilarityOps.simTopkBrute, SimilarityOps.simTopkBruteSql),
     op("sim_ann_lsh", SimilarityOps.simAnnLsh, SimilarityOps.simAnnLshSql),
     // Intentionally rows-only: both depend on MLlib model internals

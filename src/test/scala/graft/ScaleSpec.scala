@@ -139,6 +139,15 @@ class ScaleSpec extends SparkSpec {
     assert(optimized.contains("n_name#") && optimized.contains("= NATION_2"), optimized)
   }
 
+  test("embedding LSH pair search is an equi-join on band keys, never a cross product") {
+    val p = plan(operators.DedupOps.dedupEmbeddingLsh(spark, sf0001))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // the brute baseline, by contrast, is the documented cross product
+    val brute = plan(operators.DedupOps.dedupEmbeddingCosine(spark, sf0001))
+    assert(brute.contains("CartesianProduct") || brute.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("IVF index probe prunes list partitions (reads 2/16ths, not the table)") {
     import spark.implicits._
     // miniature stand-in for the sim_ann_ivf_index layout: the pin is

@@ -23,6 +23,37 @@ class FunctionsSpec extends SparkSpec {
     assert(z == 0.0)
   }
 
+  test("hyperplane_sig band keys match the composable per-plane construction") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter($"vec_id" < 5)
+      .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    // plane i, component j: +1 iff top md5 bit of "p_i_j" — same family
+    // the ANN bucketer derives driver-side; recompute it here
+    val signs = Array.tabulate(8, 64) { (i, j) =>
+      val d = Md5Bits.digest(s"p_${i}_$j".getBytes("UTF-8"))
+      if ((d(0) & 0x80) != 0) 1 else -1
+    }
+    val slowBits = (0 until 8).map { i =>
+      val arr = s"array(${signs(i).mkString(", ")})"
+      when(expr(s"aggregate(zip_with(v, $arr, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)") > 0,
+        lit(1L << (i % 4))).otherwise(lit(0L))
+    }
+    val slow = e.select($"vec_id",
+      (slowBits(0) + slowBits(1) + slowBits(2) + slowBits(3)).as("b0"),
+      (slowBits(4) + slowBits(5) + slowBits(6) + slowBits(7)).as("b1"))
+    val fast = e.select($"vec_id", expr("hyperplane_sig(v, 2, 4)").as("sig"))
+      .select($"vec_id", $"sig".getItem(0).as("b0"), $"sig".getItem(1).as("b1"))
+    assert(fast.collect().toSet == slow.collect().toSet)
+    // float input widens identically
+    val fastF = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter($"vec_id" < 5)
+      .select($"vec_id", expr("hyperplane_sig(embedding, 2, 4)").as("sig"))
+      .select($"vec_id", $"sig".getItem(0).as("b0"), $"sig".getItem(1).as("b1"))
+    assert(fastF.collect().toSet == slow.collect().toSet)
+  }
+
   test("simhash_agg over rows equals scalar simhash of concatenated tokens") {
     GraftFunctions.register(spark)
     import spark.implicits._

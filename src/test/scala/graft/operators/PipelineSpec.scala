@@ -37,6 +37,20 @@ class PipelineSpec extends SparkSpec {
     assert(lsh.size >= (exact.size * 0.8).toInt)
   }
 
+  test("embedding LSH pairs: precision 1 vs exact cosine, recall >= 0.85") {
+    val exact = DedupOps.dedupEmbeddingCosine(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupOps.dedupEmbeddingLsh(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus should contain cosine pairs above threshold")
+    // same exact-cosine verification after candidate generation → every
+    // reported pair is a true pair
+    assert(lsh.subsetOf(exact))
+    // 16 bands × 4 bits at this corpus's low (0.4) threshold — see the
+    // S-curve note on dedupEmbeddingLsh
+    assert(lsh.size >= (exact.size * 0.85).toInt)
+  }
+
   test("ANN LSH results are a valid ranked subset of brute-force candidates") {
     val brute = SimilarityOps.simTopkBrute(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
