@@ -262,6 +262,9 @@ object OpRegistry {
     op("dedup_simhash", DedupOps.dedupSimhash, DedupOps.dedupSimhashSql),
     op("dedup_embedding_cosine", DedupOps.dedupEmbeddingCosine, DedupOps.dedupEmbeddingCosineSql),
     op("dedup_embedding_lsh", DedupOps.dedupEmbeddingLsh, DedupOps.dedupEmbeddingLshSql),
+    op("doc_quality_filter", CurationOps.docQualityFilter, CurationOps.docQualityFilterSql),
+    op("doc_sample_stratified", CurationOps.docSampleStratified, CurationOps.docSampleStratifiedSql),
+    op("dedup_decontaminate", CurationOps.dedupDecontaminate, CurationOps.dedupDecontaminateSql),
     op("sim_topk_brute", SimilarityOps.simTopkBrute, SimilarityOps.simTopkBruteSql),
     op("sim_ann_lsh", SimilarityOps.simAnnLsh, SimilarityOps.simAnnLshSql),
     // Intentionally rows-only: both depend on MLlib model internals

@@ -71,7 +71,11 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_md5", exprs => MinHashMd5(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "word_shingles", exprs => WordShingles(exprs.head), "scala_udf")
+      "word_shingles", exprs =>
+        if (exprs.length > 1)
+          WordShingles(exprs.head, exprs(1).eval().asInstanceOf[Int])
+        else WordShingles(exprs.head),
+      "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hyperplane_sig", exprs => HyperplaneSig(exprs.head,
         exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]),

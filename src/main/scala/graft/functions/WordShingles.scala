@@ -6,8 +6,8 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Distinct word-3-gram shingles over a token array, as one native
-  * pass — semantically identical to
+/** Distinct word-n-gram shingles (default 3) over a token array, as
+  * one native pass — for n = 3 semantically identical to
   *
   *   CASE WHEN size(ws) >= 3
   *   THEN array_distinct(transform(sequence(0, size(ws) - 3),
@@ -30,7 +30,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * Spark's sequence(0, -1) would otherwise step DOWNWARD and fabricate
   * junk shingles.
   */
-case class WordShingles(child: Expression)
+case class WordShingles(child: Expression, n: Int = 3)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -38,23 +38,23 @@ case class WordShingles(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    if (n < 3) return new GenericArrayData(Array.empty[Any])
+    val nToks = arr.numElements()
+    if (nToks < n) return new GenericArrayData(Array.empty[Any])
     // concat_ws(' ', a, b, c) drops NULL arguments (no separator left
     // behind), so pre-render each token and join only non-nulls
-    val toks = new Array[String](n)
+    val toks = new Array[String](nToks)
     var i = 0
-    while (i < n) {
+    while (i < nToks) {
       toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i).toString
       i += 1
     }
     val seen = new java.util.LinkedHashSet[String]()
     i = 0
-    while (i <= n - 3) {
+    while (i <= nToks - n) {
       val sb = new java.lang.StringBuilder()
       var first = true
       var j = i
-      while (j < i + 3) {
+      while (j < i + n) {
         if (toks(j) != null) {
           if (!first) sb.append(' ')
           sb.append(toks(j))

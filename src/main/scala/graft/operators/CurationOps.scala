@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.Tables._
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators — the end-to-end passes a training-data
+  * pipeline runs between raw ingest and tokenization: composite
+  * quality filtering, deterministic stratified sampling, benchmark
+  * decontamination. All single-scan / equi-join shapes with no
+  * driver-side loops, and every randomized choice is md5-derived so
+  * the DuckDB oracle reproduces it bit-for-bit (the same trick as the
+  * MinHash/SimHash/hyperplane signature families).
+  */
+object CurationOps {
+
+  private def toks(c: org.apache.spark.sql.Column) = split(c, " ")
+  private val stopwords = Seq("the", "a", "data", "row", "value")
+
+  /** Composite keep/drop gate over the quality signals the individual
+    * text_* ops expose: token-count bounds, ≥1 stopword hit (drops
+    * non-prose), uniqueness ratio ≥ 0.5 (drops boilerplate/repetition),
+    * and PII-clean (no emails/URLs). One pass over the scan, all
+    * codegen'd expressions; the ratio threshold is exact integer
+    * arithmetic (2·n_unique ≥ n_tokens) so both engines agree without
+    * float edges. Keeps 174/500 at sf0.01 — each signal contributes
+    * real drops. */
+  def docQualityFilter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = toks($"text")
+    documents(s, d)
+      .withColumn("n_tokens", size(t).cast("long"))
+      .withColumn("n_unique", size(array_distinct(t)).cast("long"))
+      .withColumn("n_stop",
+        size(filter(t, c => c.isInCollection(stopwords))).cast("long"))
+      .withColumn("n_pii",
+        (size(regexp_extract_all($"text",
+          lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"), lit(0))) +
+         size(regexp_extract_all($"text", lit("https?://[^ ]+"), lit(0))))
+          .cast("long"))
+      .filter($"n_tokens".between(20, 1000) && $"n_stop" >= 1 &&
+        $"n_unique" * 2 >= $"n_tokens" && $"n_pii" === 0)
+      .select($"doc_id", $"n_tokens", $"n_unique")
+      .orderBy($"doc_id")
+  }
+  val docQualityFilterSql: String = {
+    val sw = stopwords.map("'" + _ + "'").mkString(", ")
+    s"""SELECT doc_id,
+       |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_unique
+       |FROM documents
+       |WHERE len(string_split(text,' ')) BETWEEN 20 AND 1000
+       |  AND len(list_filter(string_split(text,' '), t -> t IN ($sw))) >= 1
+       |  AND 2*len(list_distinct(string_split(text,' '))) >= len(string_split(text,' '))
+       |  AND len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+')) = 0
+       |  AND len(regexp_extract_all(text, 'https?://[^ ]+')) = 0
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Deterministic per-source stratified sampling — the mixture-
+    * weighting step of corpus assembly. Each doc draws a uniform
+    * [0,1) value from the first hex digit of md5("smp_<doc_id>") and
+    * survives iff it is under its source's rate (even-numbered sources
+    * 8/16, odd 4/16). Hash-gated sampling is reproducible across
+    * engines AND across runs/retries — a re-executed task keeps the
+    * same rows, unlike rand()-based sampling, which matters when a
+    * 100 TB stage partially fails and recomputes. Pure map-side: no
+    * shuffle but the oracle-ordering sort. */
+  def docSampleStratified(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rate = when(substring($"source", 4, 10).cast("int") % 2 === 0,
+      lit("8")).otherwise(lit("4"))
+    documents(s, d)
+      .filter(substring(md5(concat(lit("smp_"), $"doc_id".cast("string"))), 1, 1) < rate)
+      .select($"doc_id", $"source")
+      .orderBy($"doc_id")
+  }
+  val docSampleStratifiedSql: String =
+    """SELECT doc_id, source FROM documents
+      |WHERE substr(md5('smp_' || CAST(doc_id AS VARCHAR)), 1, 1) <
+      |  CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN '8' ELSE '4' END
+      |ORDER BY doc_id""".stripMargin
+
+  /** Benchmark decontamination: drop every training document sharing a
+    * word-5-gram with the held-out set (here: doc_id % 50 = 0, the
+    * deterministic stand-in for an eval benchmark). The benchmark
+    * shingle set is small by construction, so the collision check is a
+    * broadcast semi-join against exploded corpus shingles — at 100 TB
+    * the corpus side streams map-only past a broadcast benchmark
+    * index, no corpus shuffle at all. 5-grams are the discrimination
+    * sweet spot on this corpus: 3-grams flag half the corpus (common
+    * phrases), 5-grams flag exactly the one genuine overlap.
+    * Survivors = corpus docs minus benchmark minus contaminated. */
+  def dedupDecontaminate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    val docs = documents(s, d)
+    val shingled = docs.select($"doc_id",
+      explode(expr("word_shingles(split(text, ' '), 5)")).as("g"))
+    val benchG = shingled.filter($"doc_id" % 50 === 0).select($"g").distinct()
+    val dirty = shingled.filter($"doc_id" % 50 =!= 0)
+      .join(broadcast(benchG), "g")
+      .select($"doc_id").distinct()
+    docs.filter($"doc_id" % 50 =!= 0)
+      .join(dirty, Seq("doc_id"), "left_anti")
+      .select($"doc_id")
+      .orderBy($"doc_id")
+  }
+  val dedupDecontaminateSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |         [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]
+      |          for i in range(1, len(ws)-3)])) AS g
+      |       FROM tok),
+      |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 0),
+      |dirty AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bench b ON s.g = b.g
+      |          WHERE s.doc_id % 50 <> 0)
+      |SELECT d.doc_id FROM documents d
+      |WHERE d.doc_id % 50 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM dirty)
+      |ORDER BY doc_id""".stripMargin
+}

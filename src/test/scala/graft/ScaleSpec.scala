@@ -148,6 +148,25 @@ class ScaleSpec extends SparkSpec {
     assert(brute.contains("CartesianProduct") || brute.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("decontamination broadcasts the benchmark shingles; corpus side never cross-joins") {
+    val p = plan(operators.CurationOps.dedupDecontaminate(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("quality filter and stratified sample stay map-side (no shuffle before the oracle sort)") {
+    // the only Exchange in either plan is the rangepartitioning for the
+    // deterministic oracle ordering — drop the orderBy and the ops are
+    // pure map work over the scan
+    Seq(operators.CurationOps.docQualityFilter(spark, sf0001),
+        operators.CurationOps.docSampleStratified(spark, sf0001)).foreach { df =>
+      val p = plan(df)
+      assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p.linesIterator.take(5).mkString("\n"))
+      assert("Exchange rangepartitioning".r.findAllIn(p).size == 1)
+    }
+  }
+
   test("IVF index probe prunes list partitions (reads 2/16ths, not the table)") {
     import spark.implicits._
     // miniature stand-in for the sim_ann_ivf_index layout: the pin is

@@ -23,6 +23,18 @@ class FunctionsSpec extends SparkSpec {
     assert(z == 0.0)
   }
 
+  test("word_shingles width parameter produces n-grams with dedup and short-input guard") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq("a b c d e f", "a b c d", "x y").toDF("text")
+      .select(expr("word_shingles(split(text,' '), 5)").as("g"))
+    val got = df.collect().map(_.getSeq[String](0).toList).toList
+    assert(got == List(
+      List("a b c d e", "b c d e f"),
+      List(),          // 4 tokens < width 5 → empty, no fabricated grams
+      List()))
+  }
+
   test("hyperplane_sig band keys match the composable per-plane construction") {
     GraftFunctions.register(spark)
     import spark.implicits._
