@@ -265,6 +265,9 @@ object OpRegistry {
     op("doc_quality_filter", CurationOps.docQualityFilter, CurationOps.docQualityFilterSql),
     op("doc_sample_stratified", CurationOps.docSampleStratified, CurationOps.docSampleStratifiedSql),
     op("dedup_decontaminate", CurationOps.dedupDecontaminate, CurationOps.dedupDecontaminateSql),
+    op("text_redact", CurationOps.textRedact, CurationOps.textRedactSql),
+    op("doc_stream_quality", CurationOps.docStreamQuality, CurationOps.docStreamQualitySql),
+    op("doc_shard_pack", CurationOps.docShardPack, CurationOps.docShardPackSql),
     op("sim_topk_brute", SimilarityOps.simTopkBrute, SimilarityOps.simTopkBruteSql),
     op("sim_ann_lsh", SimilarityOps.simAnnLsh, SimilarityOps.simAnnLshSql),
     // Intentionally rows-only: both depend on MLlib model internals

@@ -82,6 +82,106 @@ object CurationOps {
       |  CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN '8' ELSE '4' END
       |ORDER BY doc_id""".stripMargin
 
+  /** PII redaction — the transform counterpart of text_pii's detector:
+    * emails → `<EMAIL>`, then URLs → `<URL>`, same patterns, applied in
+    * that fixed order in both engines (an email inside a URL's
+    * userinfo must redact identically). Pure map-side regexp_replace
+    * (all-occurrence mode; DuckDB needs the explicit 'g' flag). The
+    * output carries the redacted text's md5 + length rather than the
+    * text itself, which keeps the oracle compare O(1) per row. */
+  def textRedact(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val red = regexp_replace(
+      regexp_replace($"text",
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+      "https?://[^ ]+", "<URL>")
+    documents(s, d)
+      .select($"doc_id", md5(red).as("redacted_md5"),
+        length(red).cast("long").as("redacted_len"))
+      .orderBy($"doc_id")
+  }
+  val textRedactSql: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(regexp_replace(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+      |    'https?://[^ ]+', '<URL>', 'g')) AS redacted_md5,
+      |  CAST(length(regexp_replace(regexp_replace(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+      |    'https?://[^ ]+', '<URL>', 'g')) AS BIGINT) AS redacted_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Token-budget shard packing — the sequence/shard assembly step
+    * before tokenization: within each source, docs pack in doc_id
+    * order into ~500-token shards (shard = cumulative tokens BEFORE
+    * this doc, integer-divided by the budget). The window partitions
+    * by source, so packing parallelizes across sources — the 100 TB
+    * shape, where a global ordered cumsum would serialize the corpus
+    * through one task. Integer window math → bit-identical across
+    * engines. */
+  def docShardPack(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents(s, d)
+      .withColumn("n_tokens", size(toks($"text")).cast("long"))
+      .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      // `div`, not `/`: long division stays in integer space (the
+      // float path would be correct here but sets a bad precedent for
+      // the > 2^53 cumulative sums a 100 TB corpus actually produces)
+      .withColumn("shard", expr("cum_before div 500"))
+      .select($"doc_id", $"source", $"n_tokens", $"shard")
+      .orderBy($"doc_id")
+  }
+  val docShardPackSql: String =
+    """SELECT doc_id, source,
+      |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+      |  CAST(COALESCE(sum(len(string_split(text,' ')))
+      |    OVER (PARTITION BY source ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 500
+      |    AS BIGINT) AS shard
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** The quality gate as a STREAMING pass: documents arrive as a file
+    * stream (the continuous-ingest shape — each new parquet drop in
+    * the corpus directory is a micro-batch), flow through exactly the
+    * same codegen'd gate expressions as [[docQualityFilter]], and land
+    * via foreachBatch as parquet. The comparable output re-reads the
+    * landed files, so the oracle (the batch gate's SQL) proves the
+    * streaming path admits precisely the batch row set — curation
+    * logic stays one implementation whether the corpus is at rest or
+    * in flight. Stateless map/filter streaming: no watermark or state
+    * store needed. */
+  def docStreamQuality(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val tmp = java.nio.file.Files.createTempDirectory("graft_qsink").toString
+    val t = toks($"text")
+    val gated = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+      .withColumn("n_tokens", size(t).cast("long"))
+      .withColumn("n_unique", size(array_distinct(t)).cast("long"))
+      .withColumn("n_stop",
+        size(filter(t, c => c.isInCollection(stopwords))).cast("long"))
+      .withColumn("n_pii",
+        (size(regexp_extract_all($"text",
+          lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"), lit(0))) +
+         size(regexp_extract_all($"text", lit("https?://[^ ]+"), lit(0))))
+          .cast("long"))
+      .filter($"n_tokens".between(20, 1000) && $"n_stop" >= 1 &&
+        $"n_unique" * 2 >= $"n_tokens" && $"n_pii" === 0)
+      .select($"doc_id", $"n_tokens", $"n_unique")
+    val q = gated.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(tmp)
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.read.parquet(tmp).orderBy($"doc_id")
+  }
+  val docStreamQualitySql: String = docQualityFilterSql
+
   /** Benchmark decontamination: drop every training document sharing a
     * word-5-gram with the held-out set (here: doc_id % 50 = 0, the
     * deterministic stand-in for an eval benchmark). The benchmark
