@@ -162,6 +162,7 @@ object OpRegistry {
         |FROM lineitem
         |GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY rf, ls"""),
+    op("q_grouping_sets", RelationalOps.qGroupingSets, RelationalOps.qGroupingSetsSql),
     op("q_salted_join", RelationalOps.qSaltedJoin,
       """SELECT o_orderpriority, count(*) AS n,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
@@ -306,6 +307,7 @@ object OpRegistry {
     op("graphx_degrees", GraphOps.graphxDegrees, GraphOps.graphxDegreesSql),
     op("graphx_cc", GraphOps.graphxCc, GraphOps.graphxCcSql),
     opNoOracle("graphx_pagerank", GraphOps.graphxPagerank),
+    op("graphx_triangles", GraphOps.graphxTriangles, GraphOps.graphxTrianglesSql),
   )
 
   val ops: Seq[Op] = relational ++ rdfParity ++ pipeline

@@ -99,4 +99,43 @@ object GraphOps {
       .orderBy($"rank_r".desc, $"term")
       .limit(20)
   }
+
+  /** Per-vertex triangle counts over the embedding near-dup graph
+    * ([[DedupOps.dedupEmbeddingCosine]] pairs as undirected edges) —
+    * triangle density is the standard cohesion measure on a similarity
+    * graph (a pair inside a triangle is corroborated by a third
+    * neighbor; an isolated pair is not). The RDF triple view is
+    * tripartite (customer→nation→region) and has NO triangles, so the
+    * similarity graph is the one with signal. Edges arrive canonical
+    * (i < j, distinct) from the dedup op. Unlike PageRank
+    * (float-iterative, rows-only), triangle counting is exact
+    * combinatorics — the DuckDB oracle is the 3-way edge self-join,
+    * hash-checked. */
+  def graphxTriangles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = DedupOps.dedupEmbeddingCosine(s, d)
+    val eRdd = pairs.as[(Long, Long)].rdd
+      .map { case (a, b) => Edge(a, b, ()) }
+    val g = XGraph.fromEdges(eRdd, ())
+      .partitionBy(org.apache.spark.graphx.PartitionStrategy.RandomVertexCut)
+    val tri = g.triangleCount().vertices.filter(_._2 > 0)
+    s.createDataFrame(tri.map(x => (x._1, x._2.toLong)))
+      .toDF("vec_id", "n_tri")
+      .orderBy($"vec_id")
+  }
+  val graphxTrianglesSql: String =
+    """WITH und AS (
+      |  SELECT a.vec_id AS a, b.vec_id AS b
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.4),
+      |tri AS (
+      |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM und e1
+      |  JOIN und e2 ON e2.a = e1.b
+      |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |v AS (SELECT x AS vec_id FROM tri
+      |      UNION ALL SELECT y FROM tri
+      |      UNION ALL SELECT z FROM tri)
+      |SELECT vec_id, count(*) AS n_tri FROM v
+      |GROUP BY vec_id ORDER BY vec_id""".stripMargin
 }

@@ -241,6 +241,33 @@ object RelationalOps {
       .orderBy($"rf", $"ls")
   }
 
+  /** Explicit GROUPING SETS — the general form ROLLUP/CUBE specialize:
+    * here the two single-column marginals plus the grand total, WITHOUT
+    * the (rf, ls) pair cells a cube would add. Same one-pass expansion
+    * + partial aggregation as [[qCube]]; Spark 4 exposes it directly on
+    * the Dataset API. */
+  def qGroupingSets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .groupingSets(
+        Seq(Seq($"l_returnflag"), Seq($"l_linestatus"), Seq()),
+        $"l_returnflag", $"l_linestatus")
+      .agg(sum(dec($"l_quantity")).cast("double").as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("rf"),
+        coalesce($"l_linestatus", lit("ALL")).as("ls"),
+        $"sum_qty", $"n")
+      .orderBy($"rf", $"ls")
+  }
+  val qGroupingSetsSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      |  coalesce(l_linestatus, 'ALL') AS ls,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY rf, ls""".stripMargin
+
   /** Skew-safe JOIN via salt replication (the join-side counterpart of
     * [[qSaltedAgg]]): the build side is replicated once per salt value
     * and the probe side picks a uniform salt, so one hot key spreads
