@@ -216,6 +216,25 @@ object RdfOps {
       |FROM customer WHERE c_nationkey < length(c_name)
       |ORDER BY c, k, l""".stripMargin
 
+  /** SPARQL 1.1 aggregation through the string front-end (beyond the
+    * reference, which has no aggregates): customers per ASIA nation +
+    * the lexicographically first customer name. Set semantics (the
+    * engine's distinct-solutions model) make count ≡ COUNT(DISTINCT)
+    * on the oracle side. */
+  def bgpGroupCount(s: SparkSession, d: String): DataFrame = {
+    val q = Sparql.parse(
+      """select $n count($c) min($c) where {
+        |  $c in_nation $n . $n in_region ASIA
+        |} group by $n order by $n""".stripMargin)
+    Bgp.compile(tripleView(s, d), q)
+  }
+  val bgpGroupCountSql: String =
+    s"""$tripleViewSql
+       |SELECT t1.o AS n, count(DISTINCT t1.s) AS count_c, min(t1.s) AS min_c
+       |FROM t t1 JOIN t t2 ON t1.o = t2.s
+       |WHERE t1.p = 'in_nation' AND t2.p = 'in_region' AND t2.o = 'ASIA'
+       |GROUP BY t1.o ORDER BY n""".stripMargin
+
   /** Boolean FILTER connectives (`&&` / `||`, && binding tighter —
     * standard SPARQL, round-3 "missing" #1): customers in NATION_2, or
     * in NATION_7 with a name ending in 1. Exercises the DNF compile

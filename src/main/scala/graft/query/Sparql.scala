@@ -29,7 +29,12 @@ final case class Sparql(
     orderKeys: Seq[(String, Boolean)] = Nil, // (var, ascending)
     limitN: Option[Int] = None,
     offsetN: Option[Int] = None,
-    distinctKeyword: Boolean = false) {
+    distinctKeyword: Boolean = false,
+    // aggregation (beyond the reference — standard SPARQL 1.1):
+    // (fn, inputVar|"*", alias); with aggs present, groupKeys must
+    // cover every plain select variable
+    aggs: Seq[(String, String, String)] = Nil,
+    groupKeys: Seq[String] = Nil) {
 
   /** ORDER BY modifier (standard SPARQL; the reference has no solution
     * modifiers at all). Applied after projection/DISTINCT, before LIMIT. */
@@ -55,6 +60,28 @@ final case class Sparql(
   }
 
   def select(vs: Seq[String]): Sparql = copy(vars = vars ++ vs.map(stripVar))
+
+  /** Aggregate select item (standard SPARQL 1.1 — the reference has no
+    * aggregation at all): `fn` ∈ count|min|max|sum|avg, `v` a declared
+    * variable or `*` (count only). Set semantics match the engine's
+    * documented distinct-solutions model: aggregation runs over the
+    * DISTINCT (group keys × input vars) projection. */
+  def aggregate(fn: String, v: String, alias: String): Sparql = {
+    require(Sparql.AggregateFns.contains(fn), s"unsupported aggregate: $fn")
+    if (v == "*") require(fn == "count", s"only count accepts *, got $fn(*)")
+    else require(vars.contains(stripVar(v)),
+      s"aggregate variable $v not declared in select")
+    copy(aggs = aggs :+ ((fn, if (v == "*") v else stripVar(v), alias)))
+  }
+
+  /** GROUP BY keys; with any aggregate present, these must cover every
+    * plain (non-aggregated) select variable — same rule as SQL. */
+  def groupBy(keys: Seq[String]): Sparql = {
+    val stripped = keys.map(stripVar)
+    stripped.foreach(k =>
+      require(vars.contains(k), s"group by variable $$$k not declared in select"))
+    copy(groupKeys = groupKeys ++ stripped)
+  }
 
   def filter(patterns: Seq[Seq[String]]): Sparql =
     copy(conds = conds ++ parsePatterns(patterns))
@@ -117,6 +144,9 @@ object Sparql {
   def apply(): Sparql = Sparql(Nil, Nil)
 
   val ConstraintOps: Set[String] = Set("==", "!=", "<", "<=", ">", ">=", "regex")
+  val AggregateFns: Set[String] = Set("count", "min", "max", "sum", "avg")
+  /** `count($c)` / `count(*)` select items; alias = `fn_var` / `fn_all`. */
+  private val AggTok = """(?i)(count|min|max|sum|avg)\((\$\w+|\*)\)""".r
 
   /** Tiny string front-end (the reference declares a `sparql!` macro
     * but leaves it `unimplemented!()`, query.rs:74-77 — this completes
@@ -141,7 +171,18 @@ object Sparql {
     require(si == 0 && wi > 0, s"expected 'select … where { … }', got: $q")
     val selToks = lower.substring(si + 6, wi).trim.split("\\s+").toSeq.filter(_.nonEmpty)
     val hasDistinct = selToks.headOption.exists(_.equalsIgnoreCase("distinct"))
-    val vars = if (hasDistinct) selToks.tail else selToks
+    val selItems = if (hasDistinct) selToks.tail else selToks
+    // split the select list into plain variables and aggregate items
+    val aggItems = selItems.collect { case AggTok(fn, v) =>
+      val alias = s"${fn.toLowerCase}_${if (v == "*") "all" else v.substring(1)}"
+      (fn.toLowerCase, v, alias)
+    }
+    val plainVars = selItems.filterNot(t => AggTok.matches(t))
+    plainVars.foreach(t => require(t.startsWith("$"),
+      s"select item must be a $$variable or aggregate fn($$v), got: $t"))
+    // agg INPUT vars join the declared set so patterns can bind them
+    val aggVars = aggItems.collect { case (_, v, _) if v != "*" => v }
+    val vars = plainVars ++ aggVars.filterNot(plainVars.contains)
     val afterWhere = lower.substring(wi + 5).trim
     require(afterWhere.startsWith("{"), "where clause must be braced")
     // depth-scan to the matching close brace: solution modifiers
@@ -224,7 +265,17 @@ object Sparql {
     }
     val withDistinct =
       if (hasDistinct) withFilters.copy(distinctKeyword = true) else withFilters
-    parseModifiers(withDistinct, modifierToks)
+    val withAggs = aggItems.foldLeft(withDistinct) {
+      case (q, (fn, v, alias)) => q.aggregate(fn, v, alias)
+    }
+    val parsed = parseModifiers(withAggs, modifierToks)
+    if (parsed.aggs.nonEmpty) {
+      require(parsed.groupKeys.nonEmpty || plainVars.isEmpty,
+        "aggregates alongside plain select variables need a group by")
+      require(plainVars.map(_.substring(1)).toSet == parsed.groupKeys.toSet,
+        "group by must list exactly the non-aggregated select variables")
+    } else require(parsed.groupKeys.isEmpty, "group by requires an aggregate in select")
+    parsed
   }
 
   /** `order by $v [asc|desc] … limit N` after the where block. */
@@ -264,6 +315,17 @@ object Sparql {
           require(i + 1 < toks.length, "offset needs a count")
           q = q.offset(intTok("offset", toks(i + 1)))
           i += 2
+        case "group" =>
+          require(i + 1 < toks.length && toks(i + 1).equalsIgnoreCase("by"),
+            "group must be followed by 'by'")
+          i += 2
+          val keys = Vector.newBuilder[String]
+          while (i < toks.length && toks(i).startsWith("$")) {
+            keys += toks(i); i += 1
+          }
+          val ks = keys.result()
+          require(ks.nonEmpty, "group by needs at least one $variable")
+          q = q.groupBy(ks)
         case other =>
           throw new IllegalArgumentException(
             s"unexpected token after where block: $other")
@@ -455,10 +517,41 @@ object Bgp {
     val constrained = q.disjunctions.foldLeft(conjoined) { (acc, dnf) =>
       acc.filter(dnf.map(_.map(comparison(acc)).reduce(_ && _)).reduce(_ || _))
     }
+    // Aggregation (SPARQL 1.1 GROUP BY): set semantics first — the
+    // engine's documented distinct-solutions model — so aggregates run
+    // over the DISTINCT (group keys × agg inputs) projection; then one
+    // partial-aggregated groupBy. count → BIGINT; sum/avg try_cast the
+    // term to double (SPARQL numeric-term coercion; non-numeric → null,
+    // excluded like SQL).
+    val aggregated =
+      if (q.aggs.isEmpty) constrained
+      else {
+        val inputs = q.aggs.collect { case (_, v, _) if v != "*" => v }
+        val keyCols = (q.groupKeys ++ inputs).distinct
+        keyCols.foreach(k => require(constrained.columns.contains(k),
+          s"aggregate/group variable $$$k is bound by no pattern"))
+        val pre = constrained.select(keyCols.map(constrained(_)): _*).distinct()
+        val exprs = q.aggs.map {
+          case ("count", "*", a) => count(lit(1)).as(a)
+          case ("count", v, a)   => count(pre(v)).as(a)
+          case ("min", v, a)     => min(pre(v)).as(a)
+          case ("max", v, a)     => max(pre(v)).as(a)
+          case ("sum", v, a)     => sum(pre(v).try_cast("double")).as(a)
+          case ("avg", v, a)     => avg(pre(v).try_cast("double")).as(a)
+          case (f, _, _)         => throw new IllegalArgumentException(
+            s"unsupported aggregate: $f")
+        }
+        if (q.groupKeys.isEmpty) pre.agg(exprs.head, exprs.tail: _*)
+        else pre.groupBy(q.groupKeys.map(pre(_)): _*).agg(exprs.head, exprs.tail: _*)
+      }
     // a selected variable no pattern binds projects as null (SPARQL
     // unbound semantics — also what lets UNION alternatives bind
-    // different variable subsets)
-    val projected = constrained.select(q.vars.distinct.map { v =>
+    // different variable subsets); aggregate queries project group keys
+    // then aggregate aliases, in select-list order
+    val projected =
+      if (q.aggs.nonEmpty)
+        aggregated.select((q.groupKeys ++ q.aggs.map(_._3)).map(aggregated(_)): _*)
+      else constrained.select(q.vars.distinct.map { v =>
       if (constrained.columns.contains(v)) constrained(v)
       else lit(null).cast("string").as(v)
     }: _*)
@@ -466,7 +559,10 @@ object Bgp {
     // OFFSET → LIMIT (set semantics stay the compile-level default —
     // the documented round-1 divergence; the DISTINCT keyword matters
     // to callers that pass distinct = false)
-    val dedup = if (distinct || q.distinctKeyword) projected.distinct() else projected
+    val dedup =
+      if (q.aggs.nonEmpty) projected // one row per group already
+      else if (distinct || q.distinctKeyword) projected.distinct()
+      else projected
     val ordered =
       if (q.orderKeys.isEmpty) dedup
       else dedup.orderBy(q.orderKeys.map { case (v, asc) =>

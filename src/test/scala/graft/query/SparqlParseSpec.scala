@@ -170,6 +170,35 @@ class SparqlParseSpec extends SparkSpec {
     assert(res == Seq(Row("alice", "9", "35"), Row("carol", "young", "zz")))
   }
 
+  test("aggregates parse, group, and count distinct solutions") {
+    import spark.implicits._
+    val triples = Seq(
+      ("alice", "in", "g1"),
+      ("alice", "in", "g1"),  // duplicate solution — set semantics drop it
+      ("bob", "in", "g1"),
+      ("carol", "in", "g2")).toDF("s", "p", "o")
+    val q = Sparql.parse(
+      "select $g count($x) min($x) where { $x in $g } group by $g order by $g")
+    assert(q.aggs == Seq(("count", "x", "count_x"), ("min", "x", "min_x")))
+    assert(q.groupKeys == Seq("g"))
+    val res = Bgp.compile(triples, q).collect().toSeq
+    assert(res == Seq(Row("g1", 2L, "alice"), Row("g2", 1L, "carol")))
+    // global aggregate: no plain vars, no group by needed
+    val g = Sparql.parse("select count($x) where { $x in g1 }")
+    assert(Bgp.compile(triples, g).collect().toSeq == Seq(Row(2L)))
+  }
+
+  test("aggregate / group by mismatches fail fast") {
+    assertThrows[IllegalArgumentException]( // plain var not grouped
+      Sparql.parse("select $g count($x) where { $x in $g }"))
+    assertThrows[IllegalArgumentException]( // group by without aggregate
+      Sparql.parse("select $g where { $x in $g } group by $g"))
+    assertThrows[IllegalArgumentException]( // * only valid under count
+      Sparql.parse("select min(*) where { $x in $g }"))
+    assertThrows[IllegalArgumentException]( // grouping an undeclared var
+      Sparql.parse("select count($x) where { $x in $g } group by $z"))
+  }
+
   test("typed pattern values parse with kinds, bare values stay untyped") {
     assert(QueryUnit.parse("<http://g.test/a>") == QVal("http://g.test/a", Some(QueryUnit.Iri)))
     assert(QueryUnit.parse("\"alice\"") == QVal("alice", Some(QueryUnit.Lit)))
