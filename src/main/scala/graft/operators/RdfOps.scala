@@ -235,6 +235,22 @@ object RdfOps {
        |WHERE t1.p = 'in_nation' AND t2.p = 'in_region' AND t2.o = 'ASIA'
        |GROUP BY t1.o ORDER BY n""".stripMargin
 
+  /** GROUP BY + HAVING through the string front-end: nations keeping
+    * at least 65 (distinct) customers. Exercises the post-aggregation
+    * group filter with the numeric-literal dispatch. */
+  def bgpGroupHaving(s: SparkSession, d: String): DataFrame = {
+    val q = Sparql.parse(
+      """select $n count($c) where { $c in_nation $n }
+        |group by $n having ( count($c) >= 65 ) order by $n""".stripMargin)
+    Bgp.compile(tripleView(s, d), q)
+  }
+  val bgpGroupHavingSql: String =
+    s"""$tripleViewSql
+       |SELECT o AS n, count(DISTINCT s) AS count_c
+       |FROM t WHERE p = 'in_nation'
+       |GROUP BY o HAVING count(DISTINCT s) >= 65
+       |ORDER BY n""".stripMargin
+
   /** Boolean FILTER connectives (`&&` / `||`, && binding tighter —
     * standard SPARQL, round-3 "missing" #1): customers in NATION_2, or
     * in NATION_7 with a name ending in 1. Exercises the DNF compile

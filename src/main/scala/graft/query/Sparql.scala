@@ -34,7 +34,10 @@ final case class Sparql(
     // (fn, inputVar|"*", alias); with aggs present, groupKeys must
     // cover every plain select variable
     aggs: Seq[(String, String, String)] = Nil,
-    groupKeys: Seq[String] = Nil) {
+    groupKeys: Seq[String] = Nil,
+    // HAVING constraints: (aggAlias, op, literal) — the alias must be
+    // an aggregate that appears in the select list
+    havings: Seq[(String, String, String)] = Nil) {
 
   /** ORDER BY modifier (standard SPARQL; the reference has no solution
     * modifiers at all). Applied after projection/DISTINCT, before LIMIT. */
@@ -72,6 +75,21 @@ final case class Sparql(
     else require(vars.contains(stripVar(v)),
       s"aggregate variable $v not declared in select")
     copy(aggs = aggs :+ ((fn, if (v == "*") v else stripVar(v), alias)))
+  }
+
+  /** HAVING constraint on an aggregate that appears in the select list
+    * (standard SPARQL 1.1 / SQL semantics: filters groups after
+    * aggregation). `aggTok` is the same `fn($v)` / `count(*)` syntax as
+    * a select item; `value` a literal. */
+  def having(aggTok: String, op: String, value: String): Sparql = {
+    require(Sparql.ConstraintOps.contains(op) && op != "regex",
+      s"unsupported having op: $op")
+    val alias = Sparql.aggAlias(aggTok).getOrElse(
+      throw new IllegalArgumentException(
+        s"having expects an aggregate fn($$v), got: $aggTok"))
+    require(aggs.exists(_._3 == alias),
+      s"having aggregate $aggTok must appear in the select list")
+    copy(havings = havings :+ ((alias, op, value)))
   }
 
   /** GROUP BY keys; with any aggregate present, these must cover every
@@ -148,15 +166,23 @@ object Sparql {
   /** `count($c)` / `count(*)` select items; alias = `fn_var` / `fn_all`. */
   private val AggTok = """(?i)(count|min|max|sum|avg)\((\$\w+|\*)\)""".r
 
+  /** Alias an aggregate token resolves to, if it is one. */
+  def aggAlias(tok: String): Option[String] = tok match {
+    case AggTok(fn, v) =>
+      Some(s"${fn.toLowerCase}_${if (v == "*") "all" else v.substring(1)}")
+    case _ => None
+  }
+
   /** Tiny string front-end (the reference declares a `sparql!` macro
     * but leaves it `unimplemented!()`, query.rs:74-77 — this completes
     * the intent). Grammar:
     *
-    *   select [distinct] $a $b
+    *   select [distinct] ($a | fn($a) | count(*)) …
     *   where { $a pred obj . subj pred $b
     *           [optional { … }]
     *           [filter ( lhs op rhs [&& …] [|| …] )] }
-    *   [order by $a [asc|desc] …] [limit N]
+    *   [group by $a …] [having ( fn($a) op value )]
+    *   [order by $a [asc|desc] …] [limit N] [offset N]
     *
     * Whitespace-tokenized; patterns separated by a STANDALONE '.'
     * token (a dot surrounded by whitespace, or the final dot before
@@ -326,6 +352,13 @@ object Sparql {
           val ks = keys.result()
           require(ks.nonEmpty, "group by needs at least one $variable")
           q = q.groupBy(ks)
+        case "having" =>
+          // standalone parens (like the grammar line documents):
+          //   having ( count($c) >= 65 )
+          require(i + 5 < toks.length && toks(i + 1) == "(" && toks(i + 5) == ")",
+            "having must be `having ( fn($v) op value )` with spaced parens")
+          q = q.having(toks(i + 2), toks(i + 3), toks(i + 4))
+          i += 6
         case other =>
           throw new IllegalArgumentException(
             s"unexpected token after where block: $other")
@@ -541,8 +574,27 @@ object Bgp {
           case (f, _, _)         => throw new IllegalArgumentException(
             s"unsupported aggregate: $f")
         }
-        if (q.groupKeys.isEmpty) pre.agg(exprs.head, exprs.tail: _*)
-        else pre.groupBy(q.groupKeys.map(pre(_)): _*).agg(exprs.head, exprs.tail: _*)
+        val grouped =
+          if (q.groupKeys.isEmpty) pre.agg(exprs.head, exprs.tail: _*)
+          else pre.groupBy(q.groupKeys.map(pre(_)): _*).agg(exprs.head, exprs.tail: _*)
+        // HAVING: group filters after aggregation; numeric literal →
+        // numeric compare (counts are longs, sums doubles), same
+        // dispatch rule as FILTER
+        q.havings.foldLeft(grouped) { case (acc, (alias, op, v)) =>
+          val numeric = scala.util.Try(v.toDouble).isSuccess
+          val lc = if (numeric) acc(alias).try_cast("double") else acc(alias)
+          val rc = if (numeric) lit(v.toDouble) else lit(v)
+          acc.filter(op match {
+            case "==" => lc === rc
+            case "!=" => lc =!= rc
+            case "<"  => lc < rc
+            case "<=" => lc <= rc
+            case ">"  => lc > rc
+            case ">=" => lc >= rc
+            case other => throw new IllegalArgumentException(
+              s"unsupported having op: $other")
+          })
+        }
       }
     // a selected variable no pattern binds projects as null (SPARQL
     // unbound semantics — also what lets UNION alternatives bind

@@ -188,6 +188,22 @@ class SparqlParseSpec extends SparkSpec {
     assert(Bgp.compile(triples, g).collect().toSeq == Seq(Row(2L)))
   }
 
+  test("having filters groups after aggregation") {
+    import spark.implicits._
+    val triples = Seq(
+      ("alice", "in", "g1"), ("bob", "in", "g1"),
+      ("carol", "in", "g2")).toDF("s", "p", "o")
+    val q = Sparql.parse(
+      "select $g count($x) where { $x in $g } group by $g having ( count($x) >= 2 ) order by $g")
+    assert(q.havings == Seq(("count_x", ">=", "2")))
+    assert(Bgp.compile(triples, q).collect().toSeq == Seq(Row("g1", 2L)))
+    // having must reference a selected aggregate
+    assertThrows[IllegalArgumentException](Sparql.parse(
+      "select $g count($x) where { $x in $g } group by $g having ( min($x) == a )"))
+    assertThrows[IllegalArgumentException](Sparql.parse(
+      "select $g count($x) where { $x in $g } group by $g having ( $g == a )"))
+  }
+
   test("aggregate / group by mismatches fail fast") {
     assertThrows[IllegalArgumentException]( // plain var not grouped
       Sparql.parse("select $g count($x) where { $x in $g }"))
