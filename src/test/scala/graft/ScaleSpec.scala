@@ -148,6 +148,20 @@ class ScaleSpec extends SparkSpec {
     assert(brute.contains("CartesianProduct") || brute.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("SPARQL aggregation partial-aggregates around the shuffle") {
+    val p = plan(operators.RdfOps.bgpGroupCount(spark, sf0001))
+    // two-phase aggregation: partial_count/partial_min combine map-side
+    // BEFORE the hashpartitioning exchange (string min forces
+    // SortAggregate rather than HashAggregate — the partials are what
+    // matter at scale, not the aggregate flavor)
+    assert(p.contains("partial_count"), p.linesIterator.take(10).mkString("\n"))
+    val partialIdx = p.indexOf("partial_count")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning")
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      "partial aggregate must sit below the shuffle in the plan tree")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("decontamination broadcasts the benchmark shingles; corpus side never cross-joins") {
     val p = plan(operators.CurationOps.dedupDecontaminate(spark, sf0001))
     assert(p.contains("BroadcastHashJoin"))
