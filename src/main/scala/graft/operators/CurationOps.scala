@@ -178,6 +178,14 @@ object CurationOps {
       .start()
     try q.processAllAvailable()
     finally q.stop()
+    // The returned DataFrame reads the landed files lazily (the gate
+    // passes ~1/3 of the corpus — NOT driver-collectable at scale), so
+    // the sink can't be deleted here; register it for JVM-exit cleanup
+    // instead so repeated runs don't leak one landed-files tree per
+    // call (the round-4 IVF ADVICE lesson). Production keeps the sink
+    // — it IS the output.
+    val p = new org.apache.hadoop.fs.Path(tmp)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(p)
     s.read.parquet(tmp).orderBy($"doc_id")
   }
   val docStreamQualitySql: String = docQualityFilterSql

@@ -125,6 +125,10 @@ object EventOps {
   def evStreamToParquet(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    // landed files are read back lazily below — clean up at JVM exit,
+    // not here (same leak-avoidance contract as doc_stream_quality)
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    tmpPath.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(tmpPath)
     val stream = eventsStream(s, d)
       .select($"event_id", $"user_id", $"event_type", $"value")
     val key = "spark.sql.shuffle.partitions"

@@ -203,6 +203,10 @@ object Sparql {
       val alias = s"${fn.toLowerCase}_${if (v == "*") "all" else v.substring(1)}"
       (fn.toLowerCase, v, alias)
     }
+    // duplicate select items would collide on the generated alias and
+    // surface as an opaque Spark duplicate-column error — fail fast here
+    require(aggItems.map(_._3).distinct.length == aggItems.length,
+      s"duplicate aggregate select item in: ${selItems.mkString(" ")}")
     val plainVars = selItems.filterNot(t => AggTok.matches(t))
     plainVars.foreach(t => require(t.startsWith("$"),
       s"select item must be a $$variable or aggregate fn($$v), got: $t"))

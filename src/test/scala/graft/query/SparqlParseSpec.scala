@@ -213,6 +213,8 @@ class SparqlParseSpec extends SparkSpec {
       Sparql.parse("select min(*) where { $x in $g }"))
     assertThrows[IllegalArgumentException]( // grouping an undeclared var
       Sparql.parse("select count($x) where { $x in $g } group by $z"))
+    assertThrows[IllegalArgumentException]( // duplicate aggregate alias
+      Sparql.parse("select count($x) count($x) where { $x in g1 }"))
   }
 
   test("typed pattern values parse with kinds, bare values stay untyped") {
