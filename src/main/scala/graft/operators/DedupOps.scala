@@ -185,19 +185,27 @@ object DedupOps {
     // cache the pair list: GraphX materializes its edge RDD several
     // times during CC, which would re-run the whole jaccard pipeline
     val pairs = dedupNgramJaccard(s, d).select($"da", $"db").cache()
-    val docs = documents(s, d).select($"doc_id").cache()
+    // Pregel runs over the PAIRED docs only — a doc in no pair is its
+    // own canonical by definition and joining it back afterwards is
+    // one map-side coalesce, not 10+ CC iterations. At 100 TB the
+    // near-dup subgraph is a small fraction of the corpus, so this
+    // bounds the iterative stage by the dup volume, not the corpus.
+    val paired = pairs.select($"da".as("doc_id"))
+      .union(pairs.select($"db")).distinct()
     // size the graph RDDs from the input like GraphOps.buildGraph —
     // iterative Pregel pays per-partition overhead every round, so
     // target ~1M rows/partition capped at the cluster parallelism
     // (round-2 verdict #2: a constant coalesce(1) funnels the whole
     // 100 TB doc-id + pair set through one task)
-    val n = math.max(pairs.count(), docs.count())
     val parts = math.max(1, math.min(
-      s.sparkContext.defaultParallelism, (n / 1000000L).toInt))
-    val vRdd = docs.as[Long].rdd.map(id => (id, ())).coalesce(parts)
+      s.sparkContext.defaultParallelism, (pairs.count() / 1000000L).toInt))
+    val vRdd = paired.as[Long].rdd.map(id => (id, ())).coalesce(parts)
     val eRdd = pairs.as[(Long, Long)].rdd.map { case (a, b) => Edge(a, b, ()) }.coalesce(parts)
     val cc = XGraph(vRdd, eRdd).connectedComponents().vertices
-    s.createDataFrame(cc).toDF("doc_id", "canonical")
+    val ccDf = s.createDataFrame(cc).toDF("doc_id", "canonical")
+    documents(s, d).select($"doc_id")
+      .join(ccDf, Seq("doc_id"), "left_outer")
+      .select($"doc_id", coalesce($"canonical", $"doc_id").as("canonical"))
       .orderBy($"doc_id")
   }
   val dedupClustersSql: String =
