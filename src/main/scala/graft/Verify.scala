@@ -7,8 +7,12 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     // optional trailing names restrict the dump (dev loop: one query +
-    // tools/check.py on it); the driver passes none and gets everything
+    // tools/check.py on it); the driver passes none and gets everything.
+    // Unknown names fail fast — a typo would otherwise dump nothing and
+    // exit 0, making the dev check pass vacuously.
     val only = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

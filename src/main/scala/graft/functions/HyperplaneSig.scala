@@ -48,11 +48,7 @@ case class HyperplaneSig(child: Expression, nBands: Int, bandBits: Int)
     new java.util.concurrent.ConcurrentHashMap[Integer, Array[Array[Int]]]()
 
   private def signs(dim: Int): Array[Array[Int]] =
-    signCache.computeIfAbsent(dim, _ =>
-      Array.tabulate(nBands * bandBits, dim) { (i, j) =>
-        val d = Md5Bits.digest(s"p_${i}_$j".getBytes(StandardCharsets.UTF_8))
-        if ((d(0) & 0x80) != 0) 1 else -1
-      })
+    signCache.computeIfAbsent(dim, _ => Md5Bits.planeSigns(nBands * bandBits, dim))
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]

@@ -58,6 +58,17 @@ object Md5Bits {
     }
   }
 
+  /** Deterministic ±1 hyperplane signs — THE cross-engine plane family
+    * shared by the ANN bucketer and [[HyperplaneSig]]: component j of
+    * plane i is +1 iff the top bit of md5("p_<i>_<j>") is set (first
+    * hex char in '89abcdef'). One definition so the sign contract the
+    * DuckDB oracles replicate cannot drift between operators. */
+  def planeSigns(nPlanes: Int, dim: Int): Array[Array[Int]] =
+    Array.tabulate(nPlanes, dim) { (i, j) =>
+      val d = digest(s"p_${i}_$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if ((d(0) & 0x80) != 0) 1 else -1
+    }
+
   /** Fold the counter buffer to the 4 × 16-bit signature chunks. */
   def toChunks(counts: Array[Int]): GenericArrayData = {
     val chunks = new Array[Any](4)

@@ -16,7 +16,27 @@ import org.apache.spark.sql.functions._
 object CurationOps {
 
   private def toks(c: org.apache.spark.sql.Column) = split(c, " ")
-  private val stopwords = Seq("the", "a", "data", "row", "value")
+
+  /** ONE quality-gate implementation for batch AND streaming — the
+    * streaming op's oracle is literally the batch SQL, so the two
+    * paths share expressions, not copies that must be kept identical
+    * by hand. Stopwords and PII patterns come from [[TextOps]] (the
+    * single definition the whole operator family uses). */
+  private def qualityGate(docs: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    docs
+      .withColumn("n_tokens", size(t).cast("long"))
+      .withColumn("n_unique", size(array_distinct(t)).cast("long"))
+      .withColumn("n_stop",
+        size(filter(t, c => c.isInCollection(TextOps.stopwords))).cast("long"))
+      .withColumn("n_pii",
+        (size(regexp_extract_all(col("text"), lit(TextOps.EmailRe), lit(0))) +
+         size(regexp_extract_all(col("text"), lit(TextOps.UrlRe), lit(0))))
+          .cast("long"))
+      .filter(col("n_tokens").between(20, 1000) && col("n_stop") >= 1 &&
+        col("n_unique") * 2 >= col("n_tokens") && col("n_pii") === 0)
+      .select(col("doc_id"), col("n_tokens"), col("n_unique"))
+  }
 
   /** Composite keep/drop gate over the quality signals the individual
     * text_* ops expose: token-count bounds, ≥1 stopword hit (drops
@@ -26,26 +46,10 @@ object CurationOps {
     * arithmetic (2·n_unique ≥ n_tokens) so both engines agree without
     * float edges. Keeps 174/500 at sf0.01 — each signal contributes
     * real drops. */
-  def docQualityFilter(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val t = toks($"text")
-    documents(s, d)
-      .withColumn("n_tokens", size(t).cast("long"))
-      .withColumn("n_unique", size(array_distinct(t)).cast("long"))
-      .withColumn("n_stop",
-        size(filter(t, c => c.isInCollection(stopwords))).cast("long"))
-      .withColumn("n_pii",
-        (size(regexp_extract_all($"text",
-          lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"), lit(0))) +
-         size(regexp_extract_all($"text", lit("https?://[^ ]+"), lit(0))))
-          .cast("long"))
-      .filter($"n_tokens".between(20, 1000) && $"n_stop" >= 1 &&
-        $"n_unique" * 2 >= $"n_tokens" && $"n_pii" === 0)
-      .select($"doc_id", $"n_tokens", $"n_unique")
-      .orderBy($"doc_id")
-  }
+  def docQualityFilter(s: SparkSession, d: String): DataFrame =
+    qualityGate(documents(s, d)).orderBy(col("doc_id"))
   val docQualityFilterSql: String = {
-    val sw = stopwords.map("'" + _ + "'").mkString(", ")
+    val sw = TextOps.stopwords.map("'" + _ + "'").mkString(", ")
     s"""SELECT doc_id,
        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
        |  CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_unique
@@ -53,8 +57,8 @@ object CurationOps {
        |WHERE len(string_split(text,' ')) BETWEEN 20 AND 1000
        |  AND len(list_filter(string_split(text,' '), t -> t IN ($sw))) >= 1
        |  AND 2*len(list_distinct(string_split(text,' '))) >= len(string_split(text,' '))
-       |  AND len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+')) = 0
-       |  AND len(regexp_extract_all(text, 'https?://[^ ]+')) = 0
+       |  AND len(regexp_extract_all(text, '${TextOps.EmailRe}')) = 0
+       |  AND len(regexp_extract_all(text, '${TextOps.UrlRe}')) = 0
        |ORDER BY doc_id""".stripMargin
   }
 
@@ -92,23 +96,22 @@ object CurationOps {
   def textRedact(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val red = regexp_replace(
-      regexp_replace($"text",
-        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
-      "https?://[^ ]+", "<URL>")
+      regexp_replace($"text", TextOps.EmailRe, "<EMAIL>"),
+      TextOps.UrlRe, "<URL>")
     documents(s, d)
       .select($"doc_id", md5(red).as("redacted_md5"),
         length(red).cast("long").as("redacted_len"))
       .orderBy($"doc_id")
   }
   val textRedactSql: String =
-    """SELECT doc_id,
-      |  md5(regexp_replace(regexp_replace(text,
-      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
-      |    'https?://[^ ]+', '<URL>', 'g')) AS redacted_md5,
-      |  CAST(length(regexp_replace(regexp_replace(text,
-      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
-      |    'https?://[^ ]+', '<URL>', 'g')) AS BIGINT) AS redacted_len
-      |FROM documents ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id,
+       |  md5(regexp_replace(regexp_replace(text,
+       |    '${TextOps.EmailRe}', '<EMAIL>', 'g'),
+       |    '${TextOps.UrlRe}', '<URL>', 'g')) AS redacted_md5,
+       |  CAST(length(regexp_replace(regexp_replace(text,
+       |    '${TextOps.EmailRe}', '<EMAIL>', 'g'),
+       |    '${TextOps.UrlRe}', '<URL>', 'g')) AS BIGINT) AS redacted_len
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Token-budget shard packing — the sequence/shard assembly step
     * before tokenization: within each source, docs pack in doc_id
@@ -156,21 +159,9 @@ object CurationOps {
     import s.implicits._
     val schema = s.read.parquet(s"$d/documents.parquet").schema
     val tmp = java.nio.file.Files.createTempDirectory("graft_qsink").toString
-    val t = toks($"text")
-    val gated = s.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(d)
-      .withColumn("n_tokens", size(t).cast("long"))
-      .withColumn("n_unique", size(array_distinct(t)).cast("long"))
-      .withColumn("n_stop",
-        size(filter(t, c => c.isInCollection(stopwords))).cast("long"))
-      .withColumn("n_pii",
-        (size(regexp_extract_all($"text",
-          lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"), lit(0))) +
-         size(regexp_extract_all($"text", lit("https?://[^ ]+"), lit(0))))
-          .cast("long"))
-      .filter($"n_tokens".between(20, 1000) && $"n_stop" >= 1 &&
-        $"n_unique" * 2 >= $"n_tokens" && $"n_pii" === 0)
-      .select($"doc_id", $"n_tokens", $"n_unique")
+    val gated = qualityGate(
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d))
     val q = gated.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         batch.write.mode("append").parquet(tmp)

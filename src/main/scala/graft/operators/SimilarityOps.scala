@@ -52,16 +52,12 @@ object SimilarityOps {
       |ORDER BY qid, rank""".stripMargin
 
   /** Deterministic ±1 hyperplanes, md5-derived so any engine can
-    * recompute them (round-2 verdict #1): component j of plane i is +1
-    * iff the top bit of md5("p_<i>_<j>") is set — i.e. the first hex
-    * char is in '89abcdef'. Computed at plan-build time on the driver;
-    * the DuckDB oracle recomputes the identical signs in SQL. */
+    * recompute them (round-2 verdict #1) — the shared
+    * [[graft.functions.Md5Bits.planeSigns]] contract, computed at
+    * plan-build time on the driver; the DuckDB oracle recomputes the
+    * identical signs in SQL. */
   private def planeSigns(nPlanes: Int, dim: Int): Array[Array[Int]] =
-    Array.tabulate(nPlanes, dim) { (i, j) =>
-      val d = graft.functions.Md5Bits.digest(
-        s"p_${i}_$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      if ((d(0) & 0x80) != 0) 1 else -1
-    }
+    graft.functions.Md5Bits.planeSigns(nPlanes, dim)
 
   /** LSH-bucketed ANN: 4-bit random-hyperplane signature (16 buckets
     * over the 500-vector test table; at 100 TB the plane count scales

@@ -36,7 +36,13 @@ object TextOps {
       |  CAST(length(text) AS BIGINT) AS len_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  private val stopwords = Seq("the", "a", "data", "row", "value")
+  // shared with CurationOps (quality gate, redaction) — ONE definition
+  // of the stopword list and PII patterns, in Scala and (interpolated)
+  // in every oracle SQL string, so the operator family cannot drift
+  private[operators] val stopwords = Seq("the", "a", "data", "row", "value")
+  private[operators] val EmailRe =
+    """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"""
+  private[operators] val UrlRe = """https?://[^ ]+"""
 
   /** Quality signals: stopword hits, uniqueness, short-token count. */
   def textQuality(s: SparkSession, d: String): DataFrame = {
@@ -178,18 +184,17 @@ object TextOps {
     import s.implicits._
     documents(s, d)
       .select($"doc_id",
-        size(regexp_extract_all($"text",
-          lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"), lit(0)))
+        size(regexp_extract_all($"text", lit(EmailRe), lit(0)))
           .cast("long").as("n_emails"),
-        size(regexp_extract_all($"text",
-          lit("https?://[^ ]+"), lit(0))).cast("long").as("n_urls"))
+        size(regexp_extract_all($"text", lit(UrlRe), lit(0)))
+          .cast("long").as("n_urls"))
       .orderBy($"doc_id")
   }
   val textPiiSql: String =
-    """SELECT doc_id,
-      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS BIGINT) AS n_emails,
-      |  CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT) AS n_urls
-      |FROM documents ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$UrlRe')) AS BIGINT) AS n_urls
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Corpus token frequencies, top 50: explode → two-phase aggregate
     * (map-side combine before the shuffle — the wordcount shape that

@@ -199,9 +199,10 @@ object Sparql {
     val hasDistinct = selToks.headOption.exists(_.equalsIgnoreCase("distinct"))
     val selItems = if (hasDistinct) selToks.tail else selToks
     // split the select list into plain variables and aggregate items
-    val aggItems = selItems.collect { case AggTok(fn, v) =>
-      val alias = s"${fn.toLowerCase}_${if (v == "*") "all" else v.substring(1)}"
-      (fn.toLowerCase, v, alias)
+    // (alias via aggAlias — the same helper HAVING resolves against, so
+    // the two formulas cannot drift)
+    val aggItems = selItems.collect { case t @ AggTok(fn, v) =>
+      (fn.toLowerCase, v, aggAlias(t).get)
     }
     // duplicate select items would collide on the generated alias and
     // surface as an opaque Spark duplicate-column error — fail fast here
@@ -237,6 +238,17 @@ object Sparql {
       .replace("{", " { ").replace("}", " } ")
       .replace("(", " ( ").replace(")", " ) ")
       .split("\\s+").toSeq.filter(_.nonEmpty)
+    // With aggregates, pattern/filter variables NOT in the select list
+    // are legal solution variables that aggregate away (SPARQL 1.1 —
+    // `select $g count(*) where { $x in $g } group by $g` must parse);
+    // declare them internally so pattern validation accepts them. The
+    // strict declared-vars check (typo protection) stays for plain
+    // queries, where an unselected variable can only be a mistake.
+    val declaredVars =
+      if (aggItems.isEmpty) vars
+      else (vars ++ tokens.collect {
+        case t if t.startsWith("$") && t.length > 1 => t.stripSuffix(".").substring(1)
+      }).distinct
 
     def toPatterns(toks: Seq[String]): Seq[Seq[String]] =
       toks.foldLeft(Vector(Vector.empty[String])) {
@@ -285,7 +297,7 @@ object Sparql {
         i += 1
       }
     }
-    val base = Sparql().select(vars).filter(toPatterns(required.result()))
+    val base = Sparql().select(declaredVars).filter(toPatterns(required.result()))
     val withOpt = optGroups.result().foldLeft(base)((q, g) => q.optional(toPatterns(g)))
     val withFilters = filterExprs.result().foldLeft(withOpt) {
       // a single bare comparison stays on the legacy conjunctive list
@@ -564,9 +576,16 @@ object Bgp {
       if (q.aggs.isEmpty) constrained
       else {
         val inputs = q.aggs.collect { case (_, v, _) if v != "*" => v }
-        val keyCols = (q.groupKeys ++ inputs).distinct
-        keyCols.foreach(k => require(constrained.columns.contains(k),
-          s"aggregate/group variable $$$k is bound by no pattern"))
+        // count(*) counts DISTINCT SOLUTIONS, so its pre-projection is
+        // the whole solution row, not just (keys × inputs) — otherwise
+        // every group collapses to one row and count(*) is always 1
+        val hasStar = q.aggs.exists(_._2 == "*")
+        val keyCols =
+          if (hasStar) constrained.columns.toSeq
+          else (q.groupKeys ++ inputs).distinct
+        (q.groupKeys ++ inputs).distinct.foreach(k =>
+          require(constrained.columns.contains(k),
+            s"aggregate/group variable $$$k is bound by no pattern"))
         val pre = constrained.select(keyCols.map(constrained(_)): _*).distinct()
         val exprs = q.aggs.map {
           case ("count", "*", a) => count(lit(1)).as(a)
@@ -602,8 +621,10 @@ object Bgp {
       }
     // a selected variable no pattern binds projects as null (SPARQL
     // unbound semantics — also what lets UNION alternatives bind
-    // different variable subsets); aggregate queries project group keys
-    // then aggregate aliases, in select-list order
+    // different variable subsets); aggregate queries NORMALIZE column
+    // order to (group keys, then aggregate aliases) regardless of how
+    // the select list interleaves them — positional readers should
+    // select by name
     val projected =
       if (q.aggs.nonEmpty)
         aggregated.select((q.groupKeys ++ q.aggs.map(_._3)).map(aggregated(_)): _*)

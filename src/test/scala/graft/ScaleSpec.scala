@@ -156,9 +156,14 @@ class ScaleSpec extends SparkSpec {
     // matter at scale, not the aggregate flavor)
     assert(p.contains("partial_count"), p.linesIterator.take(10).mkString("\n"))
     val partialIdx = p.indexOf("partial_count")
-    val exchangeIdx = p.indexOf("Exchange hashpartitioning")
-    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
-      "partial aggregate must sit below the shuffle in the plan tree")
+    val finalIdx = p.indexOf("functions=[count(") // final agg (no partial_ prefix)
+    // anchor on the exchange NEAREST the partial (lastIndexOf before it),
+    // not the plan's first exchange — the BGP join shuffles too, and
+    // matching that one would keep this green even if the aggregate's
+    // own partial step disappeared above its shuffle
+    val exchangeIdx = p.lastIndexOf("Exchange hashpartitioning", partialIdx)
+    assert(finalIdx >= 0 && exchangeIdx > finalIdx && partialIdx > exchangeIdx,
+      "final agg must sit above the shuffle, partial agg below it")
     assert(!p.contains("CartesianProduct"))
   }
 

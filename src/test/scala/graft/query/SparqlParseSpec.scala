@@ -186,6 +186,12 @@ class SparqlParseSpec extends SparkSpec {
     // global aggregate: no plain vars, no group by needed
     val g = Sparql.parse("select count($x) where { $x in g1 }")
     assert(Bgp.compile(triples, g).collect().toSeq == Seq(Row(2L)))
+    // count(*) counts distinct SOLUTIONS per group — pattern vars that
+    // aren't selected are legal solution vars under aggregation
+    val star = Sparql.parse(
+      "select $g count(*) where { $x in $g } group by $g order by $g")
+    assert(Bgp.compile(triples, star).collect().toSeq ==
+      Seq(Row("g1", 2L), Row("g2", 1L)))
   }
 
   test("having filters groups after aggregation") {
