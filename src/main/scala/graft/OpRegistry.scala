@@ -234,6 +234,8 @@ object OpRegistry {
     op("rdf_bgp_order_limit", RdfOps.bgpOrderLimit, RdfOps.bgpOrderLimitSql),
     op("rdf_bgp_group_count", RdfOps.bgpGroupCount, RdfOps.bgpGroupCountSql),
     op("rdf_bgp_group_having", RdfOps.bgpGroupHaving, RdfOps.bgpGroupHavingSql),
+    op("rdf_ask", RdfOps.bgpAsk, RdfOps.bgpAskSql),
+    op("rdf_construct", RdfOps.bgpConstruct, RdfOps.bgpConstructSql),
     op("rdf_bgp_typed", RdfOps.bgpTyped, RdfOps.bgpTypedSql),
     op("rdf_insert", RdfOps.insert, RdfOps.insertSql),
     op("rdf_remove", RdfOps.remove, RdfOps.removeSql),

@@ -235,6 +235,45 @@ object RdfOps {
        |WHERE t1.p = 'in_nation' AND t2.p = 'in_region' AND t2.o = 'ASIA'
        |GROUP BY t1.o ORDER BY n""".stripMargin
 
+  /** ASK query form (SPARQL 1.1): existence with LIMIT-1 evaluation.
+    * Two asks — one satisfiable, one not — land as one two-row result
+    * so the oracle checks both polarities. */
+  def bgpAsk(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = tripleView(s, d)
+    val yes = Bgp.ask(t, Sparql.parseAsk(
+      "ask where { $c in_nation NATION_2 }"))
+    val no = Bgp.ask(t, Sparql.parseAsk(
+      "ask where { $c in_nation NARNIA }"))
+    Seq(("nation2_member", yes), ("narnia_member", no))
+      .toDF("q", "answer").orderBy($"q")
+  }
+  val bgpAskSql: String =
+    s"""$tripleViewSql
+       |SELECT 'nation2_member' AS q,
+       |  EXISTS(SELECT 1 FROM t WHERE p = 'in_nation' AND o = 'NATION_2') AS answer
+       |UNION ALL
+       |SELECT 'narnia_member',
+       |  EXISTS(SELECT 1 FROM t WHERE p = 'in_nation' AND o = 'NARNIA')
+       |ORDER BY q""".stripMargin
+
+  /** CONSTRUCT query form (SPARQL 1.1): rewrite the in_region edges as
+    * a bidirectional located_in/contains pair — graph-to-graph
+    * transformation whose output is itself a queryable triple view. */
+  def bgpConstruct(s: SparkSession, d: String): DataFrame = {
+    val (tmpl, q) = Sparql.parseConstruct(
+      """construct { $n located_in $r . $r contains $n }
+        |where { $n in_region $r }""".stripMargin)
+    val res = Bgp.construct(tripleView(s, d), tmpl, q)
+    res.orderBy(res("s"), res("p"), res("o"))
+  }
+  val bgpConstructSql: String =
+    s"""$tripleViewSql
+       |SELECT s, 'located_in' AS p, o FROM t WHERE p = 'in_region'
+       |UNION
+       |SELECT o, 'contains', s FROM t WHERE p = 'in_region'
+       |ORDER BY s, p, o""".stripMargin
+
   /** GROUP BY + HAVING through the string front-end: nations keeping
     * at least 65 (distinct) customers. Exercises the post-aggregation
     * group filter with the numeric-literal dispatch. */

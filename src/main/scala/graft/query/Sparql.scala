@@ -383,6 +383,60 @@ object Sparql {
     q
   }
 
+  /** ASK query form (SPARQL 1.1): `ask where { …patterns… }` — does at
+    * least one solution exist? Parses to a [[Sparql]] selecting every
+    * variable the body mentions; [[Bgp.ask]] evaluates it with LIMIT 1.
+    */
+  def parseAsk(q: String): Sparql = {
+    val trimmed = q.trim
+    require(trimmed.toLowerCase.startsWith("ask"),
+      s"expected 'ask where {{ … }}', got: $q")
+    val rest = trimmed.substring(3).trim
+    require(rest.toLowerCase.startsWith("where"), "ask must be followed by where")
+    // every body variable becomes a selected var (ASK has no projection)
+    val bodyVars = rest.split("\\s+").toSeq
+      .filter(t => t.startsWith("$") && t.length > 1)
+      .map(_.stripSuffix(".")).distinct
+    require(bodyVars.nonEmpty, "ask body must mention at least one variable")
+    parse(s"select ${bodyVars.mkString(" ")} $rest")
+  }
+
+  /** CONSTRUCT query form (SPARQL 1.1): `construct { …template… }
+    * where { …patterns… }` — instantiate the template triples once per
+    * solution. Returns (template patterns, where-query); compile with
+    * [[Bgp.construct]]. */
+  def parseConstruct(q: String): (Seq[Seq[String]], Sparql) = {
+    val trimmed = q.trim
+    require(trimmed.toLowerCase.startsWith("construct"),
+      s"expected 'construct {{ … }} where {{ … }}', got: $q")
+    val rest = trimmed.substring(9).trim
+    require(rest.startsWith("{"), "construct template must be braced")
+    val close = rest.indexOf('}') // template block has no nesting
+    require(close > 0, "unclosed construct template")
+    val tmplToks = rest.substring(1, close).trim
+      .split("\\s+").toSeq.filter(_.nonEmpty)
+    // template patterns split on standalone/trailing dots like the body
+    val tmpl = tmplToks.foldLeft(Vector(Vector.empty[String])) {
+      case (acc, ".") => acc :+ Vector.empty
+      case (acc, tok) =>
+        val (t, closes) =
+          if (tok.length > 1 && tok.endsWith(".")) (tok.dropRight(1), true)
+          else (tok, false)
+        val grown = acc.init :+ (acc.last :+ t)
+        if (closes) grown :+ Vector.empty else grown
+    }.map(_.toSeq).filter(_.nonEmpty)
+    tmpl.foreach(p => require(p.length == 3,
+      s"construct template pattern must have 3 positions, got: ${p.mkString(" ")}"))
+    val wherePart = rest.substring(close + 1).trim
+    require(wherePart.toLowerCase.startsWith("where"),
+      "construct template must be followed by where")
+    // declare the template's variables as the projection of the where
+    val tmplVars = tmpl.flatten
+      .filter(t => t.startsWith("$") && t.length > 1).distinct
+    require(tmplVars.nonEmpty, "construct template must mention a variable")
+    (tmpl, parse(s"select ${tmplVars.mkString(" ")} $wherePart"))
+  }
+
   /** Parse a query whose where-body is a top-level alternation:
     *   select $v … where { { …patterns… } union { …patterns… } … }
     * Returns one [[Sparql]] per alternative (all sharing the select
@@ -647,6 +701,38 @@ object Bgp {
       }: _*)
     val sliced = q.offsetN.fold(ordered)(ordered.offset)
     q.limitN.fold(sliced)(sliced.limit)
+  }
+
+  /** ASK evaluation: LIMIT 1 then existence — the engine stops at the
+    * first solution instead of materializing the result set. */
+  def ask(
+      triples: DataFrame,
+      q: Sparql,
+      matchValue: (DataFrame, String) => Column = (df, pos) => df(pos)): Boolean =
+    !compile(triples, q, matchValue, distinct = false).limit(1).isEmpty
+
+  /** CONSTRUCT evaluation: instantiate each template triple per
+    * solution (variables → solution bindings, constants → literals),
+    * union, set-distinct — the output is itself a valid (s, p, o)
+    * triple view, so constructed graphs feed straight back into
+    * [[compile]]. */
+  def construct(
+      triples: DataFrame,
+      tmpl: Seq[Seq[String]],
+      q: Sparql,
+      matchValue: (DataFrame, String) => Column = (df, pos) => df(pos)): DataFrame = {
+    require(tmpl.nonEmpty, "empty construct template")
+    val sol = compile(triples, q, matchValue, distinct = false)
+    val parts = tmpl.map { pat =>
+      val cols = pat.zip(Seq("s", "p", "o")).map { case (tok, pos) =>
+        (QueryUnit.parse(tok) match {
+          case QVar(n)    => sol(n)
+          case QVal(v, _) => lit(v)
+        }).as(pos)
+      }
+      sol.select(cols: _*)
+    }
+    parts.reduce(_.unionByName(_)).distinct()
   }
 
   /** SPARQL UNION: evaluate each alternative and take the set union.

@@ -223,6 +223,29 @@ class SparqlParseSpec extends SparkSpec {
       Sparql.parse("select count($x) count($x) where { $x in g1 }"))
   }
 
+  test("ask evaluates existence; construct instantiates template triples") {
+    import spark.implicits._
+    val triples = Seq(
+      ("alice", "knows", "bob"),
+      ("bob", "knows", "carol")).toDF("s", "p", "o")
+    assert(Bgp.ask(triples, Sparql.parseAsk("ask where { alice knows $x }")))
+    assert(!Bgp.ask(triples, Sparql.parseAsk("ask where { carol knows $x }")))
+    val (tmpl, q) = Sparql.parseConstruct(
+      "construct { $b known_by $a } where { $a knows $b }")
+    val res = Bgp.construct(triples, tmpl, q).orderBy("s").collect().toSeq
+    assert(res == Seq(
+      Row("bob", "known_by", "alice"),
+      Row("carol", "known_by", "bob")))
+    // constructed output is itself queryable — graph-to-graph closure
+    val again = Bgp.compile(Bgp.construct(triples, tmpl, q),
+      Sparql.parse("select $x where { $x known_by alice }"))
+    assert(again.collect().toSeq == Seq(Row("bob")))
+    assertThrows[IllegalArgumentException](
+      Sparql.parseConstruct("construct { $a } where { $a knows $b }"))
+    assertThrows[IllegalArgumentException](
+      Sparql.parseAsk("ask { alice knows $x }"))
+  }
+
   test("typed pattern values parse with kinds, bare values stay untyped") {
     assert(QueryUnit.parse("<http://g.test/a>") == QVal("http://g.test/a", Some(QueryUnit.Iri)))
     assert(QueryUnit.parse("\"alice\"") == QVal("alice", Some(QueryUnit.Lit)))
