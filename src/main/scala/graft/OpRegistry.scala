@@ -236,6 +236,9 @@ object OpRegistry {
     op("rdf_bgp_group_having", RdfOps.bgpGroupHaving, RdfOps.bgpGroupHavingSql),
     op("rdf_ask", RdfOps.bgpAsk, RdfOps.bgpAskSql),
     op("rdf_construct", RdfOps.bgpConstruct, RdfOps.bgpConstructSql),
+    op("rdf_describe", RdfOps.bgpDescribe, RdfOps.bgpDescribeSql),
+    op("rdf_bgp_path_seq", RdfOps.bgpPathSeq, RdfOps.bgpPathSeqSql),
+    op("rdf_bgp_path_trans", RdfOps.bgpPathTrans, RdfOps.bgpPathTransSql),
     op("rdf_bgp_typed", RdfOps.bgpTyped, RdfOps.bgpTypedSql),
     op("rdf_insert", RdfOps.insert, RdfOps.insertSql),
     op("rdf_remove", RdfOps.remove, RdfOps.removeSql),

@@ -274,6 +274,54 @@ object RdfOps {
        |SELECT o, 'contains', s FROM t WHERE p = 'in_region'
        |ORDER BY s, p, o""".stripMargin
 
+  /** SEQUENCE property path (SPARQL 1.1): `in_nation/in_region`
+    * rewrites to two joined patterns with a hidden midpoint variable —
+    * members straight to their region, nation elided from the output. */
+  def bgpPathSeq(s: SparkSession, d: String): DataFrame = {
+    val q = Sparql.parse(
+      "select $c $r where { $c in_nation/in_region $r }")
+    val res = Bgp.compile(tripleView(s, d), q)
+    res.orderBy(res("c"), res("r"))
+  }
+  val bgpPathSeqSql: String =
+    s"""$tripleViewSql
+       |SELECT DISTINCT t1.s AS c, t2.o AS r
+       |FROM t t1 JOIN t t2 ON t1.o = t2.s
+       |WHERE t1.p = 'in_nation' AND t2.p = 'in_region'
+       |ORDER BY c, r""".stripMargin
+
+  /** TRANSITIVE property path (SPARQL 1.1 `p+`): one-or-more closure
+    * by semi-naive iteration (Bgp.closureDf). The nation chain
+    * NATION_k →next→ NATION_k+1 closes to every ordered pair, which
+    * the oracle states directly as a key inequality — an independent
+    * formulation of the same closure. */
+  def bgpPathTrans(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val chain = nation(s, d)
+      .filter($"n_nationkey" < 24)
+      .select($"n_name".as("s"), lit("next").as("p"),
+        concat(lit("NATION_"), ($"n_nationkey" + 1).cast("string")).as("o"))
+    val q = Sparql.parse("select $a $b where { $a next+ $b }")
+    val res = Bgp.compile(chain, q)
+    res.orderBy(res("a"), res("b"))
+  }
+  val bgpPathTransSql: String =
+    """SELECT a.n_name AS a, b.n_name AS b
+      |FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+      |ORDER BY a, b""".stripMargin
+
+  /** DESCRIBE query form (SPARQL 1.1, simple description): every
+    * triple NATION_2 participates in — its region membership plus all
+    * customers/suppliers in it — via ONE scan with an OR filter. */
+  def bgpDescribe(s: SparkSession, d: String): DataFrame = {
+    val res = Bgp.describe(tripleView(s, d), Sparql.parseDescribe("describe NATION_2"))
+    res.orderBy(res("s"), res("p"), res("o"))
+  }
+  val bgpDescribeSql: String =
+    s"""$tripleViewSql
+       |SELECT s, p, o FROM t WHERE s = 'NATION_2' OR o = 'NATION_2'
+       |ORDER BY s, p, o""".stripMargin
+
   /** GROUP BY + HAVING through the string front-end: nations keeping
     * at least 65 (distinct) customers. Exercises the post-aggregation
     * group filter with the numeric-literal dispatch. */

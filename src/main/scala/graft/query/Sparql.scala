@@ -37,7 +37,10 @@ final case class Sparql(
     groupKeys: Seq[String] = Nil,
     // HAVING constraints: (aggAlias, op, literal) — the alias must be
     // an aggregate that appears in the select list
-    havings: Seq[(String, String, String)] = Nil) {
+    havings: Seq[(String, String, String)] = Nil,
+    // internal variables (sequence-path midpoints) that join patterns
+    // but are excluded from the projected output
+    hiddenVars: Seq[String] = Nil) {
 
   /** ORDER BY modifier (standard SPARQL; the reference has no solution
     * modifiers at all). Applied after projection/DISTINCT, before LIMIT. */
@@ -297,8 +300,32 @@ object Sparql {
         i += 1
       }
     }
-    val base = Sparql().select(declaredVars).filter(toPatterns(required.result()))
-    val withOpt = optGroups.result().foldLeft(base)((q, g) => q.optional(toPatterns(g)))
+    // SEQUENCE property paths (SPARQL 1.1): `$a p1/p2 $b` rewrites to
+    // `$a p1 $__path_k . $__path_k p2 $b` with a fresh hidden variable
+    // per step boundary. Only non-IRI predicates split on '/' — an IRI
+    // like http://g.test/knows keeps its slashes. Transitive `p+`
+    // steps pass through and compile to a closure in Bgp.
+    var pathSeq = 0
+    val pathVars = Vector.newBuilder[String]
+    def expandPaths(pats: Seq[Seq[String]]): Seq[Seq[String]] = pats.flatMap { p =>
+      val pred = p(1)
+      if (p.length == 3 && !pred.contains("://") && !pred.startsWith("<") &&
+          !pred.startsWith("$") && pred.contains("/")) {
+        val steps = pred.split("/").toSeq
+        require(steps.forall(_.nonEmpty), s"bad property path: $pred")
+        val mids = steps.init.map { _ =>
+          pathSeq += 1; val v = s"__path_$pathSeq"; pathVars += v; s"$$$v"
+        }
+        val nodes = (p(0) +: mids) :+ p(2)
+        steps.zipWithIndex.map { case (st, i) => Seq(nodes(i), st, nodes(i + 1)) }
+      } else Seq(p)
+    }
+    val requiredPats = expandPaths(toPatterns(required.result()))
+    val optPats = optGroups.result().map(g => expandPaths(toPatterns(g)))
+    val base = Sparql().select(declaredVars ++ pathVars.result())
+      .copy(hiddenVars = pathVars.result())
+      .filter(requiredPats)
+    val withOpt = optPats.foldLeft(base)((q, g) => q.optional(g))
     val withFilters = filterExprs.result().foldLeft(withOpt) {
       // a single bare comparison stays on the legacy conjunctive list
       // (back-compat for callers inspecting q.constraints)
@@ -437,6 +464,23 @@ object Sparql {
     (tmpl, parse(s"select ${tmplVars.mkString(" ")} $wherePart"))
   }
 
+  /** DESCRIBE query form (SPARQL 1.1, simple-description semantics):
+    * `describe <term>` — every triple the term participates in, as
+    * subject or object. Returns the term value to filter on. */
+  def parseDescribe(q: String): String = {
+    val trimmed = q.trim
+    require(trimmed.toLowerCase.startsWith("describe"),
+      s"expected 'describe <term>', got: $q")
+    val rest = trimmed.substring(8).trim
+    require(rest.nonEmpty && !rest.contains(' '),
+      s"describe takes exactly one term, got: $rest")
+    require(!rest.startsWith("$"), "describe takes a concrete term, not a variable")
+    QueryUnit.parse(rest) match {
+      case QVal(v, _) => v
+      case _          => throw new IllegalArgumentException(s"bad describe term: $rest")
+    }
+  }
+
   /** Parse a query whose where-body is a top-level alternation:
     *   select $v … where { { …patterns… } union { …patterns… } … }
     * Returns one [[Sparql]] per alternative (all sharing the select
@@ -521,7 +565,57 @@ object Bgp {
       matchKind: Option[(DataFrame, String, String) => Column] = None): DataFrame = {
     require(q.conds.nonEmpty, "empty BGP")
 
-    def patternDf(pat: (QueryUnit, QueryUnit, QueryUnit)): DataFrame = {
+    /** One-or-more transitive closure of `base` edges (property path
+      * `base+`), by semi-naive iteration: each round joins only the
+      * NEW pairs (delta) against the one-hop edges, unions them in,
+      * and stops when a round adds nothing. localCheckpoint after
+      * each round cuts the lineage — without it, round k's plan
+      * re-derives rounds 1..k-1 and the loop goes quadratic in plan
+      * size. Terminates on cyclic graphs too (delta drains once every
+      * reachable pair is known). */
+    def closureDf(base: String, su: QueryUnit, ou: QueryUnit): DataFrame = {
+      val edges = triples
+        .filter(matchValue(triples, "p") === lit(base))
+        .select(matchValue(triples, "s").as("_a"), matchValue(triples, "o").as("_b"))
+        .distinct().localCheckpoint()
+      var reach = edges
+      var delta = edges
+      while (!delta.isEmpty) {
+        val next = delta.toDF("_a", "_m")
+          .join(edges.toDF("_m", "_b"), "_m")
+          .select(col("_a"), col("_b"))
+          .except(reach).localCheckpoint()
+        reach = reach.union(next).localCheckpoint()
+        delta = next
+      }
+      var df = reach
+      su match { case QVal(v, _) => df = df.filter(col("_a") === lit(v)); case _ => () }
+      ou match { case QVal(v, _) => df = df.filter(col("_b") === lit(v)); case _ => () }
+      (su, ou) match {
+        case (QVar(a), QVar(b)) if a == b =>
+          df.filter(col("_a") === col("_b")).select(col("_a").as(a))
+        case (QVar(a), QVar(b)) => df.select(col("_a").as(a), col("_b").as(b))
+        case (QVar(a), _)       => df.select(col("_a").as(a))
+        case (_, QVar(b))       => df.select(col("_b").as(b))
+        case _                  => df.select()
+      }
+    }
+
+    /** A predicate token is a TRANSITIVE path when it ends in '+' and
+      * is not an IRI (IRIs may legitimately end in '+'). */
+    def transBase(u: QueryUnit): Option[String] = u match {
+      case QVal(p, None) if p.length > 1 && p.endsWith("+") && !p.contains("://") =>
+        Some(p.dropRight(1))
+      case _ => None
+    }
+
+    def patternDf(pat: (QueryUnit, QueryUnit, QueryUnit)): DataFrame =
+      transBase(pat._2) match {
+        case Some(base) => closureDf(base, pat._1, pat._3)
+        case None       => plainPatternDf(pat)
+      }
+
+    def plainPatternDf(pat: (QueryUnit, QueryUnit, QueryUnit)): DataFrame = {
       val units = Seq(pat._1, pat._2, pat._3)
       // filter bound positions; a TYPED value additionally constrains
       // the term kind via the store-provided predicate — plain string
@@ -682,10 +776,11 @@ object Bgp {
     val projected =
       if (q.aggs.nonEmpty)
         aggregated.select((q.groupKeys ++ q.aggs.map(_._3)).map(aggregated(_)): _*)
-      else constrained.select(q.vars.distinct.map { v =>
-      if (constrained.columns.contains(v)) constrained(v)
-      else lit(null).cast("string").as(v)
-    }: _*)
+      else constrained.select(
+        q.vars.distinct.filterNot(q.hiddenVars.contains).map { v =>
+          if (constrained.columns.contains(v)) constrained(v)
+          else lit(null).cast("string").as(v)
+        }: _*)
     // solution modifiers, in SPARQL order: DISTINCT → ORDER BY →
     // OFFSET → LIMIT (set semantics stay the compile-level default —
     // the documented round-1 divergence; the DISTINCT keyword matters
@@ -734,6 +829,16 @@ object Bgp {
     }
     parts.reduce(_.unionByName(_)).distinct()
   }
+
+  /** DESCRIBE evaluation: one scan with an OR filter (both bound
+    * positions push to the same scan — no union of two passes). */
+  def describe(
+      triples: DataFrame,
+      term: String,
+      matchValue: (DataFrame, String) => Column = (df, pos) => df(pos)): DataFrame =
+    triples.filter(
+      matchValue(triples, "s") === lit(term) ||
+      matchValue(triples, "o") === lit(term))
 
   /** SPARQL UNION: evaluate each alternative and take the set union.
     * Alternatives may bind different variable subsets — missing

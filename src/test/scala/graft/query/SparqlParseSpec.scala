@@ -246,6 +246,41 @@ class SparqlParseSpec extends SparkSpec {
       Sparql.parseAsk("ask { alice knows $x }"))
   }
 
+  test("sequence property paths rewrite with hidden midpoints; IRI slashes survive") {
+    import spark.implicits._
+    val q = Sparql.parse("select $a $c where { $a p1/p2/p3 $c }")
+    assert(q.conds.length == 3 && q.hiddenVars.length == 2)
+    val triples = Seq(
+      ("a", "p1", "m"), ("m", "p2", "n"), ("n", "p3", "z")).toDF("s", "p", "o")
+    // midpoints join but are NOT projected
+    val res = Bgp.compile(triples, q)
+    assert(res.columns.toSeq == Seq("a", "c"))
+    assert(res.collect().toSeq == Seq(Row("a", "z")))
+    // an IRI predicate keeps its slashes — no path split
+    val iri = Sparql.parse("select $a where { $a http://g.test/knows bob }")
+    assert(iri.conds.length == 1)
+  }
+
+  test("transitive property paths close via semi-naive iteration, cycles included") {
+    import spark.implicits._
+    val chain = Seq(
+      ("a", "next", "b"), ("b", "next", "c"), ("c", "next", "d")).toDF("s", "p", "o")
+    val q = Sparql.parse("select $x $y where { $x next+ $y }")
+    val res = Bgp.compile(chain, q).orderBy("x", "y").collect().toSeq
+    assert(res == Seq(
+      Row("a", "b"), Row("a", "c"), Row("a", "d"),
+      Row("b", "c"), Row("b", "d"), Row("c", "d")))
+    // bound endpoints filter the closure
+    val qb = Sparql.parse("select $y where { a next+ $y }")
+    assert(Bgp.compile(chain, qb).orderBy("y").collect().toSeq ==
+      Seq(Row("b"), Row("c"), Row("d")))
+    // a CYCLE terminates (delta drains once all pairs are known) and
+    // includes the self-reachable pairs
+    val cyc = Seq(("a", "next", "b"), ("b", "next", "a")).toDF("s", "p", "o")
+    val rc = Bgp.compile(cyc, q).orderBy("x", "y").collect().toSeq
+    assert(rc == Seq(Row("a", "a"), Row("a", "b"), Row("b", "a"), Row("b", "b")))
+  }
+
   test("typed pattern values parse with kinds, bare values stay untyped") {
     assert(QueryUnit.parse("<http://g.test/a>") == QVal("http://g.test/a", Some(QueryUnit.Iri)))
     assert(QueryUnit.parse("\"alice\"") == QVal("alice", Some(QueryUnit.Lit)))
