@@ -239,6 +239,9 @@ object OpRegistry {
     op("rdf_describe", RdfOps.bgpDescribe, RdfOps.bgpDescribeSql),
     op("rdf_bgp_path_seq", RdfOps.bgpPathSeq, RdfOps.bgpPathSeqSql),
     op("rdf_bgp_path_trans", RdfOps.bgpPathTrans, RdfOps.bgpPathTransSql),
+    op("rdf_bgp_path_star", RdfOps.bgpPathStar, RdfOps.bgpPathStarSql),
+    op("rdf_bgp_path_inv", RdfOps.bgpPathInv, RdfOps.bgpPathInvSql),
+    op("rdf_bgp_path_alt", RdfOps.bgpPathAlt, RdfOps.bgpPathAltSql),
     op("rdf_bgp_typed", RdfOps.bgpTyped, RdfOps.bgpTypedSql),
     op("rdf_insert", RdfOps.insert, RdfOps.insertSql),
     op("rdf_remove", RdfOps.remove, RdfOps.removeSql),

@@ -310,6 +310,49 @@ object RdfOps {
       |FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
       |ORDER BY a, b""".stripMargin
 
+  /** ZERO-OR-MORE property path (SPARQL 1.1 `p*`): the transitive
+    * closure of the nation chain plus every graph term reaching itself
+    * — the oracle states it as the non-strict key inequality. */
+  def bgpPathStar(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val chain = nation(s, d)
+      .filter($"n_nationkey" < 24)
+      .select($"n_name".as("s"), lit("next").as("p"),
+        concat(lit("NATION_"), ($"n_nationkey" + 1).cast("string")).as("o"))
+    val q = Sparql.parse("select $a $b where { $a next* $b }")
+    val res = Bgp.compile(chain, q)
+    res.orderBy(res("a"), res("b"))
+  }
+  val bgpPathStarSql: String =
+    """SELECT a.n_name AS a, b.n_name AS b
+      |FROM nation a JOIN nation b ON a.n_nationkey <= b.n_nationkey
+      |ORDER BY a, b""".stripMargin
+
+  /** INVERSE property path (SPARQL 1.1 `^p`): nations to their members
+    * — the in_nation edge walked object→subject. */
+  def bgpPathInv(s: SparkSession, d: String): DataFrame = {
+    val q = Sparql.parse("select $n $m where { $n ^in_nation $m }")
+    val res = Bgp.compile(tripleView(s, d), q)
+    res.orderBy(res("n"), res("m"))
+  }
+  val bgpPathInvSql: String =
+    s"""$tripleViewSql
+       |SELECT DISTINCT o AS n, s AS m FROM t WHERE p = 'in_nation'
+       |ORDER BY n, m""".stripMargin
+
+  /** ALTERNATION property path (SPARQL 1.1 `p1|p2`): every branch is a
+    * plain predicate, so the compile stays ONE scan with an IN filter
+    * (pinned in ScaleSpec) — no union of per-branch passes. */
+  def bgpPathAlt(s: SparkSession, d: String): DataFrame = {
+    val q = Sparql.parse("select $s $x where { $s in_region|in_segment $x }")
+    val res = Bgp.compile(tripleView(s, d), q)
+    res.orderBy(res("s"), res("x"))
+  }
+  val bgpPathAltSql: String =
+    s"""$tripleViewSql
+       |SELECT DISTINCT s, o AS x FROM t WHERE p IN ('in_region', 'in_segment')
+       |ORDER BY s, x""".stripMargin
+
   /** DESCRIBE query form (SPARQL 1.1, simple description): every
     * triple NATION_2 participates in — its region membership plus all
     * customers/suppliers in it — via ONE scan with an OR filter. */

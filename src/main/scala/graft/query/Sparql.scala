@@ -572,8 +572,12 @@ object Bgp {
       * each round cuts the lineage — without it, round k's plan
       * re-derives rounds 1..k-1 and the loop goes quadratic in plan
       * size. Terminates on cyclic graphs too (delta drains once every
-      * reachable pair is known). */
-    def closureDf(base: String, su: QueryUnit, ou: QueryUnit): DataFrame = {
+      * reachable pair is known).
+      *
+      * `reflexive` adds the SPARQL zero-length component (`base*`):
+      * every term appearing anywhere in the graph reaches itself. */
+    def closureDf(base: String, su: QueryUnit, ou: QueryUnit,
+        reflexive: Boolean = false): DataFrame = {
       val edges = triples
         .filter(matchValue(triples, "p") === lit(base))
         .select(matchValue(triples, "s").as("_a"), matchValue(triples, "o").as("_b"))
@@ -589,6 +593,15 @@ object Bgp {
         delta = next
       }
       var df = reach
+      if (reflexive) {
+        // zero-length paths connect every graph term to itself — terms
+        // from BOTH positions of ALL triples, not just base-edges
+        // (SPARQL 1.1 §9.3, PropertyPathEval ZeroOrMorePath)
+        val nodes = triples.select(matchValue(triples, "s").as("_a"))
+          .union(triples.select(matchValue(triples, "o").as("_a")))
+          .distinct()
+        df = reach.union(nodes.select(col("_a"), col("_a").as("_b"))).distinct()
+      }
       su match { case QVal(v, _) => df = df.filter(col("_a") === lit(v)); case _ => () }
       ou match { case QVal(v, _) => df = df.filter(col("_b") === lit(v)); case _ => () }
       (su, ou) match {
@@ -601,21 +614,36 @@ object Bgp {
       }
     }
 
-    /** A predicate token is a TRANSITIVE path when it ends in '+' and
-      * is not an IRI (IRIs may legitimately end in '+'). */
-    def transBase(u: QueryUnit): Option[String] = u match {
+    /** Path-operator dispatch on the predicate token. Only UNTYPED
+      * non-IRI tokens carry path syntax — IRIs may legitimately contain
+      * any of these characters, and the `<iri>` form escapes them:
+      *   `a|b`  alternation — one IN-list scan when every branch is a
+      *          plain predicate; union of branch evaluations otherwise
+      *          (so `knows|^knows` gives the symmetric step)
+      *   `^p`   inverse — evaluate p with subject/object swapped
+      *   `p+`   one-or-more transitive closure
+      *   `p*`   zero-or-more closure (adds every graph term → itself)
+      * Operators compose per sequence step: the parser's `/` rewrite
+      * leaves each step token intact, so `^in_nation/in_region` works. */
+    def patternDf(pat: (QueryUnit, QueryUnit, QueryUnit)): DataFrame = pat._2 match {
+      case QVal(p, None) if !p.contains("://") && p.contains("|") =>
+        val branches = p.split("\\|").toSeq
+        require(branches.forall(_.nonEmpty), s"bad path alternation: $p")
+        if (branches.forall(b => !b.startsWith("^") && !b.endsWith("+") && !b.endsWith("*")))
+          plainPatternDf(pat, altPreds = Some(branches))
+        else branches.map(b => patternDf((pat._1, QVal(b), pat._3)))
+          .reduce(_.unionByName(_)).distinct()
+      case QVal(p, None) if p.length > 1 && p.startsWith("^") && !p.contains("://") =>
+        patternDf((pat._3, QVal(p.tail), pat._1))
       case QVal(p, None) if p.length > 1 && p.endsWith("+") && !p.contains("://") =>
-        Some(p.dropRight(1))
-      case _ => None
+        closureDf(p.dropRight(1), pat._1, pat._3)
+      case QVal(p, None) if p.length > 1 && p.endsWith("*") && !p.contains("://") =>
+        closureDf(p.dropRight(1), pat._1, pat._3, reflexive = true)
+      case _ => plainPatternDf(pat)
     }
 
-    def patternDf(pat: (QueryUnit, QueryUnit, QueryUnit)): DataFrame =
-      transBase(pat._2) match {
-        case Some(base) => closureDf(base, pat._1, pat._3)
-        case None       => plainPatternDf(pat)
-      }
-
-    def plainPatternDf(pat: (QueryUnit, QueryUnit, QueryUnit)): DataFrame = {
+    def plainPatternDf(pat: (QueryUnit, QueryUnit, QueryUnit),
+        altPreds: Option[Seq[String]] = None): DataFrame = {
       val units = Seq(pat._1, pat._2, pat._3)
       // filter bound positions; a TYPED value additionally constrains
       // the term kind via the store-provided predicate — plain string
@@ -624,7 +652,12 @@ object Bgp {
       var df = triples
       units.zip(positions).foreach {
         case (QVal(v, k), pos) =>
-          df = df.filter(matchValue(df, pos) === lit(v))
+          // a plain alternation stays ONE scan: the branch list becomes
+          // an IN filter on the predicate (pushes down like equality)
+          df =
+            if (pos == "p" && altPreds.isDefined)
+              df.filter(matchValue(df, pos).isin(altPreds.get: _*))
+            else df.filter(matchValue(df, pos) === lit(v))
           k.foreach { kind =>
             require(matchKind.isDefined,
               s"typed pattern (kind=$kind) requires a kind-aware store")

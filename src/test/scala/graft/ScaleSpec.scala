@@ -213,4 +213,22 @@ class ScaleSpec extends SparkSpec {
     assert(joinIdx >= 0 && (filterIdx == -1 || filterIdx > joinIdx),
       s"filters should be pushed below the join:\n$optimized")
   }
+
+  test("plain path alternation prunes dead view branches like equality does") {
+    // `in_region|in_segment` compiles to ONE IN filter on p (not a
+    // union of per-branch passes); over the 4-branch triple view the
+    // per-branch literal p constant-folds the IN to true/false, so the
+    // two in_nation branches VANISH and the surviving branches carry no
+    // residual predicate at all — the supplier table is never scanned
+    val df = operators.RdfOps.bgpPathAlt(spark, sf0001)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("in_region"),
+      s"IN on the branch-literal p should constant-fold away:\n$optimized")
+    val p = plan(df)
+    assert(!p.contains("supplier.parquet"),
+      s"IN filter should prune the supplier (in_nation) branch:\n$p")
+    // exactly the two surviving branches feed the union
+    assert("Scan parquet".r.findAllIn(p).size == 3, // nation+region, customer
+      s"expected 3 scans (nation, region, customer):\n$p")
+  }
 }

@@ -281,6 +281,48 @@ class SparqlParseSpec extends SparkSpec {
     assert(rc == Seq(Row("a", "a"), Row("a", "b"), Row("b", "a"), Row("b", "b")))
   }
 
+  test("inverse, alternation, and zero-or-more paths evaluate; <iri> escapes path chars") {
+    import spark.implicits._
+    val triples = Seq(
+      ("alice", "knows", "bob"), ("bob", "likes", "carol"),
+      ("alice", "likes", "dave"), ("x", "a|b", "y")).toDF("s", "p", "o")
+    // inverse: `$x ^knows alice` ≡ `alice knows $x`
+    val inv = Sparql.parse("select $x where { $x ^knows alice }")
+    assert(Bgp.compile(triples, inv).collect().toSeq == Seq(Row("bob")))
+    // plain alternation: both branches from one scan
+    val alt = Sparql.parse("select $s $o where { $s knows|likes $o }")
+    assert(Bgp.compile(triples, alt).orderBy("s", "o").collect().toSeq ==
+      Seq(Row("alice", "bob"), Row("alice", "dave"), Row("bob", "carol")))
+    // mixed-direction alternation: union of branch evaluations
+    val sym = Sparql.parse("select $s $o where { $s knows|^knows $o }")
+    assert(Bgp.compile(triples, sym).orderBy("s", "o").collect().toSeq ==
+      Seq(Row("alice", "bob"), Row("bob", "alice")))
+    // a pipe inside <iri> is a literal predicate, not an alternation
+    val esc = Sparql.parse("select $o where { x <a|b> $o }")
+    intercept[IllegalArgumentException] {
+      // typed (IRI) pattern needs a kind-aware store — the plain view
+      // fails fast rather than silently matching by value
+      Bgp.compile(triples, esc).collect()
+    }
+    // inverse composes inside a sequence path: `$a ^knows/likes $c`
+    // walks knower(a)→knower's likes — bob ←knows alice →likes dave
+    val seq = Sparql.parse("select $a $c where { $a ^knows/likes $c }")
+    assert(Bgp.compile(triples, seq).collect().toSeq == Seq(Row("bob", "dave")))
+  }
+
+  test("zero-or-more closure adds the reflexive pairs over all graph terms") {
+    import spark.implicits._
+    val chain = Seq(("a", "next", "b"), ("b", "next", "c")).toDF("s", "p", "o")
+    val q = Sparql.parse("select $x $y where { $x next* $y }")
+    assert(Bgp.compile(chain, q).orderBy("x", "y").collect().toSeq == Seq(
+      Row("a", "a"), Row("a", "b"), Row("a", "c"),
+      Row("b", "b"), Row("b", "c"), Row("c", "c")))
+    // bound subject keeps its reflexive row
+    val qb = Sparql.parse("select $y where { b next* $y }")
+    assert(Bgp.compile(chain, qb).orderBy("y").collect().toSeq ==
+      Seq(Row("b"), Row("c")))
+  }
+
   test("typed pattern values parse with kinds, bare values stay untyped") {
     assert(QueryUnit.parse("<http://g.test/a>") == QVal("http://g.test/a", Some(QueryUnit.Iri)))
     assert(QueryUnit.parse("\"alice\"") == QVal("alice", Some(QueryUnit.Lit)))
