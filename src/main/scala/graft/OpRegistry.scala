@@ -234,6 +234,7 @@ object OpRegistry {
     op("rdf_bgp_order_limit", RdfOps.bgpOrderLimit, RdfOps.bgpOrderLimitSql),
     op("rdf_bgp_group_count", RdfOps.bgpGroupCount, RdfOps.bgpGroupCountSql),
     op("rdf_bgp_group_having", RdfOps.bgpGroupHaving, RdfOps.bgpGroupHavingSql),
+    op("rdf_bgp_group_mixed", RdfOps.bgpGroupMixed, RdfOps.bgpGroupMixedSql),
     op("rdf_ask", RdfOps.bgpAsk, RdfOps.bgpAskSql),
     op("rdf_construct", RdfOps.bgpConstruct, RdfOps.bgpConstructSql),
     op("rdf_describe", RdfOps.bgpDescribe, RdfOps.bgpDescribeSql),

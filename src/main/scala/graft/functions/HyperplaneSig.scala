@@ -58,6 +58,15 @@ case class HyperplaneSig(child: Expression, nBands: Int, bandBits: Int)
     val vals = new Array[Double](dim)
     var j = 0
     while (j < dim) {
+      // parquet arrays default to containsNull=true: fail fast with a
+      // descriptive error on a null element rather than an opaque NPE /
+      // undefined sign — a null embedding component has no defensible
+      // dot-product semantics and would silently diverge from the
+      // DuckDB oracle's NULL-propagating sum
+      if (v.isNullAt(j))
+        throw new IllegalArgumentException(
+          s"hyperplane_sig: null element at index $j of embedding array " +
+            s"(dim=$dim); embeddings must be dense non-null vectors")
       vals(j) = if (f) v.getFloat(j).toDouble else v.getDouble(j)
       j += 1
     }

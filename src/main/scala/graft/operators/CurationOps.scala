@@ -70,10 +70,12 @@ object CurationOps {
     * engines AND across runs/retries — a re-executed task keeps the
     * same rows, unlike rand()-based sampling, which matters when a
     * 100 TB stage partially fails and recomputes. Pure map-side: no
-    * shuffle but the oracle-ordering sort. */
+    * shuffle but the oracle-ordering sort. try_cast on BOTH sides: a
+    * source whose suffix isn't numeric falls to the odd 4/16 rate in
+    * both engines instead of erroring in one and not the other. */
   def docSampleStratified(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val rate = when(substring($"source", 4, 10).cast("int") % 2 === 0,
+    val rate = when(expr("try_cast(substring(source, 4, 10) AS int)") % 2 === 0,
       lit("8")).otherwise(lit("4"))
     documents(s, d)
       .filter(substring(md5(concat(lit("smp_"), $"doc_id".cast("string"))), 1, 1) < rate)
@@ -83,7 +85,7 @@ object CurationOps {
   val docSampleStratifiedSql: String =
     """SELECT doc_id, source FROM documents
       |WHERE substr(md5('smp_' || CAST(doc_id AS VARCHAR)), 1, 1) <
-      |  CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN '8' ELSE '4' END
+      |  CASE WHEN TRY_CAST(substr(source, 4) AS INT) % 2 = 0 THEN '8' ELSE '4' END
       |ORDER BY doc_id""".stripMargin
 
   /** PII redaction — the transform counterpart of text_pii's detector:

@@ -235,6 +235,30 @@ object RdfOps {
        |WHERE t1.p = 'in_nation' AND t2.p = 'in_region' AND t2.o = 'ASIA'
        |GROUP BY t1.o ORDER BY n""".stripMargin
 
+  /** count(*) MIXED with a value aggregate (round-5 advice): the two
+    * families aggregate from their own pre-projections — count(*) over
+    * distinct whole solutions (c,s,n), count($s) over distinct (n,s) —
+    * so per ASIA nation the first counts its customers (each customer
+    * binds one segment) while the second counts its distinct segments
+    * (5). Before the fix count($s) silently became a per-solution
+    * multiset count equal to count(*). */
+  def bgpGroupMixed(s: SparkSession, d: String): DataFrame = {
+    val q = Sparql.parse(
+      """select $n count(*) count($s) where {
+        |  $c in_nation $n . $c in_segment $s . $n in_region ASIA
+        |} group by $n order by $n""".stripMargin)
+    Bgp.compile(tripleView(s, d), q)
+  }
+  val bgpGroupMixedSql: String =
+    s"""$tripleViewSql
+       |, sol AS (
+       |  SELECT DISTINCT t1.s AS c, t1.o AS n, t2.o AS seg
+       |  FROM t t1 JOIN t t2 ON t1.s = t2.s JOIN t t3 ON t1.o = t3.s
+       |  WHERE t1.p = 'in_nation' AND t2.p = 'in_segment'
+       |    AND t3.p = 'in_region' AND t3.o = 'ASIA')
+       |SELECT n, count(*) AS count_all, count(DISTINCT seg) AS count_s
+       |FROM sol GROUP BY n ORDER BY n""".stripMargin
+
   /** ASK query form (SPARQL 1.1): existence with LIMIT-1 evaluation.
     * Two asks — one satisfiable, one not — land as one two-row result
     * so the oracle checks both polarities. */

@@ -602,8 +602,34 @@ object Bgp {
           .distinct()
         df = reach.union(nodes.select(col("_a"), col("_a").as("_b"))).distinct()
       }
-      su match { case QVal(v, _) => df = df.filter(col("_a") === lit(v)); case _ => () }
-      ou match { case QVal(v, _) => df = df.filter(col("_b") === lit(v)); case _ => () }
+      // Typed endpoints mirror plainPatternDf's contract: a kind tag on
+      // a kind-unaware store fails fast, and on a kind-aware store the
+      // endpoint must be a term of that kind (semi-join against the
+      // kind-matching term set — the closure itself runs over lexical
+      // values, so the kind constraint binds at the path's ends). A
+      // bare value still matches any kind, same as plain patterns.
+      def endpointFilter(df0: DataFrame, endCol: String, v: String,
+          kind: Option[String]): DataFrame = {
+        val eq = df0.filter(col(endCol) === lit(v))
+        kind match {
+          case None => eq
+          case Some(k) =>
+            require(matchKind.isDefined,
+              s"typed pattern (kind=$k) requires a kind-aware store")
+            val kindTerms = triples
+              .filter(matchValue(triples, "s") === lit(v) &&
+                matchKind.get(triples, "s", k))
+              .select(matchValue(triples, "s").as(endCol))
+              .union(triples
+                .filter(matchValue(triples, "o") === lit(v) &&
+                  matchKind.get(triples, "o", k))
+                .select(matchValue(triples, "o").as(endCol)))
+              .distinct()
+            eq.join(kindTerms, Seq(endCol), "left_semi")
+        }
+      }
+      su match { case QVal(v, k) => df = endpointFilter(df, "_a", v, k); case _ => () }
+      ou match { case QVal(v, k) => df = endpointFilter(df, "_b", v, k); case _ => () }
       (su, ou) match {
         case (QVar(a), QVar(b)) if a == b =>
           df.filter(col("_a") === col("_b")).select(col("_a").as(a))
@@ -756,31 +782,51 @@ object Bgp {
     val aggregated =
       if (q.aggs.isEmpty) constrained
       else {
-        val inputs = q.aggs.collect { case (_, v, _) if v != "*" => v }
-        // count(*) counts DISTINCT SOLUTIONS, so its pre-projection is
-        // the whole solution row, not just (keys × inputs) — otherwise
-        // every group collapses to one row and count(*) is always 1
-        val hasStar = q.aggs.exists(_._2 == "*")
-        val keyCols =
-          if (hasStar) constrained.columns.toSeq
-          else (q.groupKeys ++ inputs).distinct
+        // count(*) counts DISTINCT SOLUTIONS (its pre-projection is the
+        // whole solution row), while a value aggregate fn($v) runs over
+        // the distinct (group keys × v) projection. The two families
+        // aggregate from their OWN pre-projections and join back on the
+        // group keys, so mixing them — `select $g count(*) count($x)` —
+        // keeps each token's meaning instead of silently switching
+        // count($x) to a per-solution multiset count (round-5 advice).
+        val starAggs = q.aggs.filter(_._2 == "*")
+        val valAggs = q.aggs.filterNot(_._2 == "*")
+        val inputs = valAggs.map(_._2)
         (q.groupKeys ++ inputs).distinct.foreach(k =>
           require(constrained.columns.contains(k),
             s"aggregate/group variable $$$k is bound by no pattern"))
-        val pre = constrained.select(keyCols.map(constrained(_)): _*).distinct()
-        val exprs = q.aggs.map {
-          case ("count", "*", a) => count(lit(1)).as(a)
-          case ("count", v, a)   => count(pre(v)).as(a)
-          case ("min", v, a)     => min(pre(v)).as(a)
-          case ("max", v, a)     => max(pre(v)).as(a)
-          case ("sum", v, a)     => sum(pre(v).try_cast("double")).as(a)
-          case ("avg", v, a)     => avg(pre(v).try_cast("double")).as(a)
-          case (f, _, _)         => throw new IllegalArgumentException(
-            s"unsupported aggregate: $f")
-        }
-        val grouped =
+        def aggOver(pre: DataFrame,
+            aggs: Seq[(String, String, String)]): DataFrame = {
+          val exprs = aggs.map {
+            case ("count", "*", a) => count(lit(1)).as(a)
+            case ("count", v, a)   => count(pre(v)).as(a)
+            case ("min", v, a)     => min(pre(v)).as(a)
+            case ("max", v, a)     => max(pre(v)).as(a)
+            case ("sum", v, a)     => sum(pre(v).try_cast("double")).as(a)
+            case ("avg", v, a)     => avg(pre(v).try_cast("double")).as(a)
+            case (f, _, _)         => throw new IllegalArgumentException(
+              s"unsupported aggregate: $f")
+          }
           if (q.groupKeys.isEmpty) pre.agg(exprs.head, exprs.tail: _*)
           else pre.groupBy(q.groupKeys.map(pre(_)): _*).agg(exprs.head, exprs.tail: _*)
+        }
+        val valDf = Option.when(valAggs.nonEmpty)(aggOver(
+          constrained
+            .select((q.groupKeys ++ inputs).distinct.map(constrained(_)): _*)
+            .distinct(),
+          valAggs))
+        val starDf = Option.when(starAggs.nonEmpty)(aggOver(
+          constrained.distinct(), starAggs))
+        val grouped = (valDf, starDf) match {
+          // both families see the same group-key set (each group has ≥1
+          // solution on both sides), so the key join is lossless
+          case (Some(v), Some(st)) =>
+            if (q.groupKeys.isEmpty) v.crossJoin(st)
+            else v.join(st, q.groupKeys, "inner")
+          case (Some(v), None)  => v
+          case (None, Some(st)) => st
+          case (None, None)     => constrained // unreachable: aggs nonEmpty
+        }
         // HAVING: group filters after aggregation; numeric literal →
         // numeric compare (counts are longs, sums doubles), same
         // dispatch rule as FILTER

@@ -66,6 +66,19 @@ class FunctionsSpec extends SparkSpec {
     assert(fastF.collect().toSet == slow.collect().toSet)
   }
 
+  test("hyperplane_sig rejects null embedding elements with a descriptive error") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(Tuple1(Seq[java.lang.Double](1.0, null, 3.0))).toDF("v")
+    val ex = intercept[Exception] {
+      df.select(expr("hyperplane_sig(v, 2, 4)")).collect()
+    }
+    // the cause chain must carry the descriptive message, not an NPE
+    val msgs = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+      .map(m => String.valueOf(m.getMessage)).mkString("; ")
+    assert(msgs.contains("null element at index 1"))
+  }
+
   test("simhash_agg over rows equals scalar simhash of concatenated tokens") {
     GraftFunctions.register(spark)
     import spark.implicits._

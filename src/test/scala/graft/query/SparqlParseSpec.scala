@@ -194,6 +194,25 @@ class SparqlParseSpec extends SparkSpec {
       Seq(Row("g1", 2L), Row("g2", 1L)))
   }
 
+  test("count(*) mixed with value aggregates keeps both meanings") {
+    import spark.implicits._
+    val triples = Seq(
+      ("alice", "in", "g1"), ("bob", "in", "g1"), ("carol", "in", "g2"),
+      ("alice", "tag", "red"), ("bob", "tag", "red"), ("carol", "tag", "blue"))
+      .toDF("s", "p", "o")
+    // solutions per g1: (alice,red),(bob,red) → count(*)=2; but the
+    // distinct tag VALUES per g1 = {red} → count($t)=1. Before the
+    // round-5 fix count($t) silently meant the per-solution multiset
+    // count (2).
+    val q = Sparql.parse(
+      "select $g count(*) count($t) where { $x in $g . $x tag $t } group by $g order by $g")
+    assert(Bgp.compile(triples, q).collect().toSeq ==
+      Seq(Row("g1", 2L, 1L), Row("g2", 1L, 1L)))
+    // global (ungrouped) mixing takes the crossJoin path
+    val g = Sparql.parse("select count(*) count($t) where { $x tag $t }")
+    assert(Bgp.compile(triples, g).collect().toSeq == Seq(Row(3L, 2L)))
+  }
+
   test("having filters groups after aggregation") {
     import spark.implicits._
     val triples = Seq(
@@ -336,6 +355,27 @@ class SparqlParseSpec extends SparkSpec {
     val triples = Seq(("a", "p", "b")).toDF("s", "p", "o")
     val q = Sparql.parse("select $x where { $x p \"b\" }")
     assertThrows[IllegalArgumentException](Bgp.compile(triples, q))
+  }
+
+  test("typed closure endpoints honor term kinds (round-5 advice)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val chain = Seq(("a", "next", "b"), ("b", "next", "c")).toDF("s", "p", "o")
+    // a typed endpoint on a kind-UNAWARE store fails fast, mirroring
+    // plainPatternDf — it must not silently fall back to value-only
+    val q = Sparql.parse("select $y where { <a> next+ $y }")
+    assertThrows[IllegalArgumentException](Bgp.compile(chain, q).collect())
+    // kind-aware: all terms are IRIs, so the iri-typed endpoint matches…
+    val kinds = chain
+      .withColumn("sk", lit("iri")).withColumn("pk", lit("iri"))
+      .withColumn("ok", lit("iri"))
+    val mk = Some((df: org.apache.spark.sql.DataFrame, pos: String, kind: String) =>
+      df(pos + "k") === lit(kind))
+    assert(Bgp.compile(kinds, q, matchKind = mk).orderBy("y").collect().toSeq ==
+      Seq(Row("b"), Row("c")))
+    // …while a literal-typed endpoint of the same lexical value does not
+    val ql = Sparql.parse("select $y where { \"a\" next+ $y }")
+    assert(Bgp.compile(kinds, ql, matchKind = mk).count() == 0)
   }
 
   test("optional group must share a variable with the required part") {
