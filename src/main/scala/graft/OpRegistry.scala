@@ -235,6 +235,12 @@ object OpRegistry {
     op("rdf_bgp_group_count", RdfOps.bgpGroupCount, RdfOps.bgpGroupCountSql),
     op("rdf_bgp_group_having", RdfOps.bgpGroupHaving, RdfOps.bgpGroupHavingSql),
     op("rdf_bgp_group_mixed", RdfOps.bgpGroupMixed, RdfOps.bgpGroupMixedSql),
+    op("rdf_bgp_group_concat", RdfOps.bgpGroupConcat, RdfOps.bgpGroupConcatSql),
+    op("rdf_bgp_values", RdfOps.bgpValues, RdfOps.bgpValuesSql),
+    op("rdf_bgp_minus", RdfOps.bgpMinus, RdfOps.bgpMinusSql),
+    op("rdf_bgp_exists", RdfOps.bgpExists, RdfOps.bgpExistsSql),
+    op("rdf_bgp_bind", RdfOps.bgpBind, RdfOps.bgpBindSql),
+    op("rdf_bgp_path_opt", RdfOps.bgpPathOpt, RdfOps.bgpPathOptSql),
     op("rdf_ask", RdfOps.bgpAsk, RdfOps.bgpAskSql),
     op("rdf_construct", RdfOps.bgpConstruct, RdfOps.bgpConstructSql),
     op("rdf_describe", RdfOps.bgpDescribe, RdfOps.bgpDescribeSql),

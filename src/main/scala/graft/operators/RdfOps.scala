@@ -259,6 +259,113 @@ object RdfOps {
        |SELECT n, count(*) AS count_all, count(DISTINCT seg) AS count_s
        |FROM sol GROUP BY n ORDER BY n""".stripMargin
 
+  /** VALUES inline data (SPARQL 1.1): the variable is restricted to an
+    * enumerated term set, compiling to an IN filter that pushes down to
+    * the scan like an equality predicate. */
+  def bgpValues(s: SparkSession, d: String): DataFrame = {
+    val q = Sparql.parse(
+      "select $c $n where { $c in_nation $n . values $n { NATION_2 NATION_7 } }")
+    val res = Bgp.compile(tripleView(s, d), q)
+    res.orderBy(res("c"), res("n"))
+  }
+  val bgpValuesSql: String =
+    s"""$tripleViewSql
+       |SELECT DISTINCT s AS c, o AS n FROM t
+       |WHERE p = 'in_nation' AND o IN ('NATION_2', 'NATION_7')
+       |ORDER BY c, n""".stripMargin
+
+  /** MINUS (SPARQL 1.1): members of NATION_2 minus the BUILDING-segment
+    * customers — an anti-join on the shared variable. Suppliers survive
+    * (they have no segment at all, so nothing is compatible). */
+  def bgpMinus(s: SparkSession, d: String): DataFrame = {
+    val q = Sparql.parse(
+      "select $c where { $c in_nation NATION_2 . minus { $c in_segment BUILDING } }")
+    val res = Bgp.compile(tripleView(s, d), q)
+    res.orderBy(res("c"))
+  }
+  val bgpMinusSql: String =
+    s"""$tripleViewSql
+       |SELECT DISTINCT s AS c FROM t
+       |WHERE p = 'in_nation' AND o = 'NATION_2'
+       |  AND s NOT IN (SELECT s FROM t WHERE p = 'in_segment' AND o = 'BUILDING')
+       |ORDER BY c""".stripMargin
+
+  /** FILTER EXISTS / NOT EXISTS (SPARQL 1.1): BUILDING-segment
+    * customers split by whether they are members of NATION_2 — the two
+    * polarities land as one result with a tag column, so the oracle
+    * checks the semi-join AND the anti-join. */
+  def bgpExists(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = tripleView(s, d)
+    val in = Bgp.compile(t, Sparql.parse(
+      "select $c where { $c in_segment BUILDING . filter exists { $c in_nation NATION_2 } }"))
+    val out = Bgp.compile(t, Sparql.parse(
+      "select $c where { $c in_segment BUILDING . filter not exists { $c in_nation NATION_2 } }"))
+    in.withColumn("polarity", lit("in"))
+      .unionByName(out.withColumn("polarity", lit("out")))
+      .orderBy($"c")
+  }
+  val bgpExistsSql: String =
+    s"""$tripleViewSql
+       |, bld AS (SELECT DISTINCT s AS c FROM t
+       |          WHERE p = 'in_segment' AND o = 'BUILDING'),
+       |n2 AS (SELECT s FROM t WHERE p = 'in_nation' AND o = 'NATION_2')
+       |SELECT c, CASE WHEN c IN (SELECT s FROM n2) THEN 'in' ELSE 'out' END AS polarity
+       |FROM bld ORDER BY c""".stripMargin
+
+  /** BIND (SPARQL 1.1, restricted scalar set): computed variables
+    * extend each solution — lowercased nation name and its length.
+    * Outputs stay string-typed (the engine's term invariant), so the
+    * oracle casts length to VARCHAR too. */
+  def bgpBind(s: SparkSession, d: String): DataFrame = {
+    val q = Sparql.parse(
+      """select $n $u $l where { $n in_region ASIA .
+        |  bind ( lcase($n) as $u ) . bind ( strlen($n) as $l ) }""".stripMargin)
+    val res = Bgp.compile(tripleView(s, d), q)
+    res.orderBy(res("n"))
+  }
+  val bgpBindSql: String =
+    s"""$tripleViewSql
+       |SELECT DISTINCT s AS n, lower(s) AS u, CAST(length(s) AS VARCHAR) AS l
+       |FROM t WHERE p = 'in_region' AND o = 'ASIA'
+       |ORDER BY n""".stripMargin
+
+  /** ZERO-OR-ONE property path (SPARQL 1.1 `p?`): the one-hop nation
+    * chain plus every term reaching itself — no closure iteration. The
+    * oracle states it as key equality or +1 adjacency. */
+  def bgpPathOpt(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val chain = nation(s, d)
+      .filter($"n_nationkey" < 24)
+      .select($"n_name".as("s"), lit("next").as("p"),
+        concat(lit("NATION_"), ($"n_nationkey" + 1).cast("string")).as("o"))
+    val q = Sparql.parse("select $a $b where { $a next? $b }")
+    val res = Bgp.compile(chain, q)
+    res.orderBy(res("a"), res("b"))
+  }
+  val bgpPathOptSql: String =
+    """SELECT a.n_name AS a, b.n_name AS b
+      |FROM nation a JOIN nation b
+      |  ON b.n_nationkey = a.n_nationkey OR b.n_nationkey = a.n_nationkey + 1
+      |ORDER BY a, b""".stripMargin
+
+  /** GROUP_CONCAT + SAMPLE aggregates (SPARQL 1.1): nations per region,
+    * concatenated in sorted order (the only deterministic choice) and
+    * sampled as the minimum (a conforming arbitrary pick both engines
+    * agree on). */
+  def bgpGroupConcat(s: SparkSession, d: String): DataFrame = {
+    val q = Sparql.parse(
+      """select $r group_concat($n) sample($n) where { $n in_region $r }
+        |group by $r order by $r""".stripMargin)
+    Bgp.compile(tripleView(s, d), q)
+  }
+  val bgpGroupConcatSql: String =
+    s"""$tripleViewSql
+       |SELECT o AS r, string_agg(s, ';' ORDER BY s) AS group_concat_n,
+       |  min(s) AS sample_n
+       |FROM t WHERE p = 'in_region'
+       |GROUP BY o ORDER BY r""".stripMargin
+
   /** ASK query form (SPARQL 1.1): existence with LIMIT-1 evaluation.
     * Two asks — one satisfiable, one not — land as one two-row result
     * so the oracle checks both polarities. */

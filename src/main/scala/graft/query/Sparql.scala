@@ -40,7 +40,20 @@ final case class Sparql(
     havings: Seq[(String, String, String)] = Nil,
     // internal variables (sequence-path midpoints) that join patterns
     // but are excluded from the projected output
-    hiddenVars: Seq[String] = Nil) {
+    hiddenVars: Seq[String] = Nil,
+    // VALUES clauses (SPARQL 1.1 inline data, single-variable form):
+    // (var, allowed term values) — restricts the variable to the set
+    valuesClauses: Seq[(String, Seq[String])] = Nil,
+    // MINUS groups (SPARQL 1.1): solutions compatible with a group on
+    // its shared variables are removed (anti-join); a group sharing no
+    // variable removes nothing (SPARQL §8.3.3)
+    minusGroups: Seq[Seq[(QueryUnit, QueryUnit, QueryUnit)]] = Nil,
+    // FILTER [NOT] EXISTS groups: (positive, patterns) — keep solutions
+    // for which the group does (not) match, via semi/anti join
+    existsGroups: Seq[(Boolean, Seq[(QueryUnit, QueryUnit, QueryUnit)])] = Nil,
+    // BIND items (SPARQL 1.1, restricted function set): (fn, inputVar,
+    // outputVar) — fn ∈ str|ucase|lcase|strlen, applied in order
+    binds: Seq[(String, String, String)] = Nil) {
 
   /** ORDER BY modifier (standard SPARQL; the reference has no solution
     * modifiers at all). Applied after projection/DISTINCT, before LIMIT. */
@@ -113,6 +126,42 @@ final case class Sparql(
   def optional(patterns: Seq[Seq[String]]): Sparql =
     copy(optionals = optionals :+ parsePatterns(patterns))
 
+  /** VALUES clause (SPARQL 1.1 inline data, one-variable form): the
+    * variable may only take the listed concrete term values. */
+  def values(v: String, vals: Seq[String]): Sparql = {
+    val sv = stripVar(v)
+    require(vars.contains(sv), s"values variable $v not declared in select")
+    require(vals.nonEmpty, "values block must list at least one value")
+    copy(valuesClauses = valuesClauses :+ ((sv, vals)))
+  }
+
+  /** MINUS group (SPARQL 1.1): remove solutions compatible with the
+    * group's solutions on their shared variables. */
+  def minus(patterns: Seq[Seq[String]]): Sparql =
+    copy(minusGroups = minusGroups :+ parsePatterns(patterns))
+
+  /** FILTER EXISTS / NOT EXISTS group (SPARQL 1.1): keep solutions for
+    * which the group's patterns do (`positive`) / do not match. */
+  def exists(positive: Boolean, patterns: Seq[Seq[String]]): Sparql =
+    copy(existsGroups = existsGroups :+ ((positive, parsePatterns(patterns))))
+
+  /** BIND (SPARQL 1.1, restricted to a small scalar-function set):
+    * compute `fn(in)` into the fresh variable `out`. Outputs stay
+    * string-typed, keeping the all-terms-are-strings invariant the
+    * engine's joins/distincts rely on. */
+  def bind(fn: String, in: String, out: String): Sparql = {
+    require(Sparql.BindFns.contains(fn), s"unsupported bind function: $fn")
+    val (si, so) = (stripVar(in), stripVar(out))
+    require(vars.contains(si), s"bind input variable $in not declared in select")
+    require(vars.contains(so), s"bind target variable $out not declared in select")
+    // SPARQL forbids rebinding an in-scope variable
+    val patternVars = (conds ++ optionals.flatten)
+      .flatMap(t => Seq(t._1, t._2, t._3)).collect { case QVar(n) => n }
+    require(!patternVars.contains(so) && !binds.exists(_._3 == so),
+      s"bind target $out is already bound")
+    copy(binds = binds :+ ((fn, si, so)))
+  }
+
   /** FILTER constraint (beyond the reference — standard SPARQL):
     * a comparison applied to the joined solution. Supported ops:
     * == != < <= > >= regex. */
@@ -165,9 +214,12 @@ object Sparql {
   def apply(): Sparql = Sparql(Nil, Nil)
 
   val ConstraintOps: Set[String] = Set("==", "!=", "<", "<=", ">", ">=", "regex")
-  val AggregateFns: Set[String] = Set("count", "min", "max", "sum", "avg")
+  val AggregateFns: Set[String] =
+    Set("count", "min", "max", "sum", "avg", "group_concat", "sample")
+  val BindFns: Set[String] = Set("str", "ucase", "lcase", "strlen")
   /** `count($c)` / `count(*)` select items; alias = `fn_var` / `fn_all`. */
-  private val AggTok = """(?i)(count|min|max|sum|avg)\((\$\w+|\*)\)""".r
+  private val AggTok =
+    """(?i)(count|min|max|sum|avg|group_concat|sample)\((\$\w+|\*)\)""".r
 
   /** Alias an aggregate token resolves to, if it is one. */
   def aggAlias(tok: String): Option[String] = tok match {
@@ -265,11 +317,16 @@ object Sparql {
           if (closes) grown :+ Vector.empty else grown
       }.map(_.toSeq).filter(_.nonEmpty)
 
-    // split the body into required tokens, optional { … } groups, and
-    // filter ( lhs op rhs ) constraints
+    // split the body into required tokens, optional { … } groups,
+    // filter ( lhs op rhs ) constraints, values / minus / bind /
+    // filter [not] exists clauses
     val required = Vector.newBuilder[String]
     val optGroups = Vector.newBuilder[Seq[String]]
     val filterExprs = Vector.newBuilder[Seq[Seq[(String, String, String)]]]
+    val valuesItems = Vector.newBuilder[(String, Seq[String])]
+    val minusBodies = Vector.newBuilder[Seq[String]]
+    val existsBodies = Vector.newBuilder[(Boolean, Seq[String])]
+    val bindItems = Vector.newBuilder[(String, String, String)]
     var i = 0
     while (i < tokens.length) {
       if (tokens(i).equalsIgnoreCase("optional")) {
@@ -278,6 +335,53 @@ object Sparql {
         val close = tokens.indexOf("}", i + 2)
         require(close > 0, "unclosed optional group")
         optGroups += tokens.slice(i + 2, close)
+        i = close + 1
+      } else if (tokens(i).equalsIgnoreCase("minus")) {
+        require(i + 1 < tokens.length && tokens(i + 1) == "{",
+          "minus must be followed by a braced group")
+        val close = tokens.indexOf("}", i + 2)
+        require(close > 0, "unclosed minus group")
+        minusBodies += tokens.slice(i + 2, close)
+        i = close + 1
+      } else if (tokens(i).equalsIgnoreCase("values")) {
+        require(i + 2 < tokens.length && tokens(i + 1).startsWith("$") &&
+          tokens(i + 2) == "{", "values must be `values $var { v1 v2 … }`")
+        val close = tokens.indexOf("}", i + 3)
+        require(close > 0, "unclosed values block")
+        val vals = tokens.slice(i + 3, close)
+        require(vals.nonEmpty && vals.forall(!_.startsWith("$")),
+          "values block must list concrete terms")
+        valuesItems += ((tokens(i + 1), vals))
+        i = close + 1
+      } else if (tokens(i).equalsIgnoreCase("bind")) {
+        // `bind ( $a as $b )` or `bind ( fn ( $a ) as $b )`
+        require(i + 1 < tokens.length && tokens(i + 1) == "(",
+          "bind must be followed by a parenthesized expression")
+        if (i + 5 < tokens.length && tokens(i + 2).startsWith("$") &&
+            tokens(i + 3).equalsIgnoreCase("as") &&
+            tokens(i + 4).startsWith("$") && tokens(i + 5) == ")") {
+          bindItems += (("str", tokens(i + 2), tokens(i + 4)))
+          i += 6
+        } else {
+          require(i + 8 < tokens.length && tokens(i + 3) == "(" &&
+            tokens(i + 4).startsWith("$") && tokens(i + 5) == ")" &&
+            tokens(i + 6).equalsIgnoreCase("as") &&
+            tokens(i + 7).startsWith("$") && tokens(i + 8) == ")",
+            "bind must be `bind ( $v as $w )` or `bind ( fn ( $v ) as $w )`")
+          bindItems += ((tokens(i + 2).toLowerCase, tokens(i + 4), tokens(i + 7)))
+          i += 9
+        }
+      } else if (tokens(i).equalsIgnoreCase("filter") && i + 1 < tokens.length &&
+          (tokens(i + 1).equalsIgnoreCase("exists") ||
+            (tokens(i + 1).equalsIgnoreCase("not") && i + 2 < tokens.length &&
+              tokens(i + 2).equalsIgnoreCase("exists")))) {
+        val positive = tokens(i + 1).equalsIgnoreCase("exists")
+        val bi = if (positive) i + 2 else i + 3
+        require(bi < tokens.length && tokens(bi) == "{",
+          "filter [not] exists must be followed by a braced group")
+        val close = tokens.indexOf("}", bi + 1)
+        require(close > 0, "unclosed exists group")
+        existsBodies += ((positive, tokens.slice(bi + 1, close)))
         i = close + 1
       } else if (tokens(i).equalsIgnoreCase("filter")) {
         require(i + 1 < tokens.length && tokens(i + 1) == "(",
@@ -322,11 +426,35 @@ object Sparql {
     }
     val requiredPats = expandPaths(toPatterns(required.result()))
     val optPats = optGroups.result().map(g => expandPaths(toPatterns(g)))
-    val base = Sparql().select(declaredVars ++ pathVars.result())
-      .copy(hiddenVars = pathVars.result())
+    val minusPats = minusBodies.result().map(g => expandPaths(toPatterns(g)))
+    val existsPats = existsBodies.result().map { case (pos, g) =>
+      (pos, expandPaths(toPatterns(g)))
+    }
+    // variables local to minus/exists groups, plus unselected bind
+    // outputs, are legal solution variables — declare them hidden so
+    // validation accepts them without projecting them
+    val declaredStripped =
+      declaredVars.map(v => if (v.startsWith("$")) v.substring(1) else v)
+    val groupLocalVars = ((minusPats ++ existsPats.map(_._2)).flatten.flatten ++
+      bindItems.result().map(_._3))
+      .filter(t => t.startsWith("$") && t.length > 1).map(_.substring(1))
+      .distinct.filterNot(declaredStripped.contains)
+    val hiddenExtra = pathVars.result() ++ groupLocalVars
+    val base = Sparql().select(declaredVars ++ hiddenExtra)
+      .copy(hiddenVars = hiddenExtra)
       .filter(requiredPats)
     val withOpt = optPats.foldLeft(base)((q, g) => q.optional(g))
-    val withFilters = filterExprs.result().foldLeft(withOpt) {
+    val withMinus = minusPats.foldLeft(withOpt)((q, g) => q.minus(g))
+    val withExists = existsPats.foldLeft(withMinus) {
+      case (q, (pos, g)) => q.exists(pos, g)
+    }
+    val withValues = valuesItems.result().foldLeft(withExists) {
+      case (q, (v, vals)) => q.values(v, vals)
+    }
+    val withBinds = bindItems.result().foldLeft(withValues) {
+      case (q, (fn, in, out)) => q.bind(fn, in, out)
+    }
+    val withFilters = filterExprs.result().foldLeft(withBinds) {
       // a single bare comparison stays on the legacy conjunctive list
       // (back-compat for callers inspecting q.constraints)
       case (q, Seq(Seq((l, op, r)))) => q.constraint(l, op, r)
@@ -577,13 +705,13 @@ object Bgp {
       * `reflexive` adds the SPARQL zero-length component (`base*`):
       * every term appearing anywhere in the graph reaches itself. */
     def closureDf(base: String, su: QueryUnit, ou: QueryUnit,
-        reflexive: Boolean = false): DataFrame = {
+        reflexive: Boolean = false, transitive: Boolean = true): DataFrame = {
       val edges = triples
         .filter(matchValue(triples, "p") === lit(base))
         .select(matchValue(triples, "s").as("_a"), matchValue(triples, "o").as("_b"))
         .distinct().localCheckpoint()
       var reach = edges
-      var delta = edges
+      var delta = if (transitive) edges else edges.limit(0)
       while (!delta.isEmpty) {
         val next = delta.toDF("_a", "_m")
           .join(edges.toDF("_m", "_b"), "_m")
@@ -649,6 +777,7 @@ object Bgp {
       *   `^p`   inverse — evaluate p with subject/object swapped
       *   `p+`   one-or-more transitive closure
       *   `p*`   zero-or-more closure (adds every graph term → itself)
+      *   `p?`   zero-or-one (one-hop edges plus every term → itself)
       * Operators compose per sequence step: the parser's `/` rewrite
       * leaves each step token intact, so `^in_nation/in_region` works. */
     def patternDf(pat: (QueryUnit, QueryUnit, QueryUnit)): DataFrame = pat._2 match {
@@ -665,6 +794,10 @@ object Bgp {
         closureDf(p.dropRight(1), pat._1, pat._3)
       case QVal(p, None) if p.length > 1 && p.endsWith("*") && !p.contains("://") =>
         closureDf(p.dropRight(1), pat._1, pat._3, reflexive = true)
+      case QVal(p, None) if p.length > 1 && p.endsWith("?") && !p.contains("://") =>
+        // zero-or-one: the one-hop edges plus every term → itself — no
+        // closure iteration at all
+        closureDf(p.dropRight(1), pat._1, pat._3, reflexive = true, transitive = false)
       case _ => plainPatternDf(pat)
     }
 
@@ -719,6 +852,40 @@ object Bgp {
       require(shared.nonEmpty, "optional group shares no variable with the required patterns")
       acc.join(opt, shared, "left_outer")
     }
+    // BIND: computed variables extend the solution row (before VALUES /
+    // MINUS / filters, so all of those can reference the bound var)
+    val bound = q.binds.foldLeft(joined) { case (acc, (fn, in, out)) =>
+      val c = fn match {
+        case "str"    => acc(in)
+        case "ucase"  => upper(acc(in))
+        case "lcase"  => lower(acc(in))
+        case "strlen" => length(acc(in)).cast("string")
+        case other    => throw new IllegalArgumentException(
+          s"unsupported bind function: $other")
+      }
+      acc.withColumn(out, c)
+    }
+    // VALUES: an enumerated term set compiles to an IN filter — pushes
+    // down to the scan like an equality (a very large inline table
+    // would instead broadcast-join, but VALUES lists are small by use)
+    val valued = q.valuesClauses.foldLeft(bound) { case (acc, (v, vals)) =>
+      require(acc.columns.contains(v), s"values variable $$$v is bound by no pattern")
+      acc.filter(acc(v).isin(vals: _*))
+    }
+    // MINUS: anti-join on the shared variables; a group sharing no
+    // variable removes nothing (SPARQL §8.3.3 compatibility semantics)
+    val minused = q.minusGroups.foldLeft(valued) { (acc, group) =>
+      val m = joinAll(group.map(patternDf))
+      val shared = acc.columns.intersect(m.columns).toSeq
+      if (shared.isEmpty) acc else acc.join(m, shared, "left_anti")
+    }
+    // FILTER EXISTS / NOT EXISTS: semi/anti join on the shared variables
+    val existed = q.existsGroups.foldLeft(minused) { case (acc, (pos, group)) =>
+      val e = joinAll(group.map(patternDf))
+      val shared = acc.columns.intersect(e.columns).toSeq
+      require(shared.nonEmpty, "exists group shares no variable with the outer patterns")
+      acc.join(e, shared, if (pos) "left_semi" else "left_anti")
+    }
     // FILTER constraints apply to the joined solution (after OPTIONAL,
     // per SPARQL filter scope)
     def comparison(acc: DataFrame)(c: (QueryUnit, String, QueryUnit)): Column = {
@@ -768,7 +935,7 @@ object Bgp {
         }
       }
     }
-    val conjoined = q.constraints.foldLeft(joined)((acc, c) => acc.filter(comparison(acc)(c)))
+    val conjoined = q.constraints.foldLeft(existed)((acc, c) => acc.filter(comparison(acc)(c)))
     // each disjunction is one FILTER in DNF: OR over &&-groups
     val constrained = q.disjunctions.foldLeft(conjoined) { (acc, dnf) =>
       acc.filter(dnf.map(_.map(comparison(acc)).reduce(_ && _)).reduce(_ || _))
@@ -804,6 +971,14 @@ object Bgp {
             case ("max", v, a)     => max(pre(v)).as(a)
             case ("sum", v, a)     => sum(pre(v).try_cast("double")).as(a)
             case ("avg", v, a)     => avg(pre(v).try_cast("double")).as(a)
+            // group_concat over the distinct inputs in sorted order —
+            // the only deterministic (and thus cross-engine-checkable)
+            // concatenation; SPARQL leaves the order undefined
+            case ("group_concat", v, a) =>
+              array_join(array_sort(collect_set(pre(v))), ";").as(a)
+            // SAMPLE picks an arbitrary input per SPARQL — implemented
+            // as min, a conforming choice that two engines agree on
+            case ("sample", v, a)  => min(pre(v)).as(a)
             case (f, _, _)         => throw new IllegalArgumentException(
               s"unsupported aggregate: $f")
           }

@@ -231,4 +231,27 @@ class ScaleSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).size == 3, // nation+region, customer
       s"expected 3 scans (nation, region, customer):\n$p")
   }
+
+  test("values clause pushes its IN filter into the scans") {
+    // VALUES over a pattern variable must land as a pushed predicate on
+    // the object column, not a post-join filter — at 100 TB the
+    // difference is scanning the enumerated slice vs the whole table
+    val df = operators.RdfOps.bgpValues(spark, sf0001)
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [") && p.contains("In(c_nationkey") ||
+      p.contains("In(n_name"),
+      s"VALUES IN-list should reach the parquet scan:\n$p")
+  }
+
+  test("minus and exists compile to anti/semi joins, not subquery rescans") {
+    // MINUS → LeftAnti, FILTER EXISTS → LeftSemi: one pass over each
+    // side, no nested-loop re-evaluation per outer row
+    val mp = operators.RdfOps.bgpMinus(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    assert(mp.contains("LeftAnti"), s"MINUS should plan a LeftAnti join:\n$mp")
+    val ep = operators.RdfOps.bgpExists(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    assert(ep.contains("LeftSemi") && ep.contains("LeftAnti"),
+      s"EXISTS/NOT EXISTS should plan LeftSemi/LeftAnti joins:\n$ep")
+  }
 }

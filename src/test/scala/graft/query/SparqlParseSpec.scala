@@ -378,6 +378,85 @@ class SparqlParseSpec extends SparkSpec {
     assert(Bgp.compile(kinds, ql, matchKind = mk).count() == 0)
   }
 
+  test("values clause restricts a variable to the listed terms") {
+    import spark.implicits._
+    val triples = Seq(
+      ("alice", "in", "g1"), ("bob", "in", "g2"), ("carol", "in", "g3"))
+      .toDF("s", "p", "o")
+    val q = Sparql.parse(
+      "select $x $g where { $x in $g . values $g { g1 g3 } }")
+    assert(Bgp.compile(triples, q).orderBy("x").collect().toSeq ==
+      Seq(Row("alice", "g1"), Row("carol", "g3")))
+    // a values list of variables is malformed
+    assertThrows[IllegalArgumentException](Sparql.parse(
+      "select $x where { $x in g1 . values $x { $y } }"))
+  }
+
+  test("minus removes compatible solutions; disjoint minus removes nothing") {
+    import spark.implicits._
+    val triples = Seq(
+      ("alice", "knows", "bob"), ("carol", "knows", "dave"),
+      ("alice", "banned", "yes"), ("x", "unrelated", "y")).toDF("s", "p", "o")
+    val q = Sparql.parse(
+      "select $a $b where { $a knows $b . minus { $a banned yes } }")
+    assert(Bgp.compile(triples, q).collect().toSeq == Seq(Row("carol", "dave")))
+    // no shared variable → SPARQL compatibility semantics: no-op
+    val qd = Sparql.parse(
+      "select $a $b where { $a knows $b . minus { $z unrelated $w } }")
+    assert(Bgp.compile(triples, qd).count() == 2)
+  }
+
+  test("filter exists keeps matching solutions, not exists drops them") {
+    import spark.implicits._
+    val triples = Seq(
+      ("alice", "knows", "bob"), ("carol", "knows", "dave"),
+      ("alice", "mail", "a@x.org")).toDF("s", "p", "o")
+    val ex = Sparql.parse(
+      "select $a $b where { $a knows $b . filter exists { $a mail $m } }")
+    assert(Bgp.compile(triples, ex).collect().toSeq == Seq(Row("alice", "bob")))
+    val nex = Sparql.parse(
+      "select $a $b where { $a knows $b . filter not exists { $a mail $m } }")
+    assert(Bgp.compile(triples, nex).collect().toSeq == Seq(Row("carol", "dave")))
+  }
+
+  test("bind computes new variables; rebinding a pattern variable fails") {
+    import spark.implicits._
+    val triples = Seq(("alice", "in", "g1"), ("bob", "in", "g2")).toDF("s", "p", "o")
+    val q = Sparql.parse(
+      "select $x $g $u $n where { $x in $g . bind ( ucase($x) as $u ) . bind ( strlen($x) as $n ) }")
+    assert(Bgp.compile(triples, q).orderBy("x").collect().toSeq ==
+      Seq(Row("alice", "g1", "ALICE", "5"), Row("bob", "g2", "BOB", "3")))
+    // plain alias form, and filters can reference the bound variable
+    val qa = Sparql.parse(
+      "select $x $y where { $x in $y . bind ( $x as $y2 ) . filter ( $y2 == bob ) }")
+    assert(Bgp.compile(triples, qa).collect().toSeq == Seq(Row("bob", "g2")))
+    assertThrows[IllegalArgumentException](Sparql.parse(
+      "select $x $g where { $x in $g . bind ( ucase($x) as $g ) }"))
+    assertThrows[IllegalArgumentException](Sparql.parse(
+      "select $x where { $x in g1 . bind ( md5 ( $x ) as $h ) }"))
+  }
+
+  test("zero-or-one path gives one-hop edges plus reflexive pairs only") {
+    import spark.implicits._
+    val chain = Seq(("a", "next", "b"), ("b", "next", "c")).toDF("s", "p", "o")
+    val q = Sparql.parse("select $x $y where { $x next? $y }")
+    // NO (a,c): zero-or-one never iterates
+    assert(Bgp.compile(chain, q).orderBy("x", "y").collect().toSeq == Seq(
+      Row("a", "a"), Row("a", "b"),
+      Row("b", "b"), Row("b", "c"), Row("c", "c")))
+  }
+
+  test("group_concat and sample aggregate deterministically") {
+    import spark.implicits._
+    val triples = Seq(
+      ("alice", "in", "g1"), ("bob", "in", "g1"), ("bob", "in", "g1"),
+      ("carol", "in", "g2")).toDF("s", "p", "o")
+    val q = Sparql.parse(
+      "select $g group_concat($x) sample($x) where { $x in $g } group by $g order by $g")
+    assert(Bgp.compile(triples, q).collect().toSeq == Seq(
+      Row("g1", "alice;bob", "alice"), Row("g2", "carol", "carol")))
+  }
+
   test("optional group must share a variable with the required part") {
     import spark.implicits._
     val triples = Seq(("a", "p", "b")).toDF("s", "p", "o")
