@@ -694,13 +694,20 @@ object Bgp {
     require(q.conds.nonEmpty, "empty BGP")
 
     /** One-or-more transitive closure of `base` edges (property path
-      * `base+`), by semi-naive iteration: each round joins only the
-      * NEW pairs (delta) against the one-hop edges, unions them in,
-      * and stops when a round adds nothing. localCheckpoint after
-      * each round cuts the lineage — without it, round k's plan
-      * re-derives rounds 1..k-1 and the loop goes quadratic in plan
-      * size. Terminates on cyclic graphs too (delta drains once every
-      * reachable pair is known).
+      * `base+`), by pointer doubling (iterative squaring): each round
+      * joins the known reachable pairs with THEMSELVES, so round k
+      * covers all paths up to length 2^k and the loop runs
+      * ceil(log2(diameter)) rounds instead of the diameter. Every
+      * distributed round is a global barrier — a depth-1000 lineage
+      * chain costs 1000 synchronized shuffles under semi-naive but
+      * only 10 under doubling, and at cluster scale round latency,
+      * not per-round join volume, dominates deep closures. (On huge
+      * short-diameter graphs semi-naive's delta⋈edges joins move
+      * fewer rows, but those finish in ≤4 rounds either way.)
+      * localCheckpoint after each round cuts the lineage — without
+      * it, round k's plan re-derives rounds 1..k-1 and the loop goes
+      * quadratic in plan size. Terminates on cyclic graphs too (no
+      * new pairs once every reachable pair is known).
       *
       * `reflexive` adds the SPARQL zero-length component (`base*`):
       * every term appearing anywhere in the graph reaches itself. */
@@ -711,14 +718,16 @@ object Bgp {
         .select(matchValue(triples, "s").as("_a"), matchValue(triples, "o").as("_b"))
         .distinct().localCheckpoint()
       var reach = edges
-      var delta = if (transitive) edges else edges.limit(0)
-      while (!delta.isEmpty) {
-        val next = delta.toDF("_a", "_m")
-          .join(edges.toDF("_m", "_b"), "_m")
+      var grew = transitive
+      while (grew) {
+        val next = reach.toDF("_a", "_m")
+          .join(reach.toDF("_m", "_b"), "_m")
           .select(col("_a"), col("_b"))
           .except(reach).localCheckpoint()
-        reach = reach.union(next).localCheckpoint()
-        delta = next
+        grew = !next.isEmpty
+        // next is EXCEPT-distinct and disjoint from reach, so the
+        // union stays duplicate-free without another shuffle
+        if (grew) reach = reach.union(next).localCheckpoint()
       }
       var df = reach
       if (reflexive) {
