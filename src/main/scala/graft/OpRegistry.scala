@@ -246,6 +246,8 @@ object OpRegistry {
     op("rdf_describe", RdfOps.bgpDescribe, RdfOps.bgpDescribeSql),
     op("rdf_bgp_path_seq", RdfOps.bgpPathSeq, RdfOps.bgpPathSeqSql),
     op("rdf_bgp_path_trans", RdfOps.bgpPathTrans, RdfOps.bgpPathTransSql),
+    op("rdf_bgp_path_bound", RdfOps.bgpPathBound, RdfOps.bgpPathBoundSql),
+    op("rdf_bgp_path_seq_trans", RdfOps.bgpPathSeqTrans, RdfOps.bgpPathSeqTransSql),
     op("rdf_bgp_path_star", RdfOps.bgpPathStar, RdfOps.bgpPathStarSql),
     op("rdf_bgp_path_inv", RdfOps.bgpPathInv, RdfOps.bgpPathInvSql),
     op("rdf_bgp_path_alt", RdfOps.bgpPathAlt, RdfOps.bgpPathAltSql),

@@ -441,6 +441,56 @@ object RdfOps {
       |FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
       |ORDER BY a, b""".stripMargin
 
+  /** BOUND-ENDPOINT transitive paths (round-7 verdict #1): `<seed> p+
+    * $y` and `$x p+ <seed>` must evaluate by seed-restricted frontier
+    * BFS — the closure analogue of the reference's bound-position
+    * dispatch (graph.rs:842-853) — never by computing the all-pairs
+    * closure and filtering. Both directions land as one result with a
+    * `dir` tag; ScaleSpec pins that neither plan contains a join of
+    * the reach set with itself (in fact no join at all). */
+  def bgpPathBound(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val chain = nation(s, d)
+      .filter($"n_nationkey" < 24)
+      .select($"n_name".as("s"), lit("next").as("p"),
+        concat(lit("NATION_"), ($"n_nationkey" + 1).cast("string")).as("o"))
+    val fwd = Bgp.compile(chain,
+      Sparql.parse("select $b where { NATION_2 next+ $b }"))
+    val bwd = Bgp.compile(chain,
+      Sparql.parse("select $a where { $a next+ NATION_20 }"))
+    fwd.select(lit("fwd").as("dir"), $"b".as("n"))
+      .unionByName(bwd.select(lit("bwd").as("dir"), $"a".as("n")))
+      .orderBy($"dir", $"n")
+  }
+  val bgpPathBoundSql: String =
+    """SELECT 'fwd' AS dir, n_name AS n FROM nation WHERE n_nationkey > 2
+      |UNION ALL
+      |SELECT 'bwd', n_name FROM nation WHERE n_nationkey < 20
+      |ORDER BY dir, n""".stripMargin
+
+  /** SEQUENCE path MIXING a closure step with a plain step (round-7
+    * verdict #6): `next+/in_region` — the parser's `/` rewrite leaves
+    * each step token intact, so the first step compiles to a closure
+    * and the second to a plain pattern joined on the hidden midpoint.
+    * View = the nation chain plus the in_region edges. */
+  def bgpPathSeqTrans(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val chain = nation(s, d)
+      .filter($"n_nationkey" < 24)
+      .select($"n_name".as("s"), lit("next").as("p"),
+        concat(lit("NATION_"), ($"n_nationkey" + 1).cast("string")).as("o"))
+    val nr = nation(s, d).join(broadcast(region(s, d)), $"n_regionkey" === $"r_regionkey")
+      .select($"n_name".as("s"), lit("in_region").as("p"), $"r_name".as("o"))
+    val q = Sparql.parse("select $a $r where { $a next+/in_region $r }")
+    val res = Bgp.compile(chain.union(nr), q)
+    res.orderBy(res("a"), res("r"))
+  }
+  val bgpPathSeqTransSql: String =
+    """SELECT DISTINCT a.n_name AS a, r.r_name AS r
+      |FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+      |JOIN region r ON b.n_regionkey = r.r_regionkey
+      |ORDER BY a, r""".stripMargin
+
   /** ZERO-OR-MORE property path (SPARQL 1.1 `p*`): the transitive
     * closure of the nation chain plus every graph term reaching itself
     * — the oracle states it as the non-strict key inequality. */

@@ -694,20 +694,38 @@ object Bgp {
     require(q.conds.nonEmpty, "empty BGP")
 
     /** One-or-more transitive closure of `base` edges (property path
-      * `base+`), by pointer doubling (iterative squaring): each round
-      * joins the known reachable pairs with THEMSELVES, so round k
-      * covers all paths up to length 2^k and the loop runs
-      * ceil(log2(diameter)) rounds instead of the diameter. Every
-      * distributed round is a global barrier — a depth-1000 lineage
-      * chain costs 1000 synchronized shuffles under semi-naive but
-      * only 10 under doubling, and at cluster scale round latency,
-      * not per-round join volume, dominates deep closures. (On huge
-      * short-diameter graphs semi-naive's delta⋈edges joins move
-      * fewer rows, but those finish in ≤4 rounds either way.)
+      * `base+`), dispatched on the BOUND POSITIONS of the pattern —
+      * the closure analogue of the reference's access-path dispatch
+      * (graph.rs:842-853), which routes every pattern by what is bound
+      * before touching data:
+      *
+      *  - a bound endpoint (`<seed> p+ $y` / `$x p+ <seed>`) runs a
+      *    SEED-RESTRICTED frontier BFS: per round the NEW frontier
+      *    joins the edge list (reversed for a bound object) and the
+      *    loop stops on an empty frontier. Work per round is bounded
+      *    by the seed's reachable set, never the all-pairs closure —
+      *    at 100 TB, one node's lineage query must not pay for every
+      *    pair in the graph.
+      *  - var-var runs DELTA-RESTRICTED POINTER DOUBLING: round k+1
+      *    joins the full reach set with only the pairs FIRST FOUND in
+      *    round k (`reach ⋈ delta`), then excludes known pairs. This
+      *    keeps the plain-doubling round bound — after round k, reach
+      *    holds every pair at distance ≤ 2^k, so ceil(log2(diameter))
+      *    global barriers, vs the diameter under semi-naive — while
+      *    avoiding `reach ⋈ reach`'s re-derivation of every known
+      *    pair every round (quadratic pre-except join output on
+      *    bushy graphs). Sketch: a pair at shortest distance
+      *    D ∈ (2^k, 2^{k+1}] splits at the node m that is D−2^k from
+      *    the start along a shortest path; then dist(a,m) = D−2^k
+      *    ≤ 2^k (⇒ in reach) and dist(m,b) = exactly 2^k (⇒ first
+      *    found in round k, i.e. in delta), so `reach ⋈ delta` finds
+      *    it in round k+1.
+      *
       * localCheckpoint after each round cuts the lineage — without
       * it, round k's plan re-derives rounds 1..k-1 and the loop goes
-      * quadratic in plan size. Terminates on cyclic graphs too (no
-      * new pairs once every reachable pair is known).
+      * quadratic in plan size (pinned by ScaleSpec's bounded-plan
+      * test). Terminates on cyclic graphs (no new pairs / empty
+      * frontier once every reachable pair is known).
       *
       * `reflexive` adds the SPARQL zero-length component (`base*`):
       * every term appearing anywhere in the graph reaches itself. */
@@ -717,27 +735,71 @@ object Bgp {
         .filter(matchValue(triples, "p") === lit(base))
         .select(matchValue(triples, "s").as("_a"), matchValue(triples, "o").as("_b"))
         .distinct().localCheckpoint()
-      var reach = edges
-      var grew = transitive
-      while (grew) {
-        val next = reach.toDF("_a", "_m")
-          .join(reach.toDF("_m", "_b"), "_m")
-          .select(col("_a"), col("_b"))
-          .except(reach).localCheckpoint()
-        grew = !next.isEmpty
-        // next is EXCEPT-distinct and disjoint from reach, so the
-        // union stays duplicate-free without another shuffle
-        if (grew) reach = reach.union(next).localCheckpoint()
+
+      /** Nodes reachable from `seed` in ≥1 step over `e` (cols _a→_b),
+        * as a single `_n` column. Frontier BFS: round latency is the
+        * seed's eccentricity, but each round moves only the frontier —
+        * the right trade when one endpoint pins the reachable set. */
+      def seededReach(e: DataFrame, seed: String): DataFrame = {
+        var frontier = e.filter(col("_a") === lit(seed))
+          .select(col("_b").as("_n")).distinct().localCheckpoint()
+        var reach = frontier
+        var grew = transitive && !frontier.isEmpty
+        while (grew) {
+          val next = frontier.select(col("_n").as("_a"))
+            .join(e, "_a").select(col("_b").as("_n"))
+            .except(reach).localCheckpoint()
+          grew = !next.isEmpty
+          if (grew) { reach = reach.union(next).localCheckpoint(); frontier = next }
+        }
+        reach
       }
-      var df = reach
-      if (reflexive) {
-        // zero-length paths connect every graph term to itself — terms
-        // from BOTH positions of ALL triples, not just base-edges
-        // (SPARQL 1.1 §9.3, PropertyPathEval ZeroOrMorePath)
-        val nodes = triples.select(matchValue(triples, "s").as("_a"))
-          .union(triples.select(matchValue(triples, "o").as("_a")))
-          .distinct()
-        df = reach.union(nodes.select(col("_a"), col("_a").as("_b"))).distinct()
+
+      def varVarClosure(): DataFrame = {
+        var reach = edges
+        var delta = edges
+        var grew = transitive
+        while (grew) {
+          val next = reach.toDF("_a", "_m")
+            .join(delta.toDF("_m", "_b"), "_m")
+            .select(col("_a"), col("_b"))
+            .except(reach).localCheckpoint()
+          grew = !next.isEmpty
+          // next is EXCEPT-distinct and disjoint from reach, so the
+          // union stays duplicate-free without another shuffle
+          if (grew) { reach = reach.union(next).localCheckpoint(); delta = next }
+        }
+        reach
+      }
+
+      // zero-length paths connect every graph term to itself — terms
+      // from BOTH positions of ALL triples, not just base-edges
+      // (SPARQL 1.1 §9.3, PropertyPathEval ZeroOrMorePath)
+      def nodes = triples.select(matchValue(triples, "s").as("_n"))
+        .union(triples.select(matchValue(triples, "o").as("_n")))
+        .distinct()
+
+      var df = (su, ou) match {
+        case (QVal(v, _), _) => // bound subject: forward BFS from v
+          var r = seededReach(edges, v).select(lit(v).as("_a"), col("_n").as("_b"))
+          if (reflexive)
+            // v reaches itself iff v is a graph term (matches the
+            // var-var form's reflexive set filtered to _a = v)
+            r = r.union(nodes.filter(col("_n") === lit(v))
+              .select(col("_n").as("_a"), col("_n").as("_b"))).distinct()
+          r
+        case (_, QVal(v, _)) => // bound object: BFS over reversed edges
+          val rev = edges.select(col("_b").as("_a"), col("_a").as("_b"))
+          var r = seededReach(rev, v).select(col("_n").as("_a"), lit(v).as("_b"))
+          if (reflexive)
+            r = r.union(nodes.filter(col("_n") === lit(v))
+              .select(col("_n").as("_a"), col("_n").as("_b"))).distinct()
+          r
+        case _ =>
+          val reach = varVarClosure()
+          if (reflexive)
+            reach.union(nodes.select(col("_n").as("_a"), col("_n").as("_b"))).distinct()
+          else reach
       }
       // Typed endpoints mirror plainPatternDf's contract: a kind tag on
       // a kind-unaware store fails fast, and on a kind-aware store the

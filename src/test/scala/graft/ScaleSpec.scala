@@ -243,6 +243,58 @@ class ScaleSpec extends SparkSpec {
       s"VALUES IN-list should reach the parquet scan:\n$p")
   }
 
+  test("bound-endpoint path closure never joins reach with reach (seeded BFS)") {
+    // `<seed> p+ $y` must evaluate by frontier BFS from the seed — the
+    // final plan is a union of checkpointed frontier scans with NO join
+    // node at all; the all-pairs-then-filter shape would show the
+    // closure's self-joins here. Same pin for the bound-object form.
+    import spark.implicits._
+    val chain = (0 until 8)
+      .map(i => (s"N$i", "next", s"N${i + 1}")).toDF("s", "p", "o")
+    Seq("select $b where { N2 next+ $b }",
+        "select $a where { $a next+ N6 }").foreach { qs =>
+      val df = query.Bgp.compile(chain, query.Sparql.parse(qs))
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(!optimized.contains("Join"),
+        s"bound-endpoint closure must not join:\n$optimized")
+    }
+    // and the results are the seed's reachable set, not a filtered
+    // all-pairs closure gone wrong
+    val fwd = query.Bgp.compile(chain,
+      query.Sparql.parse("select $b where { N2 next+ $b }"))
+      .collect().map(_.getString(0)).sorted
+    assert(fwd.toSeq == (3 to 8).map(i => s"N$i"))
+  }
+
+  test("closure rounds localCheckpoint: plan size stays bounded, not quadratic") {
+    // every closure round must cut lineage (localCheckpoint) — a
+    // dropped checkpoint makes round k's plan re-derive rounds 1..k-1
+    // and the optimized tree grows superlinearly with depth. A
+    // depth-12 chain runs 4+ doubling rounds; the checkpointed plan is
+    // a flat union of per-round LogicalRDD scans, O(rounds) nodes.
+    import spark.implicits._
+    val chain = (0 until 12)
+      .map(i => (s"C$i", "next", s"C${i + 1}")).toDF("s", "p", "o")
+    val df = query.Bgp.compile(chain,
+      query.Sparql.parse("select $a $b where { $a next+ $b }"))
+    val nNodes = df.queryExecution.optimizedPlan.collect { case _ => 1 }.sum
+    assert(nNodes < 40, s"closure plan grew to $nNodes nodes — lost a localCheckpoint?")
+    assert(df.count() == (12 to 1 by -1).map(identity).map(_.toLong).sum) // 12+11+…+1 pairs
+  }
+
+  test("cyclic graphs terminate in both closure strategies") {
+    import spark.implicits._
+    val cyc = Seq(("a", "next", "b"), ("b", "next", "c"), ("c", "next", "a"))
+      .toDF("s", "p", "o")
+    val all = query.Bgp.compile(cyc,
+      query.Sparql.parse("select $x $y where { $x next+ $y }"))
+    assert(all.count() == 9) // complete closure of a 3-cycle
+    val seeded = query.Bgp.compile(cyc,
+      query.Sparql.parse("select $y where { a next+ $y }"))
+      .collect().map(_.getString(0)).sorted
+    assert(seeded.toSeq == Seq("a", "b", "c")) // a reaches itself via the cycle
+  }
+
   test("minus and exists compile to anti/semi joins, not subquery rescans") {
     // MINUS → LeftAnti, FILTER EXISTS → LeftSemi: one pass over each
     // side, no nested-loop re-evaluation per outer row
