@@ -231,6 +231,9 @@ object OpRegistry {
     op("rdf_bgp_filter_num", RdfOps.bgpFilterNum, RdfOps.bgpFilterNumSql),
     op("rdf_bgp_filter_varvar", RdfOps.bgpFilterVarVar, RdfOps.bgpFilterVarVarSql),
     op("rdf_bgp_filter_bool", RdfOps.bgpFilterBool, RdfOps.bgpFilterBoolSql),
+    op("rdf_bgp_filter_bound", RdfOps.bgpFilterBound, RdfOps.bgpFilterBoundSql),
+    op("rdf_bgp_filter_strfns", RdfOps.bgpFilterStrFns, RdfOps.bgpFilterStrFnsSql),
+    op("rdf_bgp_filter_isiri", RdfOps.bgpFilterIsiri, RdfOps.bgpFilterIsiriSql),
     op("rdf_bgp_order_limit", RdfOps.bgpOrderLimit, RdfOps.bgpOrderLimitSql),
     op("rdf_bgp_group_count", RdfOps.bgpGroupCount, RdfOps.bgpGroupCountSql),
     op("rdf_bgp_group_having", RdfOps.bgpGroupHaving, RdfOps.bgpGroupHavingSql),

@@ -582,6 +582,87 @@ object RdfOps {
        |  AND (o = 'NATION_2' OR (o = 'NATION_7' AND regexp_matches(s, '1$$')))
        |ORDER BY c, n""".stripMargin
 
+  /** FILTER `!bound()` with OPTIONAL — the SPARQL negation-by-failure
+    * idiom (round-7 verdict #4): entities with a nation but NO segment
+    * (suppliers — customers all bind one). `bound` maps to null tests
+    * on the left-joined solution. */
+  def bgpFilterBound(s: SparkSession, d: String): DataFrame = {
+    val q = Sparql.parse(
+      """select $x $n $seg where {
+        |  $x in_nation $n . optional { $x in_segment $seg } .
+        |  filter ( !bound ( $seg ) )
+        |}""".stripMargin)
+    val res = Bgp.compile(tripleView(s, d), q)
+    res.orderBy(res("x"), res("n"))
+  }
+  val bgpFilterBoundSql: String =
+    s"""$tripleViewSql
+       |SELECT DISTINCT req.s AS x, req.o AS n, CAST(NULL AS VARCHAR) AS seg
+       |FROM (SELECT * FROM t WHERE p = 'in_nation') req
+       |LEFT JOIN (SELECT * FROM t WHERE p = 'in_segment') opt
+       |  ON req.s = opt.s
+       |WHERE opt.o IS NULL
+       |ORDER BY x, n""".stripMargin
+
+  /** String filter functions `strstarts`/`contains`/`strends` in a DNF
+    * FILTER (SPARQL §17.4.3): NATION_1x nations, or _2-suffixed-decade
+    * nations restricted to members whose name ends in 5. Exercises the
+    * function-call grammar (nested parens + comma args) composed with
+    * `||`/`&&`. */
+  def bgpFilterStrFns(s: SparkSession, d: String): DataFrame = {
+    val q = Sparql.parse(
+      """select $c $n where {
+        |  $c in_nation $n .
+        |  filter ( strstarts ( $n , NATION_1 ) ||
+        |           contains ( $n , _2 ) && strends ( $c , 5 ) )
+        |}""".stripMargin)
+    val res = Bgp.compile(tripleView(s, d), q)
+    res.orderBy(res("c"), res("n"))
+  }
+  val bgpFilterStrFnsSql: String =
+    s"""$tripleViewSql
+       |SELECT DISTINCT s AS c, o AS n FROM t
+       |WHERE p = 'in_nation'
+       |  AND (starts_with(o, 'NATION_1')
+       |       OR (contains(o, '_2') AND ends_with(s, '5')))
+       |ORDER BY c, n""".stripMargin
+
+  /** Term-kind filter functions `isiri()`/`isliteral()` on the
+    * kind-aware view (round-7 verdict #4): the same (s, p, o) pattern
+    * filtered to IRI objects (the in_nation entity edges) vs literal
+    * objects (the nation_label string edges) — the cross-kind value
+    * collision makes a kind-blind implementation return both. */
+  def bgpFilterIsiri(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val view = typedTripleView(s, d)
+    val mk = Some((df: DataFrame, pos: String, kind: String) => kind match {
+      case graft.query.QueryUnit.Iri   => df(pos).getField("kind") === "named"
+      case graft.query.QueryUnit.Blank => df(pos).getField("kind") === "blank"
+      case _ => df(pos).getField("kind").isin("raw", "lang", "typed")
+    })
+    def run(tag: String, fn: String): DataFrame =
+      Bgp.compile(view,
+          Sparql.parse(s"select $$x $$p $$o where { $$x $$p $$o . filter ( $fn ( $$o ) ) }"),
+          matchValue = (df, pos) => df(pos).getField("value"),
+          matchKind = mk)
+        .select(lit(tag).as("q"), $"x.value".as("x"), $"p.value".as("p"), $"o.value".as("o"))
+    val res = run("iri", "isiri").union(run("lit", "isliteral"))
+    res.orderBy(res("q"), res("x"), res("p"), res("o"))
+  }
+  val bgpFilterIsiriSql: String =
+    """WITH t AS (
+      |  SELECT c_name AS s, 'in_nation' AS p, 'named' AS o_kind, n_name AS o
+      |    FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |  UNION ALL
+      |  SELECT c_name, 'nation_label', 'raw', n_name
+      |    FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |)
+      |SELECT q, x, p, o FROM (
+      |  SELECT 'iri' AS q, s AS x, p, o FROM t WHERE o_kind = 'named'
+      |  UNION ALL
+      |  SELECT 'lit', s, p, o FROM t WHERE o_kind IN ('raw', 'lang', 'typed')) u
+      |ORDER BY q, x, p, o""".stripMargin
+
   /** Solution modifiers (round-3 verdict #7 — beyond the reference,
     * standard SPARQL): DISTINCT + ORDER BY … DESC/ASC + LIMIT through
     * the parsed string front-end. The (c, n) pair is the whole row, so

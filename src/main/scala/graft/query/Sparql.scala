@@ -164,7 +164,10 @@ final case class Sparql(
 
   /** FILTER constraint (beyond the reference — standard SPARQL):
     * a comparison applied to the joined solution. Supported ops:
-    * == != < <= > >= regex. */
+    * == != < <= > >= regex, plus the SPARQL built-in filter functions
+    * (op = the function name, optionally `!`-prefixed for negation):
+    * unary `bound`/`isiri`/`isliteral`/`isblank` (rhs must be ""), and
+    * binary `strstarts`/`strends`/`contains` (rhs = the literal arg). */
   def constraint(lhs: String, op: String, rhs: String): Sparql =
     copy(constraints = constraints :+ parseComparison(lhs, op, rhs))
 
@@ -179,9 +182,21 @@ final case class Sparql(
 
   private def parseComparison(
       lhs: String, op: String, rhs: String): (QueryUnit, String, QueryUnit) = {
-    require(Sparql.ConstraintOps.contains(op), s"unsupported filter op: $op")
+    val base = if (op.startsWith("!")) op.substring(1) else op
+    val isUnaryFn = Sparql.UnaryFilterFns.contains(base)
+    val isBinaryFn = Sparql.BinaryFilterFns.contains(base)
+    require(Sparql.ConstraintOps.contains(op) || isUnaryFn || isBinaryFn,
+      s"unsupported filter op: $op")
     val l = QueryUnit.parse(lhs)
     val r = QueryUnit.parse(rhs)
+    if (isUnaryFn || isBinaryFn) {
+      // SPARQL built-in filter functions take a VARIABLE (the engine's
+      // term invariant leaves no other useful operand kind)
+      require(l.isInstanceOf[QVar], s"filter function $base takes a $$variable, got: $lhs")
+      if (isBinaryFn) require(r.isInstanceOf[QVal] && rhs.nonEmpty,
+        s"filter function $base takes a literal argument, got: $rhs")
+      else require(rhs.isEmpty, s"filter function $base takes exactly one argument")
+    }
     // rlike needs a literal pattern; silently matching against the
     // variable NAME (pre-round-4 behavior) produced wrong results
     require(op != "regex" || r.isInstanceOf[QVal],
@@ -214,6 +229,13 @@ object Sparql {
   def apply(): Sparql = Sparql(Nil, Nil)
 
   val ConstraintOps: Set[String] = Set("==", "!=", "<", "<=", ">", ">=", "regex")
+  /** SPARQL built-in filter functions (§17.4), used as constraint ops
+    * (optionally `!`-prefixed): unary term tests and binary string
+    * tests. `bound($x)` with OPTIONAL is the standard
+    * negation-by-failure idiom; the `is*` kind tests require a
+    * kind-aware (struct-term) store and fail fast on a plain view. */
+  val UnaryFilterFns: Set[String] = Set("bound", "isiri", "isliteral", "isblank")
+  val BinaryFilterFns: Set[String] = Set("strstarts", "strends", "contains")
   val AggregateFns: Set[String] =
     Set("count", "min", "max", "sum", "avg", "group_concat", "sample")
   val BindFns: Set[String] = Set("str", "ucase", "lcase", "strlen")
@@ -289,9 +311,10 @@ object Sparql {
     val modifierToks = afterWhere.substring(end + 1).trim
       .split("\\s+").toSeq.filter(_.nonEmpty)
     val tokens = body.substring(1, body.length - 1).trim
-      // make braces/parens standalone tokens so "optional{"/"filter(" parse
+      // make braces/parens/commas standalone tokens so "optional{"/
+      // "filter(" and `strstarts ( $x , lit )` argument lists parse
       .replace("{", " { ").replace("}", " } ")
-      .replace("(", " ( ").replace(")", " ) ")
+      .replace("(", " ( ").replace(")", " ) ").replace(",", " , ")
       .split("\\s+").toSeq.filter(_.nonEmpty)
     // With aggregates, pattern/filter variables NOT in the select list
     // are legal solution variables that aggregate away (SPARQL 1.1 —
@@ -386,18 +409,35 @@ object Sparql {
       } else if (tokens(i).equalsIgnoreCase("filter")) {
         require(i + 1 < tokens.length && tokens(i + 1) == "(",
           "filter must be followed by a parenthesized comparison")
-        val close = tokens.indexOf(")", i + 2)
-        require(close > i + 2, "unclosed filter expression")
+        // depth-aware close scan: function calls (`bound ( $x )`) nest
+        // parens inside the filter's own
+        var fDepth = 1
+        var fj = i + 2
+        while (fj < tokens.length && fDepth > 0) {
+          if (tokens(fj) == "(") fDepth += 1
+          else if (tokens(fj) == ")") fDepth -= 1
+          if (fDepth > 0) fj += 1
+        }
+        require(fDepth == 0, "unclosed filter expression")
+        val close = fj
         // ( c1 && c2 || c3 ) → DNF: split at || first (&& binds tighter)
         def splitOn(ts: Seq[String], sep: String): Seq[Seq[String]] =
           ts.foldLeft(Vector(Vector.empty[String])) {
             case (acc, `sep`) => acc :+ Vector.empty
             case (acc, t)     => acc.init :+ (acc.last :+ t)
           }
+        // each term is a plain comparison or a built-in function call,
+        // normalized to the (lhs, op, rhs) constraint triple (rhs = ""
+        // for unary functions)
+        def toCmp(c: Seq[String]): (String, String, String) = c match {
+          case Seq(l, op, r)                   => (l, op, r)
+          case Seq(f, "(", v, ")")             => (v, f.toLowerCase, "")
+          case Seq(f, "(", v, ",", litv, ")")  => (v, f.toLowerCase, litv)
+          case other => throw new IllegalArgumentException(
+            s"filter term must be `lhs op rhs` or `fn ( $$v [, lit] )`, got: ${other.mkString(" ")}")
+        }
         val groups = splitOn(tokens.slice(i + 2, close), "||").map(splitOn(_, "&&"))
-        groups.flatten.foreach(c =>
-          require(c.length == 3, s"filter comparison must be `lhs op rhs`, got: ${c.mkString(" ")}"))
-        filterExprs += groups.map(_.map(c => (c(0), c(1), c(2))))
+        filterExprs += groups.map(_.map(toCmp))
         i = close + 1
       } else {
         required += tokens(i)
@@ -961,6 +1001,49 @@ object Bgp {
     // per SPARQL filter scope)
     def comparison(acc: DataFrame)(c: (QueryUnit, String, QueryUnit)): Column = {
       val (l, op, r) = c
+      // SPARQL built-in filter functions arrive as (var, fnName, arg)
+      // triples, fnName optionally `!`-prefixed. `bound` maps to null
+      // tests (OPTIONAL's unmatched rows are the unbound solutions);
+      // the `is*` kind tests read the term struct's kind field and fail
+      // fast on a kind-unaware (plain string) store; string tests run
+      // on the term's lexical value. A null value under a negated
+      // string test stays null → filtered (SPARQL type-error
+      // semantics), matching the comparison ops.
+      val fnBase = if (op.startsWith("!")) op.substring(1) else op
+      if (Sparql.UnaryFilterFns.contains(fnBase) || Sparql.BinaryFilterFns.contains(fnBase)) {
+        val n = l match {
+          case QVar(name) => name
+          case QVal(v, _) => throw new IllegalArgumentException(
+            s"filter function $fnBase takes a variable, got value: $v")
+        }
+        val term = acc(n)
+        val kindAware = acc.schema(n).dataType match {
+          case st: org.apache.spark.sql.types.StructType => st.fieldNames.contains("kind")
+          case _ => false
+        }
+        def termValue = if (kindAware) term.getField("value") else term
+        def kindCol = {
+          require(kindAware, s"filter function $fnBase requires a kind-aware store")
+          term.getField("kind")
+        }
+        def arg: String = r match {
+          case QVal(v, _) => v
+          case QVar(name) => throw new IllegalArgumentException(
+            s"filter function $fnBase takes a literal argument, got variable $$$name")
+        }
+        val raw = fnBase match {
+          case "bound"     => term.isNotNull
+          case "isiri"     => kindCol === "named"
+          case "isblank"   => kindCol === "blank"
+          case "isliteral" => kindCol.isin("raw", "lang", "typed")
+          case "strstarts" => termValue.startsWith(arg)
+          case "strends"   => termValue.endsWith(arg)
+          case "contains"  => termValue.contains(arg)
+          case other => throw new IllegalArgumentException(
+            s"unsupported filter function: $other")
+        }
+        return if (op.startsWith("!")) !raw else raw
+      }
       def operand(u: QueryUnit): Column = u match {
         case QVar(n)    => acc(n)
         case QVal(v, _) => lit(v)

@@ -464,4 +464,86 @@ class SparqlParseSpec extends SparkSpec {
       "select $x $y $z $w where { $x p $y . optional { $z q $w } }")
     assertThrows[IllegalArgumentException](Bgp.compile(triples, q))
   }
+
+  test("bound()/!bound() filter OPTIONAL's unmatched rows (negation by failure)") {
+    import spark.implicits._
+    val triples = Seq(
+      ("alice", "knows", "bob"),
+      ("bob", "knows", "carol"),
+      ("alice", "mail", "a@x.org")).toDF("s", "p", "o")
+    def run(fn: String) = Bgp.compile(triples, Sparql.parse(
+      s"select $$x $$y $$m where { $$x knows $$y . optional { $$x mail $$m } . filter ( $fn ( $$m ) ) }"))
+      .orderBy("x").collect().toSeq
+    assert(run("!bound") == Seq(Row("bob", "carol", null)))
+    assert(run("bound") == Seq(Row("alice", "bob", "a@x.org")))
+  }
+
+  test("string filter functions evaluate; negation and DNF compose") {
+    import spark.implicits._
+    val triples = Seq(
+      ("alice", "likes", "apples"),
+      ("bob", "likes", "pears"),
+      ("carol", "likes", "grapes")).toDF("s", "p", "o")
+    def q(f: String) = Bgp.compile(triples, Sparql.parse(
+      s"select $$x $$o where { $$x likes $$o . filter ( $f ) }"))
+      .orderBy("x").collect().map(_.getString(0)).toSeq
+    assert(q("strstarts ( $o , a )") == Seq("alice"))
+    assert(q("!strstarts ( $o , a )") == Seq("bob", "carol"))
+    assert(q("strends ( $o , es )") == Seq("alice", "carol"))
+    assert(q("contains ( $o , rape )") == Seq("carol"))
+    assert(q("contains ( $o , rape ) || strstarts ( $x , a ) && strends ( $o , s )") ==
+      Seq("alice", "carol"))
+  }
+
+  test("filter function grammar fails fast on arity and operand mistakes") {
+    // wrong arity / non-variable operand / variable literal-arg /
+    // unknown function — all IllegalArgumentException at parse time
+    assertThrows[IllegalArgumentException](Sparql.parse(
+      "select $x where { $x p $o . filter ( bound ( $o , x ) ) }"))
+    assertThrows[IllegalArgumentException](Sparql.parse(
+      "select $x where { $x p $o . filter ( strstarts ( $o ) ) }"))
+    assertThrows[IllegalArgumentException](Sparql.parse(
+      "select $x $o where { $x p $o . filter ( strstarts ( $o , $x ) ) }"))
+    assertThrows[IllegalArgumentException](Sparql.parse(
+      "select $x where { $x p $o . filter ( shoutcase ( $o ) ) }"))
+    assertThrows[IllegalArgumentException](Sparql.parse(
+      "select $x where { $x p $o . filter ( bound ( $undeclared ) ) }"))
+  }
+
+  test("isiri/isliteral on a kind-unaware store fail fast at compile") {
+    import spark.implicits._
+    val triples = Seq(("a", "p", "b")).toDF("s", "p", "o")
+    val q = Sparql.parse("select $x $o where { $x p $o . filter ( isiri ( $o ) ) }")
+    assertThrows[IllegalArgumentException](
+      Bgp.compile(triples, q).collect())
+  }
+
+  test("a sequence path mixing a closure step with a plain step composes") {
+    import spark.implicits._
+    val triples = Seq(
+      ("a", "next", "b"), ("b", "next", "c"),
+      ("b", "in", "G"), ("c", "in", "H")).toDF("s", "p", "o")
+    val q = Sparql.parse("select $x $g where { $x next+/in $g }")
+    assert(Bgp.compile(triples, q).orderBy("x", "g").collect().toSeq == Seq(
+      Row("a", "G"), Row("a", "H"), Row("b", "H")))
+  }
+
+  test("bound-endpoint transitive paths evaluate from the seed, both directions") {
+    import spark.implicits._
+    val chain = Seq(("a", "next", "b"), ("b", "next", "c"), ("c", "next", "d"))
+      .toDF("s", "p", "o")
+    val fwd = Bgp.compile(chain, Sparql.parse("select $y where { b next+ $y }"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(fwd == Seq("c", "d"))
+    val bwd = Bgp.compile(chain, Sparql.parse("select $x where { $x next+ c }"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(bwd == Seq("a", "b"))
+    // bound star includes the seed's reflexive pair
+    val star = Bgp.compile(chain, Sparql.parse("select $y where { b next* $y }"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(star == Seq("b", "c", "d"))
+    // both endpoints bound: existence via the ASK path
+    assert(Bgp.ask(chain, Sparql(Nil, Seq((QVal("a"), QVal("next+"), QVal("d"))))))
+    assert(!Bgp.ask(chain, Sparql(Nil, Seq((QVal("d"), QVal("next+"), QVal("a"))))))
+  }
 }
