@@ -10,6 +10,15 @@ import org.apache.spark.sql.SparkSession
   * per-query numbers measure the operators, not JVM/codegen/FS-init
   * warmup — the first parquet scan of a session otherwise pays ~3-4 s
   * of one-time cost that would land on an arbitrary query.
+  *
+  * Each query runs SPARK_GRAFT_BENCH_REPS times (default 2) and the
+  * reported number is the MIN — the bench shares its box with whatever
+  * else runs at round-end, and in past rounds one-off contention swung
+  * unchanged queries 4-6x in both directions, making round-over-round
+  * deltas unreadable without manual isolated re-runs (round-7 verdict
+  * #3). The min over two spaced reps damps a transient spike while
+  * still reflecting any real regression; every rep lands in the
+  * persisted line (`reps`) so variance stays visible.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -33,19 +42,32 @@ object Bench {
     try Tables.events(spark, sfDir).count() catch { case _: Throwable => () }
     try SparkEntry.queries("q1_agg")(spark, sfDir).count() catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // intra-query caches (LSH signatures, shingle sets) must not leak
-      // memory pressure into the next query's measurement
-      spark.catalog.clearCache()
-      name -> dt
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
+    // rep 1 of every query runs before rep 2 of any (spaced reps):
+    // contention spikes last seconds-to-minutes, so back-to-back reps
+    // of one query would both sit inside the same spike
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val repTimes: Seq[Seq[(String, Double)]] = (1 to reps).map { _ =>
+      ordered.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // intra-query caches (LSH signatures, shingle sets) must not
+        // leak memory pressure into the next query's measurement
+        spark.catalog.clearCache()
+        name -> dt
+      }
     }
+    val byName = ordered.map { case (name, _) =>
+      name -> repTimes.map(_.toMap.apply(name))
+    }
+    val results = byName.map { case (name, ts) => name -> ts.min }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val allReps = byName.map { case (k, ts) => "\"" + k + "\":" + ts.mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$allReps,"sf":"$sfDir"}"""
     // The stdout capture path has truncated the HEAD of this line in
     // past rounds (round-3 verdict #3: alphabetical order meant the
     // dropped entries were exactly the ops that changed). Persist the
