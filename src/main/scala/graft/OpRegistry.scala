@@ -297,6 +297,11 @@ object OpRegistry {
     // (MinHashLSH's seeded coefficients, KMeans centroids) that no
     // external engine can reproduce; MlOpsSpec pins recall/overlap
     // against the oracle-checked exact baselines instead.
+    // DECISION (round 8, from round-7 verdict #7): dedup_minhash_ml
+    // stays registered — and benched — as the MLlib-parity demo at its
+    // documented ~3x cost over the native dedup_minhash_lsh path. The
+    // native op is the production recommendation; keeping the MLlib
+    // variant in the bench keeps its cost visible instead of hidden.
     opNoOracle("dedup_minhash_ml", MlOps.dedupMinhashMl),
     opNoOracle("sim_ann_ivf", MlOps.simAnnIvf),
     opNoOracle("sim_ann_ivf_index", MlOps.simAnnIvfIndex),
