@@ -291,6 +291,7 @@ object OpRegistry {
     op("text_redact", CurationOps.textRedact, CurationOps.textRedactSql),
     op("doc_stream_quality", CurationOps.docStreamQuality, CurationOps.docStreamQualitySql),
     op("doc_shard_pack", CurationOps.docShardPack, CurationOps.docShardPackSql),
+    op("doc_pipeline_e2e", CurationOps.docPipelineE2e, CurationOps.docPipelineE2eSql),
     op("sim_topk_brute", SimilarityOps.simTopkBrute, SimilarityOps.simTopkBruteSql),
     op("sim_ann_lsh", SimilarityOps.simAnnLsh, SimilarityOps.simAnnLshSql),
     // Intentionally rows-only: both depend on MLlib model internals

@@ -48,19 +48,23 @@ object CurationOps {
     * real drops. */
   def docQualityFilter(s: SparkSession, d: String): DataFrame =
     qualityGate(documents(s, d)).orderBy(col("doc_id"))
-  val docQualityFilterSql: String = {
+  /** The gate's WHERE clause alone — shared by the standalone oracle
+    * and the e2e pipeline oracle so the two cannot drift. */
+  val qualityGateWhereSql: String = {
     val sw = TextOps.stopwords.map("'" + _ + "'").mkString(", ")
+    s"""len(string_split(text,' ')) BETWEEN 20 AND 1000
+       |  AND len(list_filter(string_split(text,' '), t -> t IN ($sw))) >= 1
+       |  AND 2*len(list_distinct(string_split(text,' '))) >= len(string_split(text,' '))
+       |  AND len(regexp_extract_all(text, '${TextOps.EmailRe}')) = 0
+       |  AND len(regexp_extract_all(text, '${TextOps.UrlRe}')) = 0""".stripMargin
+  }
+  val docQualityFilterSql: String =
     s"""SELECT doc_id,
        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
        |  CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_unique
        |FROM documents
-       |WHERE len(string_split(text,' ')) BETWEEN 20 AND 1000
-       |  AND len(list_filter(string_split(text,' '), t -> t IN ($sw))) >= 1
-       |  AND 2*len(list_distinct(string_split(text,' '))) >= len(string_split(text,' '))
-       |  AND len(regexp_extract_all(text, '${TextOps.EmailRe}')) = 0
-       |  AND len(regexp_extract_all(text, '${TextOps.UrlRe}')) = 0
+       |WHERE $qualityGateWhereSql
        |ORDER BY doc_id""".stripMargin
-  }
 
   /** Deterministic per-source stratified sampling — the mixture-
     * weighting step of corpus assembly. Each doc draws a uniform
@@ -182,6 +186,108 @@ object CurationOps {
     s.read.parquet(tmp).orderBy($"doc_id")
   }
   val docStreamQualitySql: String = docQualityFilterSql
+
+  /** The END-TO-END curation pipeline as ONE registered query (round-7
+    * verdict #5) — what a training-data user actually runs, composed
+    * from the per-stage operators so cross-stage interface mismatches
+    * surface that per-op oracles can't:
+    *
+    *   1. quality gate ([[docQualityFilter]]'s expressions)
+    *   2. exact dedup keep-one (min doc_id per content md5)
+    *   3. near-dup cluster keep-one: MinHash+LSH pairs among the
+    *      survivors ([[DedupOps.minhashPairs]]) → GraphX connected
+    *      components ([[DedupOps.pairClusterCanonical]]) → keep the
+    *      canonical (min) doc per cluster
+    *   4. decontaminate vs the held-out set (doc_id % 50 = 0; its
+    *      5-gram index comes from the FULL corpus, same contract as
+    *      [[dedupDecontaminate]]) and drop the held-out docs
+    *   5. deterministic stratified sample ([[docSampleStratified]]'s
+    *      md5 gate)
+    *   6. token-budget shard packing ([[docShardPack]]'s window)
+    *
+    * Every stage keeps its standalone scale shape (map-side gates,
+    * banded LSH, paired-subgraph-only Pregel, broadcast benchmark
+    * index, per-source windows); the oracle replays the identical
+    * composition as chained CTEs with a recursive closure for the
+    * cluster step. */
+  def docPipelineE2e(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(s)
+    val docs = documents(s, d)
+    // 1. quality gate
+    val gated = docs.join(qualityGate(docs).select($"doc_id"), "doc_id")
+      .select($"doc_id", $"source", $"text")
+    // 2. exact dedup keep-one
+    val keep1 = gated.groupBy(md5($"text").as("k")).agg(min($"doc_id").as("doc_id"))
+    val exact = gated.join(keep1.select($"doc_id"), "doc_id")
+    // 3. near-dup cluster keep-one over the survivors
+    val pairs = DedupOps.minhashPairs(s, exact.select($"doc_id", $"text")).cache()
+    val canon = DedupOps.pairClusterCanonical(s, pairs)
+    val nearKept = exact.join(canon, Seq("doc_id"), "left_outer")
+      .filter(coalesce($"canonical", $"doc_id") === $"doc_id")
+      .drop("canonical")
+    // 4. decontaminate (benchmark shingle index over the FULL corpus)
+    val benchG = docs.filter($"doc_id" % 50 === 0)
+      .select(explode(expr("word_shingles(split(text, ' '), 5)")).as("g")).distinct()
+    val dirty = nearKept
+      .select($"doc_id", explode(expr("word_shingles(split(text, ' '), 5)")).as("g"))
+      .join(broadcast(benchG), "g")
+      .select($"doc_id").distinct()
+    val clean = nearKept.filter($"doc_id" % 50 =!= 0)
+      .join(dirty, Seq("doc_id"), "left_anti")
+    // 5. stratified sample
+    val rate = when(expr("try_cast(substring(source, 4, 10) AS int)") % 2 === 0,
+      lit("8")).otherwise(lit("4"))
+    val sampled = clean.filter(
+      substring(md5(concat(lit("smp_"), $"doc_id".cast("string"))), 1, 1) < rate)
+    // 6. shard pack within source
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sampled
+      .withColumn("n_tokens", size(toks($"text")).cast("long"))
+      .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .withColumn("shard", expr("cum_before div 500"))
+      .select($"doc_id", $"source", $"n_tokens", $"shard")
+      .orderBy($"doc_id")
+  }
+  val docPipelineE2eSql: String =
+    s"""WITH RECURSIVE gated AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  WHERE $qualityGateWhereSql
+       |),
+       |keep1 AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+       |exact AS (SELECT g.* FROM gated g JOIN keep1 USING (doc_id)),
+       |${DedupOps.minhashPairsCtesSql("exact")},
+       |e AS (SELECT da AS a, db AS b FROM mp UNION SELECT db, da FROM mp),
+       |reach(x, y) AS (
+       |  SELECT doc_id, doc_id FROM exact
+       |  UNION
+       |  SELECT r.x, e.b FROM reach r JOIN e ON r.y = e.a),
+       |canon AS (SELECT x AS doc_id, min(y) AS canonical FROM reach GROUP BY x),
+       |nearkept AS (SELECT ex.* FROM exact ex JOIN canon c USING (doc_id)
+       |             WHERE c.canonical = ex.doc_id),
+       |tokf AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+       |shf AS (SELECT doc_id, unnest(list_distinct(
+       |          [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]
+       |           for i in range(1, len(ws)-3)])) AS g
+       |        FROM tokf),
+       |bench AS (SELECT DISTINCT g FROM shf WHERE doc_id % 50 = 0),
+       |dirty AS (SELECT DISTINCT n.doc_id
+       |          FROM (SELECT nk.doc_id, sf.g FROM nearkept nk JOIN shf sf ON sf.doc_id = nk.doc_id) n
+       |          JOIN bench b ON n.g = b.g),
+       |clean AS (SELECT * FROM nearkept
+       |          WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM dirty)),
+       |samp AS (SELECT * FROM clean
+       |         WHERE substr(md5('smp_' || CAST(doc_id AS VARCHAR)), 1, 1) <
+       |           CASE WHEN TRY_CAST(substr(source, 4) AS INT) % 2 = 0 THEN '8' ELSE '4' END)
+       |SELECT doc_id, source,
+       |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(sum(len(string_split(text,' ')))
+       |    OVER (PARTITION BY source ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 500
+       |    AS BIGINT) AS shard
+       |FROM samp ORDER BY doc_id""".stripMargin
 
   /** Benchmark decontamination: drop every training document sharing a
     * word-5-gram with the held-out set (here: doc_id % 50 = 0, the

@@ -125,10 +125,17 @@ object DedupOps {
     * sets; verification touches only candidates. Docs with no shingle
     * (< 3 tokens) have no signature and generate no candidates — they
     * are filtered before banding (both sides of the oracle). */
-  def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
+  def dedupMinhashLsh(s: SparkSession, d: String): DataFrame =
+    minhashPairs(s, spreadDocs(s, d)).orderBy("da", "db")
+
+  /** The MinHash+LSH pair pipeline over an ARBITRARY (doc_id, text)
+    * set — shared by the standalone op (whole corpus) and the e2e
+    * curation pipeline (pairs among the gate+exact-dedup survivors).
+    * Returns unordered (da, db) verified near-dup pairs. */
+  def minhashPairs(s: SparkSession, docsIn: DataFrame): DataFrame = {
     import s.implicits._
     GraftFunctions.register(s)
-    val docs = spreadDocs(s, d)
+    val docs = docsIn
       .select($"doc_id", expr("word_shingles(split(text, ' '))").as("gs"))
       .filter(size($"gs") > 0)
     val sig = withMinhash(docs).cache()
@@ -143,34 +150,38 @@ object DedupOps {
       .filter($"da" < $"db")
       .select($"da", $"db").distinct()
     val sets = sig.select($"doc_id", $"gs")
-    val verified = cand
+    cand
       .join(sets.toDF("da", "ga"), "da")
       .join(sets.toDF("db", "gb"), "db")
       .select($"da", $"db",
         size(array_intersect($"ga", $"gb")).as("c"),
         size($"ga").as("na"), size($"gb").as("nb"))
       .filter(lit(2) * $"c" >= $"na" + $"nb" - $"c")
-    verified.select($"da", $"db").orderBy($"da", $"db")
+      .select($"da", $"db")
   }
-  /** DuckDB replica of the full MinHash+LSH pipeline — identical md5
-    * signatures, banding, and Jaccard verification. */
+
+  /** DuckDB CTE chain replicating [[minhashPairs]] from relation `src`
+    * (columns doc_id, text) — identical md5 signatures, banding, and
+    * Jaccard verification; the pair set lands as `mp(da, db)`. */
+  def minhashPairsCtesSql(src: String): String =
+    s"""tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM $src),
+       |gsx AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+       |          THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)])
+       |          ELSE [] END AS gs FROM tok),
+       |gs2 AS (SELECT doc_id, gs FROM gsx WHERE len(gs) > 0),
+       |sig AS (SELECT doc_id,
+       |          [list_min([md5(g || '_' || CAST(i AS VARCHAR)) for g in gs]) for i in range(0,16)] AS sigs
+       |        FROM gs2),
+       |bands AS (SELECT doc_id, b,
+       |            md5(sigs[4*b+1] || '|' || sigs[4*b+2] || '|' || sigs[4*b+3] || '|' || sigs[4*b+4]) AS bucket
+       |          FROM sig, range(0,4) t(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |         FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |v AS (SELECT da, db, len(list_intersect(ga.gs, gb.gs)) AS c, len(ga.gs) AS na, len(gb.gs) AS nb
+       |      FROM cand JOIN gs2 ga ON ga.doc_id = da JOIN gs2 gb ON gb.doc_id = db),
+       |mp AS (SELECT da, db FROM v WHERE 2*c >= na + nb - c)""".stripMargin
   val dedupMinhashLshSql: String =
-    """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
-      |gsx AS (SELECT doc_id, CASE WHEN len(ws) >= 3
-      |          THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)])
-      |          ELSE [] END AS gs FROM tok),
-      |gs2 AS (SELECT doc_id, gs FROM gsx WHERE len(gs) > 0),
-      |sig AS (SELECT doc_id,
-      |          [list_min([md5(g || '_' || CAST(i AS VARCHAR)) for g in gs]) for i in range(0,16)] AS sigs
-      |        FROM gs2),
-      |bands AS (SELECT doc_id, b,
-      |            md5(sigs[4*b+1] || '|' || sigs[4*b+2] || '|' || sigs[4*b+3] || '|' || sigs[4*b+4]) AS bucket
-      |          FROM sig, range(0,4) t(b)),
-      |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-      |         FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-      |v AS (SELECT da, db, len(list_intersect(ga.gs, gb.gs)) AS c, len(ga.gs) AS na, len(gb.gs) AS nb
-      |      FROM cand JOIN gs2 ga ON ga.doc_id = da JOIN gs2 gb ON gb.doc_id = db)
-      |SELECT da, db FROM v WHERE 2*c >= na + nb - c ORDER BY da, db""".stripMargin
+    s"WITH ${minhashPairsCtesSql("documents")}\nSELECT da, db FROM mp ORDER BY da, db"
 
   /** Dedup CLUSTERING — the production step after pair generation:
     * near-dup pairs become edges, connected components become cluster
@@ -180,18 +191,30 @@ object DedupOps {
     * Oracle: recursive-CTE closure over the same pair set (tiny at
     * sf0.01; the Spark side is the scale path). */
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.graphx.{Edge, Graph => XGraph}
     import s.implicits._
     // cache the pair list: GraphX materializes its edge RDD several
     // times during CC, which would re-run the whole jaccard pipeline
     val pairs = dedupNgramJaccard(s, d).select($"da", $"db").cache()
-    // Pregel runs over the PAIRED docs only — a doc in no pair is its
-    // own canonical by definition and joining it back afterwards is
-    // one map-side coalesce, not 10+ CC iterations. At 100 TB the
-    // near-dup subgraph is a small fraction of the corpus, so this
-    // bounds the iterative stage by the dup volume, not the corpus.
-    val paired = pairs.select($"da".as("doc_id"))
-      .union(pairs.select($"db")).distinct()
+    val ccDf = pairClusterCanonical(s, pairs)
+    documents(s, d).select($"doc_id")
+      .join(ccDf, Seq("doc_id"), "left_outer")
+      .select($"doc_id", coalesce($"canonical", $"doc_id").as("canonical"))
+      .orderBy($"doc_id")
+  }
+  /** Connected-component canonical labels over a near-dup pair set:
+    * (doc_id, canonical = the component's min doc_id) for every doc
+    * appearing in some pair. Pregel runs over the PAIRED docs only —
+    * a doc in no pair is its own canonical by definition and joining
+    * it back afterwards is one map-side coalesce, not 10+ CC
+    * iterations. At 100 TB the near-dup subgraph is a small fraction
+    * of the corpus, so this bounds the iterative stage by the dup
+    * volume, not the corpus. Callers should cache `pairs` (GraphX
+    * materializes its RDDs several times during CC). */
+  def pairClusterCanonical(s: SparkSession, pairs: DataFrame): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph => XGraph}
+    import s.implicits._
+    val paired = pairs.select(col("da").as("doc_id"))
+      .union(pairs.select(col("db"))).distinct()
     // size the graph RDDs from the input like GraphOps.buildGraph —
     // iterative Pregel pays per-partition overhead every round, so
     // target ~1M rows/partition capped at the cluster parallelism
@@ -202,12 +225,9 @@ object DedupOps {
     val vRdd = paired.as[Long].rdd.map(id => (id, ())).coalesce(parts)
     val eRdd = pairs.as[(Long, Long)].rdd.map { case (a, b) => Edge(a, b, ()) }.coalesce(parts)
     val cc = XGraph(vRdd, eRdd).connectedComponents().vertices
-    val ccDf = s.createDataFrame(cc).toDF("doc_id", "canonical")
-    documents(s, d).select($"doc_id")
-      .join(ccDf, Seq("doc_id"), "left_outer")
-      .select($"doc_id", coalesce($"canonical", $"doc_id").as("canonical"))
-      .orderBy($"doc_id")
+    s.createDataFrame(cc).toDF("doc_id", "canonical")
   }
+
   val dedupClustersSql: String =
     s"""WITH RECURSIVE jpairs AS (
        |${dedupNgramJaccardSql.linesIterator.filterNot(_.startsWith("ORDER BY"))

@@ -112,4 +112,34 @@ class PipelineSpec extends SparkSpec {
     assert(out.length == 500)
     assert(out.forall(r => Set("en", "de", "es", "fr", "und").contains(r.getString(1))))
   }
+
+  test("e2e pipeline output honors every stage's invariant") {
+    import spark.implicits._
+    val out = CurationOps.docPipelineE2e(spark, sf0001).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty, "pipeline should keep some documents")
+    // distinct ids, all quality-gate survivors, no held-out docs
+    val ids = rows.map(_.getLong(0))
+    assert(ids.distinct.length == ids.length)
+    assert(ids.forall(_ % 50 != 0), "benchmark docs must not survive")
+    val gatedIds = CurationOps.docQualityFilter(spark, sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.forall(gatedIds.contains), "every survivor passed the quality gate")
+    // shard packing: within each source, shard ids start at 0 and are
+    // non-decreasing in doc_id order (cumulative-sum contract)
+    rows.groupBy(_.getString(1)).foreach { case (_, rs) =>
+      val shards = rs.sortBy(_.getLong(0)).map(_.getLong(3))
+      assert(shards.head == 0L)
+      assert(shards.zip(shards.tail).forall { case (a, b) => a <= b })
+    }
+    // near-dup keep-one: no two surviving docs form a verified
+    // minhash near-dup pair
+    val survivors = ids.toSet
+    val pairs = DedupOps.minhashPairs(spark,
+      graft.Tables.documents(spark, sf0001).select($"doc_id", $"text")).collect()
+    assert(!pairs.exists(r =>
+      survivors(r.getLong(0)) && survivors(r.getLong(1))),
+      "two members of one near-dup cluster both survived")
+    out.unpersist()
+  }
 }
