@@ -255,6 +255,9 @@ object OpRegistry {
     op("rdf_bgp_path_inv", RdfOps.bgpPathInv, RdfOps.bgpPathInvSql),
     op("rdf_bgp_path_alt", RdfOps.bgpPathAlt, RdfOps.bgpPathAltSql),
     op("rdf_bgp_typed", RdfOps.bgpTyped, RdfOps.bgpTypedSql),
+    op("rdf_graph_bound", RdfOps.graphBound, RdfOps.graphBoundSql),
+    op("rdf_graph_var", RdfOps.graphVar, RdfOps.graphVarSql),
+    op("rdf_graph_join", RdfOps.graphJoin, RdfOps.graphJoinSql),
     op("rdf_insert", RdfOps.insert, RdfOps.insertSql),
     op("rdf_remove", RdfOps.remove, RdfOps.removeSql),
     op("rdf_remove_pattern", RdfOps.removePattern, RdfOps.removePatternSql),

@@ -764,6 +764,101 @@ object RdfOps {
        |  WHERE t3.p = 'in_region' AND t3.o = 'ASIA') u
        |ORDER BY x, n""".stripMargin
 
+  /** Quad view (named graphs — SPARQL 1.1 datasets; beyond both the
+    * reference and the round-7 rebuild): the [[tripleView]] edges
+    * partitioned into provenance graphs. Patterns outside a GRAPH
+    * group see the union default graph (the documented dataset
+    * choice, as in most quad stores' default configuration).
+    *   geo    — nation --in_region--> region
+    *   crm    — customer --in_nation/in_segment--> …
+    *   supply — supplier --in_nation--> nation */
+  def quadView(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val r = region(s, d)
+    val n = nation(s, d)
+    val c = customer(s, d)
+    val sup = supplier(s, d)
+    val nr = n.join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .select(lit("geo").as("g"), $"n_name".as("s"),
+        lit("in_region").as("p"), $"r_name".as("o"))
+    val cn = c.join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .select(lit("crm").as("g"), $"c_name".as("s"),
+        lit("in_nation").as("p"), $"n_name".as("o"))
+    val sn = sup.join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+      .select(lit("supply").as("g"), $"s_name".as("s"),
+        lit("in_nation").as("p"), $"n_name".as("o"))
+    val cs = c.select(lit("crm").as("g"), $"c_name".as("s"),
+      lit("in_segment").as("p"), $"c_mktsegment".as("o"))
+    nr.union(cn).union(sn).union(cs)
+  }
+  /** DuckDB CTE equivalent of [[quadView]]. */
+  val quadViewSql: String =
+    """WITH q AS (
+      |  SELECT 'geo' AS g, n_name AS s, 'in_region' AS p, r_name AS o
+      |    FROM nation JOIN region ON n_regionkey = r_regionkey
+      |  UNION ALL
+      |  SELECT 'crm', c_name, 'in_nation', n_name
+      |    FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |  UNION ALL
+      |  SELECT 'supply', s_name, 'in_nation', n_name
+      |    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |  UNION ALL
+      |  SELECT 'crm', c_name, 'in_segment', c_mktsegment FROM customer
+      |)""".stripMargin
+
+  /** BOUND graph group: the same in_nation pattern that matches both
+    * customers and suppliers on the default graph returns ONLY the
+    * supply graph's slice inside `graph <supply> { … }` — one
+    * pushed-down filter on g. */
+  def graphBound(s: SparkSession, d: String): DataFrame = {
+    val q = Sparql.parse(
+      "select $m $n where { graph <supply> { $m in_nation $n } }")
+    val res = Bgp.compile(quadView(s, d), q)
+    res.orderBy(res("m"), res("n"))
+  }
+  val graphBoundSql: String =
+    s"""$quadViewSql
+       |SELECT DISTINCT s AS m, o AS n FROM q
+       |WHERE g = 'supply' AND p = 'in_nation'
+       |ORDER BY m, n""".stripMargin
+
+  /** VARIABLE graph group: `graph $g { … }` binds each solution's
+    * source graph — membership edges tagged crm vs supply. */
+  def graphVar(s: SparkSession, d: String): DataFrame = {
+    val q = Sparql.parse(
+      "select $g $m $n where { graph $g { $m in_nation $n } }")
+    val res = Bgp.compile(quadView(s, d), q)
+    res.orderBy(res("g"), res("m"), res("n"))
+  }
+  val graphVarSql: String =
+    s"""$quadViewSql
+       |SELECT DISTINCT g, s AS m, o AS n FROM q
+       |WHERE p = 'in_nation'
+       |ORDER BY g, m, n""".stripMargin
+
+  /** CROSS-GRAPH join composed with a default-graph pattern: BUILDING
+    * customers (default graph = union of all graphs), their nation
+    * from crm, its region from geo — three pattern sources joined on
+    * shared variables. */
+  def graphJoin(s: SparkSession, d: String): DataFrame = {
+    val q = Sparql.parse(
+      """select $c $n $r where {
+        |  $c in_segment BUILDING .
+        |  graph <crm> { $c in_nation $n } .
+        |  graph <geo> { $n in_region $r }
+        |}""".stripMargin)
+    val res = Bgp.compile(quadView(s, d), q)
+    res.orderBy(res("c"), res("n"), res("r"))
+  }
+  val graphJoinSql: String =
+    s"""$quadViewSql
+       |SELECT DISTINCT q1.s AS c, q1.o AS n, q2.o AS r
+       |FROM q q0, q q1, q q2
+       |WHERE q0.p = 'in_segment' AND q0.o = 'BUILDING'
+       |  AND q1.g = 'crm' AND q1.p = 'in_nation' AND q1.s = q0.s
+       |  AND q2.g = 'geo' AND q2.p = 'in_region' AND q2.s = q1.o
+       |ORDER BY c, n, r""".stripMargin
+
   /** Insert (reference M1, graph.rs:414-509): union + distinct. */
   def insert(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

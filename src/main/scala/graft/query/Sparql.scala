@@ -53,7 +53,11 @@ final case class Sparql(
     existsGroups: Seq[(Boolean, Seq[(QueryUnit, QueryUnit, QueryUnit)])] = Nil,
     // BIND items (SPARQL 1.1, restricted function set): (fn, inputVar,
     // outputVar) — fn ∈ str|ucase|lcase|strlen, applied in order
-    binds: Seq[(String, String, String)] = Nil) {
+    binds: Seq[(String, String, String)] = Nil,
+    // GRAPH groups (SPARQL 1.1 datasets): (graph term, patterns).
+    // Requires a QUAD view (a `g` column alongside s, p, o); patterns
+    // OUTSIDE any graph group run over the union default graph
+    graphGroups: Seq[(QueryUnit, Seq[(QueryUnit, QueryUnit, QueryUnit)])] = Nil) {
 
   /** ORDER BY modifier (standard SPARQL; the reference has no solution
     * modifiers at all). Applied after projection/DISTINCT, before LIMIT. */
@@ -160,6 +164,26 @@ final case class Sparql(
     require(!patternVars.contains(so) && !binds.exists(_._3 == so),
       s"bind target $out is already bound")
     copy(binds = binds :+ ((fn, si, so)))
+  }
+
+  /** GRAPH group (SPARQL 1.1 datasets): evaluate the group's patterns
+    * within one named graph of a quad view. A bound term selects that
+    * graph's slice (the group is a full sub-BGP there — property
+    * paths included); a variable binds each solution's source graph
+    * and must not collide with the group's pattern variables. */
+  def graph(term: String, patterns: Seq[Seq[String]]): Sparql = {
+    val t = QueryUnit.parse(term)
+    val pats = parsePatterns(patterns)
+    t match {
+      case QVar(n) =>
+        require(vars.contains(n), s"graph variable $term not declared in select")
+        val patVars = pats.flatMap(p => Seq(p._1, p._2, p._3))
+          .collect { case QVar(v) => v }
+        require(!patVars.contains(n),
+          s"graph variable $term collides with a pattern variable in its group")
+      case _ => ()
+    }
+    copy(graphGroups = graphGroups :+ ((t, pats)))
   }
 
   /** FILTER constraint (beyond the reference — standard SPARQL):
@@ -350,6 +374,7 @@ object Sparql {
     val minusBodies = Vector.newBuilder[Seq[String]]
     val existsBodies = Vector.newBuilder[(Boolean, Seq[String])]
     val bindItems = Vector.newBuilder[(String, String, String)]
+    val graphItems = Vector.newBuilder[(String, Seq[String])]
     var i = 0
     while (i < tokens.length) {
       if (tokens(i).equalsIgnoreCase("optional")) {
@@ -358,6 +383,13 @@ object Sparql {
         val close = tokens.indexOf("}", i + 2)
         require(close > 0, "unclosed optional group")
         optGroups += tokens.slice(i + 2, close)
+        i = close + 1
+      } else if (tokens(i).equalsIgnoreCase("graph")) {
+        require(i + 2 < tokens.length && tokens(i + 2) == "{",
+          "graph must be `graph <term>|$var { … }`")
+        val close = tokens.indexOf("}", i + 3)
+        require(close > 0, "unclosed graph group")
+        graphItems += ((tokens(i + 1), tokens.slice(i + 3, close)))
         i = close + 1
       } else if (tokens(i).equalsIgnoreCase("minus")) {
         require(i + 1 < tokens.length && tokens(i + 1) == "{",
@@ -470,6 +502,9 @@ object Sparql {
     val existsPats = existsBodies.result().map { case (pos, g) =>
       (pos, expandPaths(toPatterns(g)))
     }
+    val graphPats = graphItems.result().map { case (t, g) =>
+      (t, expandPaths(toPatterns(g)))
+    }
     // variables local to minus/exists groups, plus unselected bind
     // outputs, are legal solution variables — declare them hidden so
     // validation accepts them without projecting them
@@ -484,7 +519,10 @@ object Sparql {
       .copy(hiddenVars = hiddenExtra)
       .filter(requiredPats)
     val withOpt = optPats.foldLeft(base)((q, g) => q.optional(g))
-    val withMinus = minusPats.foldLeft(withOpt)((q, g) => q.minus(g))
+    val withGraphs = graphPats.foldLeft(withOpt) {
+      case (q, (t, g)) => q.graph(t, g)
+    }
+    val withMinus = minusPats.foldLeft(withGraphs)((q, g) => q.minus(g))
     val withExists = existsPats.foldLeft(withMinus) {
       case (q, (pos, g)) => q.exists(pos, g)
     }
@@ -725,13 +763,17 @@ object QueryUnit {
 object Bgp {
   private val positions = Seq("s", "p", "o")
 
+  /** Bound-endpoint closures widen their hop relation until it exceeds
+    * this multiple of the predicate's edge count (see seededReach). */
+  val HopBudgetFactor: Long = 4L
+
   def compile(
       triples: DataFrame,
       q: Sparql,
       matchValue: (DataFrame, String) => Column = (df, pos) => df(pos),
       distinct: Boolean = true,
       matchKind: Option[(DataFrame, String, String) => Column] = None): DataFrame = {
-    require(q.conds.nonEmpty, "empty BGP")
+    require(q.conds.nonEmpty || q.graphGroups.nonEmpty, "empty BGP")
 
     /** One-or-more transitive closure of `base` edges (property path
       * `base+`), dispatched on the BOUND POSITIONS of the pattern —
@@ -777,22 +819,57 @@ object Bgp {
         .distinct().localCheckpoint()
 
       /** Nodes reachable from `seed` in ≥1 step over `e` (cols _a→_b),
-        * as a single `_n` column. Frontier BFS: round latency is the
-        * seed's eccentricity, but each round moves only the frontier —
-        * the right trade when one endpoint pins the reachable set. */
+        * as a single `_n` column, by frontier BFS over a HOP-WIDENED
+        * edge relation. Plain BFS pays one global barrier per graph
+        * level — a depth-1000 lineage chain would cost 1000 rounds —
+        * while full log-round doubling needs the all-pairs relation
+        * this dispatch exists to avoid. The middle path: square the
+        * hop relation (hop ∘ hop ∪ hop, so width doubles per step)
+        * while the result stays within HopBudgetFactor× the edge
+        * count, then BFS with the widened hops. Deep/narrow graphs
+        * widen cheaply (a chain's ≤w-hop relation is ~w·|V| rows) and
+        * the round count divides by the width; bushy graphs blow the
+        * budget on the first squaring and stop — exactly the regime
+        * where the diameter, and thus the BFS round count, is already
+        * small. Every widened pair is a real path, so correctness
+        * never depends on the budget. The reach set is kept as a LIST
+        * of per-round checkpointed frontiers, unioned lazily — each
+        * round materializes only its new frontier, never the
+        * accumulated set. */
       def seededReach(e: DataFrame, seed: String): DataFrame = {
-        var frontier = e.filter(col("_a") === lit(seed))
+        var hop = e
+        if (transitive) {
+          var hopRows = hop.count()
+          val budget = hopRows * Bgp.HopBudgetFactor
+          var width = 1L
+          var widening = hopRows > 0
+          while (widening && width < 64) {
+            val wider = hop.toDF("_a", "_m")
+              .join(hop.toDF("_m", "_b"), "_m")
+              .select(col("_a"), col("_b"))
+              .union(hop).distinct().localCheckpoint()
+            val n = wider.count()
+            // accept the already-materialized relation either way; the
+            // budget only stops FURTHER squaring. n == hopRows means
+            // hop is the full closure of its connected reach — done.
+            widening = n <= budget && n != hopRows
+            hop = wider
+            hopRows = n
+            width *= 2
+          }
+        }
+        var frontier = hop.filter(col("_a") === lit(seed))
           .select(col("_b").as("_n")).distinct().localCheckpoint()
-        var reach = frontier
+        val frontiers = scala.collection.mutable.Buffer(frontier)
         var grew = transitive && !frontier.isEmpty
         while (grew) {
           val next = frontier.select(col("_n").as("_a"))
-            .join(e, "_a").select(col("_b").as("_n"))
-            .except(reach).localCheckpoint()
+            .join(hop, "_a").select(col("_b").as("_n"))
+            .except(frontiers.reduce(_ union _)).localCheckpoint()
           grew = !next.isEmpty
-          if (grew) { reach = reach.union(next).localCheckpoint(); frontier = next }
+          if (grew) { frontiers += next; frontier = next }
         }
-        reach
+        frontiers.reduce(_ union _)
       }
 
       def varVarClosure(): DataFrame = {
@@ -913,7 +990,8 @@ object Bgp {
     }
 
     def plainPatternDf(pat: (QueryUnit, QueryUnit, QueryUnit),
-        altPreds: Option[Seq[String]] = None): DataFrame = {
+        altPreds: Option[Seq[String]] = None,
+        graphVar: Option[String] = None): DataFrame = {
       val units = Seq(pat._1, pat._2, pat._3)
       // filter bound positions; a TYPED value additionally constrains
       // the term kind via the store-provided predicate — plain string
@@ -943,8 +1021,10 @@ object Bgp {
           case _                     => ()
         }
       }
-      // project variables, first occurrence wins
-      val cols = varPos.distinctBy(_._1).map { case (n, pos) => df(pos).as(n) }
+      // project variables, first occurrence wins; a variable-graph
+      // pattern additionally carries its source graph
+      val cols = varPos.distinctBy(_._1).map { case (n, pos) => df(pos).as(n) } ++
+        graphVar.map(gv => df("g").as(gv))
       df.select(cols: _*)
     }
 
@@ -954,7 +1034,45 @@ object Bgp {
       if (shared.nonEmpty) l.join(rIn, shared, "inner") else l.crossJoin(rIn)
     }
 
-    val required = joinAll(q.conds.map(patternDf))
+    /** GRAPH group evaluation over a quad view (SPARQL 1.1 datasets).
+      * Bound graph: the group recurses into [[compile]] against that
+      * graph's slice — one pushed-down filter on `g`, and every BGP
+      * feature (paths/closures included) works inside. Variable graph:
+      * each pattern also projects the quad's `g` column as the graph
+      * variable, so the shared variable equi-joins pin all of the
+      * group's patterns to ONE graph per solution; path operators are
+      * rejected there (a per-graph closure would need the graph key
+      * threaded through the iteration — fail fast rather than silently
+      * closing across graphs). The graph column is a plain string by
+      * contract (graph names carry no term kind). */
+    def graphDf(t: QueryUnit, pats: Seq[(QueryUnit, QueryUnit, QueryUnit)]): DataFrame = {
+      require(triples.columns.contains("g"),
+        "graph groups require a quad (g, s, p, o) view")
+      val groupVars = pats.flatMap(p => Seq(p._1, p._2, p._3))
+        .collect { case QVar(n) => n }.distinct
+      t match {
+        case QVal(v, _) =>
+          compile(triples.filter(triples("g") === lit(v)),
+            Sparql(vars = groupVars, conds = pats),
+            matchValue, distinct = false, matchKind)
+        case QVar(gv) =>
+          def hasPathSyntax(u: QueryUnit): Boolean = u match {
+            case QVal(p, None) if !p.contains("://") =>
+              p.contains("|") || (p.length > 1 &&
+                (p.startsWith("^") || p.endsWith("+") || p.endsWith("*") || p.endsWith("?")))
+            case _ => false
+          }
+          val parts = pats.map { p =>
+            require(!hasPathSyntax(p._2),
+              s"property paths are unsupported inside graph $$$gv groups")
+            plainPatternDf(p, graphVar = Some(gv))
+          }
+          joinAll(parts)
+      }
+    }
+
+    val required = joinAll(q.conds.map(patternDf) ++
+      q.graphGroups.map { case (t, pats) => graphDf(t, pats) })
     // OPTIONAL groups: each compiles as its own mini-BGP and
     // left-joins on the variables it shares with the required part
     val joined = q.optionals.foldLeft(required) { (acc, group) =>
