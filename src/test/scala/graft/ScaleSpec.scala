@@ -295,6 +295,17 @@ class ScaleSpec extends SparkSpec {
     assert(seeded.toSeq == Seq("a", "b", "c")) // a reaches itself via the cycle
   }
 
+  test("bound graph group prunes the other graphs' union branches") {
+    // the quad view's g is a literal per branch, so `g = 'supply'`
+    // constant-folds: the geo (nation⋈region) and crm (customer)
+    // branches vanish from the plan and only supplier+nation scan —
+    // named-graph selection costs a branch prune, not a filter pass
+    val p = plan(operators.RdfOps.graphBound(spark, sf0001))
+    assert(!p.contains("customer.parquet"), p)
+    assert(!p.contains("region.parquet"), p)
+    assert(p.contains("supplier.parquet"), p)
+  }
+
   test("minus and exists compile to anti/semi joins, not subquery rescans") {
     // MINUS → LeftAnti, FILTER EXISTS → LeftSemi: one pass over each
     // side, no nested-loop re-evaluation per outer row

@@ -546,4 +546,52 @@ class SparqlParseSpec extends SparkSpec {
     assert(Bgp.ask(chain, Sparql(Nil, Seq((QVal("a"), QVal("next+"), QVal("d"))))))
     assert(!Bgp.ask(chain, Sparql(Nil, Seq((QVal("d"), QVal("next+"), QVal("a"))))))
   }
+
+  test("graph groups select slices, bind the source graph, and join across graphs") {
+    import spark.implicits._
+    val quads = Seq(
+      ("g1", "alice", "knows", "bob"),
+      ("g2", "alice", "knows", "carol"),
+      ("g2", "carol", "mail", "c@x.org")).toDF("g", "s", "p", "o")
+    // bound graph: only g2's edge matches
+    val bound = Bgp.compile(quads, Sparql.parse(
+      "select $y where { graph <g2> { alice knows $y } }"))
+    assert(bound.collect().map(_.getString(0)).toSeq == Seq("carol"))
+    // variable graph: each solution carries its source graph
+    val byG = Bgp.compile(quads, Sparql.parse(
+      "select $g $y where { graph $g { alice knows $y } }"))
+      .orderBy("g").collect().toSeq
+    assert(byG == Seq(Row("g1", "bob"), Row("g2", "carol")))
+    // a variable-graph group pins ALL its patterns to ONE graph: the
+    // knows/mail pair coexists only in g2
+    val sameG = Bgp.compile(quads, Sparql.parse(
+      "select $g $y $m where { graph $g { alice knows $y . $y mail $m } }"))
+      .collect().toSeq
+    assert(sameG == Seq(Row("g2", "carol", "c@x.org")))
+    // default graph = union of all graphs; mixes with graph groups
+    val mixed = Bgp.compile(quads, Sparql.parse(
+      "select $y $m where { alice knows $y . graph <g2> { $y mail $m } }"))
+      .collect().toSeq
+    assert(mixed == Seq(Row("carol", "c@x.org")))
+    // paths work inside a BOUND graph group (sub-BGP recursion)
+    val chainQuads = Seq(
+      ("gA", "a", "next", "b"), ("gA", "b", "next", "c"),
+      ("gB", "b", "next", "z")).toDF("g", "s", "p", "o")
+    val closed = Bgp.compile(chainQuads, Sparql.parse(
+      "select $y where { graph <gA> { a next+ $y } }"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(closed == Seq("b", "c")) // never z: gB's edge is invisible
+  }
+
+  test("graph group misuse fails fast: no quad view, path in var-graph, var collision") {
+    import spark.implicits._
+    val triples = Seq(("a", "p", "b")).toDF("s", "p", "o")
+    val q = Sparql.parse("select $x where { graph <g1> { $x p b } }")
+    assertThrows[IllegalArgumentException](Bgp.compile(triples, q))
+    val quads = Seq(("g1", "a", "next", "b")).toDF("g", "s", "p", "o")
+    val pathQ = Sparql.parse("select $g $y where { graph $g { a next+ $y } }")
+    assertThrows[IllegalArgumentException](Bgp.compile(quads, pathQ))
+    assertThrows[IllegalArgumentException](Sparql.parse(
+      "select $g $y where { graph $g { $g next $y } }"))
+  }
 }
