@@ -261,6 +261,7 @@ object OpRegistry {
     op("rdf_insert", RdfOps.insert, RdfOps.insertSql),
     op("rdf_remove", RdfOps.remove, RdfOps.removeSql),
     op("rdf_remove_pattern", RdfOps.removePattern, RdfOps.removePatternSql),
+    op("rdf_update", RdfOps.updateOps, RdfOps.updateOpsSql),
     op("rdf_dict_encode", RdfOps.dictEncode, RdfOps.dictEncodeSql),
     op("rdf_persist_roundtrip", RdfOps.persistRoundtrip, RdfOps.persistRoundtripSql),
   )

@@ -908,6 +908,48 @@ object RdfOps {
        |WHERE p <> 'in_segment'
        |ORDER BY s, p, o""".stripMargin
 
+  /** SPARQL 1.1 UPDATE sequence through the string front-end (the
+    * reference's mutation surface behind standard syntax, plus the
+    * derived forms it never shipped): insert data (with a duplicate —
+    * set semantics make it a no-op), insert…where (derive a reversed
+    * containment edge per in_region edge — evaluated over the
+    * already-updated store), delete data, and a multi-pattern delete
+    * where (both pattern instantiations of every solution vanish).
+    * Output = the final store's term values. */
+  def updateOps(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.rdf.{RdfTerm, Triple}
+    val base = tripleView(s, d).as[(String, String, String)].map { case (sv, pv, ov) =>
+      Triple(RdfTerm.named(sv), RdfTerm.named(pv), RdfTerm.named(ov))
+    }
+    val updated = graft.store.TripleStore.fromDataset(base)
+      .update("insert data { GABE likes RIPPLE . NATION_2 in_region ASIA }")
+      .update("insert { $r contains $n } where { $n in_region $r }")
+      .update("delete data { NATION_2 in_region ASIA }")
+      .update("delete where { $c in_segment BUILDING . $c in_nation NATION_2 }")
+    val out = updated.triples
+      .select($"s.value".as("s"), $"p.value".as("p"), $"o.value".as("o"))
+    out.orderBy($"s", $"p", $"o")
+  }
+  val updateOpsSql: String =
+    s"""$tripleViewSql
+       |, ins1 AS (SELECT DISTINCT s, p, o FROM (
+       |    SELECT * FROM t
+       |    UNION ALL VALUES ('GABE', 'likes', 'RIPPLE'), ('NATION_2', 'in_region', 'ASIA'))),
+       |ins2 AS (SELECT DISTINCT s, p, o FROM (
+       |    SELECT * FROM ins1
+       |    UNION ALL SELECT o, 'contains', s FROM ins1 WHERE p = 'in_region')),
+       |del1 AS (SELECT s, p, o FROM ins2
+       |         EXCEPT SELECT 'NATION_2', 'in_region', 'ASIA'),
+       |sol AS (SELECT a.s AS c FROM del1 a JOIN del1 b ON a.s = b.s
+       |        WHERE a.p = 'in_segment' AND a.o = 'BUILDING'
+       |          AND b.p = 'in_nation' AND b.o = 'NATION_2'),
+       |gone AS (SELECT c AS s, 'in_segment' AS p, 'BUILDING' AS o FROM sol
+       |         UNION SELECT c, 'in_nation', 'NATION_2' FROM sol)
+       |SELECT s, p, o FROM del1
+       |EXCEPT SELECT s, p, o FROM gone
+       |ORDER BY s, p, o""".stripMargin
+
   /** Dictionary encoding (reference S2, parser.rs:22-87): dense
     * deterministic ids over the subject∪object term set. */
   def dictEncode(s: SparkSession, d: String): DataFrame = {

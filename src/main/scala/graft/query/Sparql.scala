@@ -687,6 +687,81 @@ object Sparql {
     }
   }
 
+  /** Split a token stream into triple patterns at standalone or
+    * trailing dots (the same convention as the query body — dots
+    * inside values survive). */
+  private[query] def splitPatterns(toks: Seq[String]): Seq[Seq[String]] =
+    toks.foldLeft(Vector(Vector.empty[String])) {
+      case (acc, ".") => acc :+ Vector.empty
+      case (acc, tok) =>
+        val (t, closes) =
+          if (tok.length > 1 && tok.endsWith(".")) (tok.dropRight(1), true)
+          else (tok, false)
+        val grown = acc.init :+ (acc.last :+ t)
+        if (closes) grown :+ Vector.empty else grown
+    }.map(_.toSeq).filter(_.nonEmpty)
+
+  /** SPARQL 1.1 Update front-end (the reference's mutation surface —
+    * insert_triple/remove_triple, graph.rs:414-629 — behind standard
+    * syntax). Supported forms:
+    *
+    *   insert data { s p o . … }        — concrete triples only
+    *   delete data { s p o . … }        — concrete triples only
+    *   delete where { …patterns… }      — delete every instantiation of
+    *                                      the patterns for each solution
+    *   insert { …template… } where { …patterns… }
+    *
+    * Terms use the pattern syntax (`<x>` IRI, `"x"` literal, `_:x`
+    * blank, bare = IRI — update blocks are DATA, so a bare token is an
+    * IRI like the reference's coercion, not a match-any pattern).
+    * Execute with `TripleStore.update`. */
+  def parseUpdate(q: String): UpdateOp = {
+    val trimmed = q.trim
+    val lower = trimmed.toLowerCase
+    def block(s: String): (Seq[Seq[String]], String) = {
+      val t = s.trim
+      require(t.startsWith("{"), s"expected a braced block, got: $t")
+      val close = t.indexOf('}') // update blocks have no nesting
+      require(close > 0, "unclosed block in update")
+      val toks = t.substring(1, close).trim.split("\\s+").toSeq.filter(_.nonEmpty)
+      val pats = splitPatterns(toks)
+      require(pats.nonEmpty, "empty update block")
+      pats.foreach(p => require(p.length == 3,
+        s"update triple must have 3 positions, got: ${p.mkString(" ")}"))
+      (pats, t.substring(close + 1).trim)
+    }
+    def requireConcrete(pats: Seq[Seq[String]], form: String): Unit =
+      pats.flatten.foreach(t => require(!t.startsWith("$"),
+        s"$form takes concrete triples, got variable $t"))
+    if (lower.startsWith("insert data")) {
+      val (pats, rest) = block(trimmed.substring(11))
+      require(rest.isEmpty, s"unexpected tokens after insert data block: $rest")
+      requireConcrete(pats, "insert data")
+      UpdateOp.InsertData(pats)
+    } else if (lower.startsWith("delete data")) {
+      val (pats, rest) = block(trimmed.substring(11))
+      require(rest.isEmpty, s"unexpected tokens after delete data block: $rest")
+      requireConcrete(pats, "delete data")
+      UpdateOp.DeleteData(pats)
+    } else if (lower.startsWith("delete where")) {
+      val (pats, rest) = block(trimmed.substring(12))
+      require(rest.isEmpty, s"unexpected tokens after delete where block: $rest")
+      UpdateOp.DeleteWhere(pats)
+    } else if (lower.startsWith("insert")) {
+      val (tmpl, rest) = block(trimmed.substring(6))
+      require(rest.toLowerCase.startsWith("where"),
+        "insert template must be followed by where { … }")
+      val (pats, tail) = block(rest.substring(5))
+      require(tail.isEmpty, s"unexpected tokens after insert where block: $tail")
+      val bodyVars = pats.flatten.filter(_.startsWith("$")).toSet
+      tmpl.flatten.filter(_.startsWith("$")).foreach(v =>
+        require(bodyVars.contains(v),
+          s"insert template variable $v is bound by no where pattern"))
+      UpdateOp.InsertWhere(tmpl, pats)
+    } else throw new IllegalArgumentException(
+      s"expected insert data / delete data / delete where / insert…where, got: $q")
+  }
+
   /** Parse a query whose where-body is a top-level alternation:
     *   select $v … where { { …patterns… } union { …patterns… } … }
     * Returns one [[Sparql]] per alternative (all sharing the select
@@ -725,6 +800,19 @@ object Sparql {
 sealed trait QueryUnit
 final case class QVal(value: String, kind: Option[String] = None) extends QueryUnit
 final case class QVar(name: String) extends QueryUnit
+
+/** A parsed SPARQL 1.1 Update request (see [[Sparql.parseUpdate]]).
+  * Patterns/templates stay raw token triples — the executor
+  * ([[graft.store.TripleStore.update]]) parses terms with the store's
+  * own kind mapping. */
+sealed trait UpdateOp
+object UpdateOp {
+  final case class InsertData(triples: Seq[Seq[String]]) extends UpdateOp
+  final case class DeleteData(triples: Seq[Seq[String]]) extends UpdateOp
+  final case class DeleteWhere(patterns: Seq[Seq[String]]) extends UpdateOp
+  final case class InsertWhere(
+      template: Seq[Seq[String]], patterns: Seq[Seq[String]]) extends UpdateOp
+}
 
 object QueryUnit {
   /** Kind tags for TYPED pattern values (round-3 verdict #9): a bare

@@ -1,8 +1,8 @@
 package graft.store
 
 import graft.rdf.{RdfTerm, RdfXmlParser, RdfXmlWriter, Triple}
-import graft.query.{Bgp, Sparql}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import graft.query.{Bgp, QueryUnit, QVal, QVar, Sparql, UpdateOp}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The rebuild of the reference's `Graph` (reference:
@@ -94,6 +94,81 @@ final class TripleStore private (
             k.isin(RdfTerm.Raw, RdfTerm.Lang, RdfTerm.Typed)
         }
       }))
+
+  /** SPARQL 1.1 Update (reference mutations behind standard syntax —
+    * insert_triple graph.rs:414-509, remove_triple graph.rs:510-629,
+    * plus the derived forms the reference never shipped):
+    *
+    *  - insert data / delete data: driver-side concrete triples →
+    *    [[insertTriples]] / [[removeTriples]] (broadcast anti-join).
+    *  - delete where: evaluate the pattern BGP, instantiate every
+    *    pattern per solution, remove the instantiations with an
+    *    UNHINTED anti-join — the delete set derives from the data and
+    *    scales with it, so unlike the driver-list path it must not be
+    *    forced to broadcast; AQE picks broadcast only while it fits.
+    *  - insert { template } where: CONSTRUCT-style instantiation
+    *    unioned in with set semantics.
+    *
+    * Bare tokens in update blocks are IRIs (update blocks are DATA,
+    * not patterns — same coercion as the reference's loader). */
+  def update(u: String): TripleStore = Sparql.parseUpdate(u) match {
+    case UpdateOp.InsertData(ts) => insertTriples(ts.map(dataTriple))
+    case UpdateOp.DeleteData(ts) => removeTriples(ts.map(dataTriple))
+    case UpdateOp.DeleteWhere(pats) =>
+      val parsed = pats.map(p =>
+        (QueryUnit.parse(p(0)), QueryUnit.parse(p(1)), QueryUnit.parse(p(2))))
+      val vars = parsed.flatMap(t => Seq(t._1, t._2, t._3))
+        .collect { case QVar(n) => n }.distinct
+      if (vars.isEmpty) removeTriples(pats.map(dataTriple))
+      else {
+        val del = instantiate(parsed, query(Sparql(vars, parsed)))
+        val t = triples.toDF()
+        val kept = t.join(del,
+          t("s") <=> del("s") && t("p") <=> del("p") && t("o") <=> del("o"),
+          "left_anti").as[Triple]
+        new TripleStore(spark, kept)
+      }
+    case UpdateOp.InsertWhere(tmpl, pats) =>
+      val parsed = pats.map(p =>
+        (QueryUnit.parse(p(0)), QueryUnit.parse(p(1)), QueryUnit.parse(p(2))))
+      val vars = parsed.flatMap(t => Seq(t._1, t._2, t._3))
+        .collect { case QVar(n) => n }.distinct
+      val tmplParsed = tmpl.map(p =>
+        (QueryUnit.parse(p(0)), QueryUnit.parse(p(1)), QueryUnit.parse(p(2))))
+      val ins = instantiate(tmplParsed, query(Sparql(vars, parsed)))
+      new TripleStore(spark,
+        triples.toDF().unionByName(ins).distinct().as[Triple])
+  }
+
+  /** Template instantiation over a solution set: variables take the
+    * solution's term structs, values become typed term literals — one
+    * (s, p, o) row set per template pattern, set-unioned. */
+  private def instantiate(
+      tmpl: Seq[(QueryUnit, QueryUnit, QueryUnit)], sol: DataFrame): DataFrame = {
+    val parts = tmpl.map { case (su, pu, ou) =>
+      def c(u: QueryUnit, as: String): Column = u match {
+        case QVar(n)    => sol(n).as(as)
+        case v: QVal    => typedlit(termOf(v)).as(as)
+      }
+      sol.select(c(su, "s"), c(pu, "p"), c(ou, "o"))
+    }
+    parts.reduce(_ unionByName _).distinct()
+  }
+
+  private def termOf(v: QVal): RdfTerm = v.kind match {
+    case Some(graft.query.QueryUnit.Lit)   => RdfTerm.raw(v.value)
+    case Some(graft.query.QueryUnit.Blank) => RdfTerm.blank(v.value)
+    case _                                 => RdfTerm.named(v.value)
+  }
+
+  private def dataTriple(p: Seq[String]): Triple = {
+    def t(tok: String): RdfTerm = QueryUnit.parse(tok) match {
+      case v: QVal => termOf(v)
+      case QVar(n) => throw new IllegalArgumentException(
+        s"update data block takes concrete terms, got variable $$$n")
+    }
+    Triple(t(p(0)), t(p(1)), t(p(2)))
+  }
 
   /** Parity API (reference: Graph::get, graph.rs:333-413): collect the
     * first selected variable as a flat term list. */

@@ -109,6 +109,41 @@ class TripleStoreSpec extends SparkSpec {
     assert(TripleStore.fromBackup(spark, dir).count() == st.count())
   }
 
+  test("sparql update: insert/delete data, delete where, insert…where") {
+    def t(s: String, p: String, o: String) =
+      Triple(RdfTerm.named(s), RdfTerm.named(p), RdfTerm.named(o))
+    val st = TripleStore.fromTriples(spark, Seq(
+      t("alice", "knows", "bob"), t("bob", "knows", "carol"),
+      t("alice", "in", "g1"), t("bob", "in", "g1")))
+    // insert data: duplicate is a set-semantics no-op
+    val ins = st.update("insert data { dave knows alice . alice knows bob }")
+    assert(ins.count() == 5)
+    // literal-typed term in a data block keeps its kind
+    val lit = ins.update("""insert data { alice name "Alice" }""")
+    assert(lit.triples.collect().exists(tr =>
+      tr.o == RdfTerm.raw("Alice") && tr.p == RdfTerm.named("name")))
+    // delete data removes exactly the listed triple
+    val del = lit.update("delete data { alice knows bob }")
+    assert(del.count() == 5)
+    assert(!del.triples.collect().exists(tr => tr.s.value == "alice" && tr.o.value == "bob"))
+    // delete where, multi-pattern: both instantiations vanish per solution
+    val dw = del.update("delete where { $x knows $y . $x in $g }")
+    // bob knows carol ∧ bob in g1 → both bob-triples gone; alice's `in`
+    // survives (alice no longer knows anyone)
+    val left = dw.triples.collect().toSet
+    assert(!left.exists(_.s.value == "bob"))
+    assert(left.exists(tr => tr.s.value == "alice" && tr.p.value == "in"))
+    // insert…where derives new edges from current solutions
+    val iw = dw.update("insert { $g holds $m } where { $m in $g }")
+    assert(iw.triples.collect().exists(tr =>
+      tr.s.value == "g1" && tr.p.value == "holds" && tr.o.value == "alice"))
+    // fail-fasts: variables in a data block, template var unbound, junk
+    assertThrows[IllegalArgumentException](st.update("insert data { $x p o }"))
+    assertThrows[IllegalArgumentException](
+      st.update("insert { $x p $zzz } where { $x p o }"))
+    assertThrows[IllegalArgumentException](st.update("upsert data { a b c }"))
+  }
+
   test("typed/lang literals survive store round-trip") {
     val lits = Seq(
       Triple(RdfTerm.named("s1"), RdfTerm.named("p"), RdfTerm.langLit("hi", "en")),
