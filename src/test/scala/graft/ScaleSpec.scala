@@ -295,6 +295,26 @@ class ScaleSpec extends SparkSpec {
     assert(seeded.toSeq == Seq("a", "b", "c")) // a reaches itself via the cycle
   }
 
+  test("delete-where's derived delete set is never hint-broadcast") {
+    // the delete set comes from evaluating a pattern over the DATA —
+    // it scales with the store, so unlike the driver-side removeTriples
+    // list its anti-join must stay unhinted: with the auto threshold
+    // disabled, no broadcast may appear (the mirror of the dictionary
+    // pin above)
+    def t(s: String, p: String, o: String) =
+      Triple(RdfTerm.named(s), RdfTerm.named(p), RdfTerm.named(o))
+    val store = TripleStore.fromTriples(spark,
+      Seq(t("a", "p1", "b"), t("b", "p1", "c"), t("a", "p2", "c")))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = store.update("delete where { $x p1 $y }")
+        .triples.queryExecution.executedPlan.toString
+      assert(plan.contains("LeftAnti"), plan)
+      assert(!plan.contains("BroadcastHashJoin"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("bound graph group prunes the other graphs' union branches") {
     // the quad view's g is a literal per branch, so `g = 'supply'`
     // constant-folds: the geo (nation⋈region) and crm (customer)
