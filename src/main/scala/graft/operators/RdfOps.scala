@@ -562,6 +562,23 @@ object RdfOps {
        |GROUP BY o HAVING count(DISTINCT s) >= 65
        |ORDER BY n""".stripMargin
 
+  /** GROUP BY top-k: ORDER BY an AGGREGATE (`order by count($c) desc`)
+    * — the query every analytics user writes first. The secondary
+    * `$n asc` key breaks count ties so LIMIT is deterministic. Compiles
+    * to TakeOrderedAndProject above the aggregation (no global sort). */
+  def bgpGroupTopk(s: SparkSession, d: String): DataFrame = {
+    val q = Sparql.parse(
+      """select $n count($c) where { $c in_nation $n . $n in_region ASIA }
+        |group by $n order by count($c) desc $n asc limit 3""".stripMargin)
+    Bgp.compile(tripleView(s, d), q)
+  }
+  val bgpGroupTopkSql: String =
+    s"""$tripleViewSql
+       |SELECT t1.o AS n, count(DISTINCT t1.s) AS count_c
+       |FROM t t1 JOIN t t2 ON t1.o = t2.s
+       |WHERE t1.p = 'in_nation' AND t2.p = 'in_region' AND t2.o = 'ASIA'
+       |GROUP BY t1.o ORDER BY count_c DESC, n ASC LIMIT 3""".stripMargin
+
   /** Boolean FILTER connectives (`&&` / `||`, && binding tighter —
     * standard SPARQL, round-3 "missing" #1): customers in NATION_2, or
     * in NATION_7 with a name ending in 1. Exercises the DNF compile

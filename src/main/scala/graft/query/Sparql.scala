@@ -60,12 +60,24 @@ final case class Sparql(
     graphGroups: Seq[(QueryUnit, Seq[(QueryUnit, QueryUnit, QueryUnit)])] = Nil) {
 
   /** ORDER BY modifier (standard SPARQL; the reference has no solution
-    * modifiers at all). Applied after projection/DISTINCT, before LIMIT. */
+    * modifiers at all). Applied after projection/DISTINCT, before
+    * LIMIT. A key may be a `$variable` or an aggregate select item
+    * (`count($c)` — resolved to its alias), so GROUP BY top-k queries
+    * (`order by count($c) desc limit N`) work. */
   def orderBy(keys: (String, Boolean)*): Sparql = {
-    keys.foreach { case (v, _) =>
-      require(vars.contains(stripVar(v)), s"order by variable $v not declared in select")
+    val resolved = keys.map { case (v, asc) =>
+      Sparql.aggAlias(v) match {
+        case Some(alias) =>
+          require(aggs.exists(_._3 == alias),
+            s"order by aggregate $v must appear in the select list")
+          (alias, asc)
+        case None =>
+          require(vars.contains(stripVar(v)),
+            s"order by variable $v not declared in select")
+          (stripVar(v), asc)
+      }
     }
-    copy(orderKeys = orderKeys ++ keys.map { case (v, asc) => (stripVar(v), asc) })
+    copy(orderKeys = orderKeys ++ resolved)
   }
 
   /** LIMIT modifier: deterministic only under an ORDER BY whose keys
@@ -571,7 +583,8 @@ object Sparql {
             "order must be followed by 'by'")
           i += 2
           var any = false
-          while (i < toks.length && toks(i).startsWith("$")) {
+          while (i < toks.length &&
+              (toks(i).startsWith("$") || Sparql.aggAlias(toks(i)).isDefined)) {
             val v = toks(i)
             i += 1
             val asc =
@@ -581,7 +594,7 @@ object Sparql {
             q = q.orderBy((v, asc))
             any = true
           }
-          require(any, "order by needs at least one $variable")
+          require(any, "order by needs at least one $variable or aggregate")
         case "limit" =>
           require(i + 1 < toks.length, "limit needs a count")
           q = q.limit(intTok("limit", toks(i + 1)))

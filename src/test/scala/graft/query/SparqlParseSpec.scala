@@ -583,6 +583,21 @@ class SparqlParseSpec extends SparkSpec {
     assert(closed == Seq("b", "c")) // never z: gB's edge is invisible
   }
 
+  test("order by an aggregate resolves to its alias; unknown aggregate fails fast") {
+    import spark.implicits._
+    val triples = Seq(
+      ("a1", "in", "g1"), ("a2", "in", "g1"), ("a3", "in", "g1"),
+      ("b1", "in", "g2"), ("b2", "in", "g2"),
+      ("c1", "in", "g3")).toDF("s", "p", "o")
+    val q = Sparql.parse(
+      "select $g count($x) where { $x in $g } group by $g order by count($x) desc $g asc limit 2")
+    assert(Bgp.compile(triples, q).collect().toSeq == Seq(
+      Row("g1", 3L), Row("g2", 2L)))
+    // ordering by an aggregate that is not a select item fails fast
+    assertThrows[IllegalArgumentException](Sparql.parse(
+      "select $g count($x) where { $x in $g } group by $g order by min($x)"))
+  }
+
   test("graph group misuse fails fast: no quad view, path in var-graph, var collision") {
     import spark.implicits._
     val triples = Seq(("a", "p", "b")).toDF("s", "p", "o")
