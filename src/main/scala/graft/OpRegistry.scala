@@ -255,6 +255,7 @@ object OpRegistry {
     op("rdf_bgp_path_star", RdfOps.bgpPathStar, RdfOps.bgpPathStarSql),
     op("rdf_bgp_path_inv", RdfOps.bgpPathInv, RdfOps.bgpPathInvSql),
     op("rdf_bgp_path_alt", RdfOps.bgpPathAlt, RdfOps.bgpPathAltSql),
+    op("rdf_bgp_path_negset", RdfOps.bgpPathNegset, RdfOps.bgpPathNegsetSql),
     op("rdf_bgp_typed", RdfOps.bgpTyped, RdfOps.bgpTypedSql),
     op("rdf_graph_bound", RdfOps.graphBound, RdfOps.graphBoundSql),
     op("rdf_graph_var", RdfOps.graphVar, RdfOps.graphVarSql),

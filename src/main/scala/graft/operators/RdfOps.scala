@@ -534,6 +534,20 @@ object RdfOps {
        |SELECT DISTINCT s, o AS x FROM t WHERE p IN ('in_region', 'in_segment')
        |ORDER BY s, x""".stripMargin
 
+  /** NEGATED PROPERTY SET (SPARQL 1.1 §9.1 `!(p1|p2)`, token form
+    * `!p1|p2`): every edge whose predicate is NOT in the set — one
+    * scan with a pushed NOT-IN, the complement of [[bgpPathAlt]]. */
+  def bgpPathNegset(s: SparkSession, d: String): DataFrame = {
+    val q = Sparql.parse("select $s $x where { $s !in_nation|in_segment $x }")
+    val res = Bgp.compile(tripleView(s, d), q)
+    res.orderBy(res("s"), res("x"))
+  }
+  val bgpPathNegsetSql: String =
+    s"""$tripleViewSql
+       |SELECT DISTINCT s, o AS x FROM t
+       |WHERE p NOT IN ('in_nation', 'in_segment')
+       |ORDER BY s, x""".stripMargin
+
   /** DESCRIBE query form (SPARQL 1.1, simple description): every
     * triple NATION_2 participates in — its region membership plus all
     * customers/suppliers in it — via ONE scan with an OR filter. */

@@ -1070,6 +1070,14 @@ object Bgp {
       * Operators compose per sequence step: the parser's `/` rewrite
       * leaves each step token intact, so `^in_nation/in_region` works. */
     def patternDf(pat: (QueryUnit, QueryUnit, QueryUnit)): DataFrame = pat._2 match {
+      // negated property set (SPARQL 1.1 §9.1 `!(p1|p2)`, here `!p1|p2`):
+      // any predicate EXCEPT the listed ones — still ONE scan, the
+      // NOT-IN pushes down like the positive alternation
+      case QVal(p, None) if p.length > 1 && p.startsWith("!") &&
+          !p.contains("://") && !p.substring(1).exists(c => "^+*?".contains(c)) =>
+        val excluded = p.substring(1).split("\\|").toSeq
+        require(excluded.forall(_.nonEmpty), s"bad negated property set: $p")
+        plainPatternDf(pat, negPreds = Some(excluded))
       case QVal(p, None) if !p.contains("://") && p.contains("|") =>
         val branches = p.split("\\|").toSeq
         require(branches.forall(_.nonEmpty), s"bad path alternation: $p")
@@ -1092,6 +1100,7 @@ object Bgp {
 
     def plainPatternDf(pat: (QueryUnit, QueryUnit, QueryUnit),
         altPreds: Option[Seq[String]] = None,
+        negPreds: Option[Seq[String]] = None,
         graphVar: Option[String] = None): DataFrame = {
       val units = Seq(pat._1, pat._2, pat._3)
       // filter bound positions; a TYPED value additionally constrains
@@ -1106,6 +1115,8 @@ object Bgp {
           df =
             if (pos == "p" && altPreds.isDefined)
               df.filter(matchValue(df, pos).isin(altPreds.get: _*))
+            else if (pos == "p" && negPreds.isDefined)
+              df.filter(!matchValue(df, pos).isin(negPreds.get: _*))
             else df.filter(matchValue(df, pos) === lit(v))
           k.foreach { kind =>
             require(matchKind.isDefined,
@@ -1160,7 +1171,8 @@ object Bgp {
           def hasPathSyntax(u: QueryUnit): Boolean = u match {
             case QVal(p, None) if !p.contains("://") =>
               p.contains("|") || (p.length > 1 &&
-                (p.startsWith("^") || p.endsWith("+") || p.endsWith("*") || p.endsWith("?")))
+                (p.startsWith("^") || p.startsWith("!") ||
+                  p.endsWith("+") || p.endsWith("*") || p.endsWith("?")))
             case _ => false
           }
           val parts = pats.map { p =>

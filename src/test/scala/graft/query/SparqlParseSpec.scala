@@ -583,6 +583,33 @@ class SparqlParseSpec extends SparkSpec {
     assert(closed == Seq("b", "c")) // never z: gB's edge is invisible
   }
 
+  test("negated property sets match every predicate not listed") {
+    import spark.implicits._
+    val triples = Seq(
+      ("a", "knows", "b"), ("a", "likes", "c"),
+      ("a", "hates", "d")).toDF("s", "p", "o")
+    def q(pred: String) = Bgp.compile(triples, Sparql.parse(
+      s"select $$o where { a $pred $$o }"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(q("!knows") == Seq("c", "d"))
+    assert(q("!knows|hates") == Seq("c"))
+    // IRIs containing '!' escape the negation via <…>: no path
+    // dispatch happens (the kind-aware fail-fast fires instead of a
+    // negated-set scan, same convention as <a|b> in the alternation
+    // test) — and a '!' inside an URL-shaped bare predicate is literal
+    val bang = Seq(("a", "not!equal", "x")).toDF("s", "p", "o")
+    assertThrows[IllegalArgumentException](Bgp.compile(bang, Sparql.parse(
+      "select $o where { a <not!equal> $o }")).collect())
+    val url = Seq(("a", "http://g.test/!odd", "x")).toDF("s", "p", "o")
+    assert(Bgp.compile(url, Sparql.parse(
+      "select $o where { a http://g.test/!odd $o }"))
+      .collect().map(_.getString(0)).toSeq == Seq("x"))
+    // unsupported inside variable-graph groups, like other path syntax
+    val quads = Seq(("g1", "a", "p", "b")).toDF("g", "s", "p", "o")
+    assertThrows[IllegalArgumentException](Bgp.compile(quads, Sparql.parse(
+      "select $g $o where { graph $g { a !p $o } }")))
+  }
+
   test("order by an aggregate resolves to its alias; unknown aggregate fails fast") {
     import spark.implicits._
     val triples = Seq(
