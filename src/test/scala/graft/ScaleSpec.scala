@@ -232,6 +232,17 @@ class ScaleSpec extends SparkSpec {
       s"expected 3 scans (nation, region, customer):\n$p")
   }
 
+  test("negated property set prunes the excluded predicates' branches") {
+    // `!in_nation|in_segment` compiles to ONE NOT-IN on p; the branch
+    // literals constant-fold it, so the customer/supplier branches
+    // vanish and only the nation⋈region branch scans
+    val df = operators.RdfOps.bgpPathNegset(spark, sf0001)
+    val p = plan(df)
+    assert(!p.contains("customer.parquet"), p)
+    assert(!p.contains("supplier.parquet"), p)
+    assert(p.contains("nation.parquet"), p)
+  }
+
   test("values clause pushes its IN filter into the scans") {
     // VALUES over a pattern variable must land as a pushed predicate on
     // the object column, not a post-join filter — at 100 TB the
