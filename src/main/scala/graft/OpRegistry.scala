@@ -240,6 +240,7 @@ object OpRegistry {
     op("rdf_bgp_group_mixed", RdfOps.bgpGroupMixed, RdfOps.bgpGroupMixedSql),
     op("rdf_bgp_group_concat", RdfOps.bgpGroupConcat, RdfOps.bgpGroupConcatSql),
     op("rdf_bgp_group_topk", RdfOps.bgpGroupTopk, RdfOps.bgpGroupTopkSql),
+    op("rdf_bgp_subquery", RdfOps.bgpSubquery, RdfOps.bgpSubquerySql),
     op("rdf_bgp_values", RdfOps.bgpValues, RdfOps.bgpValuesSql),
     op("rdf_bgp_minus", RdfOps.bgpMinus, RdfOps.bgpMinusSql),
     op("rdf_bgp_exists", RdfOps.bgpExists, RdfOps.bgpExistsSql),

@@ -712,6 +712,30 @@ object RdfOps {
        |WHERE t1.p = 'in_nation' AND t2.p = 'in_region' AND t2.o = 'ASIA'
        |ORDER BY n DESC, c ASC LIMIT 50""".stripMargin
 
+  /** SUBQUERY (SPARQL 1.1 §12): join the outer pattern against an
+    * aggregating inner select — members of nations with ≥65 distinct
+    * customers, carrying the count out. The inner $c is scoped to the
+    * subquery (only projected variables join), so the outer $m ranges
+    * over customers AND suppliers while the count stays customer+
+    * supplier-wide per nation. */
+  def bgpSubquery(s: SparkSession, d: String): DataFrame = {
+    val q = Sparql.parse(
+      """select $m $n where {
+        |  $m in_nation $n .
+        |  { select $n count($c) where { $c in_nation $n }
+        |    group by $n having ( count($c) >= 65 ) }
+        |}""".stripMargin)
+    val res = Bgp.compile(tripleView(s, d), q)
+    res.orderBy(res("m"), res("n"))
+  }
+  val bgpSubquerySql: String =
+    s"""$tripleViewSql
+       |SELECT DISTINCT s AS m, o AS n FROM t
+       |WHERE p = 'in_nation' AND o IN (
+       |  SELECT o FROM t WHERE p = 'in_nation'
+       |  GROUP BY o HAVING count(DISTINCT s) >= 65)
+       |ORDER BY m, n""".stripMargin
+
   /** Kind-aware triple view: the same graph shape as [[tripleView]] but
     * terms are (kind, value) structs, with a deliberate cross-kind value
     * collision — every nation name appears BOTH as an IRI (`in_nation`

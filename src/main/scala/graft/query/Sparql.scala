@@ -57,7 +57,12 @@ final case class Sparql(
     // GRAPH groups (SPARQL 1.1 datasets): (graph term, patterns).
     // Requires a QUAD view (a `g` column alongside s, p, o); patterns
     // OUTSIDE any graph group run over the union default graph
-    graphGroups: Seq[(QueryUnit, Seq[(QueryUnit, QueryUnit, QueryUnit)])] = Nil) {
+    graphGroups: Seq[(QueryUnit, Seq[(QueryUnit, QueryUnit, QueryUnit)])] = Nil,
+    // SPARQL 1.1 subqueries (`{ select … }` inside WHERE): each
+    // evaluates independently and joins the outer solution on its
+    // PROJECTED variables — inner-only variables are scoped out by
+    // construction, per §12
+    subqueries: Seq[Sparql] = Nil) {
 
   /** ORDER BY modifier (standard SPARQL; the reference has no solution
     * modifiers at all). Applied after projection/DISTINCT, before
@@ -387,6 +392,7 @@ object Sparql {
     val existsBodies = Vector.newBuilder[(Boolean, Seq[String])]
     val bindItems = Vector.newBuilder[(String, String, String)]
     val graphItems = Vector.newBuilder[(String, Seq[String])]
+    val subqueryBodies = Vector.newBuilder[String]
     var i = 0
     while (i < tokens.length) {
       if (tokens(i).equalsIgnoreCase("optional")) {
@@ -396,6 +402,30 @@ object Sparql {
         require(close > 0, "unclosed optional group")
         optGroups += tokens.slice(i + 2, close)
         i = close + 1
+      } else if (tokens(i) == "{") {
+        // a bare braced group in the body is a SUBQUERY (§12); find its
+        // matching close (the subquery's own where nests braces) and
+        // re-parse the substring recursively at build time below
+        require(i + 1 < tokens.length && tokens(i + 1).equalsIgnoreCase("select"),
+          "braced group inside where must be a `{ select … }` subquery")
+        var sDepth = 1
+        var sj = i + 1
+        while (sj < tokens.length && sDepth > 0) {
+          if (tokens(sj) == "{") sDepth += 1
+          else if (tokens(sj) == "}") sDepth -= 1
+          if (sDepth > 0) sj += 1
+        }
+        require(sDepth == 0, "unclosed subquery")
+        // re-joining the standalone-tokenized stream must restore
+        // `count($x)`-style aggregate tokens (select items and
+        // having/order keys match them as ONE token); every other
+        // paren (filter, bind, having's own) stays spaced — the
+        // recursive parse expects exactly that
+        subqueryBodies += tokens.slice(i + 1, sj).mkString(" ")
+          .replaceAll(
+            "(?i)\\b(count|min|max|sum|avg|group_concat|sample) \\( (\\$\\w+|\\*) \\)",
+            "$1($2)")
+        i = sj + 1
       } else if (tokens(i).equalsIgnoreCase("graph")) {
         require(i + 2 < tokens.length && tokens(i + 2) == "{",
           "graph must be `graph <term>|$var { … }`")
@@ -531,6 +561,7 @@ object Sparql {
       .copy(hiddenVars = hiddenExtra)
       .filter(requiredPats)
     val withOpt = optPats.foldLeft(base)((q, g) => q.optional(g))
+      .copy(subqueries = subqueryBodies.result().map(parse))
     val withGraphs = graphPats.foldLeft(withOpt) {
       case (q, (t, g)) => q.graph(t, g)
     }
@@ -874,7 +905,8 @@ object Bgp {
       matchValue: (DataFrame, String) => Column = (df, pos) => df(pos),
       distinct: Boolean = true,
       matchKind: Option[(DataFrame, String, String) => Column] = None): DataFrame = {
-    require(q.conds.nonEmpty || q.graphGroups.nonEmpty, "empty BGP")
+    require(q.conds.nonEmpty || q.graphGroups.nonEmpty || q.subqueries.nonEmpty,
+      "empty BGP")
 
     /** One-or-more transitive closure of `base` edges (property path
       * `base+`), dispatched on the BOUND POSITIONS of the pattern —
@@ -1184,8 +1216,13 @@ object Bgp {
       }
     }
 
+    // subqueries (§12) evaluate independently — own projection,
+    // aggregation and modifiers — and join the outer solution on their
+    // PROJECTED variables only (inner-only variables never leak out,
+    // because compile's projection already dropped them)
     val required = joinAll(q.conds.map(patternDf) ++
-      q.graphGroups.map { case (t, pats) => graphDf(t, pats) })
+      q.graphGroups.map { case (t, pats) => graphDf(t, pats) } ++
+      q.subqueries.map(sq => compile(triples, sq, matchValue, distinct, matchKind)))
     // OPTIONAL groups: each compiles as its own mini-BGP and
     // left-joins on the variables it shares with the required part
     val joined = q.optionals.foldLeft(required) { (acc, group) =>

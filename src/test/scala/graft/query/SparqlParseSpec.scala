@@ -583,6 +583,32 @@ class SparqlParseSpec extends SparkSpec {
     assert(closed == Seq("b", "c")) // never z: gB's edge is invisible
   }
 
+  test("subqueries join on projected variables only; inner vars stay scoped") {
+    import spark.implicits._
+    val triples = Seq(
+      ("a1", "in", "g1"), ("a2", "in", "g1"),
+      ("b1", "in", "g2"),
+      ("m1", "member", "g1"), ("m2", "member", "g2")).toDF("s", "p", "o")
+    // inner $x is scoped out; outer $m joins on the projected $g
+    val q = Sparql.parse(
+      """select $m $g where {
+        |  $m member $g .
+        |  { select $g count($x) where { $x in $g }
+        |    group by $g having ( count($x) >= 2 ) }
+        |}""".stripMargin)
+    assert(q.subqueries.length == 1 && q.subqueries.head.aggs.nonEmpty)
+    assert(Bgp.compile(triples, q).collect().toSeq == Seq(Row("m1", "g1")))
+    // subquery modifiers apply inside: limit the inner groups
+    val lim = Sparql.parse(
+      """select $m $g where { $m member $g .
+        |  { select $g count($x) where { $x in $g }
+        |    group by $g order by count($x) desc limit 1 } }""".stripMargin)
+    assert(Bgp.compile(triples, lim).collect().toSeq == Seq(Row("m1", "g1")))
+    // a braced body group that is not a subquery fails fast
+    assertThrows[IllegalArgumentException](Sparql.parse(
+      "select $x where { $x p o . { $x q r } }"))
+  }
+
   test("negated property sets match every predicate not listed") {
     import spark.implicits._
     val triples = Seq(
