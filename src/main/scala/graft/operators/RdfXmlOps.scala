@@ -68,6 +68,25 @@ object RdfXmlOps {
     * ingest/export format — RDF/XML can only parallelize per FILE,
     * N-Triples splits a single 100 TB file across the cluster. Oracle:
     * the triple view itself (the round-trip must be lossless). */
+  /** Turtle round-trip: triple view → grouped-`;`/`,` Turtle blocks →
+    * re-parse → identical term values (oracle = the full-scan SQL,
+    * like the N-Triples round-trip). */
+  def ttlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val view = RdfOps.tripleView(s, d)
+    val ds = view.as[(String, String, String)].map { case (sv, pv, ov) =>
+      graft.rdf.Triple(
+        graft.rdf.RdfTerm.named(sv),
+        graft.rdf.RdfTerm.named(pv),
+        graft.rdf.RdfTerm.named(ov))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ttl").toString
+    graft.rdf.Turtle.write(ds, tmp)
+    graft.rdf.Turtle.read(s, tmp).toDF()
+      .select($"s.value".as("s"), $"p.value".as("p"), $"o.value".as("o"))
+      .orderBy($"s", $"p", $"o")
+  }
+
   def ntRoundtrip(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val view = RdfOps.tripleView(s, d)

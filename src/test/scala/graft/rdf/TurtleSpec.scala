@@ -1,0 +1,87 @@
+package graft.rdf
+
+import graft.SparkSpec
+
+class TurtleSpec extends SparkSpec {
+
+  test("prefixes, base, `a`, semicolon/comma lists, comments") {
+    val ttl =
+      """# a comment
+        |@prefix ex: <http://g.test/> .
+        |@base <http://base.test/> .
+        |ex:alice a ex:Person ;
+        |    ex:knows ex:bob , ex:carol ;   # trailing comment
+        |    ex:likes <rel> .
+        |<http://abs.test/x> ex:knows ex:alice .
+        |""".stripMargin
+    val ts = Turtle.parse(ttl)
+    assert(ts.length == 5)
+    assert(ts.head == Triple(RdfTerm.named("http://g.test/alice"),
+      RdfTerm.named(Rdf.TypeIri), RdfTerm.named("http://g.test/Person")))
+    assert(ts.map(_.o.value).contains("http://g.test/carol"))
+    // relative IRI resolved against @base; absolute left alone
+    assert(ts.map(_.o.value).contains("http://base.test/rel"))
+    assert(ts.last.s.value == "http://abs.test/x")
+  }
+
+  test("literals: escapes, lang tags, datatypes, numeric/boolean shorthand") {
+    val ttl =
+      """@prefix ex: <http://g.test/> .
+        |@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+        |ex:s ex:plain "say \"hi\"\n" ;
+        |     ex:lang "hallo"@de ;
+        |     ex:typed "5"^^xsd:int ;
+        |     ex:typed2 "6"^^<http://dt.test/t> ;
+        |     ex:num 42 ;
+        |     ex:dec 4.5 ;
+        |     ex:flag true .
+        |""".stripMargin
+    val ts = Turtle.parse(ttl)
+    val byP = ts.map(t => t.p.value.stripPrefix("http://g.test/") -> t.o).toMap
+    assert(byP("plain") == RdfTerm.raw("say \"hi\"\n"))
+    assert(byP("lang") == RdfTerm.langLit("hallo", "de"))
+    assert(byP("typed") == RdfTerm.typedLit("5", "http://www.w3.org/2001/XMLSchema#int"))
+    assert(byP("typed2") == RdfTerm.typedLit("6", "http://dt.test/t"))
+    assert(byP("num") == RdfTerm.typedLit("42", "http://www.w3.org/2001/XMLSchema#integer"))
+    assert(byP("dec") == RdfTerm.typedLit("4.5", "http://www.w3.org/2001/XMLSchema#decimal"))
+    assert(byP("flag") == RdfTerm.typedLit("true", "http://www.w3.org/2001/XMLSchema#boolean"))
+  }
+
+  test("blank nodes parse; unsupported syntax and undeclared prefixes fail fast") {
+    val ts = Turtle.parse("_:b1 <http://g.test/p> _:b2 .")
+    assert(ts == Seq(Triple(RdfTerm.blank("b1"),
+      RdfTerm.named("http://g.test/p"), RdfTerm.blank("b2"))))
+    assertThrows[IllegalArgumentException](
+      Turtle.parse("<http://x/s> <http://x/p> [ <http://x/q> 1 ] ."))
+    assertThrows[IllegalArgumentException](
+      Turtle.parse("ex:s <http://x/p> 1 .")) // ex: never declared
+    assertThrows[IllegalArgumentException](
+      Turtle.parse("<http://x/s> <http://x/p> \"\"\"big\"\"\" ."))
+  }
+
+  test("write emits grouped blocks that re-parse to the identical triple set") {
+    import spark.implicits._
+    val triples = Seq(
+      Triple(RdfTerm.named("http://g.test/a"), RdfTerm.named("http://g.test/p1"),
+        RdfTerm.named("http://g.test/x")),
+      Triple(RdfTerm.named("http://g.test/a"), RdfTerm.named("http://g.test/p1"),
+        RdfTerm.named("http://g.test/y")),
+      Triple(RdfTerm.named("http://g.test/a"), RdfTerm.named("http://g.test/p2"),
+        RdfTerm.raw("lit \"q\" \n end")),
+      Triple(RdfTerm.named("http://g.test/b"), RdfTerm.named("http://g.test/p1"),
+        RdfTerm.langLit("hej", "sv")),
+      Triple(RdfTerm.blank("z"), RdfTerm.named("http://g.test/p3"),
+        RdfTerm.typedLit("7", "http://www.w3.org/2001/XMLSchema#int")))
+    val dir = java.nio.file.Files.createTempDirectory("ttl_rt").toString
+    Turtle.write(triples.toDS(), dir)
+    // the a-subject block must actually use the ',' object list
+    val text = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".txt"))
+      .map(f => java.nio.file.Files.readString(f.toPath)).mkString("\n")
+    assert(text.contains(" , "), text)
+    val back = Turtle.read(spark, dir).collect().toSet
+    // blank ids get a per-file prefix on read; compare modulo that
+    def norm(t: Triple) = Triple(
+      if (t.s.kind == RdfTerm.Blank) t.s.copy(value = "z") else t.s, t.p, t.o)
+    assert(back.map(norm) == triples.toSet)
+  }
+}
