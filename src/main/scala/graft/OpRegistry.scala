@@ -338,6 +338,7 @@ object OpRegistry {
     op("rdf_xml_roundtrip", RdfXmlOps.xmlRoundtrip, RdfXmlOps.xmlOracleSql),
     op("rdf_nt_roundtrip", RdfXmlOps.ntRoundtrip, RdfOps.apFullSql),
     op("rdf_ttl_roundtrip", RdfXmlOps.ttlRoundtrip, RdfOps.apFullSql),
+    op("rdf_nq_roundtrip", RdfXmlOps.nqRoundtrip, RdfXmlOps.nqOracleSql),
     opNoOracle("rdf_footprint", RdfXmlOps.footprint),
     opNoOracle("rdf_build_corpus", RdfXmlOps.buildCorpus),
     op("graphx_degrees", GraphOps.graphxDegrees, GraphOps.graphxDegreesSql),

@@ -68,6 +68,31 @@ object RdfXmlOps {
     * ingest/export format — RDF/XML can only parallelize per FILE,
     * N-Triples splits a single 100 TB file across the cluster. Oracle:
     * the triple view itself (the round-trip must be lossless). */
+  /** N-Quads round-trip: the NAMED-GRAPH quad view → one line per
+    * quad (line-splittable, the scale path for named-graph data) →
+    * re-parse → identical (g, s, p, o) values. Oracle = the quad-view
+    * CTE scanned whole. */
+  def nqRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val view = RdfOps.quadView(s, d)
+    val ds = view.as[(String, String, String, String)].map { case (gv, sv, pv, ov) =>
+      graft.rdf.Quad(
+        Some(graft.rdf.RdfTerm.named(gv)),
+        graft.rdf.RdfTerm.named(sv),
+        graft.rdf.RdfTerm.named(pv),
+        graft.rdf.RdfTerm.named(ov))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nq").toString
+    graft.rdf.NQuads.write(ds, tmp)
+    graft.rdf.NQuads.read(s, tmp).toDF()
+      .select($"g.value".as("g"), $"s.value".as("s"),
+        $"p.value".as("p"), $"o.value".as("o"))
+      .orderBy($"g", $"s", $"p", $"o")
+  }
+  val nqOracleSql: String =
+    s"""${RdfOps.quadViewSql}
+       |SELECT g, s, p, o FROM q ORDER BY g, s, p, o""".stripMargin
+
   /** Turtle round-trip: triple view → grouped-`;`/`,` Turtle blocks →
     * re-parse → identical term values (oracle = the full-scan SQL,
     * like the N-Triples round-trip). */

@@ -74,4 +74,26 @@ class NTriplesSpec extends SparkSpec {
     val back = NTriples.read(spark, tmp).collect().toSet
     assert(back === nasty.toSet)
   }
+
+  test("n-quads: graph labels parse, default-graph lines stay, round-trip holds") {
+    import spark.implicits._
+    // named graph, blank graph label, default graph, junk
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nq_spec")
+    val f = tmp.resolve("q.nq")
+    java.nio.file.Files.write(f, java.util.Arrays.asList(
+      "<http://g.test/s> <http://g.test/p> \"v\" <http://g.test/G1> .",
+      "<http://g.test/s> <http://g.test/p> <http://g.test/o> _:g2 .",
+      "<http://g.test/s2> <http://g.test/p> \"dflt\"@en .",
+      "not a quad at all"))
+    val qs = NQuads.read(spark, tmp.toString).collect()
+    assert(qs.length == 3)
+    val byO = qs.map(q => q.o.value -> q.g).toMap
+    assert(byO("v").contains(RdfTerm.named("http://g.test/G1")))
+    assert(byO("http://g.test/o").contains(RdfTerm.blank("g2")))
+    assert(byO("dflt").isEmpty)
+    // write/read round-trip incl. the default-graph quad
+    val out = java.nio.file.Files.createTempDirectory("graft_nq_rt").toString
+    NQuads.write(spark.createDataset(qs.toSeq), out)
+    assert(NQuads.read(spark, out).collect().toSet == qs.toSet)
+  }
 }
