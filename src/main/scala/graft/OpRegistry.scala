@@ -339,6 +339,7 @@ object OpRegistry {
     op("rdf_nt_roundtrip", RdfXmlOps.ntRoundtrip, RdfOps.apFullSql),
     op("rdf_ttl_roundtrip", RdfXmlOps.ttlRoundtrip, RdfOps.apFullSql),
     op("rdf_nq_roundtrip", RdfXmlOps.nqRoundtrip, RdfXmlOps.nqOracleSql),
+    op("rdf_trig_roundtrip", RdfXmlOps.trigRoundtrip, RdfXmlOps.nqOracleSql),
     opNoOracle("rdf_footprint", RdfXmlOps.footprint),
     opNoOracle("rdf_build_corpus", RdfXmlOps.buildCorpus),
     op("graphx_degrees", GraphOps.graphxDegrees, GraphOps.graphxDegreesSql),

@@ -93,6 +93,28 @@ object RdfXmlOps {
     s"""${RdfOps.quadViewSql}
        |SELECT g, s, p, o FROM q ORDER BY g, s, p, o""".stripMargin
 
+  /** TriG round-trip: the quad view → `<graph> { … }` blocks with
+    * `;`/`,` grouping → re-parse → identical (g, s, p, o) values —
+    * the hand-written-interchange counterpart of [[nqRoundtrip]],
+    * same oracle. */
+  def trigRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val view = RdfOps.quadView(s, d)
+    val ds = view.as[(String, String, String, String)].map { case (gv, sv, pv, ov) =>
+      graft.rdf.Quad(
+        Some(graft.rdf.RdfTerm.named(gv)),
+        graft.rdf.RdfTerm.named(sv),
+        graft.rdf.RdfTerm.named(pv),
+        graft.rdf.RdfTerm.named(ov))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_trig").toString
+    graft.rdf.Turtle.writeTriG(ds, tmp)
+    graft.rdf.Turtle.readTriG(s, tmp).toDF()
+      .select($"g.value".as("g"), $"s.value".as("s"),
+        $"p.value".as("p"), $"o.value".as("o"))
+      .orderBy($"g", $"s", $"p", $"o")
+  }
+
   /** Turtle round-trip: triple view → grouped-`;`/`,` Turtle blocks →
     * re-parse → identical term values (oracle = the full-scan SQL,
     * like the N-Triples round-trip). */

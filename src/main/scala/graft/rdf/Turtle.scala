@@ -51,6 +51,63 @@ object Turtle {
       }.toDS()
   }
 
+  /** TriG read: one task per .trig/.txt file, blank ids (including
+    * blank GRAPH labels) prefixed per file like [[read]]. */
+  def readTriG(spark: SparkSession, path: String): Dataset[Quad] = {
+    import spark.implicits._
+    val f = new java.io.File(path)
+    val files: Seq[String] =
+      if (f.isDirectory)
+        f.listFiles().map(_.getPath).filter(p => p.endsWith(".trig") || p.endsWith(".txt"))
+          .sorted.toSeq
+      else Seq(path)
+    val n = math.max(1, files.length)
+    spark.sparkContext.parallelize(files.zipWithIndex, math.min(n, 64))
+      .flatMap { case (file, idx) =>
+        val content = {
+          val src = scala.io.Source.fromFile(file, "UTF-8")
+          try src.mkString finally src.close()
+        }
+        parseTriG(content).map { q =>
+          def fix(term: RdfTerm): RdfTerm =
+            if (term.kind == RdfTerm.Blank) term.copy(value = s"f${idx}_${term.value}")
+            else term
+          Quad(q.g.map(fix), fix(q.s), fix(q.p), fix(q.o))
+        }
+      }.toDS()
+  }
+
+  /** TriG write: graphs co-locate (repartition on g) and sort, so each
+    * emitted block is one `<graph> { … }` with the same `;`/`,`
+    * subject grouping as [[write]]; default-graph quads emit bare
+    * statements. Output re-parses with [[readTriG]]. */
+  def writeTriG(ds: Dataset[Quad], path: String): Unit = {
+    import ds.sparkSession.implicits._
+    ds.repartition(col("g.value"))
+      .sortWithinPartitions("g.value", "s.value", "p.value", "o.value")
+      .mapPartitions(trigBlocks _)
+      .write.mode("overwrite").text(path)
+  }
+
+  private def trigBlocks(it: Iterator[Quad]): Iterator[String] = {
+    val in = it.buffered
+    new Iterator[String] {
+      def hasNext: Boolean = in.hasNext
+      def next(): String = {
+        val g = in.head.g
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Triple]
+        while (in.hasNext && in.head.g == g) {
+          val q = in.next(); buf += Triple(q.s, q.p, q.o)
+        }
+        val body = groupBlocks(buf.iterator).mkString("\n")
+        g match {
+          case Some(gt) => s"${term(gt)} {\n$body\n}"
+          case None     => body
+        }
+      }
+    }
+  }
+
   /** Distributed write: subjects co-locate (repartition on s) and sort,
     * so each emitted block uses Turtle's `;` predicate and `,` object
     * grouping — one block per subject per partition run. The output is
@@ -126,11 +183,23 @@ object Turtle {
   private final case class TPunct(c: Char) extends Tok
   private final case class TWord(w: String) extends Tok // a, true, false, numbers, @prefix…
 
-  def parse(content: String): Seq[Triple] = {
+  def parse(content: String): Seq[Triple] =
+    parseDoc(content, allowGraphs = false).map(q => Triple(q.s, q.p, q.o))
+
+  /** TriG 1.1 (Turtle + named graphs): the same grammar plus
+    * `[GRAPH] <label> { …statements… }` blocks and `{ … }` default-
+    * graph blocks; statements outside any block are default-graph.
+    * The last statement inside a block may omit its trailing dot, per
+    * the spec. Pairs with [[NQuads]] the way [[parse]] pairs with
+    * [[NTriples]] — TriG for hand-written interchange, N-Quads for
+    * line-splittable scale. */
+  def parseTriG(content: String): Seq[Quad] = parseDoc(content, allowGraphs = true)
+
+  private def parseDoc(content: String, allowGraphs: Boolean): Seq[Quad] = {
     val toks = tokenize(content)
     val prefixes = scala.collection.mutable.Map.empty[String, String]
     var base = ""
-    val out = Vector.newBuilder[Triple]
+    val out = Vector.newBuilder[Quad]
     var i = 0
 
     def fail(msg: String): Nothing =
@@ -159,6 +228,55 @@ object Turtle {
       case other => fail(s"unexpected term: $other")
     }
 
+    // statement: subject (verb objectList (';' verb objectList)*) '.'
+    // Inside a TriG block (`inBlock`) the trailing dot of the LAST
+    // statement may be omitted — '}' also terminates.
+    def statement(g: Option[RdfTerm], inBlock: Boolean): Unit = {
+      val subj = termAt(toks(i)); i += 1
+      var stop = false
+      def atBlockEnd = inBlock && toks.lift(i) == Some(TPunct('}'))
+      while (!stop) {
+        val pred = termAt(toks.lift(i).getOrElse(fail("statement ends before verb")))
+        i += 1
+        var more = true
+        while (more) {
+          val obj = termAt(toks.lift(i).getOrElse(fail("statement ends before object")))
+          i += 1
+          out += Quad(g, subj, pred, obj)
+          toks.lift(i) match {
+            case Some(TPunct(',')) => i += 1
+            case _                 => more = false
+          }
+        }
+        toks.lift(i) match {
+          case Some(TPunct(';')) =>
+            i += 1
+            // a dangling ';' before the terminator is legal
+            if (toks.lift(i) == Some(TPunct('.'))) { i += 1; stop = true }
+            else if (atBlockEnd) stop = true
+          case Some(TPunct('.')) => i += 1; stop = true
+          case _ if atBlockEnd   => stop = true // last-in-block dot omitted
+          case other             => fail(s"expected ';' ',' or '.', got $other")
+        }
+      }
+    }
+
+    def block(g: Option[RdfTerm]): Unit = {
+      // assumes toks(i) == '{'
+      i += 1
+      while (toks.lift(i) != Some(TPunct('}'))) {
+        if (i >= toks.length) fail("unclosed graph block")
+        statement(g, inBlock = true)
+      }
+      i += 1
+      if (toks.lift(i) == Some(TPunct('.'))) i += 1 // optional dot after '}'
+    }
+
+    def isTermTok(t: Tok): Boolean = t match {
+      case _: TIri | _: TPName | _: TBlank => true
+      case _                               => false
+    }
+
     while (i < toks.length) {
       toks(i) match {
         case TWord(d) if d.equalsIgnoreCase("@prefix") || d.equalsIgnoreCase("prefix") =>
@@ -177,32 +295,19 @@ object Turtle {
               if (toks.lift(i) == Some(TPunct('.'))) i += 1
             case _ => fail("malformed base directive")
           }
+        case TWord(d) if allowGraphs && d.equalsIgnoreCase("graph") &&
+            toks.lift(i + 1).exists(isTermTok) &&
+            toks.lift(i + 2) == Some(TPunct('{')) =>
+          val g = termAt(toks(i + 1)); i += 2; block(Some(g))
+        case t if allowGraphs && isTermTok(t) &&
+            toks.lift(i + 1) == Some(TPunct('{')) =>
+          val g = termAt(t); i += 1; block(Some(g))
+        case TPunct('{') if allowGraphs =>
+          block(None) // anonymous default-graph block
+        case TPunct(c @ ('{' | '}')) =>
+          fail(s"'$c' (graph block) is TriG syntax — use parseTriG")
         case _ =>
-          // statement: subject (verb objectList (';' verb objectList)*) '.'
-          val subj = termAt(toks(i)); i += 1
-          var stop = false
-          while (!stop) {
-            val pred = termAt(toks.lift(i).getOrElse(fail("statement ends before verb")))
-            i += 1
-            var more = true
-            while (more) {
-              val obj = termAt(toks.lift(i).getOrElse(fail("statement ends before object")))
-              i += 1
-              out += Triple(subj, pred, obj)
-              toks.lift(i) match {
-                case Some(TPunct(',')) => i += 1
-                case _                 => more = false
-              }
-            }
-            toks.lift(i) match {
-              case Some(TPunct(';')) =>
-                i += 1
-                // a dangling ';' before '.' is legal Turtle
-                if (toks.lift(i) == Some(TPunct('.'))) { i += 1; stop = true }
-              case Some(TPunct('.')) => i += 1; stop = true
-              case other             => fail(s"expected ';' ',' or '.', got $other")
-            }
-          }
+          statement(None, inBlock = false)
       }
     }
     out.result()
@@ -220,6 +325,7 @@ object Turtle {
       else if (c == '#') { while (i < n && s(i) != '\n') i += 1 }
       else if (c == '[' || c == ']' || c == '(' || c == ')')
         fail("blank-node property lists / collections are unsupported")
+      else if (c == '{' || c == '}') { toks += TPunct(c); i += 1 }
       else if (c == '<') {
         val close = s.indexOf('>', i + 1)
         if (close < 0) fail("unclosed <iri>")

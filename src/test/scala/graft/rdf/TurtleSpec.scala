@@ -59,6 +59,46 @@ class TurtleSpec extends SparkSpec {
       Turtle.parse("<http://x/s> <http://x/p> \"\"\"big\"\"\" ."))
   }
 
+  test("trig: graph blocks, GRAPH keyword, default graph, optional last dot") {
+    val trig =
+      """@prefix ex: <http://g.test/> .
+        |ex:outside ex:p ex:o .
+        |ex:g1 { ex:a ex:p ex:b . ex:a ex:q ex:c }
+        |GRAPH <http://g.test/g2> {
+        |  ex:d ex:p ex:e .
+        |}
+        |{ ex:anon ex:p ex:q . }
+        |""".stripMargin
+    val qs = Turtle.parseTriG(trig)
+    assert(qs.length == 5)
+    def gOf(sLocal: String) =
+      qs.find(_.s.value == s"http://g.test/$sLocal").get.g.map(_.value)
+    assert(gOf("outside").isEmpty)
+    assert(gOf("a").contains("http://g.test/g1"))
+    assert(gOf("d").contains("http://g.test/g2"))
+    assert(gOf("anon").isEmpty) // anonymous block = default graph
+    // plain Turtle parse rejects TriG blocks instead of misparsing
+    assertThrows[IllegalArgumentException](
+      Turtle.parse("<http://x/g> { <http://x/s> <http://x/p> <http://x/o> . }"))
+  }
+
+  test("trig: distributed write/read round-trips the quad set") {
+    import spark.implicits._
+    val quads = Seq(
+      Quad(Some(RdfTerm.named("http://g.test/G")),
+        RdfTerm.named("http://g.test/a"), RdfTerm.named("http://g.test/p"),
+        RdfTerm.raw("v \"x\"")),
+      Quad(Some(RdfTerm.named("http://g.test/G")),
+        RdfTerm.named("http://g.test/a"), RdfTerm.named("http://g.test/p"),
+        RdfTerm.langLit("w", "en")),
+      Quad(None,
+        RdfTerm.named("http://g.test/b"), RdfTerm.named("http://g.test/q"),
+        RdfTerm.typedLit("3", "http://www.w3.org/2001/XMLSchema#int")))
+    val dir = java.nio.file.Files.createTempDirectory("trig_rt").toString
+    Turtle.writeTriG(quads.toDS(), dir)
+    assert(Turtle.readTriG(spark, dir).collect().toSet == quads.toSet)
+  }
+
   test("write emits grouped blocks that re-parse to the identical triple set") {
     import spark.implicits._
     val triples = Seq(
