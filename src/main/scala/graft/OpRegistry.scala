@@ -261,6 +261,7 @@ object OpRegistry {
     op("rdf_graph_bound", RdfOps.graphBound, RdfOps.graphBoundSql),
     op("rdf_graph_var", RdfOps.graphVar, RdfOps.graphVarSql),
     op("rdf_graph_join", RdfOps.graphJoin, RdfOps.graphJoinSql),
+    op("rdf_graph_dataset", RdfOps.graphDataset, RdfOps.graphDatasetSql),
     op("rdf_insert", RdfOps.insert, RdfOps.insertSql),
     op("rdf_remove", RdfOps.remove, RdfOps.removeSql),
     op("rdf_remove_pattern", RdfOps.removePattern, RdfOps.removePatternSql),

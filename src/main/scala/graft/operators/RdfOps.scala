@@ -914,6 +914,32 @@ object RdfOps {
        |  AND q2.g = 'geo' AND q2.p = 'in_region' AND q2.s = q1.o
        |ORDER BY c, n, r""".stripMargin
 
+  /** DATASET clauses (SPARQL 1.1 §13.2): `from <crm>` narrows the
+    * default graph to the crm slice (supplier memberships vanish);
+    * `from named <supply>` leaves GRAPH groups ranging over supply
+    * only (the crm edges the var-graph query would otherwise also
+    * match vanish). Both polarities in one tagged result. */
+  def graphDataset(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val view = quadView(s, d)
+    val fromQ = Bgp.compile(view, Sparql.parse(
+      "select $m $n from <crm> where { $m in_nation $n }"))
+      .select(lit("from").as("q"), $"m", $"n")
+    val fromNamedQ = Bgp.compile(view, Sparql.parse(
+      "select $g $m $n from named <supply> where { graph $g { $m in_nation $n } }"))
+      .select(lit("fromnamed").as("q"), $"m", $"n")
+    fromQ.unionByName(fromNamedQ).orderBy($"q", $"m", $"n")
+  }
+  val graphDatasetSql: String =
+    s"""$quadViewSql
+       |SELECT * FROM (
+       |  SELECT DISTINCT 'from' AS q, s AS m, o AS n FROM q
+       |  WHERE g = 'crm' AND p = 'in_nation'
+       |  UNION ALL
+       |  SELECT DISTINCT 'fromnamed', s, o FROM q
+       |  WHERE g = 'supply' AND p = 'in_nation') u
+       |ORDER BY q, m, n""".stripMargin
+
   /** Insert (reference M1, graph.rs:414-509): union + distinct. */
   def insert(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

@@ -62,7 +62,16 @@ final case class Sparql(
     // evaluates independently and joins the outer solution on its
     // PROJECTED variables — inner-only variables are scoped out by
     // construction, per §12
-    subqueries: Seq[Sparql] = Nil) {
+    subqueries: Seq[Sparql] = Nil,
+    // SPARQL 1.1 dataset clauses (§13.2), requiring a quad view:
+    // FROM graphs merge into the default graph; FROM NAMED graphs are
+    // the ones GRAPH groups may range over. With either present the
+    // dataset is EXACTLY what is listed (a FROM-only query has no
+    // named graphs; a FROM-NAMED-only query has an empty default
+    // graph); with neither, the engine default applies (default =
+    // union graph, every graph nameable)
+    fromGraphs: Seq[String] = Nil,
+    fromNamedGraphs: Seq[String] = Nil) {
 
   /** ORDER BY modifier (standard SPARQL; the reference has no solution
     * modifiers at all). Applied after projection/DISTINCT, before
@@ -315,7 +324,32 @@ object Sparql {
     require(si == 0 && wi > 0, s"expected 'select … where { … }', got: $q")
     val selToks = lower.substring(si + 6, wi).trim.split("\\s+").toSeq.filter(_.nonEmpty)
     val hasDistinct = selToks.headOption.exists(_.equalsIgnoreCase("distinct"))
-    val selItems = if (hasDistinct) selToks.tail else selToks
+    val selWithDataset = if (hasDistinct) selToks.tail else selToks
+    // dataset clauses (§13.2) sit between the select list and WHERE:
+    // `from <g>` / `from named <g>`, repeatable
+    val fromIdx = selWithDataset.indexWhere(_.equalsIgnoreCase("from"))
+    val selItems = if (fromIdx < 0) selWithDataset else selWithDataset.take(fromIdx)
+    val fromG = Vector.newBuilder[String]
+    val fromNamed = Vector.newBuilder[String]
+    if (fromIdx >= 0) {
+      val ds = selWithDataset.drop(fromIdx)
+      var di = 0
+      def graphTok(t: String): String = QueryUnit.parse(t) match {
+        case QVal(v, _) => v
+        case QVar(n) => throw new IllegalArgumentException(
+          s"dataset clause takes a graph name, got variable $$$n")
+      }
+      while (di < ds.length) {
+        require(ds(di).equalsIgnoreCase("from"), s"expected 'from', got ${ds(di)}")
+        if (di + 1 < ds.length && ds(di + 1).equalsIgnoreCase("named")) {
+          require(di + 2 < ds.length, "from named needs a graph name")
+          fromNamed += graphTok(ds(di + 2)); di += 3
+        } else {
+          require(di + 1 < ds.length, "from needs a graph name")
+          fromG += graphTok(ds(di + 1)); di += 2
+        }
+      }
+    }
     // split the select list into plain variables and aggregate items
     // (alias via aggAlias — the same helper HAVING resolves against, so
     // the two formulas cannot drift)
@@ -582,7 +616,8 @@ object Sparql {
       case (q, groups)               => q.constraintOr(groups)
     }
     val withDistinct =
-      if (hasDistinct) withFilters.copy(distinctKeyword = true) else withFilters
+      (if (hasDistinct) withFilters.copy(distinctKeyword = true) else withFilters)
+        .copy(fromGraphs = fromG.result(), fromNamedGraphs = fromNamed.result())
     val withAggs = aggItems.foldLeft(withDistinct) {
       case (q, (fn, v, alias)) => q.aggregate(fn, v, alias)
     }
@@ -908,6 +943,24 @@ object Bgp {
     require(q.conds.nonEmpty || q.graphGroups.nonEmpty || q.subqueries.nonEmpty,
       "empty BGP")
 
+    // SPARQL dataset clauses (§13.2) slice the quad view up front:
+    // `data` is what non-GRAPH patterns (and subqueries) see, `named`
+    // is what GRAPH groups range over. With either clause present the
+    // dataset is exactly what was listed — FROM-only leaves no named
+    // graphs, FROM-NAMED-only leaves an empty default graph.
+    if (q.fromGraphs.nonEmpty || q.fromNamedGraphs.nonEmpty)
+      require(triples.columns.contains("g"),
+        "FROM / FROM NAMED require a quad (g, s, p, o) view")
+    val data =
+      if (q.fromGraphs.nonEmpty) triples.filter(triples("g").isin(q.fromGraphs: _*))
+      else if (q.fromNamedGraphs.nonEmpty) triples.filter(lit(false))
+      else triples
+    val named =
+      if (q.fromNamedGraphs.nonEmpty)
+        triples.filter(triples("g").isin(q.fromNamedGraphs: _*))
+      else if (q.fromGraphs.nonEmpty) triples.filter(lit(false))
+      else triples
+
     /** One-or-more transitive closure of `base` edges (property path
       * `base+`), dispatched on the BOUND POSITIONS of the pattern —
       * the closure analogue of the reference's access-path dispatch
@@ -946,9 +999,9 @@ object Bgp {
       * every term appearing anywhere in the graph reaches itself. */
     def closureDf(base: String, su: QueryUnit, ou: QueryUnit,
         reflexive: Boolean = false, transitive: Boolean = true): DataFrame = {
-      val edges = triples
-        .filter(matchValue(triples, "p") === lit(base))
-        .select(matchValue(triples, "s").as("_a"), matchValue(triples, "o").as("_b"))
+      val edges = data
+        .filter(matchValue(data, "p") === lit(base))
+        .select(matchValue(data, "s").as("_a"), matchValue(data, "o").as("_b"))
         .distinct().localCheckpoint()
 
       /** Nodes reachable from `seed` in ≥1 step over `e` (cols _a→_b),
@@ -1025,8 +1078,8 @@ object Bgp {
       // zero-length paths connect every graph term to itself — terms
       // from BOTH positions of ALL triples, not just base-edges
       // (SPARQL 1.1 §9.3, PropertyPathEval ZeroOrMorePath)
-      def nodes = triples.select(matchValue(triples, "s").as("_n"))
-        .union(triples.select(matchValue(triples, "o").as("_n")))
+      def nodes = data.select(matchValue(data, "s").as("_n"))
+        .union(data.select(matchValue(data, "o").as("_n")))
         .distinct()
 
       var df = (su, ou) match {
@@ -1065,14 +1118,14 @@ object Bgp {
           case Some(k) =>
             require(matchKind.isDefined,
               s"typed pattern (kind=$k) requires a kind-aware store")
-            val kindTerms = triples
-              .filter(matchValue(triples, "s") === lit(v) &&
-                matchKind.get(triples, "s", k))
-              .select(matchValue(triples, "s").as(endCol))
-              .union(triples
-                .filter(matchValue(triples, "o") === lit(v) &&
-                  matchKind.get(triples, "o", k))
-                .select(matchValue(triples, "o").as(endCol)))
+            val kindTerms = data
+              .filter(matchValue(data, "s") === lit(v) &&
+                matchKind.get(data, "s", k))
+              .select(matchValue(data, "s").as(endCol))
+              .union(data
+                .filter(matchValue(data, "o") === lit(v) &&
+                  matchKind.get(data, "o", k))
+                .select(matchValue(data, "o").as(endCol)))
               .distinct()
             eq.join(kindTerms, Seq(endCol), "left_semi")
         }
@@ -1133,13 +1186,14 @@ object Bgp {
     def plainPatternDf(pat: (QueryUnit, QueryUnit, QueryUnit),
         altPreds: Option[Seq[String]] = None,
         negPreds: Option[Seq[String]] = None,
-        graphVar: Option[String] = None): DataFrame = {
+        graphVar: Option[String] = None,
+        over: DataFrame = data): DataFrame = {
       val units = Seq(pat._1, pat._2, pat._3)
       // filter bound positions; a TYPED value additionally constrains
       // the term kind via the store-provided predicate — plain string
       // triple views carry no kind, so typed syntax there fails fast
       // rather than silently matching by value only
-      var df = triples
+      var df = over
       units.zip(positions).foreach {
         case (QVal(v, k), pos) =>
           // a plain alternation stays ONE scan: the branch list becomes
@@ -1196,7 +1250,7 @@ object Bgp {
         .collect { case QVar(n) => n }.distinct
       t match {
         case QVal(v, _) =>
-          compile(triples.filter(triples("g") === lit(v)),
+          compile(named.filter(named("g") === lit(v)),
             Sparql(vars = groupVars, conds = pats),
             matchValue, distinct = false, matchKind)
         case QVar(gv) =>
@@ -1210,7 +1264,7 @@ object Bgp {
           val parts = pats.map { p =>
             require(!hasPathSyntax(p._2),
               s"property paths are unsupported inside graph $$$gv groups")
-            plainPatternDf(p, graphVar = Some(gv))
+            plainPatternDf(p, graphVar = Some(gv), over = named)
           }
           joinAll(parts)
       }
@@ -1222,7 +1276,8 @@ object Bgp {
     // because compile's projection already dropped them)
     val required = joinAll(q.conds.map(patternDf) ++
       q.graphGroups.map { case (t, pats) => graphDf(t, pats) } ++
-      q.subqueries.map(sq => compile(triples, sq, matchValue, distinct, matchKind)))
+      // subqueries share the outer query's default-graph dataset
+      q.subqueries.map(sq => compile(data, sq, matchValue, distinct, matchKind)))
     // OPTIONAL groups: each compiles as its own mini-BGP and
     // left-joins on the variables it shares with the required part
     val joined = q.optionals.foldLeft(required) { (acc, group) =>

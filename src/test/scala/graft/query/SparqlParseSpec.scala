@@ -651,6 +651,35 @@ class SparqlParseSpec extends SparkSpec {
       "select $g count($x) where { $x in $g } group by $g order by min($x)"))
   }
 
+  test("from / from named slice the dataset exactly (§13.2)") {
+    import spark.implicits._
+    val quads = Seq(
+      ("g1", "alice", "knows", "bob"),
+      ("g2", "alice", "knows", "carol")).toDF("g", "s", "p", "o")
+    def vals(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getString(0)).sorted.toSeq
+    // FROM narrows the default graph
+    assert(vals(Bgp.compile(quads, Sparql.parse(
+      "select $y from <g1> where { alice knows $y }"))) == Seq("bob"))
+    assert(vals(Bgp.compile(quads, Sparql.parse(
+      "select $y from <g1> from <g2> where { alice knows $y }"))) == Seq("bob", "carol"))
+    // FROM-only leaves NO named graphs: GRAPH matches nothing
+    assert(Bgp.compile(quads, Sparql.parse(
+      "select $g $y from <g1> where { graph $g { alice knows $y } }")).isEmpty)
+    // FROM NAMED restricts GRAPH and empties the default graph
+    assert(Bgp.compile(quads, Sparql.parse(
+      "select $g $y from named <g2> where { graph $g { alice knows $y } }"))
+      .collect().toSeq == Seq(Row("g2", "carol")))
+    assert(Bgp.compile(quads, Sparql.parse(
+      "select $y from named <g2> where { alice knows $y }")).isEmpty)
+    // dataset clauses on a triple view fail fast; variables rejected
+    val triples = Seq(("a", "p", "b")).toDF("s", "p", "o")
+    assertThrows[IllegalArgumentException](Bgp.compile(triples,
+      Sparql.parse("select $o from <g1> where { a p $o }")))
+    assertThrows[IllegalArgumentException](Sparql.parse(
+      "select $o from $g where { a p $o }"))
+  }
+
   test("graph group misuse fails fast: no quad view, path in var-graph, var collision") {
     import spark.implicits._
     val triples = Seq(("a", "p", "b")).toDF("s", "p", "o")
