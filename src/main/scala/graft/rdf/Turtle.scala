@@ -89,7 +89,7 @@ object Turtle {
       .write.mode("overwrite").text(path)
   }
 
-  private def trigBlocks(it: Iterator[Quad]): Iterator[String] = {
+  private[rdf] def trigBlocks(it: Iterator[Quad]): Iterator[String] = {
     val in = it.buffered
     new Iterator[String] {
       def hasNext: Boolean = in.hasNext
@@ -124,7 +124,7 @@ object Turtle {
   // serializer (pure — safe on executors)                              //
   // ------------------------------------------------------------------ //
 
-  private def groupBlocks(it: Iterator[Triple]): Iterator[String] = {
+  private[rdf] def groupBlocks(it: Iterator[Triple]): Iterator[String] = {
     // NB: named `in`, not `buffered` — inside the anonymous Iterator,
     // a bare `buffered` resolves to the inherited Iterator.buffered
     // member, silently shadowing an outer local of that name

@@ -55,4 +55,58 @@ class RoundTripPropertySpec extends AnyFunSuite {
       RdfXmlParser.parseString("<rdf:RDF xmlns:rdf=\"http://www.w3.org/1999/02/22-rdf-syntax-ns#\"><unclosed")
     }
   }
+
+  test("NT line codec: serialize ∘ parseLine = id on arbitrary triples") {
+    val gen = Gen.listOfN(30, triple)
+    var seed = Seed(7L)
+    (1 to 100).foreach { i =>
+      val ts = gen.pureApply(Gen.Parameters.default, seed).distinct
+      seed = seed.next
+      val back = ts.map(t => NTriples.parseLine(NTriples.serialize(t)))
+      assert(back.flatten == ts, s"case $i failed")
+    }
+  }
+
+  test("Turtle grouped blocks: parse ∘ groupBlocks = id on arbitrary triple sets") {
+    val gen = Gen.listOfN(30, triple)
+    var seed = Seed(11L)
+    (1 to 100).foreach { i =>
+      val ts = gen.pureApply(Gen.Parameters.default, seed).distinct
+      seed = seed.next
+      val sorted = ts.sortBy(_.s.render)
+      val doc = Turtle.groupBlocks(sorted.iterator).mkString("\n")
+      assert(Turtle.parse(doc).toSet == ts.toSet, s"case $i failed:\n$doc")
+    }
+  }
+
+  private val quad: Gen[Quad] = for {
+    t <- triple
+    g <- Gen.frequency(
+      3 -> iri.map(v => Some(RdfTerm.named(v))),
+      1 -> word.map(w => Some(RdfTerm.blank("g" + w))),
+      1 -> Gen.const(None))
+  } yield Quad(g, t.s, t.p, t.o)
+
+  test("N-Quads line codec: serialize ∘ parseQuadLine = id on arbitrary quads") {
+    val gen = Gen.listOfN(30, quad)
+    var seed = Seed(13L)
+    (1 to 100).foreach { i =>
+      val qs = gen.pureApply(Gen.Parameters.default, seed).distinct
+      seed = seed.next
+      val back = qs.map(q => NTriples.parseQuadLine(NQuads.serialize(q)))
+      assert(back.flatten == qs.map(q => (Triple(q.s, q.p, q.o), q.g)), s"case $i failed")
+    }
+  }
+
+  test("TriG blocks: parseTriG ∘ trigBlocks = id on arbitrary quad sets") {
+    val gen = Gen.listOfN(30, quad)
+    var seed = Seed(17L)
+    (1 to 100).foreach { i =>
+      val qs = gen.pureApply(Gen.Parameters.default, seed).distinct
+      seed = seed.next
+      val sorted = qs.sortBy(q => (q.g.map(_.render).getOrElse(""), q.s.render))
+      val doc = Turtle.trigBlocks(sorted.iterator).mkString("\n")
+      assert(Turtle.parseTriG(doc).toSet == qs.toSet, s"case $i failed:\n$doc")
+    }
+  }
 }
