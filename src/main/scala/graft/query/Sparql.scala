@@ -386,10 +386,12 @@ object Sparql {
     val modifierToks = afterWhere.substring(end + 1).trim
       .split("\\s+").toSeq.filter(_.nonEmpty)
     val tokens = body.substring(1, body.length - 1).trim
-      // make braces/parens/commas standalone tokens so "optional{"/
-      // "filter(" and `strstarts ( $x , lit )` argument lists parse
+      // make braces/parens standalone tokens so "optional{"/"filter("
+      // parse; commas are NOT split globally — they are legal inside
+      // IRIs, pattern values, and regex quantifiers ({m,n}) — only
+      // binary filter-function argument lists split them (see toCmp)
       .replace("{", " { ").replace("}", " } ")
-      .replace("(", " ( ").replace(")", " ) ").replace(",", " , ")
+      .replace("(", " ( ").replace(")", " ) ")
       .split("\\s+").toSeq.filter(_.nonEmpty)
     // With aggregates, pattern/filter variables NOT in the select list
     // are legal solution variables that aggregate away (SPARQL 1.1 —
@@ -403,17 +405,7 @@ object Sparql {
         case t if t.startsWith("$") && t.length > 1 => t.stripSuffix(".").substring(1)
       }).distinct
 
-    def toPatterns(toks: Seq[String]): Seq[Seq[String]] =
-      toks.foldLeft(Vector(Vector.empty[String])) {
-        case (acc, ".") => acc :+ Vector.empty
-        case (acc, tok) =>
-          // a trailing dot on a token ends the pattern too ("<o> ." vs "<o>.")
-          val (t, closes) =
-            if (tok.length > 1 && tok.endsWith(".")) (tok.dropRight(1), true)
-            else (tok, false)
-          val grown = acc.init :+ (acc.last :+ t)
-          if (closes) grown :+ Vector.empty else grown
-      }.map(_.toSeq).filter(_.nonEmpty)
+    def toPatterns(toks: Seq[String]): Seq[Seq[String]] = splitPatterns(toks)
 
     // split the body into required tokens, optional { … } groups,
     // filter ( lhs op rhs ) constraints, values / minus / bind /
@@ -536,13 +528,25 @@ object Sparql {
           }
         // each term is a plain comparison or a built-in function call,
         // normalized to the (lhs, op, rhs) constraint triple (rhs = ""
-        // for unary functions)
-        def toCmp(c: Seq[String]): (String, String, String) = c match {
-          case Seq(l, op, r)                   => (l, op, r)
-          case Seq(f, "(", v, ")")             => (v, f.toLowerCase, "")
-          case Seq(f, "(", v, ",", litv, ")")  => (v, f.toLowerCase, litv)
-          case other => throw new IllegalArgumentException(
-            s"filter term must be `lhs op rhs` or `fn ( $$v [, lit] )`, got: ${other.mkString(" ")}")
+        // for unary functions). ONLY a binary function's argument list
+        // splits commas off its tokens (`$v , lit`, `$v, lit`, …) —
+        // comparisons keep commas intact, so regex {m,n} quantifiers
+        // and comma-bearing values survive.
+        def toCmp(c0: Seq[String]): (String, String, String) = {
+          val c = c0 match {
+            case f +: rest if Sparql.BinaryFilterFns.contains(
+                (if (f.startsWith("!")) f.substring(1) else f).toLowerCase) =>
+              f +: rest.flatMap(t =>
+                t.split("(?<=,)|(?=,)").toSeq.filter(_.nonEmpty))
+            case other => other
+          }
+          c match {
+            case Seq(l, op, r)                   => (l, op, r)
+            case Seq(f, "(", v, ")")             => (v, f.toLowerCase, "")
+            case Seq(f, "(", v, ",", litv, ")")  => (v, f.toLowerCase, litv)
+            case other => throw new IllegalArgumentException(
+              s"filter term must be `lhs op rhs` or `fn ( $$v [, lit] )`, got: ${other.mkString(" ")}")
+          }
         }
         val groups = splitOn(tokens.slice(i + 2, close), "||").map(splitOn(_, "&&"))
         filterExprs += groups.map(_.map(toCmp))
@@ -728,15 +732,7 @@ object Sparql {
     val tmplToks = rest.substring(1, close).trim
       .split("\\s+").toSeq.filter(_.nonEmpty)
     // template patterns split on standalone/trailing dots like the body
-    val tmpl = tmplToks.foldLeft(Vector(Vector.empty[String])) {
-      case (acc, ".") => acc :+ Vector.empty
-      case (acc, tok) =>
-        val (t, closes) =
-          if (tok.length > 1 && tok.endsWith(".")) (tok.dropRight(1), true)
-          else (tok, false)
-        val grown = acc.init :+ (acc.last :+ t)
-        if (closes) grown :+ Vector.empty else grown
-    }.map(_.toSeq).filter(_.nonEmpty)
+    val tmpl = splitPatterns(tmplToks)
     tmpl.foreach(p => require(p.length == 3,
       s"construct template pattern must have 3 positions, got: ${p.mkString(" ")}"))
     val wherePart = rest.substring(close + 1).trim

@@ -24,16 +24,18 @@ import org.apache.spark.sql.functions.col
   */
 object Turtle {
 
-  /** Distributed read: one task per .ttl file; blank node ids are
-    * prefixed per file (document-scoped in RDF, like
-    * TripleStore.fromRdf). */
-  def read(spark: SparkSession, path: String): Dataset[Triple] = {
-    import spark.implicits._
+  /** One task per matching file: read UTF-8 content, parse, and remap
+    * terms with the file's index (blank node ids are document-scoped
+    * in RDF, so they get a per-file prefix — same contract as
+    * TripleStore.fromRdf). Shared by [[read]] and [[readTriG]] so the
+    * listing/scoping rules cannot drift between the two formats. */
+  private def parseFiles[A](spark: SparkSession, path: String, exts: Seq[String])(
+      parseOne: String => Seq[A])(remap: (A, RdfTerm => RdfTerm) => A)(
+      implicit ct: scala.reflect.ClassTag[A]): org.apache.spark.rdd.RDD[A] = {
     val f = new java.io.File(path)
     val files: Seq[String] =
       if (f.isDirectory)
-        f.listFiles().map(_.getPath).filter(p => p.endsWith(".ttl") || p.endsWith(".txt"))
-          .sorted.toSeq
+        f.listFiles().map(_.getPath).filter(p => exts.exists(p.endsWith)).sorted.toSeq
       else Seq(path)
     val n = math.max(1, files.length)
     spark.sparkContext.parallelize(files.zipWithIndex, math.min(n, 64))
@@ -42,39 +44,29 @@ object Turtle {
           val src = scala.io.Source.fromFile(file, "UTF-8")
           try src.mkString finally src.close()
         }
-        parse(content).map { t =>
-          def fix(term: RdfTerm): RdfTerm =
-            if (term.kind == RdfTerm.Blank) term.copy(value = s"f${idx}_${term.value}")
-            else term
-          Triple(fix(t.s), fix(t.p), fix(t.o))
-        }
-      }.toDS()
+        def fix(term: RdfTerm): RdfTerm =
+          if (term.kind == RdfTerm.Blank) term.copy(value = s"f${idx}_${term.value}")
+          else term
+        parseOne(content).map(a => remap(a, fix))
+      }
+  }
+
+  /** Distributed read: one task per .ttl file; blank node ids are
+    * prefixed per file. */
+  def read(spark: SparkSession, path: String): Dataset[Triple] = {
+    import spark.implicits._
+    parseFiles(spark, path, Seq(".ttl", ".txt"))(parse) { (t, fix) =>
+      Triple(fix(t.s), fix(t.p), fix(t.o))
+    }.toDS()
   }
 
   /** TriG read: one task per .trig/.txt file, blank ids (including
     * blank GRAPH labels) prefixed per file like [[read]]. */
   def readTriG(spark: SparkSession, path: String): Dataset[Quad] = {
     import spark.implicits._
-    val f = new java.io.File(path)
-    val files: Seq[String] =
-      if (f.isDirectory)
-        f.listFiles().map(_.getPath).filter(p => p.endsWith(".trig") || p.endsWith(".txt"))
-          .sorted.toSeq
-      else Seq(path)
-    val n = math.max(1, files.length)
-    spark.sparkContext.parallelize(files.zipWithIndex, math.min(n, 64))
-      .flatMap { case (file, idx) =>
-        val content = {
-          val src = scala.io.Source.fromFile(file, "UTF-8")
-          try src.mkString finally src.close()
-        }
-        parseTriG(content).map { q =>
-          def fix(term: RdfTerm): RdfTerm =
-            if (term.kind == RdfTerm.Blank) term.copy(value = s"f${idx}_${term.value}")
-            else term
-          Quad(q.g.map(fix), fix(q.s), fix(q.p), fix(q.o))
-        }
-      }.toDS()
+    parseFiles(spark, path, Seq(".trig", ".txt"))(parseTriG) { (q, fix) =>
+      Quad(q.g.map(fix), fix(q.s), fix(q.p), fix(q.o))
+    }.toDS()
   }
 
   /** TriG write: graphs co-locate (repartition on g) and sort, so each
@@ -144,27 +136,10 @@ object Turtle {
     }
   }
 
-  private def term(t: RdfTerm): String = t.kind match {
-    case RdfTerm.Named => "<" + t.value + ">"
-    case RdfTerm.Blank => "_:" + t.value
-    case RdfTerm.Raw   => "\"" + escape(t.value) + "\""
-    case RdfTerm.Lang  => "\"" + escape(t.value) + "\"@" + t.lang.getOrElse("")
-    case RdfTerm.Typed => "\"" + escape(t.value) + "\"^^<" + t.datatype.getOrElse("") + ">"
-    case other         => sys.error(s"unknown term kind: $other")
-  }
-
-  private def escape(v: String): String = {
-    val sb = new java.lang.StringBuilder(v.length + 8)
-    v.foreach {
-      case '"'  => sb.append("\\\"")
-      case '\\' => sb.append("\\\\")
-      case '\n' => sb.append("\\n")
-      case '\r' => sb.append("\\r")
-      case '\t' => sb.append("\\t")
-      case c    => sb.append(c)
-    }
-    sb.toString
-  }
+  // term rendering and escaping are N-Triples' exactly (Turtle is a
+  // superset serialization) — ONE codec, so an escape-set fix can
+  // never diverge the two formats' round-trips
+  private def term(t: RdfTerm): String = NTriples.serializeTerm(t)
 
   // ------------------------------------------------------------------ //
   // parser (pure — safe on executors)                                  //
@@ -173,6 +148,18 @@ object Turtle {
   private val XsdInteger = "http://www.w3.org/2001/XMLSchema#integer"
   private val XsdDecimal = "http://www.w3.org/2001/XMLSchema#decimal"
   private val XsdBoolean = "http://www.w3.org/2001/XMLSchema#boolean"
+
+  private val SchemeRe = "^[A-Za-z][A-Za-z0-9+.-]*:.*".r
+  private val IntegerRe = "[+-]?[0-9]+".r
+  private val DecimalRe = "[+-]?[0-9]*\\.[0-9]+".r
+
+  /** A '.' at this position terminates a statement (vs. a dot inside a
+    * prefixed-name local or decimal): when followed by whitespace,
+    * EOF, a comment, a graph-block brace, or the next subject's
+    * `<iri>` opener. */
+  private def dotTerminates(s: String, j: Int): Boolean =
+    j + 1 >= s.length || s(j + 1).isWhitespace ||
+      "#}{<".contains(s(j + 1))
 
   private sealed trait Tok
   private final case class TIri(v: String) extends Tok
@@ -205,8 +192,10 @@ object Turtle {
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"turtle: $msg (token $i)")
 
+    // an IRI is absolute iff it carries a SCHEME (RFC 3986) — testing
+    // for "://" would wrongly base-prefix urn:/mailto:/did: IRIs
     def resolveIri(v: String): String =
-      if (v.contains("://") || base.isEmpty) v else base + v
+      if (base.isEmpty || Turtle.SchemeRe.matches(v)) v else base + v
 
     def resolvePName(p: String, l: String): String = prefixes.get(p) match {
       case Some(ns) => ns + l
@@ -224,7 +213,12 @@ object Turtle {
       case TWord("a")      => RdfTerm.named(Rdf.TypeIri)
       case TWord(w @ ("true" | "false")) => RdfTerm.typedLit(w, XsdBoolean)
       case TWord(w) if w.nonEmpty && (w(0).isDigit || w(0) == '+' || w(0) == '-') =>
-        RdfTerm.typedLit(w, if (w.contains('.')) XsdDecimal else XsdInteger)
+        // strictly INTEGER / DECIMAL lexical forms; exponent literals
+        // (xsd:double in Turtle) are outside the subset → fail fast
+        // rather than emit an invalid-lexical xsd:integer term
+        if (Turtle.IntegerRe.matches(w)) RdfTerm.typedLit(w, XsdInteger)
+        else if (Turtle.DecimalRe.matches(w)) RdfTerm.typedLit(w, XsdDecimal)
+        else fail(s"unsupported numeric literal (doubles are not in the subset): $w")
       case other => fail(s"unexpected term: $other")
     }
 
@@ -383,10 +377,9 @@ object Turtle {
         toks += TBlank(s.substring(i + 2, j))
         i = j
       } else if (c == ';' || c == ',') { toks += TPunct(c); i += 1 }
-      else if (c == '.' &&
-          (i + 1 >= n || s(i + 1).isWhitespace || s(i + 1) == '#')) {
-        // '.' only ends a statement when followed by whitespace/EOF —
-        // dots inside prefixed-name locals and decimals survive
+      else if (c == '.' && dotTerminates(s, i)) {
+        // '.' only ends a statement at a terminator position — dots
+        // inside prefixed-name locals and decimals survive
         toks += TPunct('.'); i += 1
       } else {
         // word: directive, keyword, number, or prefixed name
@@ -395,7 +388,7 @@ object Turtle {
           case None =>
             var j = i
             while (j < n && !s(j).isWhitespace && !";,#".contains(s(j)) &&
-                !(s(j) == '.' && (j + 1 >= n || s(j + 1).isWhitespace))) j += 1
+                !(s(j) == '.' && dotTerminates(s, j))) j += 1
             if (j == i) fail(s"cannot tokenize at '${s(i)}'")
             toks += TWord(s.substring(i, j))
             i = j
@@ -419,7 +412,7 @@ object Turtle {
     if (j + 2 < n && s(j + 1) == '/' && s(j + 2) == '/') return None // scheme://
     var k = j + 1
     while (k < n && (s(k).isLetterOrDigit || s(k) == '_' || s(k) == '-' ||
-        (s(k) == '.' && k + 1 < n && !s(k + 1).isWhitespace && s(k + 1) != ';' &&
+        (s(k) == '.' && k + 1 < n && !dotTerminates(s, k) && s(k + 1) != ';' &&
           s(k + 1) != ','))) k += 1
     Some((prefix, s.substring(j + 1, k), k))
   }

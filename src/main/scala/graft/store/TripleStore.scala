@@ -119,14 +119,32 @@ final class TripleStore private (
         (QueryUnit.parse(p(0)), QueryUnit.parse(p(1)), QueryUnit.parse(p(2))))
       val vars = parsed.flatMap(t => Seq(t._1, t._2, t._3))
         .collect { case QVar(n) => n }.distinct
-      if (vars.isEmpty) removeTriples(pats.map(dataTriple))
+      if (vars.isEmpty)
+        // no variables: each pattern deletes by the PATTERN-MATCH rule
+        // (bare value = any kind), not by a Named-coerced exact triple
+        parsed.foldLeft(this) { (st, pat) =>
+          val t = st.triples
+          new TripleStore(spark, t.filter(!(
+            patternCond(t.toDF(), "s", pat._1) &&
+            patternCond(t.toDF(), "p", pat._2) &&
+            patternCond(t.toDF(), "o", pat._3))).as[Triple])
+        }
       else {
-        val del = instantiate(parsed, query(Sparql(vars, parsed)))
-        val t = triples.toDF()
-        val kept = t.join(del,
-          t("s") <=> del("s") && t("p") <=> del("p") && t("o") <=> del("o"),
-          "left_anti").as[Triple]
-        new TripleStore(spark, kept)
+        // Delete each pattern's MATCHED triples per solution: variable
+        // positions bind to the solution's actual term structs (so a
+        // bare-value pattern that matched a literal deletes that
+        // literal, not a Named coercion of its lexical form), concrete
+        // positions re-apply the pattern-match rule. One unhinted
+        // anti-join per pattern — the delete set derives from the data.
+        val sol = query(Sparql(vars, parsed)).distinct()
+        val kept = parsed.foldLeft(triples.toDF()) { (t, pat) =>
+          val cond = Seq(("s", pat._1), ("p", pat._2), ("o", pat._3)).map {
+            case (pos, QVar(n))    => t(pos) <=> sol(n)
+            case (pos, v: QVal)    => patternCond(t, pos, v)
+          }.reduce(_ && _)
+          t.join(sol, cond, "left_anti")
+        }
+        new TripleStore(spark, kept.as[Triple])
       }
     case UpdateOp.InsertWhere(tmpl, pats) =>
       val parsed = pats.map(p =>
@@ -153,6 +171,27 @@ final class TripleStore private (
       sol.select(c(su, "s"), c(pu, "p"), c(ou, "o"))
     }
     parts.reduce(_ unionByName _).distinct()
+  }
+
+  /** The store's pattern-match rule as a Column predicate: a bare
+    * value matches any term kind by lexical value; a kind tag
+    * restricts like [[query]]'s matchKind. Used by delete-where so
+    * deletions hit exactly what the pattern matched. */
+  private def patternCond(t: DataFrame, pos: String, u: QueryUnit): Column = u match {
+    case QVar(n) => throw new IllegalArgumentException(
+      s"patternCond takes a concrete position, got variable $$$n")
+    case QVal(v, kind) =>
+      val valueEq = t(pos).getField("value") === v
+      kind match {
+        case None => valueEq
+        case Some(graft.query.QueryUnit.Iri) =>
+          valueEq && t(pos).getField("kind") === RdfTerm.Named
+        case Some(graft.query.QueryUnit.Blank) =>
+          valueEq && t(pos).getField("kind") === RdfTerm.Blank
+        case Some(_) =>
+          valueEq && t(pos).getField("kind")
+            .isin(RdfTerm.Raw, RdfTerm.Lang, RdfTerm.Typed)
+      }
   }
 
   private def termOf(v: QVal): RdfTerm = v.kind match {

@@ -495,6 +495,29 @@ class SparqlParseSpec extends SparkSpec {
       Seq("alice", "carol"))
   }
 
+  test("commas survive in values and regex; binary-fn args split them (review #2)") {
+    import spark.implicits._
+    val triples = Seq(
+      ("alice", "likes", "a,b"),
+      ("bob", "likes", "cc"),
+      ("carol", "likes", "dcc")).toDF("s", "p", "o")
+    // comma inside a pattern value is literal
+    val byVal = Bgp.compile(triples, Sparql.parse(
+      "select $x where { $x likes a,b }")).collect().map(_.getString(0)).toSeq
+    assert(byVal == Seq("alice"))
+    // comma inside a regex literal is literal (braces/parens remain
+    // tokenizer-reserved, as before this round)
+    val byRe = Bgp.compile(triples, Sparql.parse(
+      "select $x $o where { $x likes $o . filter ( $o regex a,b ) }"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(byRe == Seq("alice"))
+    // binary filter-function args accept attached commas
+    val fn = Bgp.compile(triples, Sparql.parse(
+      "select $x $o where { $x likes $o . filter ( contains ( $o, b ) ) }"))
+      .collect().map(_.getString(0)).toSeq
+    assert(fn == Seq("alice"))
+  }
+
   test("filter function grammar fails fast on arity and operand mistakes") {
     // wrong arity / non-variable operand / variable literal-arg /
     // unknown function — all IllegalArgumentException at parse time

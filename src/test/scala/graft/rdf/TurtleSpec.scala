@@ -47,6 +47,24 @@ class TurtleSpec extends SparkSpec {
     assert(byP("flag") == RdfTerm.typedLit("true", "http://www.w3.org/2001/XMLSchema#boolean"))
   }
 
+  test("scheme'd IRIs never base-resolve; doubles fail fast; compact dots parse (review #3-5)") {
+    // urn:/mailto: are absolute — @base must not prefix them
+    val ts = Turtle.parse(
+      "@base <http://ex/> . <urn:uuid:1234> <mailto:a@b.test> <rel> .")
+    assert(ts.head.s.value == "urn:uuid:1234")
+    assert(ts.head.p.value == "mailto:a@b.test")
+    assert(ts.head.o.value == "http://ex/rel")
+    // exponent literals are xsd:double — outside the subset, fail fast
+    assertThrows[IllegalArgumentException](
+      Turtle.parse("<http://x/s> <http://x/p> 1e5 ."))
+    // '.' abutting '}' or the next subject's '<' terminates
+    val compact = Turtle.parseTriG(
+      "<http://x/g> { <http://x/s> <http://x/p> <http://x/o>.} <http://x/s2> <http://x/p> <http://x/o2>.<http://x/s3> <http://x/p> <http://x/o3> .")
+    assert(compact.length == 3)
+    assert(compact.map(_.s.value).toSet ==
+      Set("http://x/s", "http://x/s2", "http://x/s3"))
+  }
+
   test("blank nodes parse; unsupported syntax and undeclared prefixes fail fast") {
     val ts = Turtle.parse("_:b1 <http://g.test/p> _:b2 .")
     assert(ts == Seq(Triple(RdfTerm.blank("b1"),

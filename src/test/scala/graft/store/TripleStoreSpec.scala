@@ -144,6 +144,28 @@ class TripleStoreSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](st.update("upsert data { a b c }"))
   }
 
+  test("delete where removes what the pattern MATCHED, across term kinds") {
+    // a bare pattern value matches any kind by lexical value — the
+    // delete must hit the matched literal triple, not a Named coercion
+    // of its lexical form (round-8 review finding #1)
+    val st = TripleStore.fromTriples(spark, Seq(
+      Triple(RdfTerm.named("c1"), RdfTerm.named("in_segment"), RdfTerm.raw("BUILDING")),
+      Triple(RdfTerm.named("c1"), RdfTerm.named("in_nation"), RdfTerm.named("N2")),
+      Triple(RdfTerm.named("c2"), RdfTerm.named("in_segment"), RdfTerm.named("BUILDING"))))
+    // concrete single-pattern: both kinds of BUILDING objects vanish
+    val d1 = st.update("delete where { $c in_segment BUILDING }")
+    assert(d1.triples.collect().map(_.p.value).toSeq == Seq("in_nation"))
+    // multi-pattern with a variable: the literal triple matched via
+    // the join must be deleted too (pre-fix it silently survived)
+    val d2 = st.update("delete where { $c in_segment BUILDING . $c in_nation N2 }")
+    val left = d2.triples.collect()
+    assert(!left.exists(_.s.value == "c1"), left.mkString(", "))
+    assert(left.exists(_.s.value == "c2")) // c2 has no in_nation → kept
+    // kind-tagged concrete value restricts the delete to that kind
+    val d3 = st.update("""delete where { $c in_segment "BUILDING" }""")
+    assert(d3.triples.collect().map(_.o.kind).toSet == Set("named"))
+  }
+
   test("typed/lang literals survive store round-trip") {
     val lits = Seq(
       Triple(RdfTerm.named("s1"), RdfTerm.named("p"), RdfTerm.langLit("hi", "en")),
