@@ -387,9 +387,10 @@ object Sparql {
       .split("\\s+").toSeq.filter(_.nonEmpty)
     val tokens = body.substring(1, body.length - 1).trim
       // make braces/parens standalone tokens so "optional{"/"filter("
-      // parse; commas are NOT split globally — they are legal inside
-      // IRIs, pattern values, and regex quantifiers ({m,n}) — only
-      // binary filter-function argument lists split them (see toCmp)
+      // parse (which also means regex literals cannot contain braces
+      // or parens); commas are NOT split globally — they are legal
+      // inside IRIs, pattern values, and regex literals — only binary
+      // filter-function argument lists split them (see toCmp)
       .replace("{", " { ").replace("}", " } ")
       .replace("(", " ( ").replace(")", " ) ")
       .split("\\s+").toSeq.filter(_.nonEmpty)
@@ -530,8 +531,9 @@ object Sparql {
         // normalized to the (lhs, op, rhs) constraint triple (rhs = ""
         // for unary functions). ONLY a binary function's argument list
         // splits commas off its tokens (`$v , lit`, `$v, lit`, …) —
-        // comparisons keep commas intact, so regex {m,n} quantifiers
-        // and comma-bearing values survive.
+        // comparisons keep commas intact, so comma-bearing regex
+        // literals and values survive (braces/parens stay reserved by
+        // the body tokenizer, so {m,n} quantifiers do not).
         def toCmp(c0: Seq[String]): (String, String, String) = {
           val c = c0 match {
             case f +: rest if Sparql.BinaryFilterFns.contains(
@@ -787,9 +789,12 @@ object Sparql {
     *   insert { …template… } where { …patterns… }
     *
     * Terms use the pattern syntax (`<x>` IRI, `"x"` literal, `_:x`
-    * blank, bare = IRI — update blocks are DATA, so a bare token is an
-    * IRI like the reference's coercion, not a match-any pattern).
-    * Execute with `TripleStore.update`. */
+    * blank). In the DATA forms (insert data / delete data) a bare
+    * token is an IRI, like the reference's coercion. In `delete
+    * where`, patterns keep full PATTERN semantics: a bare value
+    * matches any term kind by lexical value, and the executor deletes
+    * exactly what each pattern matched. Execute with
+    * `TripleStore.update`. */
   def parseUpdate(q: String): UpdateOp = {
     val trimmed = q.trim
     val lower = trimmed.toLowerCase

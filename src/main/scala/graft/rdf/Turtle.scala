@@ -155,11 +155,14 @@ object Turtle {
 
   /** A '.' at this position terminates a statement (vs. a dot inside a
     * prefixed-name local or decimal): when followed by whitespace,
-    * EOF, a comment, a graph-block brace, or the next subject's
-    * `<iri>` opener. */
+    * EOF, a comment, a graph-block brace, the next subject's `<iri>`
+    * opener, or a blank-node `_:` opener. A compact dot before a
+    * PREFIXED-NAME subject is inherently ambiguous with a dotted
+    * local (`ex:a.b`) and needs a space — documented limitation. */
   private def dotTerminates(s: String, j: Int): Boolean =
     j + 1 >= s.length || s(j + 1).isWhitespace ||
-      "#}{<".contains(s(j + 1))
+      "#}{<".contains(s(j + 1)) ||
+      (s(j + 1) == '_' && j + 2 < s.length && s(j + 2) == ':')
 
   private sealed trait Tok
   private final case class TIri(v: String) extends Tok
@@ -212,7 +215,8 @@ object Turtle {
       case TLit(v, _, _, _) => RdfTerm.raw(v)
       case TWord("a")      => RdfTerm.named(Rdf.TypeIri)
       case TWord(w @ ("true" | "false")) => RdfTerm.typedLit(w, XsdBoolean)
-      case TWord(w) if w.nonEmpty && (w(0).isDigit || w(0) == '+' || w(0) == '-') =>
+      case TWord(w) if w.nonEmpty &&
+          (w(0).isDigit || w(0) == '+' || w(0) == '-' || w(0) == '.') =>
         // strictly INTEGER / DECIMAL lexical forms; exponent literals
         // (xsd:double in Turtle) are outside the subset → fail fast
         // rather than emit an invalid-lexical xsd:integer term

@@ -117,26 +117,42 @@ final class TripleStore private (
     case UpdateOp.DeleteWhere(pats) =>
       val parsed = pats.map(p =>
         (QueryUnit.parse(p(0)), QueryUnit.parse(p(1)), QueryUnit.parse(p(2))))
+      // property-path predicates would evaluate with path semantics in
+      // the WHERE but match as literal tokens in the delete — fail
+      // fast rather than silently deleting nothing
+      parsed.map(_._2).foreach {
+        case QVal(p, None) if !p.contains("://") &&
+            (p.contains("|") || p.contains("/") || (p.length > 1 &&
+              (p.startsWith("^") || p.startsWith("!") ||
+                p.endsWith("+") || p.endsWith("*") || p.endsWith("?")))) =>
+          throw new IllegalArgumentException(
+            s"property paths are unsupported in delete where: $p")
+        case _ => ()
+      }
       val vars = parsed.flatMap(t => Seq(t._1, t._2, t._3))
         .collect { case QVar(n) => n }.distinct
-      if (vars.isEmpty)
-        // no variables: each pattern deletes by the PATTERN-MATCH rule
-        // (bare value = any kind), not by a Named-coerced exact triple
-        parsed.foldLeft(this) { (st, pat) =>
-          val t = st.triples
-          new TripleStore(spark, t.filter(!(
-            patternCond(t.toDF(), "s", pat._1) &&
-            patternCond(t.toDF(), "p", pat._2) &&
-            patternCond(t.toDF(), "o", pat._3))).as[Triple])
-        }
-      else {
+      if (vars.isEmpty) {
+        // no variables: the WHERE is still a CONJUNCTION — if any
+        // pattern has no match there is no solution and NOTHING is
+        // deleted (same semantics as the variable branch's empty sol).
+        // Matching uses the PATTERN-MATCH rule (bare value = any
+        // kind), not a Named-coerced exact triple.
+        val t = triples.toDF()
+        val conds = parsed.map(pat =>
+          patternCond(t, "s", pat._1) && patternCond(t, "p", pat._2) &&
+            patternCond(t, "o", pat._3))
+        val allMatch = conds.forall(c => !t.filter(c).isEmpty)
+        if (!allMatch) this
+        else new TripleStore(spark,
+          t.filter(!conds.reduce(_ || _)).as[Triple])
+      } else {
         // Delete each pattern's MATCHED triples per solution: variable
         // positions bind to the solution's actual term structs (so a
         // bare-value pattern that matched a literal deletes that
         // literal, not a Named coercion of its lexical form), concrete
         // positions re-apply the pattern-match rule. One unhinted
         // anti-join per pattern — the delete set derives from the data.
-        val sol = query(Sparql(vars, parsed)).distinct()
+        val sol = query(Sparql(vars, parsed))
         val kept = parsed.foldLeft(triples.toDF()) { (t, pat) =>
           val cond = Seq(("s", pat._1), ("p", pat._2), ("o", pat._3)).map {
             case (pos, QVar(n))    => t(pos) <=> sol(n)

@@ -57,12 +57,17 @@ class TurtleSpec extends SparkSpec {
     // exponent literals are xsd:double — outside the subset, fail fast
     assertThrows[IllegalArgumentException](
       Turtle.parse("<http://x/s> <http://x/p> 1e5 ."))
-    // '.' abutting '}' or the next subject's '<' terminates
+    // '.' abutting '}', the next subject's '<', or a blank's '_:'
+    // terminates
     val compact = Turtle.parseTriG(
-      "<http://x/g> { <http://x/s> <http://x/p> <http://x/o>.} <http://x/s2> <http://x/p> <http://x/o2>.<http://x/s3> <http://x/p> <http://x/o3> .")
-    assert(compact.length == 3)
+      "<http://x/g> { <http://x/s> <http://x/p> <http://x/o>.} <http://x/s2> <http://x/p> <http://x/o2>.<http://x/s3> <http://x/p> <http://x/o3>._:b <http://x/p> <http://x/o4> .")
+    assert(compact.length == 4)
     assert(compact.map(_.s.value).toSet ==
-      Set("http://x/s", "http://x/s2", "http://x/s3"))
+      Set("http://x/s", "http://x/s2", "http://x/s3", "b"))
+    // unsigned bare-dot decimals parse like their signed forms
+    val dec = Turtle.parse("<http://x/s> <http://x/p> .5 .")
+    assert(dec.head.o ==
+      RdfTerm.typedLit(".5", "http://www.w3.org/2001/XMLSchema#decimal"))
   }
 
   test("blank nodes parse; unsupported syntax and undeclared prefixes fail fast") {

@@ -166,6 +166,23 @@ class TripleStoreSpec extends SparkSpec {
     assert(d3.triples.collect().map(_.o.kind).toSet == Set("named"))
   }
 
+  test("ground delete-where is conjunctive; path predicates fail fast") {
+    def t(s: String, p: String, o: String) =
+      Triple(RdfTerm.named(s), RdfTerm.named(p), RdfTerm.named(o))
+    val st = TripleStore.fromTriples(spark, Seq(t("a", "b", "c"), t("x", "y", "z")))
+    // the WHERE is one BGP: an unmatched pattern means no solution,
+    // so NOTHING is deleted — not per-pattern independent deletes
+    assert(st.update("delete where { a b c . d e f }").count() == 2)
+    // all patterns matched → each pattern's matches are deleted
+    assert(st.update("delete where { a b c . x y z }").count() == 0)
+    // a path-operator predicate would silently match nothing in the
+    // delete — fail fast instead
+    assertThrows[IllegalArgumentException](
+      st.update("delete where { $v b+ $w }"))
+    assertThrows[IllegalArgumentException](
+      st.update("delete where { $v b/c $w }"))
+  }
+
   test("typed/lang literals survive store round-trip") {
     val lits = Seq(
       Triple(RdfTerm.named("s1"), RdfTerm.named("p"), RdfTerm.langLit("hi", "en")),
