@@ -109,7 +109,7 @@ object RdfXmlOps {
     }
     val tmp = java.nio.file.Files.createTempDirectory("graft_trig").toString
     graft.rdf.Turtle.writeTriG(ds, tmp)
-    graft.rdf.Turtle.readTriG(s, tmp).toDF()
+    graft.rdf.Turtle.readTriG(s, tmp, exts = Seq(".txt")).toDF()
       .select($"g.value".as("g"), $"s.value".as("s"),
         $"p.value".as("p"), $"o.value".as("o"))
       .orderBy($"g", $"s", $"p", $"o")

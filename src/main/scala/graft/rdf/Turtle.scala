@@ -24,49 +24,30 @@ import org.apache.spark.sql.functions.col
   */
 object Turtle {
 
-  /** One task per matching file: read UTF-8 content, parse, and remap
-    * terms with the file's index (blank node ids are document-scoped
-    * in RDF, so they get a per-file prefix — same contract as
-    * TripleStore.fromRdf). Shared by [[read]] and [[readTriG]] so the
-    * listing/scoping rules cannot drift between the two formats. */
-  private def parseFiles[A](spark: SparkSession, path: String, exts: Seq[String])(
-      parseOne: String => Seq[A])(remap: (A, RdfTerm => RdfTerm) => A)(
-      implicit ct: scala.reflect.ClassTag[A]): org.apache.spark.rdd.RDD[A] = {
-    val f = new java.io.File(path)
-    val files: Seq[String] =
-      if (f.isDirectory)
-        f.listFiles().map(_.getPath).filter(p => exts.exists(p.endsWith)).sorted.toSeq
-      else Seq(path)
-    val n = math.max(1, files.length)
-    spark.sparkContext.parallelize(files.zipWithIndex, math.min(n, 64))
-      .flatMap { case (file, idx) =>
-        val content = {
-          val src = scala.io.Source.fromFile(file, "UTF-8")
-          try src.mkString finally src.close()
-        }
-        def fix(term: RdfTerm): RdfTerm =
-          if (term.kind == RdfTerm.Blank) term.copy(value = s"f${idx}_${term.value}")
-          else term
-        parseOne(content).map(a => remap(a, fix))
-      }
-  }
-
-  /** Distributed read: one task per .ttl file; blank node ids are
-    * prefixed per file. */
-  def read(spark: SparkSession, path: String): Dataset[Triple] = {
+  /** Distributed read: one task per matching file via the Hadoop
+    * FileSystem + `binaryFile` path ([[RdfFiles]]); blank node ids are
+    * prefixed per file. `.txt` is claimed here (not by [[readTriG]])
+    * because [[write]] emits through `df.write.text`, whose part files
+    * are `.txt` — pass `exts` explicitly to read a different layout. */
+  def read(spark: SparkSession, path: String,
+           exts: Seq[String] = Seq(".ttl", ".txt")): Dataset[Triple] = {
     import spark.implicits._
-    parseFiles(spark, path, Seq(".ttl", ".txt"))(parse) { (t, fix) =>
+    RdfFiles.parsePerFile(spark, path, exts)(parse) { (t, fix) =>
       Triple(fix(t.s), fix(t.p), fix(t.o))
-    }.toDS()
+    }
   }
 
-  /** TriG read: one task per .trig/.txt file, blank ids (including
-    * blank GRAPH labels) prefixed per file like [[read]]. */
-  def readTriG(spark: SparkSession, path: String): Dataset[Quad] = {
+  /** TriG read: one task per .trig file, blank ids (including blank
+    * GRAPH labels) prefixed per file like [[read]]. `.txt` part files
+    * from [[writeTriG]] need an explicit `exts = Seq(".txt")` — the
+    * default deliberately does not overlap with [[read]]'s so a mixed
+    * directory is never parsed with the wrong grammar. */
+  def readTriG(spark: SparkSession, path: String,
+               exts: Seq[String] = Seq(".trig")): Dataset[Quad] = {
     import spark.implicits._
-    parseFiles(spark, path, Seq(".trig", ".txt"))(parseTriG) { (q, fix) =>
+    RdfFiles.parsePerFile(spark, path, exts)(parseTriG) { (q, fix) =>
       Quad(q.g.map(fix), fix(q.s), fix(q.p), fix(q.o))
-    }.toDS()
+    }
   }
 
   /** TriG write: graphs co-locate (repartition on g) and sort, so each
@@ -345,8 +326,10 @@ object Turtle {
                 case 'r'  => sb.append('\r'); i += 2
                 case 't'  => sb.append('\t'); i += 2
                 case 'u'  =>
+                  if (i + 6 > n) fail("truncated \\u escape")
                   sb.appendCodePoint(Integer.parseInt(s.substring(i + 2, i + 6), 16)); i += 6
                 case 'U'  =>
+                  if (i + 10 > n) fail("truncated \\U escape")
                   sb.appendCodePoint(Integer.parseInt(s.substring(i + 2, i + 10), 16)); i += 10
                 case e    => fail(s"unknown escape \\$e")
               }

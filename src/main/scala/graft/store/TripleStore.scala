@@ -265,9 +265,27 @@ final class TripleStore private (
       .select($"s_id", $"p_id", $"o_id")
   }
 
+  /** Last location this store was persisted to / restored from
+    * (reference: persist_location, graph.rs:638-640). */
+  @volatile private var persistedTo: Option[String] = None
+
+  def persistLocation: Option[String] = persistedTo
+
+  private[store] def rememberLocation(path: String): this.type = {
+    persistedTo = Some(path); this
+  }
+
+  /** Re-persist to the remembered location (reference: persist with no
+    * argument, graph.rs:641-656 — errors when the graph has never been
+    * persisted, our analogue of `Error::NoPersistLocation`). */
+  def persist(): Unit = persist(persistedTo.getOrElse(
+    throw new IllegalStateException(
+      "graft: no persist location — call persist(path) first")))
+
   /** Persist as dictionary-encoded, predicate-partitioned parquet
-    * (reference: persist, graph.rs:630-695; layout mirrors
-    * trees/<predId>.json as triples/p_id=<id>/). */
+    * (reference: persist_to, graph.rs:630-695; layout mirrors
+    * trees/<predId>.json as triples/p_id=<id>/). Remembers `path` for
+    * no-arg [[persist()]] / [[persistLocation]]. */
   def persist(path: String): Unit = {
     val terms = termDict.cache()
     val preds = predicateDict.cache()
@@ -284,6 +302,7 @@ final class TripleStore private (
     val out = fs.create(marker, true)
     try out.write("graft-backup-v1\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    persistedTo = Some(path)
   }
 
   /** Full-scan iterator (reference: Graph::iter, graph.rs:696-760). */
@@ -315,26 +334,18 @@ object TripleStore {
 
   /** Bulk load from RDF/XML files (reference: Graph::from_rdf,
     * graph.rs:223-330). The reference hand-schedules a thread pool by
-    * tree size; here Spark's task scheduler parallelizes per FILE
-    * (RDF/XML is not line-splittable). Blank node ids are prefixed per
-    * file — nodeIDs are document-scoped in RDF. */
+    * tree size; here the `binaryFile` datasource parallelizes per FILE
+    * (RDF/XML is not line-splittable) and listing goes through the
+    * Hadoop FileSystem API, so the path may live on any cluster
+    * storage (HDFS, S3A, file://) — see [[graft.rdf.RdfFiles]]. Blank
+    * node ids are prefixed per file — nodeIDs are document-scoped in
+    * RDF. */
   def fromRdf(spark: SparkSession, path: String): TripleStore = {
     import spark.implicits._
-    val f = new java.io.File(path)
-    val files: Seq[String] =
-      if (f.isDirectory) f.listFiles().filter(_.getName.endsWith(".rdf")).map(_.getPath).sorted.toSeq
-      else Seq(path)
-    val n = math.max(1, files.length)
-    val ds = spark.sparkContext
-      .parallelize(files.zipWithIndex, math.min(n, 64))
-      .flatMap { case (file, idx) =>
-        RdfXmlParser.parseFile(file).map { t =>
-          def fix(term: RdfTerm): RdfTerm =
-            if (term.kind == RdfTerm.Blank) term.copy(value = s"f${idx}_${term.value}")
-            else term
-          Triple(fix(t.s), fix(t.p), fix(t.o))
-        }
-      }.toDS()
+    val ds = graft.rdf.RdfFiles.parsePerFile(spark, path, Seq(".rdf"))(
+      RdfXmlParser.parseString) { (t, fix) =>
+      Triple(fix(t.s), fix(t.p), fix(t.o))
+    }
     new TripleStore(spark, ds)
   }
 
@@ -378,6 +389,8 @@ object TripleStore {
       .join(dim(preds, "p", "pid"), $"p_id" === $"pid")
       .select($"s", $"p", $"o")
       .as[Triple]
-    new TripleStore(spark, ds)
+    // the reference restores persist_location from head.json
+    // (graph.rs:54-222) — a restored graph re-persists in place
+    new TripleStore(spark, ds).rememberLocation(path)
   }
 }

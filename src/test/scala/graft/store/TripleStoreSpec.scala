@@ -63,6 +63,21 @@ class TripleStoreSpec extends SparkSpec {
     assert(ids.toSeq == (0L until ids.length).toSeq)
   }
 
+  test("persistLocation parity: remembered by persist/restore, no-arg persist reuses it") {
+    val st = TripleStore.fromTriples(spark, Seq(
+      Triple(RdfTerm.named("http://x/s"), RdfTerm.named("http://x/p"), RdfTerm.named("http://x/o"))))
+    // never persisted → no location, no-arg persist errors (Error::NoPersistLocation)
+    assert(st.persistLocation.isEmpty)
+    assertThrows[IllegalStateException](st.persist())
+    val dir = java.nio.file.Files.createTempDirectory("ts_loc").toString
+    st.persist(dir)
+    assert(st.persistLocation.contains(dir))
+    st.persist() // re-persist in place succeeds
+    val back = TripleStore.fromBackup(spark, dir)
+    // restored graphs remember where they came from (graph.rs head.json)
+    assert(back.persistLocation.contains(dir))
+  }
+
   test("fromBackup validates the layout before reading (graph.rs:167-184)") {
     val missing = java.nio.file.Files.createTempDirectory("ts_bad").toString
     assertThrows[IllegalArgumentException]( // empty dir: no parts, no marker
@@ -91,6 +106,25 @@ class TripleStoreSpec extends SparkSpec {
     val blanks = st.triples.collect().flatMap(tr => Seq(tr.s, tr.o))
       .filter(_.kind == RdfTerm.Blank)
     assert(blanks.forall(_.value.startsWith("f0_")))
+  }
+
+  test("fromRdf reads through the Hadoop FileSystem API (file:// URI, dir and single file)") {
+    // A cluster deployment hands fromRdf an HDFS/S3A URI; the listing and
+    // the reads must go through Hadoop, not java.io.File. file:// is the
+    // scheme-qualified stand-in available in a local JVM.
+    val one = TripleStore.fromRdf(spark, "file:///root/reference/models/cold-2010-complete.rdf")
+    assert(one.count() ==
+      TripleStore.fromRdf(spark, "/root/reference/models/cold-2010-complete.rdf").count())
+    val dir = TripleStore.fromRdf(spark, "file:///root/reference/models")
+    assert(dir.count() == TripleStore.fromRdf(spark, "/root/reference/models").count())
+    // Turtle shares the same listing helper
+    val tmp = java.nio.file.Files.createTempDirectory("ttl_uri").toString
+    java.nio.file.Files.writeString(java.nio.file.Path.of(tmp, "a.ttl"),
+      "<http://x/s> <http://x/p> <http://x/o> .")
+    assert(graft.rdf.Turtle.read(spark, s"file://$tmp").count() == 1)
+    // missing paths fail fast with a clear error, not an empty scan
+    assertThrows[java.io.FileNotFoundException](
+      TripleStore.fromRdf(spark, "file:///root/nonexistent-graft-dir"))
   }
 
   test("corpus persists smaller than its RDF/XML source (parquet replaces K2Tree compression)") {
