@@ -168,6 +168,12 @@ object OpRegistry {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+    // DECISION (round 9, from round-8 verdict #8): permanently
+    // advisory — an HLL sketch can never hash-match another engine.
+    // Its correctness contract (estimate within the configured rsd
+    // envelope of the exact count) is pinned in PipelineSpec instead;
+    // this entry stays registered so the operator remains benched and
+    // rows-checked.
     opNoOracle("q_approx_distinct", RelationalOps.qApproxDistinct),
     op("q_asof_join", RelationalOps.qAsofJoin,
       """WITH ord AS (
@@ -302,18 +308,16 @@ object OpRegistry {
     op("doc_pipeline_e2e", CurationOps.docPipelineE2e, CurationOps.docPipelineE2eSql),
     op("sim_topk_brute", SimilarityOps.simTopkBrute, SimilarityOps.simTopkBruteSql),
     op("sim_ann_lsh", SimilarityOps.simAnnLsh, SimilarityOps.simAnnLshSql),
-    // Intentionally rows-only: both depend on MLlib model internals
-    // (MinHashLSH's seeded coefficients, KMeans centroids) that no
-    // external engine can reproduce; MlOpsSpec pins recall/overlap
-    // against the oracle-checked exact baselines instead.
-    // DECISION (round 8, from round-7 verdict #7): dedup_minhash_ml
-    // stays registered — and benched — as the MLlib-parity demo at its
-    // documented ~3x cost over the native dedup_minhash_lsh path. The
-    // native op is the production recommendation; keeping the MLlib
-    // variant in the bench keeps its cost visible instead of hidden.
-    opNoOracle("dedup_minhash_ml", MlOps.dedupMinhashMl),
-    opNoOracle("sim_ann_ivf", MlOps.simAnnIvf),
-    opNoOracle("sim_ann_ivf_index", MlOps.simAnnIvfIndex),
+    // DECISION (round 9, from round-8 verdict #4, superseding the
+    // round-8 decision): dedup_minhash_ml is UNREGISTERED — MLlib
+    // MinHashLSH model internals can never hash-match an external
+    // engine, so the op lives as a spec-only cross-check (MlOpsSpec
+    // pins rows + recall against the oracle-green dedup_minhash_lsh)
+    // instead of reading as a permanent correctness hole here. The
+    // IVF pair is now deterministic (IvfKmeans: md5 seeds + fixed
+    // quantized Lloyd rounds) and fully hash-checked.
+    op("sim_ann_ivf", MlOps.simAnnIvf, MlOps.ivfOracleSql),
+    op("sim_ann_ivf_index", MlOps.simAnnIvfIndex, MlOps.ivfOracleSql),
     op("mm_metadata", MultimodalOps.mmMetadata, MultimodalOps.mmMetadataSql),
     op("mm_frame_sample", MultimodalOps.mmFrameSample, MultimodalOps.mmFrameSampleSql),
     op("mm_feature", MultimodalOps.mmFeature, MultimodalOps.mmFeatureSql),
@@ -345,7 +349,7 @@ object OpRegistry {
     opNoOracle("rdf_build_corpus", RdfXmlOps.buildCorpus),
     op("graphx_degrees", GraphOps.graphxDegrees, GraphOps.graphxDegreesSql),
     op("graphx_cc", GraphOps.graphxCc, GraphOps.graphxCcSql),
-    opNoOracle("graphx_pagerank", GraphOps.graphxPagerank),
+    op("graphx_pagerank", GraphOps.graphxPagerank, GraphOps.graphxPagerankSql),
     op("graphx_triangles", GraphOps.graphxTriangles, GraphOps.graphxTrianglesSql),
   )
 

@@ -87,8 +87,13 @@ object GraphOps {
        |ORDER BY term""".stripMargin
   }
 
-  /** PageRank (10 static iterations) — float-iterative, no SQL oracle;
-    * rows-only + GraphSpec sanity (rank mass ≈ |V|, hubs rank top). */
+  /** PageRank, 10 static iterations. Oracle-exact despite being
+    * float-iterative: both engines run the SAME fixed recurrence —
+    * rank₀=1, rankₖ₊₁(v) = 0.15 + 0.85·Σ_{u→v} rankₖ(u)/outdeg(u),
+    * final ranks scaled so Σrank = |V| (GraphX's SPARK-18847
+    * normalization) — and a 6-decimal round absorbs the ≤1-ulp
+    * summation-order wobble. The DuckDB side is a recursive CTE with
+    * an iteration counter ([[graphxPagerankSql]]). */
   def graphxPagerank(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val (dict, g) = buildGraph(s, d)
@@ -98,6 +103,39 @@ object GraphOps {
       .select($"term", round($"rank", 6).as("rank_r"))
       .orderBy($"rank_r".desc, $"term")
       .limit(20)
+  }
+
+  /** The same 10-iteration recurrence as GraphX's staticPageRank, as a
+    * DuckDB recursive CTE. Zero-weight self-loop sentinels keep every
+    * vertex present each iteration (a vertex with no real in-edges gets
+    * 0.15 + 0.85·0, GraphX's `msgSum.getOrElse(0.0)` case); parallel
+    * edges each contribute, matching aggregateMessages over the
+    * multigraph; the final scan rescales by |V|/Σrank exactly like
+    * GraphX's normalizeRankSum. */
+  val graphxPagerankSql: String = {
+    val recursiveView = RdfOps.tripleViewSql.replaceFirst("WITH t AS", "WITH RECURSIVE t AS")
+    s"""$recursiveView,
+       |verts AS (SELECT DISTINCT term
+       |  FROM (SELECT s AS term FROM t UNION ALL SELECT o FROM t) u),
+       |od AS (SELECT s AS src, count(*) AS deg FROM t GROUP BY s),
+       |edges2 AS (
+       |  SELECT t.s AS src, t.o AS dst, 1.0/od.deg AS w
+       |    FROM t JOIN od ON od.src = t.s
+       |  UNION ALL
+       |  SELECT term, term, 0.0 FROM verts),
+       |pr(iter, term, rank) AS (
+       |  SELECT 0, term, CAST(1.0 AS DOUBLE) FROM verts
+       |  UNION ALL
+       |  SELECT pr.iter + 1, e.dst, CAST(0.15 + 0.85 * sum(pr.rank * e.w) AS DOUBLE)
+       |  FROM pr JOIN edges2 e ON e.src = pr.term
+       |  WHERE pr.iter < 10
+       |  GROUP BY pr.iter, e.dst),
+       |fin AS (SELECT term, rank FROM pr WHERE iter = 10),
+       |tot AS (SELECT sum(rank) AS s, count(*) AS n FROM fin)
+       |SELECT term, round(rank * tot.n / tot.s, 6) AS rank_r
+       |FROM fin, tot
+       |ORDER BY rank_r DESC, term
+       |LIMIT 20""".stripMargin
   }
 
   /** Per-vertex triangle counts over the embedding near-dup graph

@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, cross-engine-reproducible k-means for the IVF ANN
+  * index (round-8 verdict #3): md5-ranked seed rows + a FIXED number
+  * of Lloyd rounds with centroids quantized to 6 decimals after every
+  * mean — the same determinism contract that makes the LSH family
+  * hash-exact ([[graft.functions.Md5Bits.planeSigns]]). Quantizing the
+  * centroids collapses the two engines' summation-order ulp wobble
+  * onto one canonical value, so assignments — which compare exact
+  * doubles derived from identical inputs in identical index order —
+  * agree bit-for-bit and DuckDB can replay the whole fit as SQL.
+  *
+  * Scale posture: centroids are a k-row driver-side artifact at any
+  * corpus size (they ARE the IVF index's coarse quantizer); each Lloyd
+  * round is one distributed job — broadcast the k centroids, map-side
+  * partial-aggregate the per-coordinate sums — and the fit runs ONCE
+  * per corpus (driver-side model cache), not once per query, which is
+  * the index-build-vs-query split a real ANN service has.
+  */
+object IvfKmeans {
+
+  val K = 16
+  val Rounds = 4
+
+  /** Corpus dir → fitted centroids. An IVF coarse quantizer is an
+    * index artifact, built once per corpus; queries must not re-fit
+    * (round-8 verdict: "training belongs to index build only"). */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  def centroids(s: SparkSession, d: String): Array[Array[Double]] =
+    cache.computeIfAbsent(d, _ => fit(s, d))
+
+  /** The embeddings table with `v` = exactly-widened double vector
+    * (float→double widening is exact, so both engines start from
+    * identical doubles). */
+  def withV(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    embeddings(s, d).select($"vec_id", $"embedding",
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+  }
+
+  /** Squared distance to every centroid: broadcast the k-row centroid
+    * table, accumulate (x-y)² in index order — the same sequential
+    * double accumulation DuckDB's list_sum performs on the zipped
+    * list, so distances are bit-identical across engines. */
+  def withDists(e: DataFrame, cdf: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cdf)).withColumn("dist",
+      expr("aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), 0D, (acc, z) -> acc + z)"))
+
+  /** (vec_id, list_id): nearest centroid, ties to the lowest list id.
+    * min_by keeps the aggregation partial (map-side) — no row blowup
+    * survives the shuffle, unlike a rank-over-window formulation. */
+  def assign(e: DataFrame, cdf: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    withDists(e, cdf)
+      .groupBy($"vec_id")
+      .agg(min_by($"list_id", struct($"dist", $"list_id")).as("list_id"))
+  }
+
+  /** Centroid literal frame (driver-side Seq → broadcast hint is
+    * allowed by the ScaleSpec rule: only data-derived sets must not
+    * carry hints). */
+  def centroidFrame(s: SparkSession, cents: Array[Array[Double]]): DataFrame = {
+    import s.implicits._
+    cents.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toDF("list_id", "c")
+  }
+
+  private def fit(s: SparkSession, d: String): Array[Array[Double]] = {
+    import s.implicits._
+    val e = withV(s, d).select($"vec_id", $"v").cache()
+    // seeds: the k rows with the smallest md5(vec_id) — a deterministic
+    // "random" draw any engine reproduces with its own md5()
+    var cents: Array[Array[Double]] = e
+      .orderBy(md5($"vec_id".cast("string")), $"vec_id").limit(K)
+      .select($"v").collect()
+      .map(_.getSeq[Double](0).toArray)
+    for (_ <- 1 to Rounds) {
+      val cdf = centroidFrame(s, cents)
+      // per-coordinate mean, quantized to 6 decimals (see class doc);
+      // k×dim rows — collected because the quantizer IS driver-sized
+      val means = assign(e, cdf)
+        .join(e, "vec_id")
+        .select($"list_id", posexplode($"v").as(Seq("i", "x")))
+        .groupBy($"list_id", $"i").agg(round(avg($"x"), 6).as("cx"))
+        .collect()
+      val byList = means.groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (old, lid) =>
+        byList.get(lid) match {
+          case Some(rows) => rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+          // empty cluster keeps its previous centroid, like the SQL
+          // oracle's COALESCE carry-over
+          case None => old
+        }
+      }
+    }
+    e.unpersist()
+    cents
+  }
+}

@@ -1,25 +1,26 @@
 package graft.operators
 
 import graft.Tables._
-import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.feature.MinHashLSH
-import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** MLlib-backed variants of the dedup / ANN scale paths (SURVEY §7.2
-  * step 6): the native implementations in DedupOps/SimilarityOps are
-  * the transparent baselines; these show the same operators through
-  * spark.ml's fitted-model pipelines. Both are seeded → deterministic,
-  * but model internals have no DuckDB equivalent → rows-only checks,
-  * with recall pinned against the exact operators in MlOpsSpec.
+/** IVF ANN on the deterministic [[IvfKmeans]] quantizer (hash-checked
+  * against a DuckDB replay of the identical fixed-round Lloyd fit —
+  * round-8 verdict #3), plus the one remaining MLlib cross-check op
+  * ([[dedupMinhashMl]], spec-only: model internals have no DuckDB
+  * equivalent, so it is pinned against the exact operators in
+  * MlOpsSpec instead of carrying a permanent no_oracle row).
   */
 object MlOps {
 
   /** Shingle-set MinHashLSH near-dup pairs via approxSimilarityJoin
     * (JaccardDistance ≤ 0.5 ⇔ similarity ≥ 0.5, matching
-    * dedup_ngram_jaccard's threshold). */
+    * dedup_ngram_jaccard's threshold). Spec-only cross-check of
+    * [[DedupOps.dedupMinhashLsh]] — not registered as a driver query
+    * (round-8 verdict #4). */
   def dedupMinhashMl(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sh = documents(s, d)
@@ -49,38 +50,35 @@ object MlOps {
       .orderBy($"da", $"db")
   }
 
-  /** IVF-style ANN: KMeans(16) partitions the vector space; each query
-    * probes its 2 nearest centroids and ranks within those lists by
-    * exact cosine. At 100 TB the lists are parquet partitions keyed by
-    * centroid id — a query touches 2/16ths of the data. */
+  /** IVF-style ANN: the [[IvfKmeans]] quantizer (k=16, fit once per
+    * corpus — queries probe a prebuilt model, they don't train one)
+    * partitions the vector space; each query probes its 2 nearest
+    * centroids and ranks within those lists by exact cosine. At 100 TB
+    * the lists are parquet partitions keyed by centroid id
+    * ([[simAnnIvfIndex]] is that shape made literal) — a query touches
+    * 2/16ths of the data. */
   def simAnnIvf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
-    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
-    val e = embeddings(s, d)
-      .select($"vec_id", $"embedding", toVec($"embedding").as("features"))
-      .cache()
-    // 8 iterations converge on this data (inertia plateaus by ~6); the
-    // default 20 just burns fit time — and recall is pinned in MlOpsSpec
-    val model = new KMeans().setK(16).setMaxIter(8).setSeed(42L)
-      // seeded random init: k-means|| costs several extra job waves to
-      // pick 16 starting points, which dwarfs the actual fit here
-      .setInitMode("random")
-      .setFeaturesCol("features").fit(e)
-    val centroids = model.clusterCenters.zipWithIndex
-    val assigned = model.transform(e)
-      .select($"vec_id", $"embedding", $"prediction".as(("list_id")))
+    val cdf = IvfKmeans.centroidFrame(s, IvfKmeans.centroids(s, d))
+    val e = IvfKmeans.withV(s, d)
+    val assigned = IvfKmeans.assign(e, cdf).join(e, "vec_id")
+      .select($"vec_id", $"embedding", $"list_id")
+    probeAndScore(e, cdf, assigned)
+  }
 
-    // queries probe the 2 closest centroids (by exact distance, tiny loop)
-    val qProbe = udf { (a: Seq[Float]) =>
-      val v = Vectors.dense(a.map(_.toDouble).toArray)
-      centroids.map { case (c, i) => (i, Vectors.sqdist(c, v)) }
-        .sortBy(x => (x._2, x._1)).take(2).map(_._1)
-    }
-    val queries = e.filter($"vec_id" < 5)
-      .select($"vec_id".as("qid"), $"embedding".as("qe"),
-        explode(qProbe($"embedding")).as("list_id"))
-    val scored = queries.join(assigned, "list_id")
+  /** Probe side shared by [[simAnnIvf]] and [[simAnnIvfIndex]]: the 2
+    * nearest centroids per query vector (vec_id < 5), then exact
+    * cosine top-3 within the probed lists. */
+  private def probeAndScore(e: DataFrame, cdf: DataFrame, assigned: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val probes = IvfKmeans.withDists(e.filter($"vec_id" < 5), cdf)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"dist", $"list_id")))
+      .filter($"rn" <= 2)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"), $"list_id")
+    val scored = probes.join(assigned, "list_id")
       .filter($"qid" =!= $"vec_id")
       .select($"qid", $"vec_id".as("nid"),
         expr("cosine_sim(qe, embedding)").as("cos"))
@@ -98,20 +96,13 @@ object MlOps {
     * is the entire point of IVF at scale. Build cost is paid once per
     * corpus; this op measures build + probe honestly in one call.
     * Same ranking contract as [[simAnnIvf]] (probe depth 2, exact
-    * cosine within lists). */
+    * cosine within lists), and the same DuckDB oracle — the on-disk
+    * layout must not change the answer. */
   def simAnnIvfIndex(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
-    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
-    val e = embeddings(s, d)
-      .select($"vec_id", $"embedding", toVec($"embedding").as("features"))
-      .cache()
-    val model = new KMeans().setK(16).setMaxIter(8).setSeed(42L)
-      // seeded random init: k-means|| costs several extra job waves to
-      // pick 16 starting points, which dwarfs the actual fit here
-      .setInitMode("random")
-      .setFeaturesCol("features").fit(e)
-    val centroids = model.clusterCenters.zipWithIndex
+    val cdf = IvfKmeans.centroidFrame(s, IvfKmeans.centroids(s, d))
+    val e = IvfKmeans.withV(s, d).cache()
 
     // Index root comes from config so a cluster deployment points it at
     // shared storage (HDFS/S3 URI); the java.io.tmpdir default is only
@@ -120,25 +111,23 @@ object MlOps {
     val root = s.conf.getOption("spark.graft.indexRoot")
       .getOrElse(System.getProperty("java.io.tmpdir") + "/graft_ivf")
     val dir = s"$root/ivf_${java.util.UUID.randomUUID}"
-    model.transform(e)
-      .select($"vec_id", $"embedding", $"prediction".as("list_id"))
+    IvfKmeans.assign(e, cdf).join(e, "vec_id")
+      .select($"vec_id", $"embedding", $"list_id")
       .write.mode("overwrite").partitionBy("list_id").parquet(dir)
 
-    // probe set: 2 nearest centroids per query, resolved driver-side
-    // (the centroid table is tiny — k entries — at any scale)
-    val qProbe = udf { (a: Seq[Float]) =>
-      val v = Vectors.dense(a.map(_.toDouble).toArray)
-      centroids.map { case (c, i) => (i, Vectors.sqdist(c, v)) }
-        .sortBy(x => (x._2, x._1)).take(2).map(_._1)
-    }
-    val queries = e.filter($"vec_id" < 5)
-      .select($"vec_id".as("qid"), $"embedding".as("qe"),
-        explode(qProbe($"embedding")).as("list_id"))
-    val probedLists = queries.select("list_id").distinct()
+    // probe set resolved driver-side (k-entry centroid table, 2 list
+    // ids per query — tiny by construction at any scale)
+    val probes = IvfKmeans.withDists(e.filter($"vec_id" < 5), cdf)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"dist", $"list_id")))
+      .filter($"rn" <= 2)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"), $"list_id")
+      .cache()
+    val probedLists = probes.select("list_id").distinct()
       .collect().map(_.getInt(0)).toSeq
     // partition-pruned scan: only the probed list_id directories are read
     val index = s.read.parquet(dir).filter($"list_id".isin(probedLists: _*))
-    val scored = queries.join(index, "list_id")
+    val scored = probes.join(index, "list_id")
       .filter($"qid" =!= $"vec_id")
       .select($"qid", $"vec_id".as("nid"),
         expr("cosine_sim(qe, embedding)").as("cos"))
@@ -153,10 +142,65 @@ object MlOps {
     // repeated runs would leak one index tree per call.
     import scala.jdk.CollectionConverters._
     val rows = out.collect().toSeq
-    e.unpersist()
+    e.unpersist(); probes.unpersist()
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(p, true)
     s.createDataFrame(rows.asJava, out.schema)
+  }
+
+  /** DuckDB replay of the ENTIRE deterministic IVF pipeline — seeds,
+    * the fixed Lloyd rounds (unrolled as plain CTEs; the round count
+    * is a compile-time constant, so no recursion is needed), final
+    * assignment, 2-probe, exact-cosine top-3. Squared distances zip
+    * and accumulate in index order exactly like the Spark expression;
+    * centroid means are quantized with the same round(·, 6). */
+  val ivfOracleSql: String = {
+    def assignSelect(cfrom: String, where: String, rnBound: Int): String =
+      s"""  SELECT vec_id, list_id FROM (
+         |    SELECT e.vec_id, c.list_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_sum(list_transform(list_zip(e.v, c.c),
+         |                          p -> (p[1]-p[2])*(p[1]-p[2]))), c.list_id) AS rn
+         |    FROM emb e CROSS JOIN $cfrom c$where) z
+         |  WHERE rn <= $rnBound""".stripMargin
+    val rounds = (1 to IvfKmeans.Rounds).map { r =>
+      s"""a$r AS (
+         |${assignSelect(s"c${r - 1}", "", 1)}),
+         |m$r AS (
+         |  SELECT list_id, i, round(avg(x), 6) AS cx FROM (
+         |    SELECT a.list_id, generate_subscripts(e.v, 1) AS i, unnest(e.v) AS x
+         |    FROM a$r a JOIN emb e USING (vec_id)) z
+         |  GROUP BY list_id, i),
+         |c$r AS (
+         |  SELECT p.list_id, COALESCE(n.c, p.c) AS c
+         |  FROM c${r - 1} p LEFT JOIN
+         |    (SELECT list_id, list(cx ORDER BY i) AS c FROM m$r GROUP BY list_id) n
+         |  USING (list_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH emb AS (
+       |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS list_id,
+       |         v AS c
+       |  FROM (SELECT vec_id, v FROM emb
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT ${IvfKmeans.K}) s),
+       |$rounds,
+       |af AS (
+       |${assignSelect(s"c${IvfKmeans.Rounds}", "", 1)}),
+       |probe AS (
+       |${assignSelect(s"c${IvfKmeans.Rounds}", " WHERE e.vec_id < 5", 2)}),
+       |scored AS (
+       |  SELECT p.vec_id AS qid, af.vec_id AS nid,
+       |    list_cosine_similarity(q.v, n.v) AS cos
+       |  FROM probe p
+       |  JOIN af ON af.list_id = p.list_id
+       |  JOIN emb q ON q.vec_id = p.vec_id
+       |  JOIN emb n ON n.vec_id = af.vec_id
+       |  WHERE af.vec_id <> p.vec_id)
+       |SELECT qid, rank, nid FROM (
+       |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |  FROM scored) z
+       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
   }
 }
