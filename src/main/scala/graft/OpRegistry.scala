@@ -240,6 +240,9 @@ object OpRegistry {
     op("rdf_bgp_filter_bound", RdfOps.bgpFilterBound, RdfOps.bgpFilterBoundSql),
     op("rdf_bgp_filter_strfns", RdfOps.bgpFilterStrFns, RdfOps.bgpFilterStrFnsSql),
     op("rdf_bgp_filter_isiri", RdfOps.bgpFilterIsiri, RdfOps.bgpFilterIsiriSql),
+    op("rdf_bgp_filter_lang", RdfOps.bgpFilterLang, RdfOps.bgpFilterLangSql),
+    op("rdf_bgp_filter_str_in", RdfOps.bgpFilterStrIn, RdfOps.bgpFilterStrInSql),
+    op("rdf_bgp_bind_coalesce", RdfOps.bgpBindCoalesce, RdfOps.bgpBindCoalesceSql),
     op("rdf_bgp_order_limit", RdfOps.bgpOrderLimit, RdfOps.bgpOrderLimitSql),
     op("rdf_bgp_group_count", RdfOps.bgpGroupCount, RdfOps.bgpGroupCountSql),
     op("rdf_bgp_group_having", RdfOps.bgpGroupHaving, RdfOps.bgpGroupHavingSql),

@@ -694,6 +694,139 @@ object RdfOps {
       |  SELECT 'lit', s, p, o FROM t WHERE o_kind IN ('raw', 'lang', 'typed')) u
       |ORDER BY q, x, p, o""".stripMargin
 
+  /** Lang-aware triple view: full 4-field term structs (kind, value,
+    * lang, datatype) like the store's own ([[graft.store.TripleStore]]),
+    * synthesized from customer — lang-tagged labels (en for even
+    * nation keys, fr for odd), plain-literal segments, xsd:integer
+    * nation numbers. Feeds the `lang()`/`datatype()` accessor tests. */
+  def langTripleView(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.Column
+    val nullS = lit(null).cast("string")
+    def iri(c: Column) = struct(lit("named").as("kind"), c.as("value"),
+      nullS.as("lang"), nullS.as("datatype"))
+    def langLit(c: Column, lg: Column) = struct(lit("lang").as("kind"),
+      c.as("value"), lg.as("lang"), nullS.as("datatype"))
+    def raw(c: Column) = struct(lit("raw").as("kind"), c.as("value"),
+      nullS.as("lang"), nullS.as("datatype"))
+    def typed(c: Column, dt: String) = struct(lit("typed").as("kind"),
+      c.as("value"), nullS.as("lang"), lit(dt).as("datatype"))
+    val c = customer(s, d)
+    c.select(iri($"c_name").as("s"), iri(lit("label")).as("p"),
+        langLit($"c_name", when($"c_nationkey" % 2 === 0, "en").otherwise("fr")).as("o"))
+      .union(c.select(iri($"c_name").as("s"), iri(lit("segment")).as("p"),
+        raw($"c_mktsegment").as("o")))
+      .union(c.select(iri($"c_name").as("s"), iri(lit("nation_no")).as("p"),
+        typed($"c_nationkey".cast("string"), XsdInteger).as("o")))
+  }
+  private val XsdInteger = "http://www.w3.org/2001/XMLSchema#integer"
+
+  /** FILTER accessors `lang()` / `datatype()` (SPARQL §17.4.2, round-8
+    * verdict #5) on the lang-aware view: the same all-var pattern
+    * filtered four ways — lang-en labels, plain literals (`lang() =
+    * ""` spans raw AND typed, the spec's totalization), xsd:integer
+    * typed terms, and rdf:langString (what `datatype()` returns for a
+    * lang-tagged literal — RDF 1.1 §3.3). */
+  def bgpFilterLang(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val view = langTripleView(s, d)
+    def run(tag: String, filter: String): DataFrame =
+      Bgp.compile(view,
+          Sparql.parse(s"select $$x $$p $$o where { $$x $$p $$o . filter ( $filter ) }"),
+          matchValue = (df, pos) => df(pos).getField("value"))
+        .select(lit(tag).as("q"), $"x.value".as("x"), $"p.value".as("p"), $"o.value".as("o"))
+    val res = run("en", "lang ( $o ) == en")
+      .union(run("plain", "lang ( $o ) == \"\""))
+      .union(run("int", s"datatype ( $$o ) == <$XsdInteger>"))
+      .union(run("tagged", s"datatype ( $$o ) == <${graft.query.Sparql.RdfLangString}>"))
+    res.orderBy(res("q"), res("x"), res("p"), res("o"))
+  }
+  val bgpFilterLangSql: String = {
+    val xsdString = graft.query.Sparql.XsdString
+    val langString = graft.query.Sparql.RdfLangString
+    s"""WITH tr AS (
+       |  SELECT c_name AS x, 'label' AS p, c_name AS o, 'lang' AS kind,
+       |         CASE WHEN c_nationkey % 2 = 0 THEN 'en' ELSE 'fr' END AS o_lang,
+       |         CAST(NULL AS VARCHAR) AS o_dt
+       |  FROM customer
+       |  UNION ALL
+       |  SELECT c_name, 'segment', c_mktsegment, 'raw', NULL, NULL FROM customer
+       |  UNION ALL
+       |  SELECT c_name, 'nation_no', CAST(c_nationkey AS VARCHAR), 'typed', NULL,
+       |         '$XsdInteger' FROM customer
+       |),
+       |v AS (
+       |  SELECT x, p, o,
+       |    CASE WHEN kind = 'lang' THEN COALESCE(o_lang, '')
+       |         WHEN kind IN ('raw', 'typed') THEN '' END AS langv,
+       |    CASE WHEN kind = 'typed' THEN o_dt
+       |         WHEN kind = 'raw' THEN '$xsdString'
+       |         WHEN kind = 'lang' THEN '$langString' END AS dtv
+       |  FROM tr)
+       |SELECT q, x, p, o FROM (
+       |  SELECT 'en' AS q, x, p, o FROM v WHERE langv = 'en'
+       |  UNION ALL SELECT 'plain', x, p, o FROM v WHERE langv = ''
+       |  UNION ALL SELECT 'int', x, p, o FROM v WHERE dtv = '$XsdInteger'
+       |  UNION ALL SELECT 'tagged', x, p, o FROM v WHERE dtv = '$langString') u
+       |ORDER BY q, x, p, o""".stripMargin
+  }
+
+  /** FILTER `IN` / `NOT IN` + the `str()` accessor as a comparison
+    * operand (SPARQL §17.4.1.9, round-8 verdict #5): nation membership
+    * lists composed with a lexicographic `str()` bound and a regex. */
+  def bgpFilterStrIn(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val view = tripleView(s, d)
+    def run(tag: String, q: String): DataFrame =
+      Bgp.compile(view, Sparql.parse(q))
+        .select(lit(tag).as("q"), col("c"), col("n"))
+    val res = run("in",
+      """select $c $n where { $c in_nation $n .
+        |  filter ( $n in ( NATION_2 , NATION_7 , NATION_11 ) &&
+        |           str ( $c ) >= Customer#000001000 ) }""".stripMargin)
+      .union(run("notin",
+        """select $c $n where { $c in_nation $n . $n in_region ASIA .
+          |  filter ( $n not in ( NATION_5 , NATION_8 ) && $c regex 00$ ) }""".stripMargin))
+    res.orderBy(res("q"), res("c"), res("n"))
+  }
+  val bgpFilterStrInSql: String =
+    s"""$tripleViewSql
+       |SELECT q, c, n FROM (
+       |  SELECT 'in' AS q, s AS c, o AS n FROM t
+       |  WHERE p = 'in_nation' AND o IN ('NATION_2', 'NATION_7', 'NATION_11')
+       |    AND s >= 'Customer#000001000'
+       |  UNION ALL
+       |  SELECT DISTINCT 'notin', t1.s, t1.o FROM t t1 JOIN t t2 ON t1.o = t2.s
+       |  WHERE t1.p = 'in_nation' AND t2.p = 'in_region' AND t2.o = 'ASIA'
+       |    AND t1.o NOT IN ('NATION_5', 'NATION_8')
+       |    AND regexp_matches(t1.s, '00$$')) u
+       |ORDER BY q, c, n""".stripMargin
+
+  /** BIND `coalesce()` / `if(bound(…))` (SPARQL §17.4.1, round-8
+    * verdict #5): the OPTIONAL-default idiom — entities keep their
+    * segment when one exists, with a coalesced fallback and an
+    * if-flag. Suppliers have no in_segment edge, so both branches of
+    * each function are exercised. */
+  def bgpBindCoalesce(s: SparkSession, d: String): DataFrame = {
+    val q = Sparql.parse(
+      """select $x $n $seg $seg2 $flag where {
+        |  $x in_nation $n . optional { $x in_segment $seg } .
+        |  bind ( coalesce ( $seg , none ) as $seg2 ) .
+        |  bind ( if ( bound ( $seg ) , yes , no ) as $flag )
+        |}""".stripMargin)
+    val res = Bgp.compile(tripleView(s, d), q)
+    res.orderBy(res("x"), res("n"))
+  }
+  val bgpBindCoalesceSql: String =
+    s"""$tripleViewSql
+       |SELECT DISTINCT req.s AS x, req.o AS n, opt.o AS seg,
+       |  COALESCE(opt.o, 'none') AS seg2,
+       |  CASE WHEN opt.o IS NOT NULL THEN 'yes' ELSE 'no' END AS flag
+       |FROM (SELECT * FROM t WHERE p = 'in_nation') req
+       |LEFT JOIN (SELECT * FROM t WHERE p = 'in_segment') opt
+       |  ON req.s = opt.s
+       |ORDER BY x, n""".stripMargin
+
   /** Solution modifiers (round-3 verdict #7 — beyond the reference,
     * standard SPARQL): DISTINCT + ORDER BY … DESC/ASC + LIMIT through
     * the parsed string front-end. The (c, n) pair is the whole row, so

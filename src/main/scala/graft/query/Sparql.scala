@@ -178,18 +178,50 @@ final case class Sparql(
   /** BIND (SPARQL 1.1, restricted to a small scalar-function set):
     * compute `fn(in)` into the fresh variable `out`. Outputs stay
     * string-typed, keeping the all-terms-are-strings invariant the
-    * engine's joins/distincts rely on. */
+    * engine's joins/distincts rely on.
+    *
+    * `in` is the comma-packed argument list (args are single tokens,
+    * so they cannot contain commas): the single-arg string fns take
+    * one $variable; `coalesce` takes 1+ args, each a $variable or a
+    * literal; `if` takes exactly `[!]bound($v) , then , else` with
+    * then/else a $variable or literal. */
   def bind(fn: String, in: String, out: String): Sparql = {
     require(Sparql.BindFns.contains(fn), s"unsupported bind function: $fn")
-    val (si, so) = (stripVar(in), stripVar(out))
-    require(vars.contains(si), s"bind input variable $in not declared in select")
+    val so = stripVar(out)
+    val args = in.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+    require(args.nonEmpty, s"bind $fn needs at least one argument")
+    def requireVar(a: String): Unit =
+      require(vars.contains(stripVar(a)), s"bind input variable $a not declared in select")
+    fn match {
+      case "coalesce" =>
+        args.filter(_.startsWith("$")).foreach(requireVar)
+      case "if" =>
+        require(args.length == 3,
+          s"bind if takes `[!]bound($$v) , then , else`, got: $in")
+        args.head match {
+          case Sparql.BoundCondRe(_, v) =>
+            require(vars.contains(v), s"bind input variable $$$v not declared in select")
+          case other => throw new IllegalArgumentException(
+            s"if() condition must be [!]bound($$v), got: $other")
+        }
+        args.tail.filter(_.startsWith("$")).foreach(requireVar)
+      case _ =>
+        require(args.length == 1, s"bind $fn takes exactly one argument, got: $in")
+        requireVar(args.head)
+    }
     require(vars.contains(so), s"bind target variable $out not declared in select")
     // SPARQL forbids rebinding an in-scope variable
     val patternVars = (conds ++ optionals.flatten)
       .flatMap(t => Seq(t._1, t._2, t._3)).collect { case QVar(n) => n }
     require(!patternVars.contains(so) && !binds.exists(_._3 == so),
       s"bind target $out is already bound")
-    copy(binds = binds :+ ((fn, si, so)))
+    // single-arg fns historically accept a bare var name — normalize to
+    // the $-marked form the compiler reads ($-prefix = variable,
+    // bare = literal; coalesce/if callers must mark vars themselves)
+    val packed =
+      if (fn == "coalesce" || fn == "if") args.mkString(",")
+      else "$" + stripVar(args.head)
+    copy(binds = binds :+ ((fn, packed, so)))
   }
 
   /** GRAPH group (SPARQL 1.1 datasets): evaluate the group's patterns
@@ -235,9 +267,28 @@ final case class Sparql(
     val base = if (op.startsWith("!")) op.substring(1) else op
     val isUnaryFn = Sparql.UnaryFilterFns.contains(base)
     val isBinaryFn = Sparql.BinaryFilterFns.contains(base)
-    require(Sparql.ConstraintOps.contains(op) || isUnaryFn || isBinaryFn,
+    val isIn = Sparql.InOps.contains(op)
+    require(Sparql.ConstraintOps.contains(op) || isUnaryFn || isBinaryFn || isIn,
       s"unsupported filter op: $op")
-    val l = QueryUnit.parse(lhs)
+    val l = lhs match {
+      case Sparql.AccessorRe(fn, v) =>
+        require(!isUnaryFn && !isBinaryFn,
+          s"filter function $base cannot take an accessor argument: $lhs")
+        require(vars.contains(v), s"variable $$$v not declared in select")
+        QFn(fn, v)
+      case other => QueryUnit.parse(other)
+    }
+    if (isIn) {
+      require(l.isInstanceOf[QVar] || l.isInstanceOf[QFn],
+        s"IN takes a $$variable or accessor lhs, got: $lhs")
+      require(rhs.nonEmpty, "IN list must be non-empty")
+      l match {
+        case QVar(n) => require(vars.contains(n), s"variable $$$n not declared in select")
+        case _       => ()
+      }
+      // rhs stays the comma-packed raw list; the compiler splits it
+      return (l, op, QVal(rhs))
+    }
     val r = QueryUnit.parse(rhs)
     if (isUnaryFn || isBinaryFn) {
       // SPARQL built-in filter functions take a VARIABLE (the engine's
@@ -286,9 +337,31 @@ object Sparql {
     * kind-aware (struct-term) store and fail fast on a plain view. */
   val UnaryFilterFns: Set[String] = Set("bound", "isiri", "isliteral", "isblank")
   val BinaryFilterFns: Set[String] = Set("strstarts", "strends", "contains")
+  /** Term accessors usable as a comparison LHS (`str($x) == v`,
+    * `lang($o) == en`, `datatype($o) in ( … )` — SPARQL §17.4.2):
+    * `str` is the lexical form (identity on a plain string view),
+    * `lang`/`datatype` need the lang-aware term struct and follow the
+    * spec's totalization — plain literal → ""/xsd:string, lang literal
+    * → tag/rdf:langString, typed literal → ""/its datatype, IRI/blank
+    * → type error (null → row filtered). */
+  val AccessorFns: Set[String] = Set("str", "lang", "datatype")
+  /** Membership ops: rhs is the comma-packed value list (values are
+    * single tokens, so they cannot contain commas — the front-end
+    * splits on them). */
+  val InOps: Set[String] = Set("in", "!in")
+  private[graft] val AccessorRe = """(str|lang|datatype)\(\$(\w+)\)""".r
+  /** `datatype()` results for the untyped literal kinds (RDF 1.1 §3.3:
+    * a simple literal is xsd:string, a lang-tagged one rdf:langString). */
+  val XsdString = "http://www.w3.org/2001/XMLSchema#string"
+  val RdfLangString = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
   val AggregateFns: Set[String] =
     Set("count", "min", "max", "sum", "avg", "group_concat", "sample")
-  val BindFns: Set[String] = Set("str", "ucase", "lcase", "strlen")
+  val BindFns: Set[String] =
+    Set("str", "ucase", "lcase", "strlen", "coalesce", "if")
+  /** The supported `if()` condition shape (SPARQL's full boolean
+    * expression grammar is out of scope; `[!]bound($v)` is the idiom
+    * OPTIONAL defaults actually use — everything else COALESCE covers). */
+  private[graft] val BoundCondRe = """(!?)bound\(\$(\w+)\)""".r
   /** `count($c)` / `count(*)` select items; alias = `fn_var` / `fn_all`. */
   private val AggTok =
     """(?i)(count|min|max|sum|avg|group_concat|sample)\((\$\w+|\*)\)""".r
@@ -336,8 +409,8 @@ object Sparql {
       var di = 0
       def graphTok(t: String): String = QueryUnit.parse(t) match {
         case QVal(v, _) => v
-        case QVar(n) => throw new IllegalArgumentException(
-          s"dataset clause takes a graph name, got variable $$$n")
+        case other => throw new IllegalArgumentException(
+          s"dataset clause takes a graph name, got: $other")
       }
       while (di < ds.length) {
         require(ds(di).equalsIgnoreCase("from"), s"expected 'from', got ${ds(di)}")
@@ -478,7 +551,9 @@ object Sparql {
         valuesItems += ((tokens(i + 1), vals))
         i = close + 1
       } else if (tokens(i).equalsIgnoreCase("bind")) {
-        // `bind ( $a as $b )` or `bind ( fn ( $a ) as $b )`
+        // `bind ( $a as $b )` or `bind ( fn ( arg [, arg…] ) as $b )`
+        // — fn args are $variables or literals; `if`'s condition is a
+        // nested `[!]bound ( $v )` call, folded to one token below
         require(i + 1 < tokens.length && tokens(i + 1) == "(",
           "bind must be followed by a parenthesized expression")
         if (i + 5 < tokens.length && tokens(i + 2).startsWith("$") &&
@@ -487,13 +562,34 @@ object Sparql {
           bindItems += (("str", tokens(i + 2), tokens(i + 4)))
           i += 6
         } else {
-          require(i + 8 < tokens.length && tokens(i + 3) == "(" &&
-            tokens(i + 4).startsWith("$") && tokens(i + 5) == ")" &&
-            tokens(i + 6).equalsIgnoreCase("as") &&
-            tokens(i + 7).startsWith("$") && tokens(i + 8) == ")",
-            "bind must be `bind ( $v as $w )` or `bind ( fn ( $v ) as $w )`")
-          bindItems += ((tokens(i + 2).toLowerCase, tokens(i + 4), tokens(i + 7)))
-          i += 9
+          require(i + 3 < tokens.length && tokens(i + 3) == "(",
+            "bind must be `bind ( $v as $w )` or `bind ( fn ( arg… ) as $w )`")
+          var bDepth = 1
+          var bj = i + 4
+          while (bj < tokens.length && bDepth > 0) {
+            if (tokens(bj) == "(") bDepth += 1
+            else if (tokens(bj) == ")") bDepth -= 1
+            if (bDepth > 0) bj += 1
+          }
+          require(bDepth == 0, "unclosed bind expression")
+          require(bj + 3 < tokens.length && tokens(bj + 1).equalsIgnoreCase("as") &&
+            tokens(bj + 2).startsWith("$") && tokens(bj + 3) == ")",
+            "bind must end `… ) as $w )`")
+          // fold nested calls (`bound ( $x )` → `bound($x)`), then
+          // split the comma-separated argument list
+          val argToks = Vector.newBuilder[String]
+          var bk = i + 4
+          while (bk < bj) {
+            if (bk + 3 < bj && tokens(bk + 1) == "(" && tokens(bk + 3) == ")") {
+              argToks += s"${tokens(bk).toLowerCase}(${tokens(bk + 2)})"
+              bk += 4
+            } else { argToks += tokens(bk); bk += 1 }
+          }
+          val args = argToks.result()
+            .flatMap(_.split(",").toSeq).map(_.trim).filter(_.nonEmpty)
+          require(args.nonEmpty, "bind expression needs at least one argument")
+          bindItems += ((tokens(i + 2).toLowerCase, args.mkString(","), tokens(bj + 2)))
+          i = bj + 4
         }
       } else if (tokens(i).equalsIgnoreCase("filter") && i + 1 < tokens.length &&
           (tokens(i + 1).equalsIgnoreCase("exists") ||
@@ -535,7 +631,33 @@ object Sparql {
         // literals and values survive (braces/parens stay reserved by
         // the body tokenizer, so {m,n} quantifiers do not).
         def toCmp(c0: Seq[String]): (String, String, String) = {
-          val c = c0 match {
+          // accessor-call lhs (`str ( $x ) op …`) folds to one compound
+          // operand token, which parseComparison re-parses via AccessorRe
+          val folded = c0 match {
+            case f +: "(" +: v +: ")" +: rest
+                if Sparql.AccessorFns.contains(f.toLowerCase) && v.startsWith("$") &&
+                  // `str ( $x )` ALONE would be four tokens too — only
+                  // fold when a comparison follows (str is also a legal
+                  // operand-free bind fn, never a unary filter)
+                  rest.nonEmpty =>
+              s"${f.toLowerCase}($v)" +: rest
+            case other => other
+          }
+          // `lhs [not] in ( v1 , v2 … )` → (lhs, in|!in, "v1,v2") with
+          // the values comma-packed (values are single tokens, so they
+          // cannot contain commas; regex literals keep theirs — this
+          // branch only fires on an in-op followed by a paren list)
+          val inIdx = folded.indexWhere(_.equalsIgnoreCase("in"))
+          if ((inIdx == 1 || (inIdx == 2 && folded(1).equalsIgnoreCase("not"))) &&
+              inIdx + 1 < folded.length && folded(inIdx + 1) == "(") {
+            require(folded.last == ")",
+              s"IN must be `lhs [not] in ( v1 , v2 … )`, got: ${folded.mkString(" ")}")
+            val vals = folded.slice(inIdx + 2, folded.length - 1)
+              .flatMap(_.split(",").toSeq).map(_.trim).filter(_.nonEmpty)
+            require(vals.nonEmpty, "IN list must be non-empty")
+            return (folded(0), if (inIdx == 2) "!in" else "in", vals.mkString(","))
+          }
+          val c = folded match {
             case f +: rest if Sparql.BinaryFilterFns.contains(
                 (if (f.startsWith("!")) f.substring(1) else f).toLowerCase) =>
               f +: rest.flatMap(t =>
@@ -880,6 +1002,11 @@ object Sparql {
 sealed trait QueryUnit
 final case class QVal(value: String, kind: Option[String] = None) extends QueryUnit
 final case class QVar(name: String) extends QueryUnit
+/** A term-accessor application `fn($var)` used as a FILTER comparison
+  * operand (SPARQL §17.4: `str`/`lang`/`datatype`). Only
+  * [[Sparql.parseComparison]] constructs these, so pattern positions
+  * never see one. */
+final case class QFn(fn: String, arg: String) extends QueryUnit
 
 /** A parsed SPARQL 1.1 Update request (see [[Sparql.parseUpdate]]).
   * Patterns/templates stay raw token triples — the executor
@@ -1250,6 +1377,8 @@ object Bgp {
       val groupVars = pats.flatMap(p => Seq(p._1, p._2, p._3))
         .collect { case QVar(n) => n }.distinct
       t match {
+        case f: QFn => throw new IllegalArgumentException(
+          s"graph term must be a name or variable, got accessor: $f")
         case QVal(v, _) =>
           compile(named.filter(named("g") === lit(v)),
             Sparql(vars = groupVars, conds = pats),
@@ -1290,12 +1419,25 @@ object Bgp {
     // BIND: computed variables extend the solution row (before VALUES /
     // MINUS / filters, so all of those can reference the bound var)
     val bound = q.binds.foldLeft(joined) { case (acc, (fn, in, out)) =>
+      // `in` is the comma-packed argument list ($-prefix = variable,
+      // bare = literal — see Sparql.bind)
+      val args = in.split(",").toSeq
+      def col(a: String): Column =
+        if (a.startsWith("$")) acc(a.substring(1)) else lit(a)
       val c = fn match {
-        case "str"    => acc(in)
-        case "ucase"  => upper(acc(in))
-        case "lcase"  => lower(acc(in))
-        case "strlen" => length(acc(in)).cast("string")
-        case other    => throw new IllegalArgumentException(
+        case "str"      => col(args.head)
+        case "ucase"    => upper(col(args.head))
+        case "lcase"    => lower(col(args.head))
+        case "strlen"   => length(col(args.head)).cast("string")
+        case "coalesce" => coalesce(args.map(col): _*)
+        case "if" => args.head match {
+          case Sparql.BoundCondRe(neg, v) =>
+            val cond = if (neg == "!") acc(v).isNull else acc(v).isNotNull
+            when(cond, col(args(1))).otherwise(col(args(2)))
+          case other => throw new IllegalArgumentException(
+            s"if() condition must be [!]bound($$v), got: $other")
+        }
+        case other => throw new IllegalArgumentException(
           s"unsupported bind function: $other")
       }
       acc.withColumn(out, c)
@@ -1337,8 +1479,8 @@ object Bgp {
       if (Sparql.UnaryFilterFns.contains(fnBase) || Sparql.BinaryFilterFns.contains(fnBase)) {
         val n = l match {
           case QVar(name) => name
-          case QVal(v, _) => throw new IllegalArgumentException(
-            s"filter function $fnBase takes a variable, got value: $v")
+          case other => throw new IllegalArgumentException(
+            s"filter function $fnBase takes a variable, got: $other")
         }
         val term = acc(n)
         val kindAware = acc.schema(n).dataType match {
@@ -1352,8 +1494,8 @@ object Bgp {
         }
         def arg: String = r match {
           case QVal(v, _) => v
-          case QVar(name) => throw new IllegalArgumentException(
-            s"filter function $fnBase takes a literal argument, got variable $$$name")
+          case other => throw new IllegalArgumentException(
+            s"filter function $fnBase takes a literal argument, got: $other")
         }
         val raw = fnBase match {
           case "bound"     => term.isNotNull
@@ -1371,6 +1513,43 @@ object Bgp {
       def operand(u: QueryUnit): Column = u match {
         case QVar(n)    => acc(n)
         case QVal(v, _) => lit(v)
+        // term accessors (SPARQL §17.4.2), totalized per spec with
+        // type errors as null (→ row filtered, like the numeric path)
+        case QFn(fn, n) =>
+          val term = acc(n)
+          val st = acc.schema(n).dataType match {
+            case t: org.apache.spark.sql.types.StructType => Some(t)
+            case _ => None
+          }
+          def field(f: String): Column = {
+            require(st.exists(_.fieldNames.contains(f)),
+              s"filter accessor $fn() requires a term struct with a '$f' field")
+            term.getField(f)
+          }
+          fn match {
+            case "str" => if (st.isDefined) field("value") else term
+            case "lang" =>
+              when(field("kind") === "lang", coalesce(field("lang"), lit("")))
+                .when(field("kind").isin("raw", "typed"), lit(""))
+                .otherwise(lit(null))
+            case "datatype" =>
+              when(field("kind") === "typed", field("datatype"))
+                .when(field("kind") === "raw", lit(Sparql.XsdString))
+                .when(field("kind") === "lang", lit(Sparql.RdfLangString))
+                .otherwise(lit(null))
+            case other => throw new IllegalArgumentException(
+              s"unsupported filter accessor: $other")
+          }
+      }
+      // membership: rhs is the comma-packed list parseComparison left raw
+      if (Sparql.InOps.contains(op)) {
+        val vals = r match {
+          case QVal(v, _) => v.split(",").toSeq
+          case other => throw new IllegalArgumentException(
+            s"IN list must be literal values, got: $other")
+        }
+        val e = operand(l).isin(vals: _*)
+        return if (op == "!in") !e else e
       }
       def numericLit(u: QueryUnit): Boolean = u match {
         case QVal(v, _) => scala.util.Try(v.toDouble).isSuccess
@@ -1408,8 +1587,8 @@ object Bgp {
         case ">=" => cmp(_ >= _)
         case "regex" => r match {
           case QVal(v, _) => side(l).rlike(v)
-          case QVar(n) => throw new IllegalArgumentException(
-            s"regex pattern must be a literal, got variable $$$n")
+          case other => throw new IllegalArgumentException(
+            s"regex pattern must be a literal, got: $other")
         }
       }
     }
@@ -1555,6 +1734,8 @@ object Bgp {
         (QueryUnit.parse(tok) match {
           case QVar(n)    => sol(n)
           case QVal(v, _) => lit(v)
+          case other => throw new IllegalArgumentException(
+            s"template position must be a variable or value, got: $other")
         }).as(pos)
       }
       sol.select(cols: _*)

@@ -157,6 +157,8 @@ final class TripleStore private (
           val cond = Seq(("s", pat._1), ("p", pat._2), ("o", pat._3)).map {
             case (pos, QVar(n))    => t(pos) <=> sol(n)
             case (pos, v: QVal)    => patternCond(t, pos, v)
+            case (_, other) => throw new IllegalArgumentException(
+              s"pattern position must be a variable or value, got: $other")
           }.reduce(_ && _)
           t.join(sol, cond, "left_anti")
         }
@@ -183,6 +185,8 @@ final class TripleStore private (
       def c(u: QueryUnit, as: String): Column = u match {
         case QVar(n)    => sol(n).as(as)
         case v: QVal    => typedlit(termOf(v)).as(as)
+        case other => throw new IllegalArgumentException(
+          s"template position must be a variable or value, got: $other")
       }
       sol.select(c(su, "s"), c(pu, "p"), c(ou, "o"))
     }
@@ -194,8 +198,8 @@ final class TripleStore private (
     * restricts like [[query]]'s matchKind. Used by delete-where so
     * deletions hit exactly what the pattern matched. */
   private def patternCond(t: DataFrame, pos: String, u: QueryUnit): Column = u match {
-    case QVar(n) => throw new IllegalArgumentException(
-      s"patternCond takes a concrete position, got variable $$$n")
+    case other if !other.isInstanceOf[QVal] => throw new IllegalArgumentException(
+      s"patternCond takes a concrete value, got: $other")
     case QVal(v, kind) =>
       val valueEq = t(pos).getField("value") === v
       kind match {
@@ -219,8 +223,8 @@ final class TripleStore private (
   private def dataTriple(p: Seq[String]): Triple = {
     def t(tok: String): RdfTerm = QueryUnit.parse(tok) match {
       case v: QVal => termOf(v)
-      case QVar(n) => throw new IllegalArgumentException(
-        s"update data block takes concrete terms, got variable $$$n")
+      case other => throw new IllegalArgumentException(
+        s"update data block takes concrete terms, got: $other")
     }
     Triple(t(p(0)), t(p(1)), t(p(2)))
   }

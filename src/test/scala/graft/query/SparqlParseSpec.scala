@@ -714,4 +714,87 @@ class SparqlParseSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](Sparql.parse(
       "select $g $y where { graph $g { $g next $y } }"))
   }
+
+  test("IN / NOT IN membership, both comma spacings, fail-fast on empty list") {
+    import spark.implicits._
+    val triples = Seq(
+      ("alice", "in_nation", "N1"),
+      ("bob", "in_nation", "N2"),
+      ("carol", "in_nation", "N3")).toDF("s", "p", "o")
+    def names(q: String) = Bgp.compile(triples, Sparql.parse(q))
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(names("select $x $n where { $x in_nation $n . filter ( $n in ( N1 , N3 ) ) }")
+      == Seq("alice", "carol"))
+    // attached commas tokenize the same as spaced ones
+    assert(names("select $x $n where { $x in_nation $n . filter ( $n in ( N1, N3 ) ) }")
+      == Seq("alice", "carol"))
+    assert(names("select $x $n where { $x in_nation $n . filter ( $n not in ( N1 , N3 ) ) }")
+      == Seq("bob"))
+    assertThrows[IllegalArgumentException](Sparql.parse(
+      "select $x $n where { $x in_nation $n . filter ( $n in ( ) ) }"))
+  }
+
+  test("str()/lang()/datatype() accessors: struct view semantics, plain-view fail-fast") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{lit, struct, col}
+    val nullS = lit(null).cast("string")
+    def term(kind: String, value: String, lang: String = null, dt: String = null) =
+      struct(lit(kind).as("kind"), lit(value).as("value"),
+        (if (lang == null) nullS else lit(lang)).as("lang"),
+        (if (dt == null) nullS else lit(dt)).as("datatype"))
+    val view = Seq(1).toDF("one").select(
+      term("named", "s1").as("s"), term("named", "p1").as("p"), term("lang", "hello", lang = "en").as("o"))
+      .union(Seq(1).toDF("one").select(term("named", "s2").as("s"), term("named", "p1").as("p"),
+        term("raw", "plain").as("o")))
+      .union(Seq(1).toDF("one").select(term("named", "s3").as("s"), term("named", "p1").as("p"),
+        term("typed", "42", dt = "http://www.w3.org/2001/XMLSchema#integer").as("o")))
+      .union(Seq(1).toDF("one").select(term("named", "s4").as("s"), term("named", "p1").as("p"),
+        term("named", "iriobj").as("o")))
+    def subjects(filter: String) =
+      Bgp.compile(view,
+          Sparql.parse(s"select $$x $$o where { $$x p1 $$o . filter ( $filter ) }"),
+          matchValue = (df, pos) => df(pos).getField("value"))
+        .select(col("x.value")).collect().map(_.getString(0)).sorted.toSeq
+    assert(subjects("lang ( $o ) == en") == Seq("s1"))
+    // plain AND typed literals have lang "" (spec totalization); IRIs
+    // are a type error (null) and never match — not even != tests
+    assert(subjects("lang ( $o ) == \"\"") == Seq("s2", "s3"))
+    assert(subjects("datatype ( $o ) == <http://www.w3.org/2001/XMLSchema#integer>") == Seq("s3"))
+    assert(subjects("datatype ( $o ) == <http://www.w3.org/1999/02/22-rdf-syntax-ns#langString>") == Seq("s1"))
+    assert(subjects("datatype ( $o ) == <http://www.w3.org/2001/XMLSchema#string>") == Seq("s2"))
+    // str() is the lexical form on a struct view…
+    assert(subjects("str ( $o ) == hello") == Seq("s1"))
+    assert(subjects("str ( $o ) in ( hello , iriobj )") == Seq("s1", "s4"))
+    // …and the identity on a plain view, where lang() must fail fast
+    val plain = Seq(("alice", "age", "31")).toDF("s", "p", "o")
+    assert(Bgp.compile(plain,
+      Sparql.parse("select $x $a where { $x age $a . filter ( str ( $a ) == 31 ) }"))
+      .collect().map(_.getString(0)).toSeq == Seq("alice"))
+    assertThrows[IllegalArgumentException](Bgp.compile(plain,
+      Sparql.parse("select $x $a where { $x age $a . filter ( lang ( $a ) == en ) }")).collect())
+  }
+
+  test("bind coalesce/if: optional defaults; bad if-condition fails fast") {
+    import spark.implicits._
+    val triples = Seq(
+      ("alice", "knows", "bob"),
+      ("bob", "knows", "carol"),
+      ("alice", "mail", "a@x.org")).toDF("s", "p", "o")
+    val q = Sparql.parse(
+      """select $x $y $m $m2 $flag where {
+        |  $x knows $y . optional { $x mail $m } .
+        |  bind ( coalesce ( $m , none ) as $m2 ) .
+        |  bind ( if ( !bound ( $m ) , missing , present ) as $flag )
+        |}""".stripMargin)
+    val res = Bgp.compile(triples, q).orderBy("x").collect().toSeq
+    assert(res == Seq(
+      Row("alice", "bob", "a@x.org", "a@x.org", "present"),
+      Row("bob", "carol", null, "none", "missing")))
+    assertThrows[IllegalArgumentException](Sparql.parse(
+      """select $x $y $f where { $x knows $y .
+        |  bind ( if ( $x , a , b ) as $f ) }""".stripMargin))
+    assertThrows[IllegalArgumentException](Sparql.parse(
+      """select $x $y $f where { $x knows $y .
+        |  bind ( coalesce ( $nope , a ) as $f ) }""".stripMargin))
+  }
 }
