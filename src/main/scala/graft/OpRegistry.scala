@@ -275,6 +275,7 @@ object OpRegistry {
     op("rdf_remove", RdfOps.remove, RdfOps.removeSql),
     op("rdf_remove_pattern", RdfOps.removePattern, RdfOps.removePatternSql),
     op("rdf_update", RdfOps.updateOps, RdfOps.updateOpsSql),
+    op("rdf_update_graphs", RdfOps.updateGraphs, RdfOps.updateGraphsSql),
     op("rdf_dict_encode", RdfOps.dictEncode, RdfOps.dictEncodeSql),
     op("rdf_persist_roundtrip", RdfOps.persistRoundtrip, RdfOps.persistRoundtripSql),
   )

@@ -1164,6 +1164,61 @@ object RdfOps {
        |EXCEPT SELECT s, p, o FROM gone
        |ORDER BY s, p, o""".stripMargin
 
+  /** SPARQL 1.1 Update §3.2 graph management (round-8 verdict #6) over
+    * a [[graft.store.QuadStore]]: CREATE + quad-form INSERT DATA +
+    * LOAD (a real NT file through the Hadoop-safe reader) + COPY +
+    * ADD + MOVE + graph-scoped DELETE DATA + CLEAR + DROP, verified by
+    * the dataset's final state. The snapshot graph is cleared then
+    * dropped, so the sequence exercises both verbs; work moves to
+    * archive after being added into reg. */
+  def updateGraphs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.rdf.{RdfTerm, Triple}
+    import graft.store.QuadStore
+    def terms(df: DataFrame) = df.as[(String, String, String)].map { case (a, b, c) =>
+      Triple(RdfTerm.named(a), RdfTerm.named(b), RdfTerm.named(c))
+    }
+    val view = tripleView(s, d)
+    val base = QuadStore.fromGraphs(s, Seq(
+      None -> terms(view.filter($"p" === "in_nation")),
+      Some("seg") -> terms(view.filter($"p" === "in_segment")),
+      Some("reg") -> terms(view.filter($"p" === "in_region"))))
+    val ntPath = java.nio.file.Files.createTempFile("graft_load", ".nt")
+    java.nio.file.Files.write(ntPath, java.util.Arrays.asList(
+      "<http://g.test/x1> <http://g.test/p> <http://g.test/y1> .",
+      "<http://g.test/x2> <http://g.test/p> <http://g.test/y2> ."))
+    val fin = base
+      .update("create graph work")
+      .update("insert data { graph work { GABE likes RIPPLE . RIPPLE made_by GGABI } }")
+      .update(s"load <${ntPath.toUri}> into graph work")
+      .update("copy seg to snapshot")
+      .update("add work to reg")
+      .update("move work to archive")
+      .update("delete data { graph reg { GABE likes RIPPLE } }")
+      .update("clear graph snapshot")
+      .update("drop graph snapshot")
+    val out = fin.quads.toDF()
+      .select(coalesce($"g", lit("default")).as("g"),
+        $"s.value".as("s"), $"p.value".as("p"), $"o.value".as("o"))
+    out.orderBy("g", "s", "p", "o")
+  }
+  val updateGraphsSql: String =
+    s"""$tripleViewSql
+       |SELECT g, s, p, o FROM (
+       |  SELECT 'default' AS g, s, p, o FROM t WHERE p = 'in_nation'
+       |  UNION ALL SELECT 'seg', s, p, o FROM t WHERE p = 'in_segment'
+       |  UNION ALL SELECT 'reg', s, p, o FROM t WHERE p = 'in_region'
+       |  UNION ALL SELECT 'reg', v.* FROM (VALUES
+       |    ('RIPPLE', 'made_by', 'GGABI'),
+       |    ('http://g.test/x1', 'http://g.test/p', 'http://g.test/y1'),
+       |    ('http://g.test/x2', 'http://g.test/p', 'http://g.test/y2')) v(s, p, o)
+       |  UNION ALL SELECT 'archive', v.* FROM (VALUES
+       |    ('GABE', 'likes', 'RIPPLE'),
+       |    ('RIPPLE', 'made_by', 'GGABI'),
+       |    ('http://g.test/x1', 'http://g.test/p', 'http://g.test/y1'),
+       |    ('http://g.test/x2', 'http://g.test/p', 'http://g.test/y2')) v(s, p, o)
+       |) u ORDER BY g, s, p, o""".stripMargin
+
   /** Dictionary encoding (reference S2, parser.rs:22-87): dense
     * deterministic ids over the subject∪object term set. */
   def dictEncode(s: SparkSession, d: String): DataFrame = {

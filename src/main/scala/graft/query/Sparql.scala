@@ -935,16 +935,113 @@ object Sparql {
     def requireConcrete(pats: Seq[Seq[String]], form: String): Unit =
       pats.flatten.foreach(t => require(!t.startsWith("$"),
         s"$form takes concrete triples, got variable $t"))
+    // graph names accept `<iri>` or bare tokens (the store's untyped-
+    // name convention); variables are rejected
+    def gname(tok: String): String = QueryUnit.parse(tok) match {
+      case QVal(v, _) => v
+      case other => throw new IllegalArgumentException(
+        s"graph name must be concrete, got: $other")
+    }
+    // `{ graph <g> { triples } }` quad form of the data blocks (§3.1):
+    // returns (graph, patterns) when the body is graph-wrapped
+    def quadBlock(s: String): Option[(String, Seq[Seq[String]])] = {
+      val t = s.trim
+      require(t.startsWith("{"), s"expected a braced block, got: $t")
+      val inner = t.substring(1).trim
+      if (!inner.toLowerCase.startsWith("graph")) None
+      else {
+        val afterG = inner.substring(5).trim
+        val name = afterG.takeWhile(c => !c.isWhitespace && c != '{')
+        require(name.nonEmpty, "graph block needs a graph name")
+        val (pats, tail) = block(afterG.substring(name.length))
+        require(tail == "}", s"graph data block must close the outer brace, got: $tail")
+        Some((gname(name), pats))
+      }
+    }
+    // §3.2 graph management + §3.1.4 LOAD: keyword forms, no blocks
+    def parseGraphMgmt(s: String): UpdateOp = {
+      val toks = s.split("\\s+").toSeq.filter(_.nonEmpty)
+      val verb = toks.head.toLowerCase
+      var i = 1
+      val silent = i < toks.length && toks(i).equalsIgnoreCase("silent")
+      if (silent) i += 1
+      def ref(): GraphRef = {
+        require(i < toks.length, s"$verb needs a graph operand")
+        toks(i).toLowerCase match {
+          case "graph" =>
+            require(i + 1 < toks.length, s"$verb graph needs a name")
+            val r = GraphRef.Named(gname(toks(i + 1))); i += 2; r
+          case "default" => i += 1; GraphRef.Default
+          case "named"   => i += 1; GraphRef.AllNamed
+          case "all"     => i += 1; GraphRef.All
+          // bare-name shorthand (the store's untyped-name convention)
+          case _ => val r = GraphRef.Named(gname(toks(i))); i += 1; r
+        }
+      }
+      def done(): Unit = require(i == toks.length,
+        s"unexpected tokens after $verb: ${toks.drop(i).mkString(" ")}")
+      verb match {
+        case "create" =>
+          val t = ref()
+          require(t.isInstanceOf[GraphRef.Named], "create takes `graph <name>`")
+          done()
+          UpdateOp.GraphMgmt("create", silent, t)
+        case "clear" | "drop" =>
+          val t = ref(); done()
+          UpdateOp.GraphMgmt(verb, silent, t)
+        case "add" | "copy" | "move" =>
+          val src = ref()
+          require(i < toks.length && toks(i).equalsIgnoreCase("to"),
+            s"$verb needs `to` between its operands")
+          i += 1
+          val dst = ref(); done()
+          Seq(src, dst).foreach(r => require(
+            r.isInstanceOf[GraphRef.Named] || r == GraphRef.Default,
+            s"$verb operands must be `graph <name>` or `default`, got: $r"))
+          UpdateOp.GraphMgmt(verb, silent, src, Some(dst))
+        case "load" =>
+          require(i < toks.length, "load needs a source path")
+          val src = gname(toks(i)); i += 1
+          val into = if (i < toks.length) {
+            require(toks(i).equalsIgnoreCase("into") &&
+              i + 1 < toks.length && toks(i + 1).equalsIgnoreCase("graph") &&
+              i + 2 < toks.length,
+              "load target must be `into graph <name>`")
+            val g = gname(toks(i + 2)); i += 3; Some(g)
+          } else None
+          done()
+          UpdateOp.Load(silent, src, into)
+        case other => throw new IllegalArgumentException(
+          s"unsupported update verb: $other")
+      }
+    }
     if (lower.startsWith("insert data")) {
-      val (pats, rest) = block(trimmed.substring(11))
-      require(rest.isEmpty, s"unexpected tokens after insert data block: $rest")
-      requireConcrete(pats, "insert data")
-      UpdateOp.InsertData(pats)
+      quadBlock(trimmed.substring(11)) match {
+        case Some((g, pats)) =>
+          requireConcrete(pats, "insert data")
+          UpdateOp.InsertData(pats, Some(g))
+        case None =>
+          val (pats, rest) = block(trimmed.substring(11))
+          require(rest.isEmpty, s"unexpected tokens after insert data block: $rest")
+          requireConcrete(pats, "insert data")
+          UpdateOp.InsertData(pats)
+      }
     } else if (lower.startsWith("delete data")) {
-      val (pats, rest) = block(trimmed.substring(11))
-      require(rest.isEmpty, s"unexpected tokens after delete data block: $rest")
-      requireConcrete(pats, "delete data")
-      UpdateOp.DeleteData(pats)
+      quadBlock(trimmed.substring(11)) match {
+        case Some((g, pats)) =>
+          requireConcrete(pats, "delete data")
+          UpdateOp.DeleteData(pats, Some(g))
+        case None =>
+          val (pats, rest) = block(trimmed.substring(11))
+          require(rest.isEmpty, s"unexpected tokens after delete data block: $rest")
+          requireConcrete(pats, "delete data")
+          UpdateOp.DeleteData(pats)
+      }
+    } else if (lower.startsWith("create") || lower.startsWith("clear") ||
+        lower.startsWith("drop") || lower.startsWith("add") ||
+        lower.startsWith("copy") || lower.startsWith("move") ||
+        lower.startsWith("load")) {
+      parseGraphMgmt(trimmed)
     } else if (lower.startsWith("delete where")) {
       val (pats, rest) = block(trimmed.substring(12))
       require(rest.isEmpty, s"unexpected tokens after delete where block: $rest")
@@ -961,7 +1058,8 @@ object Sparql {
           s"insert template variable $v is bound by no where pattern"))
       UpdateOp.InsertWhere(tmpl, pats)
     } else throw new IllegalArgumentException(
-      s"expected insert data / delete data / delete where / insert…where, got: $q")
+      "expected insert data / delete data / delete where / insert…where / " +
+        s"create / clear / drop / add / copy / move / load, got: $q")
   }
 
   /** Parse a query whose where-body is a top-level alternation:
@@ -1014,11 +1112,34 @@ final case class QFn(fn: String, arg: String) extends QueryUnit
   * own kind mapping. */
 sealed trait UpdateOp
 object UpdateOp {
-  final case class InsertData(triples: Seq[Seq[String]]) extends UpdateOp
-  final case class DeleteData(triples: Seq[Seq[String]]) extends UpdateOp
+  final case class InsertData(
+      triples: Seq[Seq[String]], graph: Option[String] = None) extends UpdateOp
+  final case class DeleteData(
+      triples: Seq[Seq[String]], graph: Option[String] = None) extends UpdateOp
   final case class DeleteWhere(patterns: Seq[Seq[String]]) extends UpdateOp
   final case class InsertWhere(
       template: Seq[Seq[String]], patterns: Seq[Seq[String]]) extends UpdateOp
+  /** Graph management (SPARQL 1.1 Update §3.2): CREATE/CLEAR/DROP take
+    * one target; ADD/COPY/MOVE take source and destination. Executed
+    * by [[graft.store.QuadStore.update]] — a triple store has no named
+    * graphs and fails fast. */
+  final case class GraphMgmt(verb: String, silent: Boolean,
+      target: GraphRef, dest: Option[GraphRef] = None) extends UpdateOp
+  /** LOAD <source> [INTO GRAPH <g>] (§3.1.4): read an RDF document
+    * from a path/URI into the default or a named graph. */
+  final case class Load(silent: Boolean, source: String,
+      into: Option[String]) extends UpdateOp
+}
+
+/** A graph operand in a §3.2 management operation. */
+sealed trait GraphRef
+object GraphRef {
+  final case class Named(name: String) extends GraphRef
+  case object Default extends GraphRef
+  /** Every named graph (CLEAR/DROP NAMED). */
+  case object AllNamed extends GraphRef
+  /** Default plus every named graph (CLEAR/DROP ALL). */
+  case object All extends GraphRef
 }
 
 object QueryUnit {

@@ -112,8 +112,13 @@ final class TripleStore private (
     * Bare tokens in update blocks are IRIs (update blocks are DATA,
     * not patterns — same coercion as the reference's loader). */
   def update(u: String): TripleStore = Sparql.parseUpdate(u) match {
-    case UpdateOp.InsertData(ts) => insertTriples(ts.map(dataTriple))
-    case UpdateOp.DeleteData(ts) => removeTriples(ts.map(dataTriple))
+    case UpdateOp.InsertData(ts, None) => insertTriples(ts.map(TripleStore.dataTriple))
+    case UpdateOp.DeleteData(ts, None) => removeTriples(ts.map(TripleStore.dataTriple))
+    case _: UpdateOp.GraphMgmt | _: UpdateOp.Load |
+        UpdateOp.InsertData(_, Some(_)) | UpdateOp.DeleteData(_, Some(_)) =>
+      throw new IllegalArgumentException(
+        "named-graph updates (§3.2 / graph data blocks / load) require a " +
+          "quad store — see graft.store.QuadStore.update")
     case UpdateOp.DeleteWhere(pats) =>
       val parsed = pats.map(p =>
         (QueryUnit.parse(p(0)), QueryUnit.parse(p(1)), QueryUnit.parse(p(2))))
@@ -184,7 +189,7 @@ final class TripleStore private (
     val parts = tmpl.map { case (su, pu, ou) =>
       def c(u: QueryUnit, as: String): Column = u match {
         case QVar(n)    => sol(n).as(as)
-        case v: QVal    => typedlit(termOf(v)).as(as)
+        case v: QVal    => typedlit(TripleStore.termOf(v)).as(as)
         case other => throw new IllegalArgumentException(
           s"template position must be a variable or value, got: $other")
       }
@@ -212,21 +217,6 @@ final class TripleStore private (
           valueEq && t(pos).getField("kind")
             .isin(RdfTerm.Raw, RdfTerm.Lang, RdfTerm.Typed)
       }
-  }
-
-  private def termOf(v: QVal): RdfTerm = v.kind match {
-    case Some(graft.query.QueryUnit.Lit)   => RdfTerm.raw(v.value)
-    case Some(graft.query.QueryUnit.Blank) => RdfTerm.blank(v.value)
-    case _                                 => RdfTerm.named(v.value)
-  }
-
-  private def dataTriple(p: Seq[String]): Triple = {
-    def t(tok: String): RdfTerm = QueryUnit.parse(tok) match {
-      case v: QVal => termOf(v)
-      case other => throw new IllegalArgumentException(
-        s"update data block takes concrete terms, got: $other")
-    }
-    Triple(t(p(0)), t(p(1)), t(p(2)))
   }
 
   /** Parity API (reference: Graph::get, graph.rs:333-413): collect the
@@ -327,6 +317,24 @@ final class TripleStore private (
 }
 
 object TripleStore {
+  /** Update-block token → term: bare tokens are IRIs (update blocks
+    * are DATA, not patterns — same coercion as the reference's loader);
+    * `"x"` literal, `_:x` blank. Shared with [[QuadStore]]. */
+  private[store] def termOf(v: QVal): RdfTerm = v.kind match {
+    case Some(graft.query.QueryUnit.Lit)   => RdfTerm.raw(v.value)
+    case Some(graft.query.QueryUnit.Blank) => RdfTerm.blank(v.value)
+    case _                                 => RdfTerm.named(v.value)
+  }
+
+  private[store] def dataTriple(p: Seq[String]): Triple = {
+    def t(tok: String): RdfTerm = QueryUnit.parse(tok) match {
+      case v: QVal => termOf(v)
+      case other => throw new IllegalArgumentException(
+        s"update data block takes concrete terms, got: $other")
+    }
+    Triple(t(p(0)), t(p(1)), t(p(2)))
+  }
+
 
   def fromTriples(spark: SparkSession, ts: Seq[Triple]): TripleStore = {
     import spark.implicits._
