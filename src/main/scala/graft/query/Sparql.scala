@@ -354,6 +354,28 @@ object Sparql {
     * a simple literal is xsd:string, a lang-tagged one rdf:langString). */
   val XsdString = "http://www.w3.org/2001/XMLSchema#string"
   val RdfLangString = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+
+  /** A bare (non-IRI, non-variable) predicate token — the only kind
+    * the path grammar applies to; IRIs keep their slashes and other
+    * punctuation. */
+  private def bareToken(tok: String): Boolean =
+    !tok.contains("://") && !tok.startsWith("<") && !tok.startsWith("$")
+
+  /** Does this predicate token carry property-path syntax (sequence,
+    * alternation, inverse, negated set, or a closure suffix)? THE
+    * shared test for everything that must agree with the evaluator's
+    * path treatment — the parse-time sequence rewrite, the graph-group
+    * guard, and delete-where's fail-fast all call here, so the guard
+    * and the rewrite cannot drift. */
+  def pathSyntax(tok: String): Boolean =
+    bareToken(tok) && (tok.contains("/") || tok.contains("|") ||
+      (tok.length > 1 && (tok.startsWith("^") || tok.startsWith("!") ||
+        tok.endsWith("+") || tok.endsWith("*") || tok.endsWith("?"))))
+
+  /** The sequence-path subset of [[pathSyntax]]: what the parse-time
+    * `p1/p2` rewrite splits. */
+  private[query] def sequencePath(tok: String): Boolean =
+    bareToken(tok) && tok.contains("/")
   val AggregateFns: Set[String] =
     Set("count", "min", "max", "sum", "avg", "group_concat", "sample")
   val BindFns: Set[String] =
@@ -689,8 +711,7 @@ object Sparql {
     val pathVars = Vector.newBuilder[String]
     def expandPaths(pats: Seq[Seq[String]]): Seq[Seq[String]] = pats.flatMap { p =>
       val pred = p(1)
-      if (p.length == 3 && !pred.contains("://") && !pred.startsWith("<") &&
-          !pred.startsWith("$") && pred.contains("/")) {
+      if (p.length == 3 && Sparql.sequencePath(pred)) {
         val steps = pred.split("/").toSeq
         require(steps.forall(_.nonEmpty), s"bad property path: $pred")
         val mids = steps.init.map { _ =>
@@ -923,7 +944,25 @@ object Sparql {
     def block(s: String): (Seq[Seq[String]], String) = {
       val t = s.trim
       require(t.startsWith("{"), s"expected a braced block, got: $t")
-      val close = t.indexOf('}') // update blocks have no nesting
+      // quote-aware close scan (update blocks have no brace nesting,
+      // but a quoted literal may contain '}' — `insert data { <s> <p>
+      // "a}b" }` must not truncate mid-literal)
+      val close = {
+        var ci = 0
+        var found = -1
+        var inQ = false
+        while (ci < t.length && found < 0) {
+          t.charAt(ci) match {
+            case '\\' if inQ => ci += 1 // skip the escaped char
+            case '"'         => inQ = !inQ
+            case '}' if !inQ => found = ci
+            case _           => ()
+          }
+          ci += 1
+        }
+        require(!inQ, s"unterminated string literal in update block: $t")
+        found
+      }
       require(close > 0, "unclosed block in update")
       val toks = t.substring(1, close).trim.split("\\s+").toSeq.filter(_.nonEmpty)
       val pats = splitPatterns(toks)
@@ -1506,11 +1545,8 @@ object Bgp {
             matchValue, distinct = false, matchKind)
         case QVar(gv) =>
           def hasPathSyntax(u: QueryUnit): Boolean = u match {
-            case QVal(p, None) if !p.contains("://") =>
-              p.contains("|") || (p.length > 1 &&
-                (p.startsWith("^") || p.startsWith("!") ||
-                  p.endsWith("+") || p.endsWith("*") || p.endsWith("?")))
-            case _ => false
+            case QVal(p, None) => Sparql.pathSyntax(p)
+            case _             => false
           }
           val parts = pats.map { p =>
             require(!hasPathSyntax(p._2),

@@ -177,9 +177,14 @@ object NTriples {
               case 'f'  => sb.append('\f'); i += 1
               case 'u' =>
                 i += 1
+                // bounds-check before substring: a truncated escape must
+                // surface as the parser's fail-fast, not an opaque
+                // StringIndexOutOfBounds from an executor
+                if (i + 4 > s.length) sys.error("truncated \\u escape")
                 sb.append(Integer.parseInt(s.substring(i, i + 4), 16).toChar); i += 4
               case 'U' =>
                 i += 1
+                if (i + 8 > s.length) sys.error("truncated \\U escape")
                 sb.appendCodePoint(Integer.parseInt(s.substring(i, i + 8), 16)); i += 8
               case c => sys.error(s"bad escape \\$c")
             }

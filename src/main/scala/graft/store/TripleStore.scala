@@ -124,12 +124,11 @@ final class TripleStore private (
         (QueryUnit.parse(p(0)), QueryUnit.parse(p(1)), QueryUnit.parse(p(2))))
       // property-path predicates would evaluate with path semantics in
       // the WHERE but match as literal tokens in the delete — fail
-      // fast rather than silently deleting nothing
+      // fast rather than silently deleting nothing. Sparql.pathSyntax
+      // is the SAME test the query rewrite uses, so guard and
+      // evaluator cannot drift (round-8 advice #4).
       parsed.map(_._2).foreach {
-        case QVal(p, None) if !p.contains("://") &&
-            (p.contains("|") || p.contains("/") || (p.length > 1 &&
-              (p.startsWith("^") || p.startsWith("!") ||
-                p.endsWith("+") || p.endsWith("*") || p.endsWith("?")))) =>
+        case QVal(p, None) if Sparql.pathSyntax(p) =>
           throw new IllegalArgumentException(
             s"property paths are unsupported in delete where: $p")
         case _ => ()
@@ -203,8 +202,6 @@ final class TripleStore private (
     * restricts like [[query]]'s matchKind. Used by delete-where so
     * deletions hit exactly what the pattern matched. */
   private def patternCond(t: DataFrame, pos: String, u: QueryUnit): Column = u match {
-    case other if !other.isInstanceOf[QVal] => throw new IllegalArgumentException(
-      s"patternCond takes a concrete value, got: $other")
     case QVal(v, kind) =>
       val valueEq = t(pos).getField("value") === v
       kind match {
@@ -217,6 +214,8 @@ final class TripleStore private (
           valueEq && t(pos).getField("kind")
             .isin(RdfTerm.Raw, RdfTerm.Lang, RdfTerm.Typed)
       }
+    case other => throw new IllegalArgumentException(
+      s"patternCond takes a concrete value, got: $other")
   }
 
   /** Parity API (reference: Graph::get, graph.rs:333-413): collect the

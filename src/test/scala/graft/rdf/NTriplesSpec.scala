@@ -34,6 +34,10 @@ class NTriplesSpec extends SparkSpec {
     assert(NTriples.parseLine("   ") === None)
     assert(NTriples.parseLine("not a triple at all") === None)
     assert(NTriples.parseLine("<unterminated iri ...") === None)
+    // truncated \u/\U escapes hit the parser's fail-fast (round-8
+    // advice #2), not a StringIndexOutOfBounds from substring
+    assert(NTriples.parseLine("<http://g.test/s> <http://g.test/p> \"a\\u00") === None)
+    assert(NTriples.parseLine("<http://g.test/s> <http://g.test/p> \"a\\U0001F6") === None)
   }
 
   test("terminating dot abutting the final term parses (spec-valid NT)") {

@@ -156,6 +156,12 @@ class TripleStoreSpec extends SparkSpec {
     val lit = ins.update("""insert data { alice name "Alice" }""")
     assert(lit.triples.collect().exists(tr =>
       tr.o == RdfTerm.raw("Alice") && tr.p == RdfTerm.named("name")))
+    // a quoted literal containing '}' must not truncate the block
+    // (round-8 advice #3: the close scan is quote-aware)
+    val brace = ins.update("""insert data { alice name "a}b" }""")
+    assert(brace.triples.collect().exists(_.o == RdfTerm.raw("a}b")))
+    assertThrows[IllegalArgumentException](
+      ins.update("""insert data { alice name "unterminated }"""))
     // delete data removes exactly the listed triple
     val del = lit.update("delete data { alice knows bob }")
     assert(del.count() == 5)
