@@ -50,9 +50,17 @@ final class QuadStore private (
     * versions no-op instead. */
   def update(u: String): QuadStore = Sparql.parseUpdate(u) match {
     case UpdateOp.InsertData(ts, g) =>
+      // driver-side list: broadcast anti-join + append, never a global
+      // distinct (same shape as TripleStore.insertTriples — inserting
+      // two rows must not shuffle the whole dataset)
       val ins = ts.map(TripleStore.dataTriple).map(t => Quad(g, t.s, t.p, t.o))
-      new QuadStore(spark, quads.union(ins.toDS()).distinct(),
-        graphNames ++ g)
+        .distinct.toDS().toDF()
+      val q = quads.toDF()
+      val kept = q.join(broadcast(ins),
+        q("g") <=> ins("g") && q("s") <=> ins("s") &&
+          q("p") <=> ins("p") && q("o") <=> ins("o"),
+        "left_anti")
+      new QuadStore(spark, kept.unionByName(ins).as[Quad], graphNames ++ g)
     case UpdateOp.DeleteData(ts, g) =>
       val del = ts.map(TripleStore.dataTriple).map(t => Quad(g, t.s, t.p, t.o))
       val q = quads.toDF()
@@ -90,10 +98,18 @@ final class QuadStore private (
           case "copy" => quads.toDF().filter(!sliceCond(dst))
           case "move" => quads.toDF().filter(!sliceCond(dst) && !sliceCond(src))
         }
-        // add can duplicate (src ∩ dst); copy/move union disjoint
-        // slices of a set — distinct only where needed
-        val merged = base.unionByName(srcSlice)
-        val result = (if (verb == "add") merged.distinct() else merged).as[Quad]
+        // add can duplicate (src ∩ dst) — dedup the DESTINATION SLICE
+        // only, never the whole dataset: untouched graphs pass through
+        // the plan unshuffled. copy/move union disjoint slices of a
+        // set and need no distinct at all.
+        val result = (verb match {
+          case "add" =>
+            val others = quads.toDF().filter(!sliceCond(dst))
+            val mergedDst = quads.toDF().filter(sliceCond(dst))
+              .unionByName(srcSlice).distinct()
+            others.unionByName(mergedDst)
+          case _ => base.unionByName(srcSlice)
+        }).as[Quad]
         val names = (verb match {
           case "move" => src match {
             case GraphRef.Named(n) => graphNames - n
@@ -116,8 +132,15 @@ final class QuadStore private (
           else if (lower.endsWith(".rdf")) TripleStore.fromRdf(spark, source).triples
           else throw new IllegalArgumentException(
             s"load supports .nt/.ttl/.rdf documents, got: $source")
-        val loaded = ts.map(t => Quad(into, t.s, t.p, t.o))
-        new QuadStore(spark, quads.union(loaded).distinct(), graphNames ++ into)
+        val loaded = ts.map(t => Quad(into, t.s, t.p, t.o)).toDF()
+        // data-scale input: dedup against the TARGET GRAPH's slice
+        // only — the rest of the dataset passes through unshuffled
+        val target = into.map(GraphRef.Named).getOrElse(GraphRef.Default)
+        val others = quads.toDF().filter(!sliceCond(target))
+        val mergedTarget = quads.toDF().filter(sliceCond(target))
+          .unionByName(loaded).distinct()
+        new QuadStore(spark, others.unionByName(mergedTarget).as[Quad],
+          graphNames ++ into)
       } catch {
         case scala.util.control.NonFatal(e) =>
           if (silent) this

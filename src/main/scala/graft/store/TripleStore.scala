@@ -37,8 +37,20 @@ final class TripleStore private (
     * Set semantics: re-inserting an existing triple is a no-op. */
   def insertTriple(t: Triple): TripleStore = insertTriples(Seq(t))
 
-  def insertTriples(ts: Seq[Triple]): TripleStore =
-    new TripleStore(spark, triples.union(ts.toDS()).distinct())
+  /** Set-union with a driver-side list WITHOUT a global distinct: drop
+    * the incoming rows from the store with a broadcast anti-join (the
+    * list is driver-sized), then append the deduplicated list. A
+    * `union.distinct()` would shuffle EVERY stored triple to insert a
+    * handful — this shape touches the store with one broadcast probe,
+    * which is what survives 100 TB. Plan pinned in ScaleSpec. */
+  def insertTriples(ts: Seq[Triple]): TripleStore = {
+    val ins = ts.distinct.toDS().toDF()
+    val t = triples.toDF()
+    val kept = t.join(broadcast(ins),
+      t("s") <=> ins("s") && t("p") <=> ins("p") && t("o") <=> ins("o"),
+      "left_anti")
+    new TripleStore(spark, kept.unionByName(ins).as[Triple])
+  }
 
   /** Remove one triple (reference: remove_triple, graph.rs:510-629).
     * Removing an absent triple is a silent no-op, matching the

@@ -73,6 +73,14 @@ class ScaleSpec extends SparkSpec {
         .triples.queryExecution.executedPlan.toString
       assert(rmPlan.contains("BroadcastHashJoin"), rmPlan)
       assert(rmPlan.contains("LeftAnti"), rmPlan)
+      // round 9: INSERT has the same driver-side shape — broadcast
+      // anti + append, never a global distinct (a union.distinct would
+      // shuffle every stored triple to insert one row)
+      val insPlan = store.insertTriples(Seq(t("x", "p1", "y")))
+        .triples.queryExecution.executedPlan.toString
+      assert(insPlan.contains("BroadcastHashJoin"), insPlan)
+      assert(insPlan.contains("LeftAnti"), insPlan)
+      assert(!insPlan.contains("HashAggregate"), insPlan)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
