@@ -243,6 +243,7 @@ object OpRegistry {
     op("rdf_bgp_filter_lang", RdfOps.bgpFilterLang, RdfOps.bgpFilterLangSql),
     op("rdf_bgp_filter_str_in", RdfOps.bgpFilterStrIn, RdfOps.bgpFilterStrInSql),
     op("rdf_bgp_bind_coalesce", RdfOps.bgpBindCoalesce, RdfOps.bgpBindCoalesceSql),
+    op("rdf_bgp_str_funcs", RdfOps.bgpStrFuncs, RdfOps.bgpStrFuncsSql),
     op("rdf_bgp_order_limit", RdfOps.bgpOrderLimit, RdfOps.bgpOrderLimitSql),
     op("rdf_bgp_group_count", RdfOps.bgpGroupCount, RdfOps.bgpGroupCountSql),
     op("rdf_bgp_group_having", RdfOps.bgpGroupHaving, RdfOps.bgpGroupHavingSql),

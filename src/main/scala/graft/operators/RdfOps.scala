@@ -802,6 +802,29 @@ object RdfOps {
        |    AND regexp_matches(t1.s, '00$$')) u
        |ORDER BY q, c, n""".stripMargin
 
+  /** String-function remainder of §17.4.3: `strlen()`/`ucase()`/
+    * `lcase()` as comparison accessors (strlen rides the numeric
+    * dispatch) and 3-arg BIND `substr()` / `replace()`. */
+  def bgpStrFuncs(s: SparkSession, d: String): DataFrame = {
+    val q = Sparql.parse(
+      """select $c $n $kind $nn where {
+        |  $c in_nation $n .
+        |  filter ( strlen ( $n ) == 8 && ucase ( $c ) regex ^CUSTOMER ) .
+        |  bind ( substr ( $c , 1 , 8 ) as $kind ) .
+        |  bind ( replace ( $n , NATION_ , N ) as $nn )
+        |}""".stripMargin)
+    val res = Bgp.compile(tripleView(s, d), q)
+    res.orderBy(res("c"), res("n"))
+  }
+  val bgpStrFuncsSql: String =
+    s"""$tripleViewSql
+       |SELECT DISTINCT s AS c, o AS n, substr(s, 1, 8) AS kind,
+       |  regexp_replace(o, 'NATION_', 'N') AS nn
+       |FROM t
+       |WHERE p = 'in_nation' AND length(o) = 8
+       |  AND regexp_matches(upper(s), '^CUSTOMER')
+       |ORDER BY c, n""".stripMargin
+
   /** BIND `coalesce()` / `if(bound(…))` (SPARQL §17.4.1, round-8
     * verdict #5): the OPTIONAL-default idiom — entities keep their
     * segment when one exists, with a coalesced fallback and an

@@ -205,6 +205,12 @@ final case class Sparql(
             s"if() condition must be [!]bound($$v), got: $other")
         }
         args.tail.filter(_.startsWith("$")).foreach(requireVar)
+      case "substr" | "replace" =>
+        require(args.length == 3, s"bind $fn takes 3 arguments, got: $in")
+        requireVar(args.head)
+        if (fn == "substr") args.tail.foreach(a => require(
+          scala.util.Try(a.toInt).isSuccess,
+          s"substr positions must be integer literals, got: $a"))
       case _ =>
         require(args.length == 1, s"bind $fn takes exactly one argument, got: $in")
         requireVar(args.head)
@@ -219,7 +225,8 @@ final case class Sparql(
     // the $-marked form the compiler reads ($-prefix = variable,
     // bare = literal; coalesce/if callers must mark vars themselves)
     val packed =
-      if (fn == "coalesce" || fn == "if") args.mkString(",")
+      if (fn == "coalesce" || fn == "if" || fn == "substr" || fn == "replace")
+        args.mkString(",")
       else "$" + stripVar(args.head)
     copy(binds = binds :+ ((fn, packed, so)))
   }
@@ -344,12 +351,14 @@ object Sparql {
     * spec's totalization — plain literal → ""/xsd:string, lang literal
     * → tag/rdf:langString, typed literal → ""/its datatype, IRI/blank
     * → type error (null → row filtered). */
-  val AccessorFns: Set[String] = Set("str", "lang", "datatype")
+  val AccessorFns: Set[String] =
+    Set("str", "lang", "datatype", "strlen", "ucase", "lcase")
   /** Membership ops: rhs is the comma-packed value list (values are
     * single tokens, so they cannot contain commas — the front-end
     * splits on them). */
   val InOps: Set[String] = Set("in", "!in")
-  private[graft] val AccessorRe = """(str|lang|datatype)\(\$(\w+)\)""".r
+  private[graft] val AccessorRe =
+    """(str|lang|datatype|strlen|ucase|lcase)\(\$(\w+)\)""".r
   /** `datatype()` results for the untyped literal kinds (RDF 1.1 §3.3:
     * a simple literal is xsd:string, a lang-tagged one rdf:langString). */
   val XsdString = "http://www.w3.org/2001/XMLSchema#string"
@@ -379,7 +388,7 @@ object Sparql {
   val AggregateFns: Set[String] =
     Set("count", "min", "max", "sum", "avg", "group_concat", "sample")
   val BindFns: Set[String] =
-    Set("str", "ucase", "lcase", "strlen", "coalesce", "if")
+    Set("str", "ucase", "lcase", "strlen", "coalesce", "if", "substr", "replace")
   /** The supported `if()` condition shape (SPARQL's full boolean
     * expression grammar is out of scope; `[!]bound($v)` is the idiom
     * OPTIONAL defaults actually use — everything else COALESCE covers). */
@@ -1587,6 +1596,11 @@ object Bgp {
         case "lcase"    => lower(col(args.head))
         case "strlen"   => length(col(args.head)).cast("string")
         case "coalesce" => coalesce(args.map(col): _*)
+        // SPARQL SUBSTR is 1-based like Spark's substring (§17.4.3.3)
+        case "substr" =>
+          substring(col(args.head), args(1).toInt, args(2).toInt)
+        case "replace" =>
+          regexp_replace(col(args.head), args(1), args(2))
         case "if" => args.head match {
           case Sparql.BoundCondRe(neg, v) =>
             val cond = if (neg == "!") acc(v).isNull else acc(v).isNotNull
@@ -1683,8 +1697,15 @@ object Bgp {
               s"filter accessor $fn() requires a term struct with a '$f' field")
             term.getField(f)
           }
+          def lexical: Column = if (st.isDefined) field("value") else term
           fn match {
-            case "str" => if (st.isDefined) field("value") else term
+            case "str"    => lexical
+            // string accessors run on the lexical form; strlen keeps
+            // the all-terms-are-strings invariant (the numeric-literal
+            // dispatch re-casts both sides for `strlen($x) > 5`)
+            case "strlen" => length(lexical).cast("string")
+            case "ucase"  => upper(lexical)
+            case "lcase"  => lower(lexical)
             case "lang" =>
               when(field("kind") === "lang", coalesce(field("lang"), lit("")))
                 .when(field("kind").isin("raw", "typed"), lit(""))

@@ -797,4 +797,32 @@ class SparqlParseSpec extends SparkSpec {
       """select $x $y $f where { $x knows $y .
         |  bind ( coalesce ( $nope , a ) as $f ) }""".stripMargin))
   }
+
+  test("strlen/ucase/lcase accessors compare; substr/replace bind (§17.4.3)") {
+    import spark.implicits._
+    val triples = Seq(
+      ("alice", "name", "Alice"),
+      ("bob", "name", "Bo"),
+      ("carol", "name", "Caroline")).toDF("s", "p", "o")
+    def rows(q: String) =
+      Bgp.compile(triples, Sparql.parse(q)).orderBy("x").collect().toSeq
+    // strlen rides the numeric dispatch: 5 < 8 numerically, not "5" < "8"
+    assert(rows("select $x $v where { $x name $v . filter ( strlen ( $v ) >= 5 ) }")
+      .map(_.getString(0)) == Seq("alice", "carol"))
+    assert(rows("select $x $v where { $x name $v . filter ( ucase ( $v ) == ALICE ) }")
+      .map(_.getString(0)) == Seq("alice"))
+    assert(rows("select $x $v where { $x name $v . filter ( lcase ( $v ) in ( bo , caroline ) ) }")
+      .map(_.getString(0)) == Seq("bob", "carol"))
+    val bound = rows(
+      """select $x $v $sub $rep where { $x name $v .
+        |  bind ( substr ( $v , 1 , 3 ) as $sub ) .
+        |  bind ( replace ( $v , li , LY ) as $rep ) }""".stripMargin)
+    assert(bound.map(r => (r.getString(2), r.getString(3))) == Seq(
+      ("Ali", "ALYce"), ("Bo", "Bo"), ("Car", "CaroLYne")))
+    // fail-fasts: substr positions must be integer literals; replace arity
+    assertThrows[IllegalArgumentException](Sparql.parse(
+      "select $x $v $b where { $x name $v . bind ( substr ( $v , a , 3 ) as $b ) }"))
+    assertThrows[IllegalArgumentException](Sparql.parse(
+      "select $x $v $b where { $x name $v . bind ( replace ( $v , li ) as $b ) }"))
+  }
 }
