@@ -244,6 +244,10 @@ object OpRegistry {
     op("rdf_bgp_filter_str_in", RdfOps.bgpFilterStrIn, RdfOps.bgpFilterStrInSql),
     op("rdf_bgp_bind_coalesce", RdfOps.bgpBindCoalesce, RdfOps.bgpBindCoalesceSql),
     op("rdf_bgp_str_funcs", RdfOps.bgpStrFuncs, RdfOps.bgpStrFuncsSql),
+    op("rdf_bgp_bind_arith", RdfOps.bgpBindArith, RdfOps.bgpBindArithSql),
+    op("rdf_bgp_bind_strops", RdfOps.bgpBindStrops, RdfOps.bgpBindStropsSql),
+    op("rdf_bgp_filter_langmatches",
+      RdfOps.bgpFilterLangMatches, RdfOps.bgpFilterLangMatchesSql),
     op("rdf_bgp_order_limit", RdfOps.bgpOrderLimit, RdfOps.bgpOrderLimitSql),
     op("rdf_bgp_group_count", RdfOps.bgpGroupCount, RdfOps.bgpGroupCountSql),
     op("rdf_bgp_group_having", RdfOps.bgpGroupHaving, RdfOps.bgpGroupHavingSql),

@@ -211,6 +211,22 @@ final case class Sparql(
         if (fn == "substr") args.tail.foreach(a => require(
           scala.util.Try(a.toInt).isSuccess,
           s"substr positions must be integer literals, got: $a"))
+      case "concat" =>
+        require(args.length >= 2, s"bind concat takes 2+ arguments, got: $in")
+        args.filter(_.startsWith("$")).foreach(requireVar)
+      case "strbefore" | "strafter" =>
+        require(args.length == 2, s"bind $fn takes 2 arguments, got: $in")
+        requireVar(args.head)
+        require(!args(1).startsWith("$"),
+          s"bind $fn separator must be a literal, got: ${args(1)}")
+      case "arith" =>
+        require(args.length == 3 && Sparql.ArithOps.contains(args(1)),
+          s"bind arithmetic takes `operand op operand`, got: $in")
+        Seq(args.head, args(2)).foreach { a =>
+          if (a.startsWith("$")) requireVar(a)
+          else require(scala.util.Try(a.toDouble).isSuccess,
+            s"arithmetic operand must be a $$variable or number, got: $a")
+        }
       case _ =>
         require(args.length == 1, s"bind $fn takes exactly one argument, got: $in")
         requireVar(args.head)
@@ -225,8 +241,7 @@ final case class Sparql(
     // the $-marked form the compiler reads ($-prefix = variable,
     // bare = literal; coalesce/if callers must mark vars themselves)
     val packed =
-      if (fn == "coalesce" || fn == "if" || fn == "substr" || fn == "replace")
-        args.mkString(",")
+      if (Sparql.PackedArgBindFns.contains(fn)) args.mkString(",")
       else "$" + stripVar(args.head)
     copy(binds = binds :+ ((fn, packed, so)))
   }
@@ -309,6 +324,8 @@ final case class Sparql(
     // variable NAME (pre-round-4 behavior) produced wrong results
     require(op != "regex" || r.isInstanceOf[QVal],
       s"regex pattern must be a literal, got variable $rhs")
+    require(op != Sparql.LangMatchesOp || r.isInstanceOf[QVal],
+      s"langmatches range must be a literal, got variable $rhs")
     Seq(l, r).foreach {
       case QVar(n) => require(vars.contains(n), s"variable $$$n not declared in select")
       case _       => ()
@@ -336,14 +353,20 @@ final case class Sparql(
 object Sparql {
   def apply(): Sparql = Sparql(Nil, Nil)
 
-  val ConstraintOps: Set[String] = Set("==", "!=", "<", "<=", ">", ">=", "regex")
+  val ConstraintOps: Set[String] =
+    Set("==", "!=", "<", "<=", ">", ">=", "regex", "langmatches")
   /** SPARQL built-in filter functions (§17.4), used as constraint ops
     * (optionally `!`-prefixed): unary term tests and binary string
     * tests. `bound($x)` with OPTIONAL is the standard
     * negation-by-failure idiom; the `is*` kind tests require a
     * kind-aware (struct-term) store and fail fast on a plain view. */
-  val UnaryFilterFns: Set[String] = Set("bound", "isiri", "isliteral", "isblank")
+  val UnaryFilterFns: Set[String] =
+    Set("bound", "isiri", "isliteral", "isblank", "isnumeric")
   val BinaryFilterFns: Set[String] = Set("strstarts", "strends", "contains")
+  /** `langMatches(lang($v), range)` (§17.4.3.2) — parsed as a
+    * comparison op so the lhs can be the `lang()` accessor (the idiom)
+    * or a plain variable; matching is RFC 4647 basic filtering. */
+  val LangMatchesOp = "langmatches"
   /** Term accessors usable as a comparison LHS (`str($x) == v`,
     * `lang($o) == en`, `datatype($o) in ( … )` — SPARQL §17.4.2):
     * `str` is the lexical form (identity on a plain string view),
@@ -388,7 +411,17 @@ object Sparql {
   val AggregateFns: Set[String] =
     Set("count", "min", "max", "sum", "avg", "group_concat", "sample")
   val BindFns: Set[String] =
-    Set("str", "ucase", "lcase", "strlen", "coalesce", "if", "substr", "replace")
+    Set("str", "ucase", "lcase", "strlen", "coalesce", "if", "substr", "replace",
+      "concat", "strbefore", "strafter", "arith")
+  /** Infix arithmetic operators `bind ( $a + $b as $z )` compiles
+    * through the internal `arith` bind fn (SPARQL §17.4 operator
+    * mapping, numeric promotion to double). */
+  val ArithOps: Set[String] = Set("+", "-", "*", "/")
+  /** Bind fns whose packed argument list is passed through verbatim
+    * (multi-arg); everything else normalizes to one `$var` arg. */
+  private[query] val PackedArgBindFns: Set[String] =
+    Set("coalesce", "if", "substr", "replace", "concat", "strbefore",
+      "strafter", "arith")
   /** The supported `if()` condition shape (SPARQL's full boolean
     * expression grammar is out of scope; `[!]bound($v)` is the idiom
     * OPTIONAL defaults actually use — everything else COALESCE covers). */
@@ -592,6 +625,14 @@ object Sparql {
             tokens(i + 4).startsWith("$") && tokens(i + 5) == ")") {
           bindItems += (("str", tokens(i + 2), tokens(i + 4)))
           i += 6
+        } else if (i + 7 < tokens.length && Sparql.ArithOps.contains(tokens(i + 3)) &&
+            tokens(i + 5).equalsIgnoreCase("as") &&
+            tokens(i + 6).startsWith("$") && tokens(i + 7) == ")") {
+          // infix arithmetic: `bind ( $a + $b as $z )` — operands are
+          // $variables or numeric literals, promotion to double
+          bindItems += (("arith",
+            s"${tokens(i + 2)},${tokens(i + 3)},${tokens(i + 4)}", tokens(i + 6)))
+          i += 8
         } else {
           require(i + 3 < tokens.length && tokens(i + 3) == "(",
             "bind must be `bind ( $v as $w )` or `bind ( fn ( arg… ) as $w )`")
@@ -662,18 +703,28 @@ object Sparql {
         // literals and values survive (braces/parens stay reserved by
         // the body tokenizer, so {m,n} quantifiers do not).
         def toCmp(c0: Seq[String]): (String, String, String) = {
-          // accessor-call lhs (`str ( $x ) op …`) folds to one compound
-          // operand token, which parseComparison re-parses via AccessorRe
-          val folded = c0 match {
-            case f +: "(" +: v +: ")" +: rest
-                if Sparql.AccessorFns.contains(f.toLowerCase) && v.startsWith("$") &&
-                  // `str ( $x )` ALONE would be four tokens too — only
-                  // fold when a comparison follows (str is also a legal
-                  // operand-free bind fn, never a unary filter)
-                  rest.nonEmpty =>
-              s"${f.toLowerCase}($v)" +: rest
-            case other => other
-          }
+          // accessor calls (`str ( $x )`, `lang ( $n )`) fold to one
+          // compound operand token ANYWHERE in the term — as a
+          // comparison lhs or nested in a binary call like
+          // `langmatches ( lang ( $n ) , en )` — which parseComparison
+          // re-parses via AccessorRe. A 4-token term that IS one bare
+          // accessor call stays unfolded (`str ( $x )` alone is not a
+          // comparison; the generic match rejects it with the grammar
+          // error instead of a one-token puzzle).
+          val folded =
+            if (c0.length == 4) c0
+            else {
+              val out = Vector.newBuilder[String]
+              var k = 0
+              while (k < c0.length) {
+                if (k + 3 < c0.length && c0(k + 1) == "(" && c0(k + 3) == ")" &&
+                    Sparql.AccessorFns.contains(c0(k).toLowerCase) &&
+                    c0(k + 2).startsWith("$")) {
+                  out += s"${c0(k).toLowerCase}(${c0(k + 2)})"; k += 4
+                } else { out += c0(k); k += 1 }
+              }
+              out.result()
+            }
           // `lhs [not] in ( v1 , v2 … )` → (lhs, in|!in, "v1,v2") with
           // the values comma-packed (values are single tokens, so they
           // cannot contain commas; regex literals keep theirs — this
@@ -689,8 +740,10 @@ object Sparql {
             return (folded(0), if (inIdx == 2) "!in" else "in", vals.mkString(","))
           }
           val c = folded match {
-            case f +: rest if Sparql.BinaryFilterFns.contains(
-                (if (f.startsWith("!")) f.substring(1) else f).toLowerCase) =>
+            case f +: rest if {
+              val base = (if (f.startsWith("!")) f.substring(1) else f).toLowerCase
+              Sparql.BinaryFilterFns.contains(base) || base == Sparql.LangMatchesOp
+            } =>
               f +: rest.flatMap(t =>
                 t.split("(?<=,)|(?=,)").toSeq.filter(_.nonEmpty))
             case other => other
@@ -1601,6 +1654,32 @@ object Bgp {
           substring(col(args.head), args(1).toInt, args(2).toInt)
         case "replace" =>
           regexp_replace(col(args.head), args(1), args(2))
+        case "concat" => concat(args.map(col): _*)
+        // STRBEFORE/STRAFTER (§17.4.3.4-5): "" when the separator does
+        // not occur — NOT the whole string, so substring_index alone is
+        // wrong on the miss side
+        case "strbefore" =>
+          val (c0, sep) = (col(args.head), args(1))
+          when(locate(sep, c0) > 0, substring_index(c0, sep, 1)).otherwise(lit(""))
+        case "strafter" =>
+          val (c0, sep) = (col(args.head), args(1))
+          when(locate(sep, c0) > 0,
+            c0.substr(locate(sep, c0) + sep.length, length(c0))).otherwise(lit(""))
+        // numeric promotion to double; terms that don't parse → null
+        // (SPARQL type error). Division by zero is a type error too —
+        // guarded, Spark doubles would give Infinity instead.
+        case "arith" =>
+          def num(a: String): Column =
+            if (a.startsWith("$")) col(a).try_cast("double")
+            else lit(a.toDouble)
+          val (lo, ro) = (num(args.head), num(args(2)))
+          val v = args(1) match {
+            case "+" => lo + ro
+            case "-" => lo - ro
+            case "*" => lo * ro
+            case "/" => when(ro =!= 0, lo / ro)
+          }
+          v.cast("string")
         case "if" => args.head match {
           case Sparql.BoundCondRe(neg, v) =>
             val cond = if (neg == "!") acc(v).isNull else acc(v).isNotNull
@@ -1673,6 +1752,14 @@ object Bgp {
           case "isiri"     => kindCol === "named"
           case "isblank"   => kindCol === "blank"
           case "isliteral" => kindCol.isin("raw", "lang", "typed")
+          // isNumeric (§17.4.2.4): a literal whose lexical form parses
+          // numerically. On a kind-aware store lang-tagged literals are
+          // excluded (numeric literals are plain/typed per spec); a
+          // plain string view has only the lexical test.
+          case "isnumeric" =>
+            val numericVal = termValue.try_cast("double").isNotNull
+            if (kindAware) kindCol.isin("raw", "typed") && numericVal
+            else numericVal
           case "strstarts" => termValue.startsWith(arg)
           case "strends"   => termValue.endsWith(arg)
           case "contains"  => termValue.contains(arg)
@@ -1768,6 +1855,19 @@ object Bgp {
           case other => throw new IllegalArgumentException(
             s"regex pattern must be a literal, got: $other")
         }
+        // langMatches(tag, range) — RFC 4647 basic filtering: '*'
+        // matches any non-empty tag; otherwise case-insensitive exact
+        // or extended-subtag prefix (`en` matches `en` and `en-US`).
+        // A null lhs (lang() of an IRI/blank) stays null → filtered.
+        case Sparql.LangMatchesOp =>
+          val range = r match {
+            case QVal(v, _) => v.toLowerCase
+            case other => throw new IllegalArgumentException(
+              s"langmatches range must be a literal, got: $other")
+          }
+          val tag = lower(operand(l))
+          if (range == "*") tag.isNotNull && tag =!= ""
+          else tag === range || tag.startsWith(range + "-")
       }
     }
     val conjoined = q.constraints.foldLeft(existed)((acc, c) => acc.filter(comparison(acc)(c)))

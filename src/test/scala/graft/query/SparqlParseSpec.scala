@@ -825,4 +825,66 @@ class SparqlParseSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](Sparql.parse(
       "select $x $v $b where { $x name $v . bind ( replace ( $v , li ) as $b ) }"))
   }
+
+  test("infix arithmetic bind; concat/strbefore/strafter (§17.4)") {
+    import spark.implicits._
+    val triples = Seq(
+      ("a", "qty", "3"), ("b", "qty", "10"), ("c", "qty", "x")).toDF("s", "p", "o")
+    def rows(q: String) =
+      Bgp.compile(triples, Sparql.parse(q)).orderBy("x").collect().toSeq
+    val arith = rows(
+      """select $x $v $dbl $half $off where { $x qty $v .
+        |  bind ( $v * 2 as $dbl ) . bind ( $v / 2 as $half ) .
+        |  bind ( $v - 1 as $off ) }""".stripMargin)
+    // non-numeric terms become null (SPARQL type error), not a crash
+    assert(arith.map(r => (r.getString(2), r.getString(3), r.getString(4))) == Seq(
+      ("6.0", "1.5", "2.0"), ("20.0", "5.0", "9.0"), (null, null, null)))
+    // var ⊕ var, and division by zero → type error (null), not Infinity
+    val vv = rows(
+      """select $x $v $sum $div where { $x qty $v .
+        |  bind ( $v + $v as $sum ) . bind ( $v / 0 as $div ) }""".stripMargin)
+    assert(vv.map(r => (r.getString(2), r.getString(3))) == Seq(
+      ("6.0", null), ("20.0", null), (null, null)))
+    val str = rows(
+      """select $x $v $lbl $pre $post where { $x qty $v .
+        |  bind ( concat ( $x , = , $v ) as $lbl ) .
+        |  bind ( strbefore ( $lbl , = ) as $pre ) .
+        |  bind ( strafter ( $lbl , = ) as $post ) }""".stripMargin)
+    assert(str.map(r => (r.getString(2), r.getString(3), r.getString(4))) == Seq(
+      ("a=3", "a", "3"), ("b=10", "b", "10"), ("c=x", "c", "x")))
+    // separator miss → "" (spec), NOT the whole string
+    val miss = rows(
+      """select $x $v $pre where { $x qty $v .
+        |  bind ( strbefore ( $v , _ ) as $pre ) }""".stripMargin)
+    assert(miss.map(_.getString(2)) == Seq("", "", ""))
+    // fail-fasts: bad operator shape, non-numeric literal operand
+    assertThrows[IllegalArgumentException](Sparql.parse(
+      "select $x $v $b where { $x qty $v . bind ( $v % 2 as $b ) }"))
+    assertThrows[IllegalArgumentException](Sparql.parse(
+      "select $x $v $b where { $x qty $v . bind ( strafter ( $v , $v ) as $b ) }"))
+  }
+
+  test("langmatches filter and isnumeric test (§17.4.2-3)") {
+    import spark.implicits._
+    // plain string view: isnumeric = lexical test; langmatches over a
+    // variable holding the tag itself
+    val triples = Seq(
+      ("a", "v", "42"), ("b", "v", "4.5"), ("c", "v", "x42"),
+      ("a", "tag", "en"), ("b", "tag", "en-US"), ("c", "tag", "fr")).toDF("s", "p", "o")
+    def rows(q: String) =
+      Bgp.compile(triples, Sparql.parse(q)).orderBy("x").collect().toSeq
+    assert(rows("select $x $v where { $x v $v . filter ( isnumeric ( $v ) ) }")
+      .map(_.getString(0)) == Seq("a", "b"))
+    assert(rows("select $x $v where { $x v $v . filter ( !isnumeric ( $v ) ) }")
+      .map(_.getString(0)) == Seq("c"))
+    // RFC 4647 basic filtering: en matches en AND en-US, not fr; *
+    // matches every non-empty tag
+    assert(rows("select $x $t where { $x tag $t . filter ( langmatches ( $t , en ) ) }")
+      .map(_.getString(0)) == Seq("a", "b"))
+    assert(rows("select $x $t where { $x tag $t . filter ( langmatches ( $t , * ) ) }")
+      .map(_.getString(0)) == Seq("a", "b", "c"))
+    // langmatches range must be a literal
+    assertThrows[IllegalArgumentException](Sparql.parse(
+      "select $x $t where { $x tag $t . filter ( langmatches ( $t , $t ) ) }"))
+  }
 }
