@@ -248,6 +248,11 @@ object OpRegistry {
     op("rdf_bgp_bind_strops", RdfOps.bgpBindStrops, RdfOps.bgpBindStropsSql),
     op("rdf_bgp_filter_langmatches",
       RdfOps.bgpFilterLangMatches, RdfOps.bgpFilterLangMatchesSql),
+    op("rdf_bgp_bind_numeric", RdfOps.bgpBindNumeric, RdfOps.bgpBindNumericSql),
+    op("rdf_bgp_bind_hash", RdfOps.bgpBindHash, RdfOps.bgpBindHashSql),
+    op("rdf_bgp_bind_datetime", RdfOps.bgpBindDatetime, RdfOps.bgpBindDatetimeSql),
+    op("rdf_bgp_filter_sameterm",
+      RdfOps.bgpFilterSameterm, RdfOps.bgpFilterSametermSql),
     op("rdf_bgp_order_limit", RdfOps.bgpOrderLimit, RdfOps.bgpOrderLimitSql),
     op("rdf_bgp_group_count", RdfOps.bgpGroupCount, RdfOps.bgpGroupCountSql),
     op("rdf_bgp_group_having", RdfOps.bgpGroupHaving, RdfOps.bgpGroupHavingSql),

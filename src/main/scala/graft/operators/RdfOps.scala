@@ -962,6 +962,134 @@ object RdfOps {
        |  WHERE kind IN ('raw', 'typed') AND TRY_CAST(o AS DOUBLE) IS NOT NULL) u
        |ORDER BY q, x, p, o""".stripMargin
 
+  /** Numeric BINDs (SPARQL §17.4.4): abs/round/ceil/floor over the
+    * entity number, with `/8` fractions (exact binary, so doubles are
+    * bit-identical cross-engine) and a shifted negative operand for
+    * abs. ROUND ties go toward +∞ per spec — both engines compute
+    * floor(x + 0.5). */
+  def bgpBindNumeric(s: SparkSession, d: String): DataFrame = {
+    val q = Sparql.parse(
+      """select $c $n $num $frac $shift $absv $rnd $up $dn where {
+        |  $c in_nation $n .
+        |  bind ( substr ( $c , 10 , 9 ) as $num ) .
+        |  bind ( $num / 8 as $frac ) .
+        |  bind ( $num - 20 as $shift ) .
+        |  bind ( abs ( $shift ) as $absv ) .
+        |  bind ( round ( $frac ) as $rnd ) .
+        |  bind ( ceil ( $frac ) as $up ) .
+        |  bind ( floor ( $frac ) as $dn )
+        |}""".stripMargin)
+    val res = Bgp.compile(tripleView(s, d), q)
+    res.select(res("c"), res("n"), res("num"),
+        res("frac").cast("double").as("frac"),
+        res("shift").cast("double").as("shift"),
+        res("absv").cast("double").as("absv"),
+        res("rnd").cast("double").as("rnd"),
+        res("up").cast("double").as("up"),
+        res("dn").cast("double").as("dn"))
+      .orderBy("c", "n")
+  }
+  val bgpBindNumericSql: String =
+    s"""$tripleViewSql
+       |SELECT DISTINCT s AS c, o AS n, substr(s, 10, 9) AS num,
+       |  CAST(substr(s, 10, 9) AS DOUBLE) / 8 AS frac,
+       |  CAST(substr(s, 10, 9) AS DOUBLE) - 20 AS shift,
+       |  abs(CAST(substr(s, 10, 9) AS DOUBLE) - 20) AS absv,
+       |  floor(CAST(substr(s, 10, 9) AS DOUBLE) / 8 + 0.5) AS rnd,
+       |  ceil(CAST(substr(s, 10, 9) AS DOUBLE) / 8) AS up,
+       |  floor(CAST(substr(s, 10, 9) AS DOUBLE) / 8) AS dn
+       |FROM t WHERE p = 'in_nation'
+       |ORDER BY c, n""".stripMargin
+
+  /** Hash BINDs (SPARQL §17.4.6): MD5 and SHA256 of the lexical form,
+    * lowercase hex on both engines — Spark's codegen'd `md5`/`sha2`
+    * against DuckDB's `md5`/`sha256`. (SHA1/384/512 are also wired as
+    * bind fns; DuckDB lacks sha1, so they are spec-covered only.) */
+  def bgpBindHash(s: SparkSession, d: String): DataFrame = {
+    val q = Sparql.parse(
+      """select $c $n $h1 $h2 where {
+        |  $c in_nation $n .
+        |  bind ( md5 ( $c ) as $h1 ) .
+        |  bind ( sha256 ( $c ) as $h2 )
+        |}""".stripMargin)
+    val res = Bgp.compile(tripleView(s, d), q)
+    res.orderBy("c", "n")
+  }
+  val bgpBindHashSql: String =
+    s"""$tripleViewSql
+       |SELECT DISTINCT s AS c, o AS n, md5(s) AS h1, sha256(s) AS h2
+       |FROM t WHERE p = 'in_nation'
+       |ORDER BY c, n""".stripMargin
+
+  /** Datetime accessor BINDs (SPARQL §17.4.5): YEAR/MONTH/DAY over
+    * xsd:date lexical forms from the orders table (a date-valued
+    * triple view: order_<key> --ordered_on--> '1995-03-15'). Derived
+    * ints are BIGINT on both sides (DuckDB EXTRACT returns BIGINT). */
+  def bgpBindDatetime(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val view = orders(s, d).select(
+      concat(lit("order_"), $"o_orderkey".cast("string")).as("s"),
+      lit("ordered_on").as("p"),
+      $"o_orderdate".cast("string").as("o"))
+    val q = Sparql.parse(
+      """select $ord $d $y $m $dom where {
+        |  $ord ordered_on $d .
+        |  bind ( year ( $d ) as $y ) .
+        |  bind ( month ( $d ) as $m ) .
+        |  bind ( day ( $d ) as $dom )
+        |}""".stripMargin)
+    val res = Bgp.compile(view, q)
+    res.select(res("ord"), res("d"),
+        res("y").cast("bigint").as("y"),
+        res("m").cast("bigint").as("m"),
+        res("dom").cast("bigint").as("dom"))
+      .orderBy("ord", "d")
+  }
+  val bgpBindDatetimeSql: String =
+    """SELECT DISTINCT 'order_' || CAST(o_orderkey AS VARCHAR) AS ord,
+      |  CAST(o_orderdate AS VARCHAR) AS d,
+      |  EXTRACT(YEAR FROM o_orderdate) AS y,
+      |  EXTRACT(MONTH FROM o_orderdate) AS m,
+      |  EXTRACT(DAY FROM o_orderdate) AS dom
+      |FROM orders
+      |ORDER BY ord, d""".stripMargin
+
+  /** sameTerm (SPARQL §17.4.1.8) on a kind-aware view: every customer
+    * has a lang-tagged `label` and an `alias` that is the SAME term
+    * (lang-tagged, en) for even nation keys but a plain literal with
+    * the IDENTICAL lexical form for odd ones. sameTerm keeps only the
+    * even rows; the `str($a) == str($b)` control keeps all — the pair
+    * pins that term identity sees kind/lang, not just the value. */
+  def bgpFilterSameterm(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = customer(s, d)
+    val even = $"c_nationkey" % 2 === 0
+    val view = c.select(iri($"c_name").as("s"), iri(lit("label")).as("p"),
+        langLit($"c_name", lit("en")).as("o"))
+      .union(c.select(iri($"c_name").as("s"), iri(lit("alias")).as("p"),
+        when(even, langLit($"c_name", lit("en")))
+          .otherwise(raw($"c_name")).as("o")))
+    def run(t: String, filter: String): DataFrame =
+      Bgp.compile(view,
+          Sparql.parse(
+            s"""select $$x $$a $$b where {
+               |  $$x label $$a . $$x alias $$b . filter ( $filter )
+               |}""".stripMargin),
+          matchValue = (df, pos) => df(pos).getField("value"))
+        .select(lit(t).as("q"), $"x.value".as("x"), $"a.value".as("a"),
+          $"b.value".as("b"))
+    val res = run("same", "sameterm ( $a , $b )")
+      .union(run("eq", "str ( $a ) == str ( $b )"))
+    res.orderBy(res("q"), res("x"))
+  }
+  val bgpFilterSametermSql: String =
+    """SELECT q, x, a, b FROM (
+      |  SELECT 'same' AS q, c_name AS x, c_name AS a, c_name AS b
+      |  FROM customer WHERE c_nationkey % 2 = 0
+      |  UNION ALL
+      |  SELECT 'eq', c_name, c_name, c_name FROM customer) u
+      |ORDER BY q, x""".stripMargin
+
   /** Solution modifiers (round-3 verdict #7 — beyond the reference,
     * standard SPARQL): DISTINCT + ORDER BY … DESC/ASC + LIMIT through
     * the parsed string front-end. The (c, n) pair is the whole row, so

@@ -311,7 +311,17 @@ final case class Sparql(
       // rhs stays the comma-packed raw list; the compiler splits it
       return (l, op, QVal(rhs))
     }
-    val r = QueryUnit.parse(rhs)
+    // accessors fold on the RHS too (`str($a) == str($b)`, the
+    // standard value-comparison idiom) — except for ops whose rhs is
+    // a literal by contract (regex patterns, langmatches ranges,
+    // filter-function arguments)
+    val r = rhs match {
+      case Sparql.AccessorRe(fn, v) if !isUnaryFn && !isBinaryFn &&
+          base != "regex" && base != Sparql.LangMatchesOp =>
+        require(vars.contains(v), s"variable $$$v not declared in select")
+        QFn(fn, v)
+      case _ => QueryUnit.parse(rhs)
+    }
     if (isUnaryFn || isBinaryFn) {
       // SPARQL built-in filter functions take a VARIABLE (the engine's
       // term invariant leaves no other useful operand kind)
@@ -326,6 +336,10 @@ final case class Sparql(
       s"regex pattern must be a literal, got variable $rhs")
     require(op != Sparql.LangMatchesOp || r.isInstanceOf[QVal],
       s"langmatches range must be a literal, got variable $rhs")
+    // sameTerm (§17.4.1.8) is term identity — both operands must be
+    // variables (a literal rhs has no kind to compare)
+    require(op != "sameterm" || (l.isInstanceOf[QVar] && r.isInstanceOf[QVar]),
+      s"sameterm takes two $$variables, got: $lhs, $rhs")
     Seq(l, r).foreach {
       case QVar(n) => require(vars.contains(n), s"variable $$$n not declared in select")
       case _       => ()
@@ -354,7 +368,7 @@ object Sparql {
   def apply(): Sparql = Sparql(Nil, Nil)
 
   val ConstraintOps: Set[String] =
-    Set("==", "!=", "<", "<=", ">", ">=", "regex", "langmatches")
+    Set("==", "!=", "<", "<=", ">", ">=", "regex", "langmatches", "sameterm")
   /** SPARQL built-in filter functions (§17.4), used as constraint ops
     * (optionally `!`-prefixed): unary term tests and binary string
     * tests. `bound($x)` with OPTIONAL is the standard
@@ -412,7 +426,12 @@ object Sparql {
     Set("count", "min", "max", "sum", "avg", "group_concat", "sample")
   val BindFns: Set[String] =
     Set("str", "ucase", "lcase", "strlen", "coalesce", "if", "substr", "replace",
-      "concat", "strbefore", "strafter", "arith")
+      "concat", "strbefore", "strafter", "arith",
+      // numeric (§17.4.4), hash (§17.4.6) and datetime (§17.4.5)
+      // built-ins — all unary over the term's lexical form
+      "abs", "round", "ceil", "floor",
+      "md5", "sha1", "sha256", "sha384", "sha512",
+      "year", "month", "day", "hours", "minutes", "seconds")
   /** Infix arithmetic operators `bind ( $a + $b as $z )` compiles
     * through the internal `arith` bind fn (SPARQL §17.4 operator
     * mapping, numeric promotion to double). */
@@ -742,7 +761,8 @@ object Sparql {
           val c = folded match {
             case f +: rest if {
               val base = (if (f.startsWith("!")) f.substring(1) else f).toLowerCase
-              Sparql.BinaryFilterFns.contains(base) || base == Sparql.LangMatchesOp
+              Sparql.BinaryFilterFns.contains(base) ||
+                base == Sparql.LangMatchesOp || base == "sameterm"
             } =>
               f +: rest.flatMap(t =>
                 t.split("(?<=,)|(?=,)").toSeq.filter(_.nonEmpty))
@@ -1687,6 +1707,41 @@ object Bgp {
           case other => throw new IllegalArgumentException(
             s"if() condition must be [!]bound($$v), got: $other")
         }
+        // numeric built-ins (§17.4.4): promote to double, terms that
+        // don't parse → null (type error). ROUND ties go toward +∞ per
+        // spec (floor(x+0.5)) — NOT Spark's HALF_UP, which rounds
+        // -2.5 away from zero to -3 where SPARQL requires -2.
+        case "abs" | "round" | "ceil" | "floor" =>
+          val v = col(args.head).try_cast("double")
+          val r = fn match {
+            case "abs"   => abs(v)
+            case "round" => floor(v + 0.5).cast("double")
+            case "ceil"  => ceil(v).cast("double")
+            case "floor" => floor(v).cast("double")
+          }
+          r.cast("string")
+        // hash built-ins (§17.4.6): lowercase hex over the lexical
+        // form — all codegen'd Catalyst expressions, no UDF
+        case "md5"    => md5(col(args.head))
+        case "sha1"   => sha1(col(args.head))
+        case "sha256" => sha2(col(args.head), 256)
+        case "sha384" => sha2(col(args.head), 384)
+        case "sha512" => sha2(col(args.head), 512)
+        // datetime accessors (§17.4.5) over xsd:date/dateTime lexical
+        // forms; non-datetime terms → null (type error). SECONDS
+        // returns the integral part (xsd:decimal fractions are out of
+        // scope for the string front-end's term invariant).
+        case "year" | "month" | "day" | "hours" | "minutes" | "seconds" =>
+          val ts = col(args.head).try_cast("timestamp")
+          val v = fn match {
+            case "year"    => year(ts)
+            case "month"   => month(ts)
+            case "day"     => dayofmonth(ts)
+            case "hours"   => hour(ts)
+            case "minutes" => minute(ts)
+            case "seconds" => second(ts)
+          }
+          v.cast("string")
         case other => throw new IllegalArgumentException(
           s"unsupported bind function: $other")
       }
@@ -1868,6 +1923,13 @@ object Bgp {
           val tag = lower(operand(l))
           if (range == "*") tag.isNotNull && tag =!= ""
           else tag === range || tag.startsWith(range + "-")
+        // sameTerm (§17.4.1.8): identity on the FULL term — kind,
+        // lexical form, lang tag and datatype. Struct equality gives
+        // exactly this on a kind-aware store (Spark compares structs
+        // via their ordering, so null lang/datatype fields on both
+        // sides are equal); a plain string view degrades to value
+        // equality, which is all the information it carries.
+        case "sameterm" => operand(l) === operand(r)
       }
     }
     val conjoined = q.constraints.foldLeft(existed)((acc, c) => acc.filter(comparison(acc)(c)))

@@ -433,7 +433,7 @@ class SparqlParseSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](Sparql.parse(
       "select $x $g where { $x in $g . bind ( ucase($x) as $g ) }"))
     assertThrows[IllegalArgumentException](Sparql.parse(
-      "select $x where { $x in g1 . bind ( md5 ( $x ) as $h ) }"))
+      "select $x where { $x in g1 . bind ( uuid ( $x ) as $h ) }"))
   }
 
   test("zero-or-one path gives one-hop edges plus reflexive pairs only") {
@@ -886,5 +886,54 @@ class SparqlParseSpec extends SparkSpec {
     // langmatches range must be a literal
     assertThrows[IllegalArgumentException](Sparql.parse(
       "select $x $t where { $x tag $t . filter ( langmatches ( $t , $t ) ) }"))
+  }
+
+  test("numeric/hash/datetime binds (§17.4.4-6); sameterm filter (§17.4.1.8)") {
+    import spark.implicits._
+    val triples = Seq(
+      ("a", "v", "-2.5"), ("b", "v", "1.3"), ("c", "v", "x"),
+      ("a", "when", "1995-03-15"), ("b", "when", "2001-12-01T10:30:45"),
+      ("c", "when", "notadate")).toDF("s", "p", "o")
+    def rows(q: String) =
+      Bgp.compile(triples, Sparql.parse(q)).orderBy("x").collect().toSeq
+    // ROUND ties toward +∞ (SPARQL): round(-2.5) = -2, NOT -3; type
+    // errors (non-numeric terms) → null
+    val num = rows(
+      """select $x $v $a $r $u $d where { $x v $v .
+        |  bind ( abs ( $v ) as $a ) . bind ( round ( $v ) as $r ) .
+        |  bind ( ceil ( $v ) as $u ) . bind ( floor ( $v ) as $d ) }""".stripMargin)
+    assert(num.map(r => (r.getString(2), r.getString(3), r.getString(4),
+      r.getString(5))) == Seq(
+      ("2.5", "-2.0", "-2.0", "-3.0"),
+      ("1.3", "1.0", "2.0", "1.0"),
+      (null, null, null, null)))
+    // hashes: well-known digests of "a" (lowercase hex, both engines)
+    val h = rows(
+      """select $x $v $m $s1 $s2 where { $x v $v .
+        |  bind ( md5 ( $x ) as $m ) . bind ( sha1 ( $x ) as $s1 ) .
+        |  bind ( sha256 ( $x ) as $s2 ) }""".stripMargin).head
+    assert(h.getString(2) == "0cc175b9c0f1b6a831c399e269772661")
+    assert(h.getString(3) == "86f7e437faa5a7fce15d1ddcb9eaeaea377667b8")
+    assert(h.getString(4) ==
+      "ca978112ca1bbdcafac231b39a23dc4da786eff8147c4e72b9807785afee48bb")
+    // datetime accessors: date-only lexical → midnight; non-dates null
+    val dt = rows(
+      """select $x $w $y $mo $dd $hh where { $x when $w .
+        |  bind ( year ( $w ) as $y ) . bind ( month ( $w ) as $mo ) .
+        |  bind ( day ( $w ) as $dd ) . bind ( hours ( $w ) as $hh ) }""".stripMargin)
+    assert(dt.map(r => (r.getString(2), r.getString(3), r.getString(4),
+      r.getString(5))) == Seq(
+      ("1995", "3", "15", "0"), ("2001", "12", "1", "10"),
+      (null, null, null, null)))
+    // sameterm on a plain view = value equality; both operands must be
+    // variables
+    val st = Seq(("a", "p1", "x"), ("a", "p2", "x"), ("b", "p1", "y"),
+      ("b", "p2", "z")).toDF("s", "p", "o")
+    val same = Bgp.compile(st, Sparql.parse(
+      "select $x $l $r where { $x p1 $l . $x p2 $r . filter ( sameterm ( $l , $r ) ) }"))
+      .collect().toSeq
+    assert(same.map(_.getString(0)) == Seq("a"))
+    assertThrows[IllegalArgumentException](Sparql.parse(
+      "select $x $l where { $x p1 $l . filter ( sameterm ( $l , lit ) ) }"))
   }
 }
