@@ -253,6 +253,7 @@ object OpRegistry {
     op("rdf_bgp_bind_datetime", RdfOps.bgpBindDatetime, RdfOps.bgpBindDatetimeSql),
     op("rdf_bgp_filter_sameterm",
       RdfOps.bgpFilterSameterm, RdfOps.bgpFilterSametermSql),
+    op("rdf_bgp_bind_terms", RdfOps.bgpBindTerms, RdfOps.bgpBindTermsSql),
     op("rdf_bgp_order_limit", RdfOps.bgpOrderLimit, RdfOps.bgpOrderLimitSql),
     op("rdf_bgp_group_count", RdfOps.bgpGroupCount, RdfOps.bgpGroupCountSql),
     op("rdf_bgp_group_having", RdfOps.bgpGroupHaving, RdfOps.bgpGroupHavingSql),

@@ -1090,6 +1090,46 @@ object RdfOps {
       |  SELECT 'eq', c_name, c_name, c_name FROM customer) u
       |ORDER BY q, x""".stripMargin
 
+  /** Term constructors (SPARQL §17.4.2.5-7): STRLANG re-tags each
+    * customer name with a pattern-bound tag (en for even nation keys,
+    * fr for odd), and `langmatches(lang($lt), en)` keeps ONLY the even
+    * rows — the constructed term's lang field is live, not cosmetic.
+    * STRDT and IRI() construct typed/IRI terms on the survivors, read
+    * back through datatype() equality and isIRI(). */
+  def bgpBindTerms(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = customer(s, d)
+    val tag = when($"c_nationkey" % 2 === 0, "en").otherwise("fr")
+    val view = c.select(iri($"c_name").as("s"), iri(lit("name")).as("p"),
+        raw($"c_name").as("o"))
+      .union(c.select(iri($"c_name").as("s"), iri(lit("tag")).as("p"),
+        raw(tag).as("o")))
+    val q = Sparql.parse(
+      """select $x $v $t $lt $dt $u where {
+        |  $x name $v . $x tag $t .
+        |  bind ( strlang ( $v , $t ) as $lt ) .
+        |  bind ( strdt ( $v , http://www.w3.org/2001/XMLSchema#string ) as $dt ) .
+        |  bind ( iri ( $v ) as $u ) .
+        |  filter ( langmatches ( lang ( $lt ) , en ) ) .
+        |  filter ( datatype ( $dt ) == http://www.w3.org/2001/XMLSchema#string ) .
+        |  filter ( isiri ( $u ) )
+        |}""".stripMargin)
+    val res = Bgp.compile(view, q,
+      matchValue = (df, pos) => df(pos).getField("value"))
+    res.select($"x.value".as("x"), $"v.value".as("v"),
+        $"t.value".as("t"), $"lt.value".as("lt"),
+        $"lt.lang".as("lt_lang"), $"dt.datatype".as("dt_dt"),
+        $"u.kind".as("u_kind"))
+      .orderBy("x")
+  }
+  val bgpBindTermsSql: String =
+    """SELECT c_name AS x, c_name AS v, 'en' AS t, c_name AS lt,
+      |  'en' AS lt_lang,
+      |  'http://www.w3.org/2001/XMLSchema#string' AS dt_dt,
+      |  'named' AS u_kind
+      |FROM customer WHERE c_nationkey % 2 = 0
+      |ORDER BY x""".stripMargin
+
   /** Solution modifiers (round-3 verdict #7 — beyond the reference,
     * standard SPARQL): DISTINCT + ORDER BY … DESC/ASC + LIMIT through
     * the parsed string front-end. The (c, n) pair is the whole row, so

@@ -219,6 +219,13 @@ final case class Sparql(
         requireVar(args.head)
         require(!args(1).startsWith("$"),
           s"bind $fn separator must be a literal, got: ${args(1)}")
+      case "strdt" | "strlang" =>
+        // lexical form + datatype IRI / lang tag (§17.4.2.6-7); the
+        // second argument may itself be a variable (a tag bound by a
+        // pattern), matching the spec's simple-literal operand
+        require(args.length == 2, s"bind $fn takes 2 arguments, got: $in")
+        requireVar(args.head)
+        if (args(1).startsWith("$")) requireVar(args(1))
       case "arith" =>
         require(args.length == 3 && Sparql.ArithOps.contains(args(1)),
           s"bind arithmetic takes `operand op operand`, got: $in")
@@ -431,7 +438,11 @@ object Sparql {
       // built-ins — all unary over the term's lexical form
       "abs", "round", "ceil", "floor",
       "md5", "sha1", "sha256", "sha384", "sha512",
-      "year", "month", "day", "hours", "minutes", "seconds")
+      "year", "month", "day", "hours", "minutes", "seconds",
+      // term constructors (§17.4.2.5-7): produce full 4-field term
+      // structs, which the accessor/filter machinery consumes like
+      // pattern-bound terms
+      "strdt", "strlang", "iri", "bnode")
   /** Infix arithmetic operators `bind ( $a + $b as $z )` compiles
     * through the internal `arith` bind fn (SPARQL §17.4 operator
     * mapping, numeric promotion to double). */
@@ -440,7 +451,7 @@ object Sparql {
     * (multi-arg); everything else normalizes to one `$var` arg. */
   private[query] val PackedArgBindFns: Set[String] =
     Set("coalesce", "if", "substr", "replace", "concat", "strbefore",
-      "strafter", "arith")
+      "strafter", "arith", "strdt", "strlang")
   /** The supported `if()` condition shape (SPARQL's full boolean
     * expression grammar is out of scope; `[!]bound($v)` is the idiom
     * OPTIONAL defaults actually use — everything else COALESCE covers). */
@@ -1742,6 +1753,29 @@ object Bgp {
             case "seconds" => second(ts)
           }
           v.cast("string")
+        // term constructors (§17.4.2.5-7): build a 4-field term struct
+        // from the operand's LEXICAL form (the value field when the
+        // operand is already a struct term). The result feeds the
+        // accessor/filter machinery — lang()/datatype()/isiri()/
+        // sameterm() — exactly like a pattern-bound term.
+        case "strdt" | "strlang" | "iri" | "bnode" =>
+          def lex(a: String): Column = {
+            val c0 = col(a)
+            if (a.startsWith("$")) acc.schema(a.substring(1)).dataType match {
+              case _: org.apache.spark.sql.types.StructType => c0.getField("value")
+              case _ => c0
+            } else c0
+          }
+          val ns = lit(null).cast("string")
+          def term(kind: String, lg: Column, dt: Column): Column =
+            struct(lit(kind).as("kind"), lex(args.head).as("value"),
+              lg.as("lang"), dt.as("datatype"))
+          fn match {
+            case "iri"     => term("named", ns, ns)
+            case "bnode"   => term("blank", ns, ns)
+            case "strlang" => term("lang", lex(args(1)), ns)
+            case "strdt"   => term("typed", ns, lex(args(1)))
+          }
         case other => throw new IllegalArgumentException(
           s"unsupported bind function: $other")
       }

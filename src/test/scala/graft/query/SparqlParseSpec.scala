@@ -936,4 +936,40 @@ class SparqlParseSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](Sparql.parse(
       "select $x $l where { $x p1 $l . filter ( sameterm ( $l , lit ) ) }"))
   }
+
+  test("strdt/strlang/iri/bnode construct terms the accessors read back (§17.4.2)") {
+    import spark.implicits._
+    val triples = Seq(("a", "v", "hello"), ("b", "v", "42"))
+      .toDF("s", "p", "o")
+    // constructed structs carry kind/lang/datatype even from a plain
+    // string view; accessors and kind tests consume them per-column
+    val q = Sparql.parse(
+      """select $x $v $lt $dt $u $bn where { $x v $v .
+        |  bind ( strlang ( $v , en-US ) as $lt ) .
+        |  bind ( strdt ( $v , http://www.w3.org/2001/XMLSchema#string ) as $dt ) .
+        |  bind ( iri ( $v ) as $u ) . bind ( bnode ( $v ) as $bn ) .
+        |  filter ( langmatches ( lang ( $lt ) , en ) ) .
+        |  filter ( isiri ( $u ) ) . filter ( isblank ( $bn ) ) .
+        |  filter ( !isliteral ( $u ) )
+        |}""".stripMargin)
+    val rows = Bgp.compile(triples, q).orderBy("x").collect().toSeq
+    assert(rows.length == 2)
+    val r = rows.head
+    assert(r.getStruct(2).getString(0) == "lang" &&
+      r.getStruct(2).getString(1) == "hello" &&
+      r.getStruct(2).getString(2) == "en-US")
+    assert(r.getStruct(3).getString(3) == "http://www.w3.org/2001/XMLSchema#string")
+    assert(r.getStruct(4).getString(0) == "named")
+    // datatype() equality on the constructed typed term
+    val dtq = Sparql.parse(
+      """select $x $v $dt where { $x v $v .
+        |  bind ( strdt ( $v , http://g.test/custom ) as $dt ) .
+        |  filter ( datatype ( $dt ) == http://g.test/custom ) }""".stripMargin)
+    assert(Bgp.compile(triples, dtq).count() == 2)
+    // arity fail-fasts
+    assertThrows[IllegalArgumentException](Sparql.parse(
+      "select $x $v $t where { $x v $v . bind ( strlang ( $v ) as $t ) }"))
+    assertThrows[IllegalArgumentException](Sparql.parse(
+      "select $x $v $t where { $x v $v . bind ( iri ( $v , x ) as $t ) }"))
+  }
 }
