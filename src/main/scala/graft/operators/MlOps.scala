@@ -61,7 +61,9 @@ object MlOps {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
     val cdf = IvfKmeans.centroidFrame(s, IvfKmeans.centroids(s, d))
-    val e = IvfKmeans.withV(s, d)
+    // cached: scanned by the assignment, the vec_id join-back, and the
+    // probe side — without it the parquet read + cast runs three times
+    val e = IvfKmeans.withV(s, d).cache()
     val assigned = IvfKmeans.assign(e, cdf).join(e, "vec_id")
       .select($"vec_id", $"embedding", $"list_id")
     probeAndScore(e, cdf, assigned)

@@ -190,6 +190,15 @@ final case class Sparql(
     val so = stripVar(out)
     val args = in.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
     require(args.nonEmpty, s"bind $fn needs at least one argument")
+    // a folded nested call (`ucase($a)`) in a literal argument position
+    // means the user tried to nest function calls — fail fast instead
+    // of silently emitting the call text as a literal string. (if()'s
+    // first argument is the one position where a call shape is legal.)
+    args.zipWithIndex.foreach { case (a, idx) =>
+      require((fn == "if" && idx == 0) ||
+          !Sparql.NestedCallRe.pattern.matcher(a).matches(),
+        s"bind $fn does not support nested function calls, got: $a")
+    }
     def requireVar(a: String): Unit =
       require(vars.contains(stripVar(a)), s"bind input variable $a not declared in select")
     fn match {
@@ -211,6 +220,10 @@ final case class Sparql(
         if (fn == "substr") args.tail.foreach(a => require(
           scala.util.Try(a.toInt).isSuccess,
           s"substr positions must be integer literals, got: $a"))
+        // a $var pattern would compile as the literal regex "$p" (an
+        // anchor that never matches) — literal-only, like strbefore
+        else args.tail.foreach(a => require(!a.startsWith("$"),
+          s"bind replace pattern/replacement must be literals, got: $a"))
       case "concat" =>
         require(args.length >= 2, s"bind concat takes 2+ arguments, got: $in")
         args.filter(_.startsWith("$")).foreach(requireVar)
@@ -456,6 +469,10 @@ object Sparql {
     * expression grammar is out of scope; `[!]bound($v)` is the idiom
     * OPTIONAL defaults actually use — everything else COALESCE covers). */
   private[graft] val BoundCondRe = """(!?)bound\(\$(\w+)\)""".r
+  /** The shape a folded nested call takes when it lands in a bind
+    * argument position — rejected (nesting is unsupported) rather than
+    * silently treated as a literal string. */
+  private[query] val NestedCallRe = """!?\w+\(\$\w+\)""".r
   /** `count($c)` / `count(*)` select items; alias = `fn_var` / `fn_all`. */
   private val AggTok =
     """(?i)(count|min|max|sum|avg|group_concat|sample)\((\$\w+|\*)\)""".r
@@ -1080,7 +1097,12 @@ object Sparql {
       val t = s.trim
       require(t.startsWith("{"), s"expected a braced block, got: $t")
       val inner = t.substring(1).trim
-      if (!inner.toLowerCase.startsWith("graph")) None
+      // the GRAPH keyword needs a token boundary — a subject that just
+      // begins with "graph" (graphite, graphql) is a plain triple
+      val isGraphKw = inner.length > 5 &&
+        inner.substring(0, 5).equalsIgnoreCase("graph") &&
+        (inner(5).isWhitespace || inner(5) == '<')
+      if (!isGraphKw) None
       else {
         val afterG = inner.substring(5).trim
         val name = afterG.takeWhile(c => !c.isWhitespace && c != '{')
@@ -1917,13 +1939,16 @@ object Bgp {
       // filter (SPARQL type-error semantics). String comparisons are
       // untouched when neither side looks numeric.
       val numeric = op != "regex" && Seq(l, r).exists(numericLit)
-      // A var-vs-var comparison has no literal to classify at parse
-      // time, so classify per ROW: when both terms parse as numbers the
-      // comparison is numeric, otherwise it falls back to the string
-      // compare — `filter ( $a < $b )` over numeric-string terms must
-      // agree with the `$a < 35` literal path, not sort lexically.
-      val bothVars = op != "regex" && !numeric &&
-        Seq(l, r).forall(_.isInstanceOf[QVar])
+      // A var-vs-var (or accessor) comparison has no literal to
+      // classify at parse time, so classify per ROW: when both terms
+      // parse as numbers the comparison is numeric, otherwise it falls
+      // back to the string compare — `filter ( $a < $b )` and
+      // `filter ( strlen($a) < strlen($b) )` over numeric-string terms
+      // must agree with the `$a < 35` literal path, not sort "10" < "9"
+      // lexically. QFn operands are always string columns (accessors
+      // run on the lexical form), so the double probe is safe there.
+      val bothVars = op != "regex" && op != "sameterm" && !numeric &&
+        Seq(l, r).forall(u => u.isInstanceOf[QVar] || u.isInstanceOf[QFn])
       def side(u: QueryUnit): Column =
         if (numeric) operand(u).try_cast("double") else operand(u)
       def cmp(f: (Column, Column) => Column): Column =

@@ -133,6 +133,11 @@ final class QuadStore private (
           else throw new IllegalArgumentException(
             s"load supports .nt/.ttl/.rdf documents, got: $source")
         val loaded = ts.map(t => Quad(into, t.s, t.p, t.o)).toDF()
+        // SILENT must make the operation always succeed (§3.1.4), but
+        // the per-file parse runs lazily on executors — force one
+        // validating pass NOW so content errors are caught here and
+        // swallowed, not thrown from the next unrelated action
+        if (silent) loaded.count()
         // data-scale input: dedup against the TARGET GRAPH's slice
         // only — the rest of the dataset passes through unshuffled
         val target = into.map(GraphRef.Named).getOrElse(GraphRef.Default)
@@ -183,6 +188,7 @@ object QuadStore {
   def fromGraphs(spark: SparkSession,
       graphs: Seq[(Option[String], Dataset[Triple])]): QuadStore = {
     import spark.implicits._
+    require(graphs.nonEmpty, "fromGraphs needs at least one graph slice")
     val qs = graphs.map { case (g, ts) =>
       ts.map(t => Quad(g, t.s, t.p, t.o))
     }.reduce(_ union _)

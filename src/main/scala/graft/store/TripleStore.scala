@@ -27,11 +27,28 @@ import org.apache.spark.sql.functions._
   */
 final class TripleStore private (
     val spark: SparkSession,
-    val triples: Dataset[Triple]) {
+    triples0: Dataset[Triple]) {
+
+  /** Replaced only by [[persist]] when re-persisting over this store's
+    * own source directory (the checkpointed plan survives the
+    * overwrite); otherwise the construction-time dataset. */
+  @volatile private var _triples: Dataset[Triple] = triples0
+
+  def triples: Dataset[Triple] = _triples
 
   import spark.implicits._
 
   def count(): Long = triples.count()
+
+  /** Derived store after a mutation, carrying the persist location
+    * forward: the reference graph mutates in place so its remembered
+    * location survives mutation (graph.rs:641-656) — our immutable
+    * derivations must copy it for no-arg persist() parity. */
+  private def derive(ds: Dataset[Triple]): TripleStore = {
+    val st = new TripleStore(spark, ds)
+    persistedTo.foreach(st.rememberLocation)
+    st
+  }
 
   /** Insert one triple (reference: insert_triple, graph.rs:414-509).
     * Set semantics: re-inserting an existing triple is a no-op. */
@@ -49,7 +66,7 @@ final class TripleStore private (
     val kept = t.join(broadcast(ins),
       t("s") <=> ins("s") && t("p") <=> ins("p") && t("o") <=> ins("o"),
       "left_anti")
-    new TripleStore(spark, kept.unionByName(ins).as[Triple])
+    derive(kept.unionByName(ins).as[Triple])
   }
 
   /** Remove one triple (reference: remove_triple, graph.rs:510-629).
@@ -70,7 +87,7 @@ final class TripleStore private (
     val kept = t.join(broadcast(del),
       t("s") <=> del("s") && t("p") <=> del("p") && t("o") <=> del("o"),
       "left_anti").as[Triple]
-    new TripleStore(spark, kept)
+    derive(kept)
   }
 
   /** Remove every triple matching a pattern (None = wildcard) — the
@@ -84,7 +101,7 @@ final class TripleStore private (
     s.foreach(t => cond = cond && triples("s") === typedlit(t))
     p.foreach(t => cond = cond && triples("p") === typedlit(t))
     o.foreach(t => cond = cond && triples("o") === typedlit(t))
-    new TripleStore(spark, triples.filter(!cond))
+    derive(triples.filter(!cond))
   }
 
   /** Distributed BGP query: variable columns hold full term structs.
@@ -159,8 +176,7 @@ final class TripleStore private (
             patternCond(t, "o", pat._3))
         val allMatch = conds.forall(c => !t.filter(c).isEmpty)
         if (!allMatch) this
-        else new TripleStore(spark,
-          t.filter(!conds.reduce(_ || _)).as[Triple])
+        else derive(t.filter(!conds.reduce(_ || _)).as[Triple])
       } else {
         // Delete each pattern's MATCHED triples per solution: variable
         // positions bind to the solution's actual term structs (so a
@@ -178,7 +194,7 @@ final class TripleStore private (
           }.reduce(_ && _)
           t.join(sol, cond, "left_anti")
         }
-        new TripleStore(spark, kept.as[Triple])
+        derive(kept.as[Triple])
       }
     case UpdateOp.InsertWhere(tmpl, pats) =>
       val parsed = pats.map(p =>
@@ -188,8 +204,7 @@ final class TripleStore private (
       val tmplParsed = tmpl.map(p =>
         (QueryUnit.parse(p(0)), QueryUnit.parse(p(1)), QueryUnit.parse(p(2))))
       val ins = instantiate(tmplParsed, query(Sparql(vars, parsed)))
-      new TripleStore(spark,
-        triples.toDF().unionByName(ins).distinct().as[Triple])
+      derive(triples.toDF().unionByName(ins).distinct().as[Triple])
   }
 
   /** Template instantiation over a solution set: variables take the
@@ -292,6 +307,14 @@ final class TripleStore private (
     * trees/<predId>.json as triples/p_id=<id>/). Remembers `path` for
     * no-arg [[persist()]] / [[persistLocation]]. */
   def persist(path: String): Unit = {
+    // Re-persisting over the directory this store READS from would
+    // delete its own input mid-scan (Spark cannot overwrite a source
+    // in place). Materialize the plan first — an in-place rewrite is a
+    // full materialization no matter what — and keep the checkpointed
+    // dataset so this store stays readable after the overwrite. A
+    // persist to a NEW path streams without the checkpoint.
+    if (persistedTo.contains(path))
+      _triples = triples.localCheckpoint(true)
     val terms = termDict.cache()
     val preds = predicateDict.cache()
     terms.write.mode("overwrite").parquet(s"$path/terms")

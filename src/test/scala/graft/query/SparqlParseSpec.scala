@@ -972,4 +972,27 @@ class SparqlParseSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](Sparql.parse(
       "select $x $v $t where { $x v $v . bind ( iri ( $v , x ) as $t ) }"))
   }
+
+  test("review r9: accessor comparisons go numeric per row; nested binds fail fast") {
+    import spark.implicits._
+    // strlen 10 vs 9: lexically "10" < "9" is TRUE — the comparison
+    // must classify numerically per row, like the var-vs-var path
+    val triples = Seq(
+      ("a", "p1", "0123456789"), ("a", "p2", "012345678")).toDF("s", "p", "o")
+    val lt = Bgp.compile(triples, Sparql.parse(
+      """select $x $l $r where { $x p1 $l . $x p2 $r .
+        |  filter ( strlen ( $l ) < strlen ( $r ) ) }""".stripMargin))
+    assert(lt.count() == 0) // 10 < 9 is false
+    val gt = Bgp.compile(triples, Sparql.parse(
+      """select $x $l $r where { $x p1 $l . $x p2 $r .
+        |  filter ( strlen ( $l ) > strlen ( $r ) ) }""".stripMargin))
+    assert(gt.count() == 1)
+    // a nested call in a literal bind position errors instead of
+    // silently becoming the literal string "ucase($a)"
+    assertThrows[IllegalArgumentException](Sparql.parse(
+      "select $a $z where { $a v x . bind ( concat ( ucase ( $a ) , b ) as $z ) }"))
+    // replace's pattern/replacement are literal-only, like strbefore
+    assertThrows[IllegalArgumentException](Sparql.parse(
+      "select $a $p $z where { $a v $p . bind ( replace ( $a , $p , x ) as $z ) }"))
+  }
 }

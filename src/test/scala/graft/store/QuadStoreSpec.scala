@@ -83,6 +83,14 @@ class QuadStoreSpec extends SparkSpec {
       store.update("load /no/such/file.nt into graph lg"))
     assert(contents(store.update("load silent /no/such/file.nt into graph lg"))
       == contents(store))
+    // SILENT also swallows CONTENT errors, which parse lazily on
+    // executors — the op must validate eagerly, not throw at the next
+    // action (SPARQL 1.1 §3.1.4; review r9 #4)
+    val bad = java.nio.file.Files.createTempFile("quadstore_bad", ".ttl")
+    java.nio.file.Files.write(bad, java.util.Arrays.asList(
+      "this is not turtle @@@"))
+    val silentBad = store.update(s"load silent <${bad.toUri}> into graph lg")
+    assert(contents(silentBad) == contents(store)) // forces the scan: no throw
   }
 
   test("graph(g) slices a TripleStore view; same-graph add/copy/move no-op") {

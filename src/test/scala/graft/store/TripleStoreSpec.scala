@@ -76,6 +76,14 @@ class TripleStoreSpec extends SparkSpec {
     val back = TripleStore.fromBackup(spark, dir)
     // restored graphs remember where they came from (graph.rs head.json)
     assert(back.persistLocation.contains(dir))
+    // mutations derive new stores — the location survives them, like
+    // the reference's in-place mutable graph (review r9 #5)
+    val mutated = back
+      .update("insert data { <http://x/s2> <http://x/p> <http://x/o> }")
+      .removeTriple(Triple(RdfTerm.named("http://x/s2"),
+        RdfTerm.named("http://x/p"), RdfTerm.named("http://x/o")))
+    assert(mutated.persistLocation.contains(dir))
+    mutated.persist() // no-arg persist after mutation re-persists in place
   }
 
   test("fromBackup validates the layout before reading (graph.rs:167-184)") {
@@ -149,6 +157,10 @@ class TripleStoreSpec extends SparkSpec {
     val st = TripleStore.fromTriples(spark, Seq(
       t("alice", "knows", "bob"), t("bob", "knows", "carol"),
       t("alice", "in", "g1"), t("bob", "in", "g1")))
+    // a subject that merely BEGINS with "graph" is a plain triple, not
+    // the GRAPH quad form (review r9 #2)
+    val gr = st.update("insert data { graphite mined_in g1 }")
+    assert(gr.count() == st.count() + 1)
     // insert data: duplicate is a set-semantics no-op
     val ins = st.update("insert data { dave knows alice . alice knows bob }")
     assert(ins.count() == 5)
