@@ -31,7 +31,9 @@ final class QuadStore private (
       * SPARQL distinguishes an EMPTY graph (CLEARed — still listed)
       * from an ABSENT one (DROPped — CREATE succeeds again), which a
       * quad table alone cannot represent. */
-    val graphNames: Set[String]) {
+    val graphNames: Set[String],
+    /** Updates since the last lineage cut — see [[update]]. */
+    updateDepth: Int = 0) {
 
   import spark.implicits._
 
@@ -47,8 +49,24 @@ final class QuadStore private (
   /** SPARQL 1.1 Update over the dataset. Graph-management error
     * semantics follow §3.2: non-SILENT CREATE of an existing graph,
     * or CLEAR/DROP/ADD/COPY/MOVE of an absent one, fail; SILENT
-    * versions no-op instead. */
-  def update(u: String): QuadStore = Sparql.parseUpdate(u) match {
+    * versions no-op instead.
+    *
+    * Chained updates (migration scripts run dozens of verbs) would
+    * grow the lazy plan linearly and its analysis cost quadratically —
+    * the same hazard the closure loops bound with localCheckpoint
+    * (ScaleSpec). Every [[QuadStore.CheckpointEvery]]-th derived store
+    * cuts lineage with a LAZY localCheckpoint: nothing is forced
+    * during the chain, and the cut is semantically invisible. */
+  def update(u: String): QuadStore = {
+    val next = update0(u)
+    if (next eq this) this
+    else if (updateDepth + 1 >= QuadStore.CheckpointEvery)
+      new QuadStore(spark, next.quads.localCheckpoint(false),
+        next.graphNames, 0)
+    else new QuadStore(spark, next.quads, next.graphNames, updateDepth + 1)
+  }
+
+  private def update0(u: String): QuadStore = Sparql.parseUpdate(u) match {
     case UpdateOp.InsertData(ts, g) =>
       // driver-side list: broadcast anti-join + append, never a global
       // distinct (same shape as TripleStore.insertTriples — inserting
@@ -184,6 +202,9 @@ final class QuadStore private (
 }
 
 object QuadStore {
+  /** Chained-update count between lazy lineage cuts (see [[QuadStore.update]]). */
+  private val CheckpointEvery = 8
+
   /** Dataset from explicit slices: `None` keys the default graph. */
   def fromGraphs(spark: SparkSession,
       graphs: Seq[(Option[String], Dataset[Triple])]): QuadStore = {

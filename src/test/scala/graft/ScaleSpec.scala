@@ -356,4 +356,24 @@ class ScaleSpec extends SparkSpec {
     assert(ep.contains("LeftSemi") && ep.contains("LeftAnti"),
       s"EXISTS/NOT EXISTS should plan LeftSemi/LeftAnti joins:\n$ep")
   }
+
+  test("chained dataset updates cut lineage periodically (bounded plan depth)") {
+    // a migration script running dozens of update verbs must not grow
+    // the lazy plan without bound — every CheckpointEvery-th update
+    // cuts lineage (lazy localCheckpoint), so plan size is O(verbs
+    // since last cut), not O(all verbs ever). 24 inserts would stack
+    // 24 anti-join+union layers without the cut.
+    import spark.implicits._
+    import graft.rdf.{RdfTerm, Triple}
+    val base = store.QuadStore.fromGraphs(spark, Seq(
+      Option.empty[String] -> Seq(Triple(RdfTerm.named("s0"),
+        RdfTerm.named("p"), RdfTerm.named("o0"))).toDS()))
+    val chained = (1 to 24).foldLeft(base)((st, i) =>
+      st.update(s"insert data { s$i p o$i }"))
+    assert(chained.count() == 25)
+    val nNodes = chained.quads.queryExecution.optimizedPlan
+      .collect { case _ => 1 }.sum
+    assert(nNodes < 60,
+      s"chained-update plan grew to $nNodes nodes — lost the lineage cut?")
+  }
 }
