@@ -320,6 +320,9 @@ object OpRegistry {
     op("text_redact", CurationOps.textRedact, CurationOps.textRedactSql),
     op("doc_stream_quality", CurationOps.docStreamQuality, CurationOps.docStreamQualitySql),
     op("doc_shard_pack", CurationOps.docShardPack, CurationOps.docShardPackSql),
+    op("doc_pack_manifest",
+      CurationOps.docPackManifest, CurationOps.docPackManifestSql),
+    op("doc_interleave", CurationOps.docInterleave, CurationOps.docInterleaveSql),
     op("doc_pipeline_e2e", CurationOps.docPipelineE2e, CurationOps.docPipelineE2eSql),
     op("sim_topk_brute", SimilarityOps.simTopkBrute, SimilarityOps.simTopkBruteSql),
     op("sim_ann_lsh", SimilarityOps.simAnnLsh, SimilarityOps.simAnnLshSql),

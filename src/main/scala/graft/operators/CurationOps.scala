@@ -151,6 +151,100 @@ object CurationOps {
       |    AS BIGINT) AS shard
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** GPT-style packing MANIFEST (concatenate-then-chunk): per source,
+    * documents concatenate in doc_id order into fixed 128-token
+    * training sequences, and a document whose tokens straddle a
+    * sequence boundary contributes one manifest row PER sequence it
+    * touches, with its intra-document token span [doc_from, doc_to).
+    * This is the row set a trainer materializes sequences from —
+    * [[docShardPack]] only assigns whole documents by start offset.
+    * All window + explode over integer offsets: distributed per
+    * source, integer-exact cross-engine, no driver loop. */
+  def docPackManifest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val L = 128L
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents(s, d)
+      .withColumn("n_tokens", size(toks($"text")).cast("long"))
+      .withColumn("start_off", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .withColumn("end_off", $"start_off" + $"n_tokens")
+      .withColumn("seq_id",
+        explode(sequence(expr(s"start_off div $L"), expr(s"(end_off - 1) div $L"))))
+      .withColumn("doc_from", greatest($"start_off", $"seq_id" * L) - $"start_off")
+      .withColumn("doc_to", least($"end_off", ($"seq_id" + 1) * L) - $"start_off")
+      .select($"source", $"doc_id", $"seq_id", $"doc_from", $"doc_to")
+      .orderBy($"source", $"doc_id", $"seq_id")
+  }
+  val docPackManifestSql: String =
+    """WITH base AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+      |    CAST(COALESCE(sum(len(string_split(text,' ')))
+      |      OVER (PARTITION BY source ORDER BY doc_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS start_off
+      |  FROM documents),
+      |spans AS (
+      |  SELECT source, doc_id, n_tokens, start_off,
+      |    start_off + n_tokens AS end_off,
+      |    unnest(generate_series(start_off // 128,
+      |                           (start_off + n_tokens - 1) // 128)) AS seq_id
+      |  FROM base)
+      |SELECT source, doc_id, seq_id,
+      |  greatest(start_off, seq_id * 128) - start_off AS doc_from,
+      |  least(end_off, (seq_id + 1) * 128) - start_off AS doc_to
+      |FROM spans ORDER BY source, doc_id, seq_id""".stripMargin
+
+  /** Weighted deterministic source INTERLEAVING (training-mix order):
+    * even-numbered sources get weight 3, odd weight 1, and documents
+    * merge in rate-proportional order — priority = rank-within-source
+    * × (LCM/weight), all integer so the order is exact cross-engine
+    * (a float rn/weight priority would work but puts IEEE rounding in
+    * the sort key). The global position is one final row_number; at
+    * 100 TB the per-source ranking shuffles once on source and the
+    * merge order is a sort, not a driver loop. */
+  def docInterleave(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val srcNo = regexp_extract($"source", "(\\d+)$", 1).cast("long")
+    val weight = when(srcNo % 2 === 0, 3L).otherwise(1L)
+    val rn = row_number().over(
+      Window.partitionBy($"source").orderBy($"doc_id")).cast("long")
+    val base = documents(s, d)
+      .withColumn("weight", weight)
+      .withColumn("rn", rn)
+      .withColumn("priority", $"rn" * expr("3 div weight"))
+      .select($"source", $"doc_id", $"weight", $"priority")
+    // dense global positions the Dict way ([[graft.store.Dict]]):
+    // range-sorted + zipWithIndex, a two-pass distributed op — NEVER a
+    // partitionless row_number() window, which funnels every row
+    // through one partition
+    val sorted = base.orderBy($"priority", $"source", $"doc_id")
+    val schema = StructType(sorted.schema.fields :+
+      StructField("position", LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      Row.fromSeq(row.toSeq :+ (i + 1L))
+    }
+    s.createDataFrame(rdd, schema)
+      .select($"position", $"source", $"doc_id", $"weight")
+      .orderBy($"position")
+  }
+  val docInterleaveSql: String =
+    """WITH base AS (
+      |  SELECT source, doc_id,
+      |    CASE WHEN CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT) % 2 = 0
+      |         THEN 3 ELSE 1 END AS weight,
+      |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      |  FROM documents)
+      |SELECT CAST(row_number() OVER (ORDER BY rn * (3 // weight), source, doc_id)
+      |            AS BIGINT) AS position,
+      |  source, doc_id, CAST(weight AS BIGINT) AS weight
+      |FROM base ORDER BY position""".stripMargin
+
   /** The quality gate as a STREAMING pass: documents arrive as a file
     * stream (the continuous-ingest shape — each new parquet drop in
     * the corpus directory is a micro-batch), flow through exactly the

@@ -40,12 +40,25 @@ final class TripleStore private (
 
   def count(): Long = triples.count()
 
+  /** Updates since the last lineage cut — see [[derive]]. */
+  @volatile private var mutationDepth: Int = 0
+
   /** Derived store after a mutation, carrying the persist location
     * forward: the reference graph mutates in place so its remembered
     * location survives mutation (graph.rs:641-656) — our immutable
-    * derivations must copy it for no-arg persist() parity. */
+    * derivations must copy it for no-arg persist() parity.
+    *
+    * The reference's documented usage is `insert_triple` in a LOOP
+    * (graph.rs:414-509 call sites); each mutation here stacks an
+    * anti-join/union plan layer, so long chains would grow analysis
+    * cost quadratically. Every [[TripleStore.CheckpointEvery]]-th
+    * derivation cuts lineage with a lazy localCheckpoint — nothing is
+    * forced during the chain. */
   private def derive(ds: Dataset[Triple]): TripleStore = {
-    val st = new TripleStore(spark, ds)
+    val cut = mutationDepth + 1 >= TripleStore.CheckpointEvery
+    val st = new TripleStore(spark,
+      if (cut) ds.localCheckpoint(false) else ds)
+    st.mutationDepth = if (cut) 0 else mutationDepth + 1
     persistedTo.foreach(st.rememberLocation)
     st
   }
@@ -351,6 +364,9 @@ final class TripleStore private (
 }
 
 object TripleStore {
+  /** Mutations between lazy lineage cuts (see [[TripleStore.derive]]). */
+  private val CheckpointEvery = 8
+
   /** Update-block token → term: bare tokens are IRIs (update blocks
     * are DATA, not patterns — same coercion as the reference's loader);
     * `"x"` literal, `_:x` blank. Shared with [[QuadStore]]. */

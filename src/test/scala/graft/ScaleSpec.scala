@@ -375,5 +375,16 @@ class ScaleSpec extends SparkSpec {
       .collect { case _ => 1 }.sum
     assert(nNodes < 60,
       s"chained-update plan grew to $nNodes nodes — lost the lineage cut?")
+    // same bound for the TripleStore mutation chain — the reference's
+    // documented usage is insert_triple in a loop (graph.rs:414-509)
+    val ts0 = store.TripleStore.fromTriples(spark, Seq(Triple(
+      RdfTerm.named("t0"), RdfTerm.named("p"), RdfTerm.named("o"))))
+    val tsChained = (1 to 24).foldLeft(ts0)((st, i) => st.insertTriple(
+      Triple(RdfTerm.named(s"t$i"), RdfTerm.named("p"), RdfTerm.named("o"))))
+    assert(tsChained.count() == 25)
+    val tn = tsChained.triples.queryExecution.optimizedPlan
+      .collect { case _ => 1 }.sum
+    assert(tn < 60,
+      s"mutation-chain plan grew to $tn nodes — lost the lineage cut?")
   }
 }

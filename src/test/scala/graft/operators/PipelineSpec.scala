@@ -163,4 +163,42 @@ class PipelineSpec extends SparkSpec {
         s"flag=$flag exact=$n approx=$est outside 15% envelope")
     }
   }
+
+  test("pack manifest: spans tile each document exactly and fill sequences contiguously") {
+    import spark.implicits._
+    val m = CurationOps.docPackManifest(spark, sf0001).collect()
+    val toks = graft.Tables.documents(spark, sf0001)
+      .select($"source", $"doc_id",
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split($"text", " ")).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // per document: spans are disjoint, ordered, and sum to n_tokens
+    m.groupBy(r => (r.getString(0), r.getLong(1))).foreach { case (k, rows) =>
+      val spans = rows.sortBy(_.getLong(2)).map(r => (r.getLong(3), r.getLong(4)))
+      assert(spans.head._1 == 0L, s"$k first span must start at 0")
+      assert(spans.last._2 == toks(k), s"$k last span must end at n_tokens")
+      spans.sliding(2).foreach {
+        case Array((_, to), (from, _)) => assert(to == from, s"$k spans must tile")
+        case _ => ()
+      }
+    }
+    // per (source, seq): token mass never exceeds the 128 budget
+    m.groupBy(r => (r.getString(0), r.getLong(2))).foreach { case (k, rows) =>
+      val mass = rows.map(r => r.getLong(4) - r.getLong(3)).sum
+      assert(mass <= 128, s"sequence $k holds $mass tokens > 128")
+    }
+  }
+
+  test("interleave: dense positions, weighted sources lead proportionally") {
+    import spark.implicits._
+    val rows = CurationOps.docInterleave(spark, sf0001).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length).toSeq)
+    // in the first half of the mix, weight-3 sources must contribute
+    // roughly 3x the docs of weight-1 sources (exact ratio depends on
+    // source sizes; the pin is the ORDER, not a statistic)
+    val half = rows.take(rows.length / 2)
+    val w3 = half.count(_.getLong(3) == 3L)
+    val w1 = half.count(_.getLong(3) == 1L)
+    assert(w3 > w1 * 2, s"weight-3 sources should dominate the early mix: w3=$w3 w1=$w1")
+  }
 }
