@@ -340,6 +340,7 @@ object OpRegistry {
     op("mm_frame_sample", MultimodalOps.mmFrameSample, MultimodalOps.mmFrameSampleSql),
     op("mm_feature", MultimodalOps.mmFeature, MultimodalOps.mmFeatureSql),
     op("mm_resize", MultimodalOps.mmResize, MultimodalOps.mmResizeSql),
+    op("mm_dedup_exact", MultimodalOps.mmDedupExact, MultimodalOps.mmDedupExactSql),
     op("doc_jsonl_roundtrip", graft.sources.DocSourceOps.jsonlRoundtrip,
       graft.sources.DocSourceOps.fingerprintSql),
     op("doc_csv_roundtrip", graft.sources.DocSourceOps.csvRoundtrip,
@@ -357,6 +358,7 @@ object OpRegistry {
     op("ev_session_window", EventOps.evSessionWindow, EventOps.evSessionWindowSql),
     op("ev_stream_session_window", EventOps.evStreamSessionWindow, EventOps.evSessionWindowSql),
     op("ev_stream_to_parquet", EventOps.evStreamToParquet, EventOps.evStreamToParquetSql),
+    op("ev_funnel", EventOps.evFunnel, EventOps.evFunnelSql),
     op("rdf_xml_source", RdfXmlOps.xmlSource, RdfXmlOps.xmlOracleSql),
     op("rdf_xml_roundtrip", RdfXmlOps.xmlRoundtrip, RdfXmlOps.xmlOracleSql),
     op("rdf_nt_roundtrip", RdfXmlOps.ntRoundtrip, RdfOps.apFullSql),
@@ -369,6 +371,7 @@ object OpRegistry {
     op("graphx_cc", GraphOps.graphxCc, GraphOps.graphxCcSql),
     op("graphx_pagerank", GraphOps.graphxPagerank, GraphOps.graphxPagerankSql),
     op("graphx_triangles", GraphOps.graphxTriangles, GraphOps.graphxTrianglesSql),
+    op("graphx_sssp", GraphOps.graphxSssp, GraphOps.graphxSsspSql),
   )
 
   val ops: Seq[Op] = relational ++ rdfParity ++ pipeline

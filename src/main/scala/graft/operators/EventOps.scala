@@ -340,4 +340,48 @@ object EventOps {
       .select($"w.start".as("w_start"), $"event_type", $"n", $"sum_value")
       .orderBy($"w_start", $"event_type")
   }
+
+  /** Ordered conversion funnel signup → view → purchase: a user counts
+    * for a stage only if its FIRST qualifying event follows the
+    * previous stage's. Three chained per-user aggregations — each
+    * stage filters its event slice, joins the prior stage's timestamp
+    * on user_id, and takes one min. Every join/agg shuffles on
+    * user_id, so AQE co-partitions the whole chain; no window over the
+    * global event stream, no per-user collect. */
+  def evFunnel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, d).select($"user_id", $"event_type", $"ts")
+    val s1 = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("t_s1"))
+    val s2 = ev.filter($"event_type" === "view")
+      .join(s1.select($"user_id", $"t_s1".as("t_v_prev")), "user_id")
+      .filter($"ts" >= $"t_v_prev")
+      .groupBy($"user_id").agg(min($"ts").as("t_s2"))
+    val s3 = ev.filter($"event_type" === "purchase")
+      .join(s2.select($"user_id", $"t_s2".as("t_p_prev")), "user_id")
+      .filter($"ts" >= $"t_p_prev")
+      .groupBy($"user_id").agg(min($"ts").as("t_s3"))
+    val counts = Seq(
+      ("1_signup", s1), ("2_view_after_signup", s2), ("3_purchase_after_view", s3))
+    counts.map { case (n, df) =>
+      df.agg(count(lit(1)).as("users")).select(lit(n).as("stage"), $"users")
+    }.reduce(_ unionByName _).orderBy($"stage")
+  }
+  val evFunnelSql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      |  JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'view' AND e.ts >= s1.t1 GROUP BY e.user_id),
+      |s3 AS (
+      |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      |  JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY e.user_id)
+      |SELECT stage, users FROM (
+      |  SELECT '1_signup' AS stage, count(*) AS users FROM s1
+      |  UNION ALL SELECT '2_view_after_signup', count(*) FROM s2
+      |  UNION ALL SELECT '3_purchase_after_view', count(*) FROM s3)
+      |ORDER BY stage""".stripMargin
 }

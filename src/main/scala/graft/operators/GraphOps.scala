@@ -176,4 +176,45 @@ object GraphOps {
       |      UNION ALL SELECT z FROM tri)
       |SELECT vec_id, count(*) AS n_tri FROM v
       |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  /** Landmark shortest paths (GraphX ShortestPaths): directed hop
+    * distance from every vertex to the 5 region landmarks along
+    * customer→nation→region edges. Pregel under the hood — each
+    * iteration is one message pass along the coalesced edge RDD, the
+    * distance map carries only landmark entries (5), and the landmark
+    * id set is catalog-scale driver metadata. Exact integer hops, so
+    * the DuckDB oracle is a recursive-CTE BFS, hash-checked. */
+  def graphxSssp(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (dict, g) = buildGraph(s, d)
+    // the landmark set: region names = in_region objects (5 rows —
+    // catalog-scale, like the probe-centroid collect in MlOps)
+    val regions = RdfOps.tripleView(s, d).filter($"p" === "in_region")
+      .select($"o").distinct()
+    val lms = dict.join(regions, dict("term") === regions("o"))
+      .select($"id").as[Long].collect().toSeq
+    val sp = org.apache.spark.graphx.lib.ShortestPaths.run(g, lms)
+    val rows = sp.vertices.flatMap { case (vid, m) =>
+      m.iterator.map { case (lm, dist) => (vid, lm, dist.toLong) }
+    }
+    val df = s.createDataFrame(rows).toDF("id", "lm_id", "dist")
+    df.join(dict, df("id") === dict("id")).select($"term", $"lm_id", $"dist")
+      .join(dict.toDF("lm_term", "lm_id2"), $"lm_id" === $"lm_id2")
+      .select($"term", $"lm_term".as("landmark"), $"dist")
+      .orderBy($"term", $"landmark")
+  }
+  val graphxSsspSql: String = {
+    val recursiveView = RdfOps.tripleViewSql.replaceFirst("WITH t AS", "WITH RECURSIVE t AS")
+    s"""$recursiveView,
+       |lms AS (SELECT DISTINCT o AS lm FROM t WHERE p = 'in_region'),
+       |reach(term, lm, dist) AS (
+       |  SELECT lm, lm, 0 FROM lms
+       |  UNION
+       |  SELECT t.s, r.lm, r.dist + 1
+       |  FROM reach r JOIN t ON t.o = r.term
+       |  WHERE r.dist < 8)
+       |SELECT term, lm AS landmark, CAST(min(dist) AS BIGINT) AS dist
+       |FROM reach GROUP BY term, lm
+       |ORDER BY term, landmark""".stripMargin
+  }
 }

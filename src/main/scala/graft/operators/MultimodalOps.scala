@@ -163,4 +163,26 @@ object MultimodalOps {
       |  md5(array_to_string(
       |    [substr(text, CAST(1 + i*stride AS BIGINT), 1) for i in range(64)], '')) AS thumb_md5
       |FROM t ORDER BY doc_id""".stripMargin
+
+  /** Exact content-hash dedup of binary payloads — the first pass of
+    * any media pipeline (identical bytes = identical asset, no decode
+    * needed). Group by sha256 of the payload, keep the smallest doc_id
+    * per hash: one shuffle on a fixed-width digest regardless of
+    * payload size, the shape that holds when payloads are megapixel
+    * images instead of kilobyte stubs. */
+  def mmDedupExact(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+      .withColumn("content_sha", sha2($"payload", 256))
+      .groupBy($"content_sha")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select($"keep_id", $"content_sha", $"n_copies")
+      .orderBy($"keep_id")
+  }
+  val mmDedupExactSql: String =
+    """SELECT min(doc_id) AS keep_id, sha256(text) AS content_sha,
+      |  count(*) AS n_copies
+      |FROM documents GROUP BY sha256(text)
+      |ORDER BY keep_id""".stripMargin
 }
