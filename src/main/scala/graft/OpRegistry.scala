@@ -262,6 +262,7 @@ object OpRegistry {
     op("rdf_bgp_group_topk", RdfOps.bgpGroupTopk, RdfOps.bgpGroupTopkSql),
     op("rdf_bgp_subquery", RdfOps.bgpSubquery, RdfOps.bgpSubquerySql),
     op("rdf_bgp_values", RdfOps.bgpValues, RdfOps.bgpValuesSql),
+    op("rdf_bgp_values_multi", RdfOps.bgpValuesMulti, RdfOps.bgpValuesMultiSql),
     op("rdf_bgp_minus", RdfOps.bgpMinus, RdfOps.bgpMinusSql),
     op("rdf_bgp_exists", RdfOps.bgpExists, RdfOps.bgpExistsSql),
     op("rdf_bgp_bind", RdfOps.bgpBind, RdfOps.bgpBindSql),

@@ -274,6 +274,29 @@ object RdfOps {
        |WHERE p = 'in_nation' AND o IN ('NATION_2', 'NATION_7')
        |ORDER BY c, n""".stripMargin
 
+  /** Multi-variable VALUES (SPARQL 1.1 §10.2 full form): the
+    * (nation, segment) pair may only take the two enumerated row
+    * combinations — NOT the 2×2 cross product a pair of single-var
+    * VALUES would allow. Compiles to a left-semi join against the
+    * broadcast inline table. */
+  def bgpValuesMulti(s: SparkSession, d: String): DataFrame = {
+    val q = Sparql.parse(
+      """select $c $n $seg where {
+        |  $c in_nation $n . $c in_segment $seg .
+        |  values ( $n $seg ) { ( NATION_2 BUILDING ) ( NATION_7 AUTOMOBILE ) }
+        |}""".stripMargin)
+    val res = Bgp.compile(tripleView(s, d), q)
+    res.orderBy(res("c"), res("n"), res("seg"))
+  }
+  val bgpValuesMultiSql: String =
+    s"""$tripleViewSql
+       |SELECT DISTINCT a.s AS c, a.o AS n, b.o AS seg
+       |FROM t a JOIN t b ON a.s = b.s
+       |WHERE a.p = 'in_nation' AND b.p = 'in_segment'
+       |  AND ((a.o = 'NATION_2' AND b.o = 'BUILDING') OR
+       |       (a.o = 'NATION_7' AND b.o = 'AUTOMOBILE'))
+       |ORDER BY c, n, seg""".stripMargin
+
   /** MINUS (SPARQL 1.1): members of NATION_2 minus the BUILDING-segment
     * customers — an anti-join on the shared variable. Suppliers survive
     * (they have no segment at all, so nothing is compatible). */

@@ -44,6 +44,8 @@ final case class Sparql(
     // VALUES clauses (SPARQL 1.1 inline data, single-variable form):
     // (var, allowed term values) — restricts the variable to the set
     valuesClauses: Seq[(String, Seq[String])] = Nil,
+    // multi-variable VALUES rows (§10.2 full form): (vars, rows)
+    multiValuesClauses: Seq[(Seq[String], Seq[Seq[String]])] = Nil,
     // MINUS groups (SPARQL 1.1): solutions compatible with a group on
     // its shared variables are removed (anti-join); a group sharing no
     // variable removes nothing (SPARQL §8.3.3)
@@ -163,6 +165,26 @@ final case class Sparql(
     require(vars.contains(sv), s"values variable $v not declared in select")
     require(vals.nonEmpty, "values block must list at least one value")
     copy(valuesClauses = valuesClauses :+ ((sv, vals)))
+  }
+
+  /** VALUES clause, multi-variable form (SPARQL 1.1 §10.2): the listed
+    * variables may only take the enumerated row combinations — an
+    * inline table the solution joins against. Rows are fully bound
+    * (UNDEF is out of scope: an unbound cell turns the join into a
+    * per-row disjunction, which OPTIONAL + FILTER expresses). */
+  def valuesTable(vs: Seq[String], rows: Seq[Seq[String]]): Sparql = {
+    val svs = vs.map(stripVar)
+    require(svs.nonEmpty, "values needs at least one variable")
+    require(svs.distinct == svs, s"values variables must be distinct: $vs")
+    svs.foreach(v => require(vars.contains(v),
+      s"values variable $$$v not declared in select"))
+    require(rows.nonEmpty, "values block must list at least one row")
+    rows.foreach { r =>
+      require(r.length == svs.length,
+        s"values row width ${r.length} != ${svs.length} variables: $r")
+      require(r.forall(!_.startsWith("$")), s"values rows must be concrete: $r")
+    }
+    copy(multiValuesClauses = multiValuesClauses :+ ((svs, rows)))
   }
 
   /** MINUS group (SPARQL 1.1): remove solutions compatible with the
@@ -599,6 +621,7 @@ object Sparql {
     val optGroups = Vector.newBuilder[Seq[String]]
     val filterExprs = Vector.newBuilder[Seq[Seq[(String, String, String)]]]
     val valuesItems = Vector.newBuilder[(String, Seq[String])]
+    val multiValuesItems = Vector.newBuilder[(Seq[String], Seq[Seq[String]])]
     val minusBodies = Vector.newBuilder[Seq[String]]
     val existsBodies = Vector.newBuilder[(Boolean, Seq[String])]
     val bindItems = Vector.newBuilder[(String, String, String)]
@@ -652,15 +675,40 @@ object Sparql {
         minusBodies += tokens.slice(i + 2, close)
         i = close + 1
       } else if (tokens(i).equalsIgnoreCase("values")) {
-        require(i + 2 < tokens.length && tokens(i + 1).startsWith("$") &&
-          tokens(i + 2) == "{", "values must be `values $var { v1 v2 … }`")
-        val close = tokens.indexOf("}", i + 3)
-        require(close > 0, "unclosed values block")
-        val vals = tokens.slice(i + 3, close)
-        require(vals.nonEmpty && vals.forall(!_.startsWith("$")),
-          "values block must list concrete terms")
-        valuesItems += ((tokens(i + 1), vals))
-        i = close + 1
+        if (i + 1 < tokens.length && tokens(i + 1) == "(") {
+          // multi-variable form: values ( $a $b ) { ( x y ) ( z w ) }
+          val vclose = tokens.indexOf(")", i + 2)
+          require(vclose > i + 2, "values ( … ) needs at least one variable")
+          val vs = tokens.slice(i + 2, vclose)
+          require(vs.forall(_.startsWith("$")),
+            s"values ( … ) lists $$variables, got: ${vs.mkString(" ")}")
+          require(vclose + 1 < tokens.length && tokens(vclose + 1) == "{",
+            "values ( $vars ) must be followed by { ( row ) … }")
+          val close = tokens.indexOf("}", vclose + 2)
+          require(close > 0, "unclosed values block")
+          val rows = Vector.newBuilder[Seq[String]]
+          var k = vclose + 2
+          while (k < close) {
+            require(tokens(k) == "(",
+              s"values rows must be parenthesized, got: ${tokens(k)}")
+            val rclose = tokens.indexOf(")", k + 1)
+            require(rclose > k && rclose < close, "unclosed values row")
+            rows += tokens.slice(k + 1, rclose)
+            k = rclose + 1
+          }
+          multiValuesItems += ((vs, rows.result()))
+          i = close + 1
+        } else {
+          require(i + 2 < tokens.length && tokens(i + 1).startsWith("$") &&
+            tokens(i + 2) == "{", "values must be `values $var { v1 v2 … }`")
+          val close = tokens.indexOf("}", i + 3)
+          require(close > 0, "unclosed values block")
+          val vals = tokens.slice(i + 3, close)
+          require(vals.nonEmpty && vals.forall(!_.startsWith("$")),
+            "values block must list concrete terms")
+          valuesItems += ((tokens(i + 1), vals))
+          i = close + 1
+        }
       } else if (tokens(i).equalsIgnoreCase("bind")) {
         // `bind ( $a as $b )` or `bind ( fn ( arg [, arg…] ) as $b )`
         // — fn args are $variables or literals; `if`'s condition is a
@@ -865,7 +913,10 @@ object Sparql {
     val withValues = valuesItems.result().foldLeft(withExists) {
       case (q, (v, vals)) => q.values(v, vals)
     }
-    val withBinds = bindItems.result().foldLeft(withValues) {
+    val withMultiValues = multiValuesItems.result().foldLeft(withValues) {
+      case (q, (vs, rows)) => q.valuesTable(vs, rows)
+    }
+    val withBinds = bindItems.result().foldLeft(withMultiValues) {
       case (q, (fn, in, out)) => q.bind(fn, in, out)
     }
     val withFilters = filterExprs.result().foldLeft(withBinds) {
@@ -1810,9 +1861,25 @@ object Bgp {
       require(acc.columns.contains(v), s"values variable $$$v is bound by no pattern")
       acc.filter(acc(v).isin(vals: _*))
     }
+    // multi-variable VALUES (§10.2): the row set is an inline table the
+    // solution SEMI-joins against on all listed variables — the
+    // driver-side table broadcasts (the one case the no-broadcast-hint
+    // rule exempts: literal query text, never data-derived), so the
+    // solution side never shuffles for it
+    val multiValued = q.multiValuesClauses.foldLeft(valued) { case (acc, (vs, rows)) =>
+      vs.foreach(v => require(acc.columns.contains(v),
+        s"values variable $$$v is bound by no pattern"))
+      val spark = acc.sparkSession
+      val schema = org.apache.spark.sql.types.StructType(vs.map(v =>
+        org.apache.spark.sql.types.StructField(v, org.apache.spark.sql.types.StringType)))
+      import scala.jdk.CollectionConverters._
+      val tbl = spark.createDataFrame(
+        rows.map(r => org.apache.spark.sql.Row.fromSeq(r)).asJava, schema)
+      acc.join(broadcast(tbl), vs, "left_semi")
+    }
     // MINUS: anti-join on the shared variables; a group sharing no
     // variable removes nothing (SPARQL §8.3.3 compatibility semantics)
-    val minused = q.minusGroups.foldLeft(valued) { (acc, group) =>
+    val minused = q.minusGroups.foldLeft(multiValued) { (acc, group) =>
       val m = joinAll(group.map(patternDf))
       val shared = acc.columns.intersect(m.columns).toSeq
       if (shared.isEmpty) acc else acc.join(m, shared, "left_anti")

@@ -995,4 +995,28 @@ class SparqlParseSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](Sparql.parse(
       "select $a $p $z where { $a v $p . bind ( replace ( $a , $p , x ) as $z ) }"))
   }
+
+  test("multi-variable VALUES keeps row combinations, not the cross product (§10.2)") {
+    import spark.implicits._
+    val triples = Seq(
+      ("a", "color", "red"), ("a", "size", "big"),
+      ("b", "color", "red"), ("b", "size", "small"),
+      ("c", "color", "blue"), ("c", "size", "big")).toDF("s", "p", "o")
+    val q = Sparql.parse(
+      """select $x $col $sz where {
+        |  $x color $col . $x size $sz .
+        |  values ( $col $sz ) { ( red big ) ( blue big ) }
+        |}""".stripMargin)
+    val rows = Bgp.compile(triples, q).orderBy("x").collect().toSeq
+    // (red, small) is excluded even though red and small each appear in
+    // some row — the pair filter is the point of the multi-var form
+    assert(rows.map(_.getString(0)) == Seq("a", "c"))
+    // fail-fasts: width mismatch, variable rows, undeclared variable
+    assertThrows[IllegalArgumentException](Sparql.parse(
+      "select $x $c where { $x color $c . values ( $c ) { ( red big ) } }"))
+    assertThrows[IllegalArgumentException](Sparql.parse(
+      "select $x $c where { $x color $c . values ( $c ) { ( $x ) } }"))
+    assertThrows[IllegalArgumentException](Sparql.parse(
+      "select $x $c where { $x color $c . values ( $q ) { ( red ) } }"))
+  }
 }
