@@ -175,6 +175,7 @@ object OpRegistry {
     // this entry stays registered so the operator remains benched and
     // rows-checked.
     opNoOracle("q_approx_distinct", RelationalOps.qApproxDistinct),
+    op("q_range_join", RelationalOps.qRangeJoin, RelationalOps.qRangeJoinSql),
     op("q_asof_join", RelationalOps.qAsofJoin,
       """WITH ord AS (
         |  SELECT o_custkey AS key, o_orderdate AS t, max(o_orderkey) AS okey

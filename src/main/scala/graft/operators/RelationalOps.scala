@@ -334,6 +334,44 @@ object RelationalOps {
       .orderBy($"event_id")
   }
 
+  /** Bucketed RANGE join: count, per probe order, the lineitem
+    * shipment windows [l_shipdate, l_shipdate + linenumber×5 days]
+    * containing its date. The naive shape is a theta-join (every probe
+    * × every interval, then BETWEEN) — quadratic. Here each interval
+    * EXPLODES into its ≤6 covering week buckets and the join is an
+    * EQUI-join on the bucket, with the exact BETWEEN re-applied after;
+    * a (probe, interval) pair meets in exactly one bucket (the probe's
+    * own week), so no dedup is needed. Work scales with
+    * |intervals|×(width/bucket) + matches, not |probes|×|intervals| —
+    * the oracle runs the naive BETWEEN join and must agree exactly. */
+  def qRangeJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val probes = orders(s, d)
+      .filter($"o_orderkey" % 997 === 0)
+      .select($"o_orderkey", $"o_orderdate",
+        date_trunc("week", $"o_orderdate").as("wk"))
+    val intervals = lineitem(s, d)
+      .select($"l_orderkey", $"l_linenumber", $"l_shipdate",
+        expr("date_add(l_shipdate, l_linenumber * 5)").as("l_until"))
+      .withColumn("wk", explode(expr(
+        "sequence(date_trunc('week', l_shipdate), date_trunc('week', l_until), interval 7 days)")))
+    probes.join(intervals, "wk")
+      .filter($"o_orderdate".between($"l_shipdate", $"l_until"))
+      .groupBy($"o_orderkey", $"o_orderdate")
+      .agg(count(lit(1)).as("n_windows"))
+      .select($"o_orderkey", $"o_orderdate".cast("string").as("o_date"), $"n_windows")
+      .orderBy($"o_orderkey")
+  }
+  val qRangeJoinSql: String =
+    """SELECT o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_date,
+      |  count(*) AS n_windows
+      |FROM orders o JOIN lineitem l
+      |  ON o.o_orderdate BETWEEN l.l_shipdate
+      |     AND l.l_shipdate + INTERVAL (l.l_linenumber * 5) DAY
+      |WHERE o.o_orderkey % 997 = 0
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Skew-safe aggregation: pre-aggregate on (key, salt) to spread a
     * hot key over 8 reducers, then merge partials. Decimal-exact, so
     * the result is identical to the plain GROUP BY the oracle runs —

@@ -357,6 +357,18 @@ class ScaleSpec extends SparkSpec {
       s"EXISTS/NOT EXISTS should plan LeftSemi/LeftAnti joins:\n$ep")
   }
 
+  test("range join buckets to an equi-join, never a nested-loop theta-join") {
+    // the BETWEEN predicate alone would plan BroadcastNestedLoopJoin
+    // (every probe × every interval); the week-bucket explode turns it
+    // into an equi-join on wk with the BETWEEN as a post-filter
+    val p = operators.RelationalOps.qRangeJoin(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join must not plan a nested loop:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"range join should be an equi-join on the bucket:\n$p")
+  }
+
   test("chained dataset updates cut lineage periodically (bounded plan depth)") {
     // a migration script running dozens of update verbs must not grow
     // the lazy plan without bound — every CheckpointEvery-th update
