@@ -308,6 +308,7 @@ object OpRegistry {
     op("text_repetition", TextOps.textRepetition, TextOps.textRepetitionSql),
     op("text_pii", TextOps.textPii, TextOps.textPiiSql),
     op("text_simhash_by_source", TextOps.textSimhashBySource, TextOps.textSimhashBySourceSql),
+    op("text_dup_ratio", TextOps.textDupRatio, TextOps.textDupRatioSql),
     op("dedup_exact", DedupOps.dedupExact, DedupOps.dedupExactSql),
     op("dedup_norm", DedupOps.dedupNorm, DedupOps.dedupNormSql),
     op("dedup_ngram_jaccard", DedupOps.dedupNgramJaccard, DedupOps.dedupNgramJaccardSql),

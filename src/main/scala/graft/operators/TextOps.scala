@@ -289,4 +289,38 @@ object TextOps {
       |  max(nd.n_docs) AS n_docs
       |FROM chunks c JOIN nd ON nd.source = c.source
       |GROUP BY c.source ORDER BY c.source""".stripMargin
+
+  /** Per-document duplicated-content ratio (the RefinedWeb/C4-style
+    * cleaning signal): the fraction of a document's distinct 3-gram
+    * shingles that also occur in ANY other document. The inverted
+    * index (shingle → doc count) is one shuffle on the shingle, the
+    * join back is on the same key, and the per-doc rollup shuffles on
+    * doc_id — no pairwise doc×doc comparison anywhere, so the cost is
+    * corpus-linear where a pair-based formulation is quadratic. */
+  def textDupRatio(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    val sh = documents(s, d)
+      .select($"doc_id", explode(expr("word_shingles(split(text, ' '))")).as("g"))
+    val gDocs = sh.groupBy($"g").agg(count(lit(1)).as("n_docs"))
+    sh.join(gDocs, "g")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when($"n_docs" > 1, 1L).otherwise(0L)).as("n_shared"))
+      .select($"doc_id", $"n_shingles", $"n_shared",
+        ($"n_shared".cast("double") / $"n_shingles").as("dup_ratio"))
+      .orderBy($"doc_id")
+  }
+  val textDupRatioSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |         [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)])) AS g
+      |       FROM tok),
+      |gd AS (SELECT g, count(*) AS n_docs FROM sh GROUP BY g)
+      |SELECT sh.doc_id, count(*) AS n_shingles,
+      |  sum(CASE WHEN gd.n_docs > 1 THEN 1 ELSE 0 END) AS n_shared,
+      |  CAST(sum(CASE WHEN gd.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*) AS dup_ratio
+      |FROM sh JOIN gd ON gd.g = sh.g
+      |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin
 }
