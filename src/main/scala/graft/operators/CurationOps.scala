@@ -167,6 +167,10 @@ object CurationOps {
     val w = Window.partitionBy($"source").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     documents(s, d)
+      // a NULL text would make size() = -1: the running offsets of every
+      // later doc in the source shift and sequence() steps DOWNWARD,
+      // fabricating rows the oracle's empty generate_series never emits
+      .filter($"text".isNotNull)
       .withColumn("n_tokens", size(toks($"text")).cast("long"))
       .withColumn("start_off", coalesce(sum($"n_tokens").over(w), lit(0L)))
       .withColumn("end_off", $"start_off" + $"n_tokens")
@@ -185,7 +189,7 @@ object CurationOps {
       |      OVER (PARTITION BY source ORDER BY doc_id
       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
       |      AS BIGINT) AS start_off
-      |  FROM documents),
+      |  FROM documents WHERE text IS NOT NULL),
       |spans AS (
       |  SELECT source, doc_id, n_tokens, start_off,
       |    start_off + n_tokens AS end_off,
@@ -208,8 +212,6 @@ object CurationOps {
   def docInterleave(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val srcNo = regexp_extract($"source", "(\\d+)$", 1).cast("long")
     val weight = when(srcNo % 2 === 0, 3L).otherwise(1L)
     val rn = row_number().over(
@@ -219,17 +221,11 @@ object CurationOps {
       .withColumn("rn", rn)
       .withColumn("priority", $"rn" * expr("3 div weight"))
       .select($"source", $"doc_id", $"weight", $"priority")
-    // dense global positions the Dict way ([[graft.store.Dict]]):
-    // range-sorted + zipWithIndex, a two-pass distributed op — NEVER a
-    // partitionless row_number() window, which funnels every row
-    // through one partition
-    val sorted = base.orderBy($"priority", $"source", $"doc_id")
-    val schema = StructType(sorted.schema.fields :+
-      StructField("position", LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex().map { case (row, i) =>
-      Row.fromSeq(row.toSeq :+ (i + 1L))
-    }
-    s.createDataFrame(rdd, schema)
+    // dense global positions via Dict.denseIndex (range-sort +
+    // zipWithIndex, two-pass distributed) — NEVER a partitionless
+    // row_number() window, which funnels every row through one partition
+    graft.store.Dict
+      .denseIndex(base, Seq("priority", "source", "doc_id"), "position", 1L)
       .select($"position", $"source", $"doc_id", $"weight")
       .orderBy($"position")
   }

@@ -346,15 +346,21 @@ object RelationalOps {
     * the oracle runs the naive BETWEEN join and must agree exactly. */
   def qRangeJoin(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // INTEGER week buckets (days-since-a-Monday div 7), not
+    // date_trunc('week') timestamps: a timestamp bucket built by
+    // stepping a fixed 7-day interval drifts an hour off the truncated
+    // values across a DST transition in a non-UTC session, silently
+    // dropping matches — integer buckets are timezone-free
     val probes = orders(s, d)
       .filter($"o_orderkey" % 997 === 0)
       .select($"o_orderkey", $"o_orderdate",
-        date_trunc("week", $"o_orderdate").as("wk"))
+        expr("datediff(o_orderdate, DATE'1970-01-05') div 7").as("wk"))
     val intervals = lineitem(s, d)
       .select($"l_orderkey", $"l_linenumber", $"l_shipdate",
         expr("date_add(l_shipdate, l_linenumber * 5)").as("l_until"))
       .withColumn("wk", explode(expr(
-        "sequence(date_trunc('week', l_shipdate), date_trunc('week', l_until), interval 7 days)")))
+        """sequence(datediff(l_shipdate, DATE'1970-01-05') div 7,
+          |         datediff(l_until, DATE'1970-01-05') div 7)""".stripMargin)))
     probes.join(intervals, "wk")
       .filter($"o_orderdate".between($"l_shipdate", $"l_until"))
       .groupBy($"o_orderkey", $"o_orderdate")

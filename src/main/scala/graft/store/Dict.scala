@@ -18,16 +18,23 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object Dict {
 
+  /** Append a dense `startAt..startAt+n-1` long index column in the
+    * given sort order: range-sort + zipWithIndex (count per partition,
+    * then offset) — the distributed dense-numbering shape, shared by
+    * dictionary encoding and any op needing global positions. */
+  def denseIndex(df: DataFrame, sortCols: Seq[String], idxCol: String,
+      startAt: Long = 0L): DataFrame = {
+    val sorted = df.orderBy(sortCols.map(df(_)): _*)
+    val schema = StructType(sorted.schema.fields :+
+      StructField(idxCol, LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex().map { case (row, idx) =>
+      Row.fromSeq(row.toSeq :+ (startAt + idx))
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** Assign dense ids 0..n-1 to the distinct rows of `df`, ordered by
     * the given sort columns. Output schema: df.schema + (id: long). */
-  def encode(df: DataFrame, sortCols: Seq[String]): DataFrame = {
-    val spark = df.sparkSession
-    val distinct = df.distinct()
-    val sorted = distinct.orderBy(sortCols.map(distinct(_)): _*)
-    val schema = StructType(sorted.schema.fields :+ StructField("id", LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex().map { case (row, idx) =>
-      Row.fromSeq(row.toSeq :+ idx)
-    }
-    spark.createDataFrame(rdd, schema)
-  }
+  def encode(df: DataFrame, sortCols: Seq[String]): DataFrame =
+    denseIndex(df.distinct(), sortCols, "id")
 }

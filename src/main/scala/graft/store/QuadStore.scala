@@ -51,16 +51,21 @@ final class QuadStore private (
     * or CLEAR/DROP/ADD/COPY/MOVE of an absent one, fail; SILENT
     * versions no-op instead.
     *
-    * Chained updates (migration scripts run dozens of verbs) would
-    * grow the lazy plan linearly and its analysis cost quadratically —
-    * the same hazard the closure loops bound with localCheckpoint
-    * (ScaleSpec). Every [[QuadStore.CheckpointEvery]]-th derived store
-    * cuts lineage with a LAZY localCheckpoint: nothing is forced
-    * during the chain, and the cut is semantically invisible. */
+    * Long update chains (migration scripts run dozens of verbs) grow
+    * the lazy plan linearly and its analysis cost quadratically. With
+    * `spark.graft.lineageCutEvery = N` (>0), every Nth derived store
+    * cuts lineage with a lazy localCheckpoint. Default OFF: the cut
+    * materializes the WHOLE store into unreplicated executor storage
+    * at the next action — the right trade for interactive sessions on
+    * small/medium stores, the wrong one for a 100 TB store (full copy,
+    * and executor loss then breaks recomputation, which an uncut plan
+    * recovers from via the source files). Production-scale migrations
+    * should persist() to durable parquet between batches instead. */
   def update(u: String): QuadStore = {
     val next = update0(u)
+    val every = spark.conf.get("spark.graft.lineageCutEvery", "0").toInt
     if (next eq this) this
-    else if (updateDepth + 1 >= QuadStore.CheckpointEvery)
+    else if (every > 0 && updateDepth + 1 >= every)
       new QuadStore(spark, next.quads.localCheckpoint(false),
         next.graphNames, 0)
     else new QuadStore(spark, next.quads, next.graphNames, updateDepth + 1)
@@ -202,9 +207,6 @@ final class QuadStore private (
 }
 
 object QuadStore {
-  /** Chained-update count between lazy lineage cuts (see [[QuadStore.update]]). */
-  private val CheckpointEvery = 8
-
   /** Dataset from explicit slices: `None` keys the default graph. */
   def fromGraphs(spark: SparkSession,
       graphs: Seq[(Option[String], Dataset[Triple])]): QuadStore = {

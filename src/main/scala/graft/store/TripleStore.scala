@@ -27,7 +27,9 @@ import org.apache.spark.sql.functions._
   */
 final class TripleStore private (
     val spark: SparkSession,
-    triples0: Dataset[Triple]) {
+    triples0: Dataset[Triple],
+    /** Mutations since the last lineage cut — see [[derive]]. */
+    mutationDepth: Int = 0) {
 
   /** Replaced only by [[persist]] when re-persisting over this store's
     * own source directory (the checkpointed plan survives the
@@ -40,9 +42,6 @@ final class TripleStore private (
 
   def count(): Long = triples.count()
 
-  /** Updates since the last lineage cut — see [[derive]]. */
-  @volatile private var mutationDepth: Int = 0
-
   /** Derived store after a mutation, carrying the persist location
     * forward: the reference graph mutates in place so its remembered
     * location survives mutation (graph.rs:641-656) — our immutable
@@ -50,15 +49,18 @@ final class TripleStore private (
     *
     * The reference's documented usage is `insert_triple` in a LOOP
     * (graph.rs:414-509 call sites); each mutation here stacks an
-    * anti-join/union plan layer, so long chains would grow analysis
-    * cost quadratically. Every [[TripleStore.CheckpointEvery]]-th
-    * derivation cuts lineage with a lazy localCheckpoint — nothing is
-    * forced during the chain. */
+    * anti-join/union plan layer, so long chains grow analysis cost
+    * quadratically. With `spark.graft.lineageCutEvery = N` (>0), every
+    * Nth derivation cuts lineage with a lazy localCheckpoint — default
+    * OFF for the same durability/materialization trade documented on
+    * [[QuadStore.update]]: production-scale loops should persist() to
+    * durable parquet periodically instead. */
   private def derive(ds: Dataset[Triple]): TripleStore = {
-    val cut = mutationDepth + 1 >= TripleStore.CheckpointEvery
+    val every = spark.conf.get("spark.graft.lineageCutEvery", "0").toInt
+    val cut = every > 0 && mutationDepth + 1 >= every
     val st = new TripleStore(spark,
-      if (cut) ds.localCheckpoint(false) else ds)
-    st.mutationDepth = if (cut) 0 else mutationDepth + 1
+      if (cut) ds.localCheckpoint(false) else ds,
+      if (cut) 0 else mutationDepth + 1)
     persistedTo.foreach(st.rememberLocation)
     st
   }
@@ -364,9 +366,6 @@ final class TripleStore private (
 }
 
 object TripleStore {
-  /** Mutations between lazy lineage cuts (see [[TripleStore.derive]]). */
-  private val CheckpointEvery = 8
-
   /** Update-block token → term: bare tokens are IRIs (update blocks
     * are DATA, not patterns — same coercion as the reference's loader);
     * `"x"` literal, `_:x` blank. Shared with [[QuadStore]]. */

@@ -369,34 +369,38 @@ class ScaleSpec extends SparkSpec {
       s"range join should be an equi-join on the bucket:\n$p")
   }
 
-  test("chained dataset updates cut lineage periodically (bounded plan depth)") {
-    // a migration script running dozens of update verbs must not grow
-    // the lazy plan without bound — every CheckpointEvery-th update
-    // cuts lineage (lazy localCheckpoint), so plan size is O(verbs
-    // since last cut), not O(all verbs ever). 24 inserts would stack
-    // 24 anti-join+union layers without the cut.
+  test("chained dataset updates cut lineage when lineageCutEvery is set") {
+    // with spark.graft.lineageCutEvery = 8, every 8th update cuts
+    // lineage (lazy localCheckpoint), so plan size is O(verbs since
+    // last cut), not O(all verbs ever) — 24 inserts would stack 24
+    // anti-join+union layers otherwise. Default is OFF (the cut
+    // materializes the whole store into unreplicated executor storage
+    // — wrong for a 100 TB store; see QuadStore.update's scaladoc).
     import spark.implicits._
     import graft.rdf.{RdfTerm, Triple}
-    val base = store.QuadStore.fromGraphs(spark, Seq(
-      Option.empty[String] -> Seq(Triple(RdfTerm.named("s0"),
-        RdfTerm.named("p"), RdfTerm.named("o0"))).toDS()))
-    val chained = (1 to 24).foldLeft(base)((st, i) =>
-      st.update(s"insert data { s$i p o$i }"))
-    assert(chained.count() == 25)
-    val nNodes = chained.quads.queryExecution.optimizedPlan
-      .collect { case _ => 1 }.sum
-    assert(nNodes < 60,
-      s"chained-update plan grew to $nNodes nodes — lost the lineage cut?")
-    // same bound for the TripleStore mutation chain — the reference's
-    // documented usage is insert_triple in a loop (graph.rs:414-509)
-    val ts0 = store.TripleStore.fromTriples(spark, Seq(Triple(
-      RdfTerm.named("t0"), RdfTerm.named("p"), RdfTerm.named("o"))))
-    val tsChained = (1 to 24).foldLeft(ts0)((st, i) => st.insertTriple(
-      Triple(RdfTerm.named(s"t$i"), RdfTerm.named("p"), RdfTerm.named("o"))))
-    assert(tsChained.count() == 25)
-    val tn = tsChained.triples.queryExecution.optimizedPlan
-      .collect { case _ => 1 }.sum
-    assert(tn < 60,
-      s"mutation-chain plan grew to $tn nodes — lost the lineage cut?")
+    spark.conf.set("spark.graft.lineageCutEvery", "8")
+    try {
+      val base = store.QuadStore.fromGraphs(spark, Seq(
+        Option.empty[String] -> Seq(Triple(RdfTerm.named("s0"),
+          RdfTerm.named("p"), RdfTerm.named("o0"))).toDS()))
+      val chained = (1 to 24).foldLeft(base)((st, i) =>
+        st.update(s"insert data { s$i p o$i }"))
+      assert(chained.count() == 25)
+      val nNodes = chained.quads.queryExecution.optimizedPlan
+        .collect { case _ => 1 }.sum
+      assert(nNodes < 60,
+        s"chained-update plan grew to $nNodes nodes — lost the lineage cut?")
+      // same bound for the TripleStore mutation chain — the reference's
+      // documented usage is insert_triple in a loop (graph.rs:414-509)
+      val ts0 = store.TripleStore.fromTriples(spark, Seq(Triple(
+        RdfTerm.named("t0"), RdfTerm.named("p"), RdfTerm.named("o"))))
+      val tsChained = (1 to 24).foldLeft(ts0)((st, i) => st.insertTriple(
+        Triple(RdfTerm.named(s"t$i"), RdfTerm.named("p"), RdfTerm.named("o"))))
+      assert(tsChained.count() == 25)
+      val tn = tsChained.triples.queryExecution.optimizedPlan
+        .collect { case _ => 1 }.sum
+      assert(tn < 60,
+        s"mutation-chain plan grew to $tn nodes — lost the lineage cut?")
+    } finally spark.conf.set("spark.graft.lineageCutEvery", "0")
   }
 }
