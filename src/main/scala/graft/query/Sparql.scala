@@ -477,7 +477,8 @@ object Sparql {
       // term constructors (§17.4.2.5-7): produce full 4-field term
       // structs, which the accessor/filter machinery consumes like
       // pattern-bound terms
-      "strdt", "strlang", "iri", "bnode")
+      "strdt", "strlang", "iri", "bnode",
+      "encode_for_uri")
   /** Infix arithmetic operators `bind ( $a + $b as $z )` compiles
     * through the internal `arith` bind fn (SPARQL §17.4 operator
     * mapping, numeric promotion to double). */
@@ -1804,6 +1805,15 @@ object Bgp {
             case "floor" => floor(v).cast("double")
           }
           r.cast("string")
+        // ENCODE_FOR_URI (§17.4.3.4): percent-encode everything except
+        // RFC 3986 unreserved [A-Za-z0-9_.~-]. Spark's url_encode is
+        // form-encoding, so fix up its three divergences (space→'+'
+        // must be %20, '*' must encode, '~' must NOT) instead of
+        // dropping to a UDF.
+        case "encode_for_uri" =>
+          val enc = url_encode(col(args.head))
+          regexp_replace(regexp_replace(
+            regexp_replace(enc, "\\+", "%20"), "\\*", "%2A"), "%7E", "~")
         // hash built-ins (§17.4.6): lowercase hex over the lexical
         // form — all codegen'd Catalyst expressions, no UDF
         case "md5"    => md5(col(args.head))

@@ -987,6 +987,13 @@ class SparqlParseSpec extends SparkSpec {
       """select $x $l $r where { $x p1 $l . $x p2 $r .
         |  filter ( strlen ( $l ) > strlen ( $r ) ) }""".stripMargin))
     assert(gt.count() == 1)
+    // ENCODE_FOR_URI (§17.4.3.4): unreserved chars pass, the rest
+    // percent-encode — including '+' (%2B not '+') and space (%20)
+    val eTriples = Seq(("a", "v", "A-b_c.d~e f+g/h")).toDF("s", "p", "o")
+    val enc = Bgp.compile(eTriples, Sparql.parse(
+      "select $x $v $e where { $x v $v . bind ( encode_for_uri ( $v ) as $e ) }"))
+      .collect().head.getString(2)
+    assert(enc == "A-b_c.d~e%20f%2Bg%2Fh", s"got $enc")
     // a nested call in a literal bind position errors instead of
     // silently becoming the literal string "ucase($a)"
     assertThrows[IllegalArgumentException](Sparql.parse(
