@@ -326,6 +326,7 @@ object OpRegistry {
     op("doc_pack_manifest",
       CurationOps.docPackManifest, CurationOps.docPackManifestSql),
     op("doc_interleave", CurationOps.docInterleave, CurationOps.docInterleaveSql),
+    op("doc_train_feed_e2e", CurationOps.docTrainFeed, CurationOps.docTrainFeedSql),
     op("doc_pipeline_e2e", CurationOps.docPipelineE2e, CurationOps.docPipelineE2eSql),
     op("sim_topk_brute", SimilarityOps.simTopkBrute, SimilarityOps.simTopkBruteSql),
     op("sim_ann_lsh", SimilarityOps.simAnnLsh, SimilarityOps.simAnnLshSql),

@@ -241,6 +241,90 @@ object CurationOps {
       |  source, doc_id, CAST(weight AS BIGINT) AS weight
       |FROM base ORDER BY position""".stripMargin
 
+  /** The composed TRAINING-FEED pipeline — quality gate → exact dedup
+    * → per-source GPT packing → weighted sequence interleave — as ONE
+    * query: the order a trainer would actually read sequences in.
+    * Every stage is the proven distributed shape of its standalone op:
+    * the gate is map-side, dedup shuffles once on text, packing
+    * windows per source, and the global mix positions come from
+    * [[graft.store.Dict.denseIndex]] (range-sort + zipWithIndex) —
+    * sequences are packed within sources in parallel and the MIX
+    * interleaves (source, seq) units, which is how real feeds shard:
+    * pack per domain, weight the read order. */
+  def docTrainFeed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(s, d).filter($"text".isNotNull)
+    // 1. quality gate (same predicate as doc_quality_filter)
+    val gated = docs.join(
+      qualityGate(docs).select($"doc_id", $"n_tokens"), "doc_id")
+      .select($"doc_id", $"source", $"text", $"n_tokens")
+    // 2. exact dedup: keep the smallest doc_id per identical text
+    val deduped = gated
+      .withColumn("keep", min($"doc_id").over(Window.partitionBy($"text")) === $"doc_id")
+      .filter($"keep").drop("keep", "text")
+    // 3. per-source concatenate-then-chunk packing (128-token seqs)
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val spans = deduped
+      .withColumn("start_off", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .withColumn("end_off", $"start_off" + $"n_tokens")
+      .withColumn("seq_id",
+        explode(sequence(expr("start_off div 128"), expr("(end_off - 1) div 128"))))
+      .withColumn("span",
+        least($"end_off", ($"seq_id" + 1) * 128L) -
+          greatest($"start_off", $"seq_id" * 128L))
+    val seqs = spans.groupBy($"source", $"seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"span").as("n_tokens"))
+    // 4. weighted interleave of the packed sequences
+    val srcNo = regexp_extract($"source", "(\\d+)$", 1).cast("long")
+    val base = seqs
+      .withColumn("weight", when(srcNo % 2 === 0, 3L).otherwise(1L))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"source").orderBy($"seq_id")).cast("long"))
+      .withColumn("priority", $"rn" * expr("3 div weight"))
+      .select($"source", $"seq_id", $"n_docs", $"n_tokens", $"weight", $"priority")
+    graft.store.Dict
+      .denseIndex(base, Seq("priority", "source", "seq_id"), "position", 1L)
+      .select($"position", $"source", $"seq_id", $"n_docs", $"n_tokens", $"weight")
+      .orderBy($"position")
+  }
+  val docTrainFeedSql: String =
+    s"""WITH gated AS (
+       |  SELECT doc_id, source, text,
+       |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND $qualityGateWhereSql),
+       |dedup AS (
+       |  SELECT source, doc_id, n_tokens FROM gated
+       |  WHERE doc_id IN (SELECT min(doc_id) FROM gated GROUP BY text)),
+       |offs AS (
+       |  SELECT source, doc_id, n_tokens,
+       |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS start_off
+       |  FROM dedup),
+       |spans AS (
+       |  SELECT source, start_off, start_off + n_tokens AS end_off,
+       |    unnest(generate_series(start_off // 128,
+       |                           (start_off + n_tokens - 1) // 128)) AS seq_id
+       |  FROM offs),
+       |seqs AS (
+       |  SELECT source, seq_id, count(*) AS n_docs,
+       |    CAST(sum(least(end_off, (seq_id+1)*128)
+       |           - greatest(start_off, seq_id*128)) AS BIGINT) AS n_tokens
+       |  FROM spans GROUP BY source, seq_id),
+       |wts AS (
+       |  SELECT source, seq_id, n_docs, n_tokens,
+       |    CASE WHEN CAST(regexp_extract(source, '(\\d+)$$', 1) AS BIGINT) % 2 = 0
+       |         THEN 3 ELSE 1 END AS weight,
+       |    row_number() OVER (PARTITION BY source ORDER BY seq_id) AS rn
+       |  FROM seqs)
+       |SELECT CAST(row_number() OVER (ORDER BY rn * (3 // weight), source, seq_id)
+       |            AS BIGINT) AS position,
+       |  source, seq_id, n_docs, n_tokens, CAST(weight AS BIGINT) AS weight
+       |FROM wts ORDER BY position""".stripMargin
+
   /** The quality gate as a STREAMING pass: documents arrive as a file
     * stream (the continuous-ingest shape — each new parquet drop in
     * the corpus directory is a micro-batch), flow through exactly the
