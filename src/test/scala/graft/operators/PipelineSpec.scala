@@ -189,6 +189,31 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("train feed: dense positions, sequences within budget, gate respected") {
+    import spark.implicits._
+    val rows = CurationOps.docTrainFeed(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // positions are dense 1..N
+    assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length).toSeq)
+    // no sequence packs more than its 128-token budget
+    rows.foreach { r =>
+      assert(r.getLong(4) <= 128,
+        s"sequence ${r.getString(1)}/${r.getLong(2)} holds ${r.getLong(4)} tokens")
+    }
+    // total packed token mass equals the gated+deduped corpus mass
+    val expected = graft.Tables.documents(spark, sf0001)
+      .filter($"text".isNotNull)
+      .select($"doc_id", $"text",
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split($"text", " ")).cast("long").as("n"))
+      .collect()
+    val gatedDocs = CurationOps.docQualityFilter(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    val byText = expected.filter(r => gatedDocs.contains(r.getLong(0)))
+      .groupBy(_.getString(1)).map { case (_, g) => g.minBy(_.getLong(0)) }
+    assert(rows.map(_.getLong(4)).sum == byText.map(_.getLong(2)).sum)
+  }
+
   test("interleave: dense positions, weighted sources lead proportionally") {
     import spark.implicits._
     val rows = CurationOps.docInterleave(spark, sf0001).collect()
