@@ -258,6 +258,8 @@ object OpRegistry {
     op("rdf_bgp_order_limit", RdfOps.bgpOrderLimit, RdfOps.bgpOrderLimitSql),
     op("rdf_bgp_group_count", RdfOps.bgpGroupCount, RdfOps.bgpGroupCountSql),
     op("rdf_bgp_group_having", RdfOps.bgpGroupHaving, RdfOps.bgpGroupHavingSql),
+    op("rdf_bgp_group_having_band",
+      RdfOps.bgpGroupHavingBand, RdfOps.bgpGroupHavingBandSql),
     op("rdf_bgp_group_mixed", RdfOps.bgpGroupMixed, RdfOps.bgpGroupMixedSql),
     op("rdf_bgp_group_concat", RdfOps.bgpGroupConcat, RdfOps.bgpGroupConcatSql),
     op("rdf_bgp_group_topk", RdfOps.bgpGroupTopk, RdfOps.bgpGroupTopkSql),

@@ -599,6 +599,23 @@ object RdfOps {
        |GROUP BY o HAVING count(DISTINCT s) >= 65
        |ORDER BY n""".stripMargin
 
+  /** HAVING with &&-conjunction (round 9): both aggregate bounds
+    * apply — nations with a member count INSIDE a band, which a
+    * single-condition HAVING cannot express. */
+  def bgpGroupHavingBand(s: SparkSession, d: String): DataFrame = {
+    val q = Sparql.parse(
+      """select $n count($m) where { $m in_nation $n }
+        |group by $n having ( count($m) >= 60 && count($m) <= 70 )
+        |order by $n""".stripMargin)
+    Bgp.compile(tripleView(s, d), q)
+  }
+  val bgpGroupHavingBandSql: String =
+    s"""$tripleViewSql
+       |SELECT o AS n, count(DISTINCT s) AS count_m
+       |FROM t WHERE p = 'in_nation'
+       |GROUP BY o HAVING count(DISTINCT s) BETWEEN 60 AND 70
+       |ORDER BY n""".stripMargin
+
   /** GROUP BY top-k: ORDER BY an AGGREGATE (`order by count($c) desc`)
     * — the query every analytics user writes first. The secondary
     * `$n asc` key breaks count ties so LIMIT is deterministic. Compiles

@@ -992,12 +992,28 @@ object Sparql {
           require(ks.nonEmpty, "group by needs at least one $variable")
           q = q.groupBy(ks)
         case "having" =>
-          // standalone parens (like the grammar line documents):
-          //   having ( count($c) >= 65 )
-          require(i + 5 < toks.length && toks(i + 1) == "(" && toks(i + 5) == ")",
-            "having must be `having ( fn($v) op value )` with spaced parens")
-          q = q.having(toks(i + 2), toks(i + 3), toks(i + 4))
-          i += 6
+          // standalone parens (like the grammar line documents), with
+          // &&-conjunction: having ( count($c) >= 65 && sum($q) < 900 )
+          require(i + 1 < toks.length && toks(i + 1) == "(",
+            "having must be `having ( fn($v) op value [&& …] )` with spaced parens")
+          val close = toks.indexOf(")", i + 2)
+          require(close > i + 2, "unclosed having")
+          val body = toks.slice(i + 2, close)
+          val groups = {
+            val out = Vector.newBuilder[Seq[String]]
+            var cur = Vector.newBuilder[String]
+            body.foreach { t =>
+              if (t == "&&") { out += cur.result(); cur = Vector.newBuilder }
+              else cur += t
+            }
+            out += cur.result(); out.result()
+          }
+          groups.foreach { c =>
+            require(c.length == 3,
+              s"having term must be `fn($$v) op value`, got: ${c.mkString(" ")}")
+            q = q.having(c(0), c(1), c(2))
+          }
+          i = close + 1
         case other =>
           throw new IllegalArgumentException(
             s"unexpected token after where block: $other")

@@ -1003,6 +1003,21 @@ class SparqlParseSpec extends SparkSpec {
       "select $a $p $z where { $a v $p . bind ( replace ( $a , $p , x ) as $z ) }"))
   }
 
+  test("having conjunction: both aggregate bounds apply") {
+    import spark.implicits._
+    val triples = Seq(
+      ("g1", "has", "a"), ("g1", "has", "b"), ("g1", "has", "c"),
+      ("g2", "has", "d"), ("g2", "has", "e"),
+      ("g3", "has", "f")).toDF("s", "p", "o")
+    val q = Sparql.parse(
+      """select $g count($m) where { $g has $m }
+        |group by $g having ( count($m) >= 2 && count($m) <= 2 )""".stripMargin)
+    val rows = Bgp.compile(triples, q).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("g2")) // exactly 2 members
+    assertThrows[IllegalArgumentException](Sparql.parse(
+      "select $g count($m) where { $g has $m } group by $g having ( count($m) >= )"))
+  }
+
   test("multi-variable VALUES keeps row combinations, not the cross product (§10.2)") {
     import spark.implicits._
     val triples = Seq(
