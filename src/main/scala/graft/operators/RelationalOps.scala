@@ -418,6 +418,34 @@ object RelationalOps {
       .orderBy($"l_returnflag")
   }
 
+  /** UNPIVOT (the inverse of [[qPivot]]): per-returnflag wide measures
+    * melt into (flag, measure, value) rows via `stack` — codegen'd, one
+    * pass, no shuffle beyond the source aggregation. The oracle is the
+    * portable UNION ALL formulation. */
+  def qUnpivot(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wide = lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(sum(dec($"l_quantity")).cast("double").as("qty"),
+        sum(dec($"l_extendedprice")).cast("double").as("price"),
+        count(lit(1)).cast("double").as("rows_n"))
+    wide.select($"l_returnflag", expr(
+        "stack(3, 'qty', qty, 'price', price, 'rows_n', rows_n) AS (measure, value)"))
+      .orderBy($"l_returnflag", $"measure")
+  }
+  val qUnpivotSql: String =
+    """WITH wide AS (
+      |  SELECT l_returnflag,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price,
+      |    CAST(count(*) AS DOUBLE) AS rows_n
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, measure, value FROM (
+      |  SELECT l_returnflag, 'qty' AS measure, qty AS value FROM wide
+      |  UNION ALL SELECT l_returnflag, 'price', price FROM wide
+      |  UNION ALL SELECT l_returnflag, 'rows_n', rows_n FROM wide)
+      |ORDER BY l_returnflag, measure""".stripMargin
+
   /** Ordered string aggregation (deterministic via explicit sort). */
   def qStringAgg(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
