@@ -195,6 +195,7 @@ object OpRegistry {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'O') AS DOUBLE) AS qty_o
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
     op("q_unpivot", RelationalOps.qUnpivot, RelationalOps.qUnpivotSql),
+    op("q_rank_family", RelationalOps.qRankFamily, RelationalOps.qRankFamilySql),
     op("q_string_agg", RelationalOps.qStringAgg,
       """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
         |FROM nation JOIN region ON n_regionkey = r_regionkey

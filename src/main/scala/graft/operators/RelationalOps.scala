@@ -107,6 +107,38 @@ object RelationalOps {
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
+  /** The rank-function family. Two windows: the COARSE order (order
+    * year) has ties, under which rank/dense_rank/percent_rank/
+    * cume_dist are still deterministic (tied rows share a value);
+    * ntile is NOT tie-stable, so it ranks over the tie-free key
+    * instead. percent_rank/cume_dist are IEEE doubles computed from
+    * identical integer inputs — bit-equal cross-engine. */
+  def qRankFamily(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val coarse = Window.partitionBy($"o_custkey").orderBy(year($"o_orderdate"))
+    val exact = Window.partitionBy($"o_custkey").orderBy($"o_orderkey")
+    orders(s, d)
+      .withColumn("rnk", rank().over(coarse).cast("long"))
+      .withColumn("drnk", dense_rank().over(coarse).cast("long"))
+      .withColumn("prank", percent_rank().over(coarse))
+      .withColumn("cdist", cume_dist().over(coarse))
+      .withColumn("quartile", ntile(4).over(exact).cast("long"))
+      .select($"o_custkey", $"o_orderkey", $"rnk", $"drnk",
+        $"prank", $"cdist", $"quartile")
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+  val qRankFamilySql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(rank() OVER cw AS BIGINT) AS rnk,
+      |  CAST(dense_rank() OVER cw AS BIGINT) AS drnk,
+      |  percent_rank() OVER cw AS prank,
+      |  cume_dist() OVER cw AS cdist,
+      |  CAST(ntile(4) OVER ew AS BIGINT) AS quartile
+      |FROM orders
+      |WINDOW cw AS (PARTITION BY o_custkey ORDER BY EXTRACT(YEAR FROM o_orderdate)),
+      |       ew AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   /** Full outer join with null-aware aggregation on both sides. */
   def qFullOuter(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
