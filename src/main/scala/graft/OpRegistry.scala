@@ -196,6 +196,8 @@ object OpRegistry {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
     op("q_unpivot", RelationalOps.qUnpivot, RelationalOps.qUnpivotSql),
     op("q_rank_family", RelationalOps.qRankFamily, RelationalOps.qRankFamilySql),
+    op("sim_vector_stats",
+      SimilarityOps.simVectorStats, SimilarityOps.simVectorStatsSql),
     op("q_string_agg", RelationalOps.qStringAgg,
       """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
         |FROM nation JOIN region ON n_regionkey = r_regionkey

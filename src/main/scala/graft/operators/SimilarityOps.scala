@@ -114,4 +114,33 @@ object SimilarityOps {
       |             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
       |           FROM scored)
       |SELECT qid, rank, nid FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
+  /** Per-vector statistics through Spark's HIGHER-ORDER functions
+    * (`transform`/`filter`/`aggregate`/`array_max`) — all codegen'd
+    * array lambdas, zero UDFs, one map-side pass over the embedding
+    * column. Every float promotes to double BEFORE arithmetic on both
+    * engines so the left-fold sums are IEEE-identical; the 6-decimal
+    * round guards the one op whose order isn't contractual
+    * (list_sum). */
+  def simVectorStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    embeddings(s, d).select($"vec_id",
+        size($"embedding").cast("long").as("n_dims"),
+        round(sqrt(expr(
+          """aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)),
+            |cast(0.0 as double), (acc, v) -> acc + v)""".stripMargin)), 6).as("l2"),
+        round(expr("array_max(transform(embedding, x -> abs(cast(x as double))))"), 6)
+          .as("max_abs"),
+        expr("size(filter(embedding, x -> x > 0))").cast("long").as("n_pos"))
+      .orderBy($"vec_id")
+  }
+  val simVectorStatsSql: String =
+    """SELECT vec_id,
+      |  CAST(len(embedding) AS BIGINT) AS n_dims,
+      |  round(sqrt(list_sum(list_transform(embedding,
+      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2,
+      |  round(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 6)
+      |    AS max_abs,
+      |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos
+      |FROM embeddings ORDER BY vec_id""".stripMargin
 }
