@@ -369,6 +369,7 @@ object OpRegistry {
     op("ev_stream_session_window", EventOps.evStreamSessionWindow, EventOps.evSessionWindowSql),
     op("ev_stream_to_parquet", EventOps.evStreamToParquet, EventOps.evStreamToParquetSql),
     op("ev_funnel", EventOps.evFunnel, EventOps.evFunnelSql),
+    op("ev_retention", EventOps.evRetention, EventOps.evRetentionSql),
     op("rdf_xml_source", RdfXmlOps.xmlSource, RdfXmlOps.xmlOracleSql),
     op("rdf_xml_roundtrip", RdfXmlOps.xmlRoundtrip, RdfXmlOps.xmlOracleSql),
     op("rdf_nt_roundtrip", RdfXmlOps.ntRoundtrip, RdfOps.apFullSql),

@@ -341,6 +341,37 @@ object EventOps {
       .orderBy($"w_start", $"event_type")
   }
 
+  /** Cohort retention matrix: users grouped by their FIRST activity
+    * week (integer weeks since a Monday epoch — tz-free like
+    * q_range_join), counted per later week they return in. Two
+    * shuffles total (first-week per user, then the distinct
+    * user-week rollup); the matrix is |cohorts|×|offsets| —
+    * catalog-sized output from data-sized input. */
+  def evRetention(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, d).select($"user_id",
+      expr("datediff(cast(ts as date), DATE'1970-01-05') div 7").as("wk"))
+    val cohorts = ev.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
+    ev.join(cohorts, "user_id")
+      .select($"user_id", $"cohort_wk", ($"wk" - $"cohort_wk").as("offset_wk"))
+      .distinct()
+      .groupBy($"cohort_wk", $"offset_wk")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"cohort_wk", $"offset_wk")
+  }
+  val evRetentionSql: String =
+    """WITH ev AS (
+      |  SELECT user_id,
+      |    datediff('day', DATE '1970-01-05', CAST(ts AS DATE)) // 7 AS wk
+      |  FROM events),
+      |cohorts AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id),
+      |uw AS (SELECT DISTINCT ev.user_id, c.cohort_wk, ev.wk - c.cohort_wk AS offset_wk
+      |       FROM ev JOIN cohorts c ON c.user_id = ev.user_id)
+      |SELECT CAST(cohort_wk AS BIGINT) AS cohort_wk,
+      |  CAST(offset_wk AS BIGINT) AS offset_wk, count(*) AS n_users
+      |FROM uw GROUP BY cohort_wk, offset_wk
+      |ORDER BY cohort_wk, offset_wk""".stripMargin
+
   /** Ordered conversion funnel signup → view → purchase: a user counts
     * for a stage only if its FIRST qualifying event follows the
     * previous stage's. Three chained per-user aggregations — each
