@@ -196,8 +196,6 @@ object OpRegistry {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
     op("q_unpivot", RelationalOps.qUnpivot, RelationalOps.qUnpivotSql),
     op("q_rank_family", RelationalOps.qRankFamily, RelationalOps.qRankFamilySql),
-    op("sim_vector_stats",
-      SimilarityOps.simVectorStats, SimilarityOps.simVectorStatsSql),
     op("q_string_agg", RelationalOps.qStringAgg,
       """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
         |FROM nation JOIN region ON n_regionkey = r_regionkey
@@ -336,6 +334,8 @@ object OpRegistry {
     op("doc_pipeline_e2e", CurationOps.docPipelineE2e, CurationOps.docPipelineE2eSql),
     op("sim_topk_brute", SimilarityOps.simTopkBrute, SimilarityOps.simTopkBruteSql),
     op("sim_ann_lsh", SimilarityOps.simAnnLsh, SimilarityOps.simAnnLshSql),
+    op("sim_vector_stats",
+      SimilarityOps.simVectorStats, SimilarityOps.simVectorStatsSql),
     // DECISION (round 9, from round-8 verdict #4, superseding the
     // round-8 decision): dedup_minhash_ml is UNREGISTERED — MLlib
     // MinHashLSH model internals can never hash-match an external

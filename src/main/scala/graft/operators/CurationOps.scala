@@ -201,6 +201,19 @@ object CurationOps {
       |  least(end_off, (seq_id + 1) * 128) - start_off AS doc_to
       |FROM spans ORDER BY source, doc_id, seq_id""".stripMargin
 
+  /** Mix weight per source — shared by [[docInterleave]] and
+    * [[docTrainFeed]] (Scala and SQL sides) so the weighting rule
+    * cannot drift between the standalone op and the e2e pipeline:
+    * even-numbered sources weight 3, odd (or non-numeric — try_cast
+    * nulls out on BOTH engines rather than erroring on one) weight 1. */
+  private def sourceWeight: org.apache.spark.sql.Column = {
+    val srcNo = regexp_extract(col("source"), "(\\d+)$", 1).try_cast("long")
+    when(srcNo % 2 === 0, 3L).otherwise(1L)
+  }
+  private val sourceWeightSql: String =
+    """CASE WHEN TRY_CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT) % 2 = 0
+      |         THEN 3 ELSE 1 END""".stripMargin
+
   /** Weighted deterministic source INTERLEAVING (training-mix order):
     * even-numbered sources get weight 3, odd weight 1, and documents
     * merge in rate-proportional order — priority = rank-within-source
@@ -212,12 +225,10 @@ object CurationOps {
   def docInterleave(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val srcNo = regexp_extract($"source", "(\\d+)$", 1).cast("long")
-    val weight = when(srcNo % 2 === 0, 3L).otherwise(1L)
     val rn = row_number().over(
       Window.partitionBy($"source").orderBy($"doc_id")).cast("long")
     val base = documents(s, d)
-      .withColumn("weight", weight)
+      .withColumn("weight", sourceWeight)
       .withColumn("rn", rn)
       .withColumn("priority", $"rn" * expr("3 div weight"))
       .select($"source", $"doc_id", $"weight", $"priority")
@@ -230,10 +241,9 @@ object CurationOps {
       .orderBy($"position")
   }
   val docInterleaveSql: String =
-    """WITH base AS (
+    s"""WITH base AS (
       |  SELECT source, doc_id,
-      |    CASE WHEN CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT) % 2 = 0
-      |         THEN 3 ELSE 1 END AS weight,
+      |    $sourceWeightSql AS weight,
       |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
       |  FROM documents)
       |SELECT CAST(row_number() OVER (ORDER BY rn * (3 // weight), source, doc_id)
@@ -276,10 +286,9 @@ object CurationOps {
           greatest($"start_off", $"seq_id" * 128L))
     val seqs = spans.groupBy($"source", $"seq_id")
       .agg(count(lit(1)).as("n_docs"), sum($"span").as("n_tokens"))
-    // 4. weighted interleave of the packed sequences
-    val srcNo = regexp_extract($"source", "(\\d+)$", 1).cast("long")
+    // 4. weighted interleave of the packed sequences (shared rule)
     val base = seqs
-      .withColumn("weight", when(srcNo % 2 === 0, 3L).otherwise(1L))
+      .withColumn("weight", sourceWeight)
       .withColumn("rn", row_number().over(
         Window.partitionBy($"source").orderBy($"seq_id")).cast("long"))
       .withColumn("priority", $"rn" * expr("3 div weight"))
@@ -316,8 +325,7 @@ object CurationOps {
        |  FROM spans GROUP BY source, seq_id),
        |wts AS (
        |  SELECT source, seq_id, n_docs, n_tokens,
-       |    CASE WHEN CAST(regexp_extract(source, '(\\d+)$$', 1) AS BIGINT) % 2 = 0
-       |         THEN 3 ELSE 1 END AS weight,
+       |    $sourceWeightSql AS weight,
        |    row_number() OVER (PARTITION BY source ORDER BY seq_id) AS rn
        |  FROM seqs)
        |SELECT CAST(row_number() OVER (ORDER BY rn * (3 // weight), source, seq_id)
