@@ -317,6 +317,8 @@ object OpRegistry {
     op("dedup_norm", DedupOps.dedupNorm, DedupOps.dedupNormSql),
     op("dedup_ngram_jaccard", DedupOps.dedupNgramJaccard, DedupOps.dedupNgramJaccardSql),
     op("dedup_clusters", DedupOps.dedupClusters, DedupOps.dedupClustersSql),
+    op("dedup_embedding_clusters",
+      DedupOps.dedupEmbeddingClusters, DedupOps.dedupEmbeddingClustersSql),
     op("dedup_minhash_lsh", DedupOps.dedupMinhashLsh, DedupOps.dedupMinhashLshSql),
     op("dedup_simhash", DedupOps.dedupSimhash, DedupOps.dedupSimhashSql),
     op("dedup_embedding_cosine", DedupOps.dedupEmbeddingCosine, DedupOps.dedupEmbeddingCosineSql),

@@ -362,4 +362,35 @@ object DedupOps {
       |JOIN embeddings eb ON eb.vec_id = c.j
       |WHERE list_cosine_similarity(ea.embedding, eb.embedding) > 0.4
       |ORDER BY i, j""".stripMargin
+
+  /** Keep-one clustering over the EMBEDDING near-dup pair graph —
+    * [[dedupClusters]]' production shape applied to semantic dupes:
+    * banded-LSH pairs → GraphX connected components → min-id
+    * canonical, unpaired vectors their own canonical via one map-side
+    * coalesce. Completes the dedup matrix (text/embedding × pairs/
+    * clusters); same bounded-by-dup-volume Pregel as the text path. */
+  def dedupEmbeddingClusters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = dedupEmbeddingLsh(s, d)
+      .select($"i".as("da"), $"j".as("db")).cache()
+    val ccDf = pairClusterCanonical(s, pairs)
+    embeddings(s, d).select($"vec_id".as("doc_id"))
+      .join(ccDf, Seq("doc_id"), "left_outer")
+      .select($"doc_id".as("vec_id"),
+        coalesce($"canonical", $"doc_id").as("canonical"))
+      .orderBy($"vec_id")
+  }
+  val dedupEmbeddingClustersSql: String =
+    s"""WITH RECURSIVE epairs AS (
+       |${dedupEmbeddingLshSql.linesIterator.filterNot(_.startsWith("ORDER BY"))
+           .map("  " + _).mkString("\n")}
+       |),
+       |eg AS (SELECT i AS a, j AS b FROM epairs
+       |       UNION SELECT j, i FROM epairs),
+       |reach(x, y) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT r.x, eg.b FROM reach r JOIN eg ON r.y = eg.a)
+       |SELECT x AS vec_id, min(y) AS canonical FROM reach GROUP BY x
+       |ORDER BY vec_id""".stripMargin
 }
