@@ -869,10 +869,12 @@ object Sparql {
     var pathSeq = 0
     val pathVars = Vector.newBuilder[String]
     def expandPaths(pats: Seq[Seq[String]]): Seq[Seq[String]] = pats.flatMap { p =>
-      val pred = p(1)
-      if (p.length == 3 && Sparql.sequencePath(pred)) {
-        val steps = pred.split("/").toSeq
-        require(steps.forall(_.nonEmpty), s"bad property path: $pred")
+      // malformed (non-3-token) patterns pass through untouched so
+      // parsePatterns rejects them with the documented arity error —
+      // reading p(1) first would crash with an opaque IndexOutOfBounds
+      if (p.length == 3 && Sparql.sequencePath(p(1))) {
+        val steps = p(1).split("/").toSeq
+        require(steps.forall(_.nonEmpty), s"bad property path: ${p(1)}")
         val mids = steps.init.map { _ =>
           pathSeq += 1; val v = s"__path_$pathSeq"; pathVars += v; s"$$$v"
         }

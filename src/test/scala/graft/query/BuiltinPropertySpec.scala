@@ -59,6 +59,29 @@ class BuiltinPropertySpec extends SparkSpec {
     }
   }
 
+  test("parser fuzz: malformed queries fail fast, never with an opaque error") {
+    // the string front-end's contract is IllegalArgumentException on
+    // bad input (the fail-fast tests pin specific cases; this pins the
+    // CLASS of error on random token soup — an index-out-of-bounds or
+    // match error here would surface as an opaque executor crash)
+    val kw = Seq("select", "where", "{", "}", "(", ")", "filter", "bind",
+      "values", "optional", "minus", "graph", "as", "$x", "$y", "in_nation",
+      "&&", "||", "==", "<", ".", ",", "count($x)", "group", "by", "having",
+      "order", "limit", "str", "concat", "sameterm", "+", "*")
+    val fz = new scala.util.Random(7)
+    var parsed = 0
+    (1 to 300).foreach { _ =>
+      val q = "select $x where { " +
+        Seq.fill(2 + fz.nextInt(12))(kw(fz.nextInt(kw.length))).mkString(" ") + " }"
+      try { Sparql.parse(q); parsed += 1 }
+      catch {
+        case _: IllegalArgumentException => () // the documented contract
+        case e: Throwable => fail(s"parse('$q') threw ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+    info(s"$parsed/300 random queries happened to parse")
+  }
+
   test("encode_for_uri matches the RFC 3986 character-class reference") {
     def ref(s: String): String = s.flatMap { c =>
       if (c.isLetterOrDigit && c < 128 || "-_.~".contains(c)) c.toString
