@@ -82,6 +82,24 @@ class BuiltinPropertySpec extends SparkSpec {
     info(s"$parsed/300 random queries happened to parse")
   }
 
+  test("update parser fuzz: same fail-fast contract") {
+    val kw = Seq("insert", "delete", "data", "where", "{", "}", "graph",
+      "<http://g>", "silent", "load", "into", "clear", "drop", "create",
+      "copy", "move", "add", "all", "named", "default", "to", "s", "p", "o",
+      ".", "\"lit\"", "$x")
+    val fz = new scala.util.Random(11)
+    var parsed = 0
+    (1 to 300).foreach { _ =>
+      val q = Seq.fill(1 + fz.nextInt(10))(kw(fz.nextInt(kw.length))).mkString(" ")
+      try { Sparql.parseUpdate(q); parsed += 1 }
+      catch {
+        case _: IllegalArgumentException => ()
+        case e: Throwable => fail(s"parseUpdate('$q') threw ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+    info(s"$parsed/300 random updates happened to parse")
+  }
+
   test("encode_for_uri matches the RFC 3986 character-class reference") {
     def ref(s: String): String = s.flatMap { c =>
       if (c.isLetterOrDigit && c < 128 || "-_.~".contains(c)) c.toString
