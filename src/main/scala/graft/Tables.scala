@@ -21,18 +21,37 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects; read nanos as long and convert to a
-    * microsecond timestamp (the data carries no sub-µs precision, so
-    * this is lossless and matches DuckDB's TIMESTAMP_NS semantics). */
+  /** Normalize the events `ts` column to a session-tz TimestampType
+    * regardless of the parquet physical type on disk. The testdata
+    * generator has shipped `ts` as INT64 TIMESTAMP(NANOS) in some
+    * rounds and plain timestamp[us] in others, so the loader adapts
+    * to the schema it actually reads instead of assuming one:
+    *  - LongType (nanos surfaced via nanosAsLong): integer-divide to
+    *    µs — `div`, not `/`, because int64 nanos exceed a double's
+    *    53-bit mantissa and float division can shift boundary values
+    *    by 1µs after the truncating cast.
+    *  - TimestampNTZType (timestamp[us] with isAdjustedToUTC=false):
+    *    cast to TimestampType — identity-valued because every graft
+    *    entry point pins spark.sql.session.timeZone=UTC.
+    *  - TimestampType: pass through.
+    * Works on batch and streaming DataFrames alike (schema inspection
+    * only), so the Structured Streaming readers share it too.
+    */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType           => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType   => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                  => df
+    }
+  }
+
   def events(s: SparkSession, d: String): DataFrame = {
+    // harmless when ts is already a timestamp; required to read the
+    // INT64-nanos variant at all (Spark rejects TIMESTAMP(NANOS)).
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // `div` (integer division) — `/` is double division and int64 nanos
-    // exceed a double's 53-bit mantissa, which can shift boundary values
-    // by 1µs after the truncating cast.
-    table(s, d, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    normalizeTs(table(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -66,11 +66,30 @@ object DedupOps {
       .select($"doc_id", explode(expr("word_shingles(split(text, ' '))")).as("g"))
   }
 
+  /** Document-frequency cap for the n-gram Jaccard candidate join. A
+    * shingle present in k documents emits k·(k-1)/2 candidate pairs
+    * from the inverted-index self-join, so one boilerplate 3-gram
+    * (navigation chrome, license headers) that appears corpus-wide
+    * makes the join QUADRATIC in corpus size — the 100 TB killer. A
+    * shingle in more than `NgramDfCap` docs carries no near-dup
+    * signal (it matches everything), so both the candidate join and
+    * the Jaccard arithmetic run over the DF-capped shingle sets; the
+    * DuckDB oracle applies the identical cap, keeping the comparison
+    * value-exact. With the cap, worst-case join output is bounded by
+    * rows·cap — corpus-LINEAR. Pinned by ScaleSpec. */
+  val NgramDfCap = 128L
+
   /** N-gram Jaccard near-dup pairs (threshold 1/2, exact integer
-    * arithmetic: 2·|∩| ≥ |∪| avoids any float boundary). */
+    * arithmetic: 2·|∩| ≥ |∪| avoids any float boundary) over the
+    * DF-capped shingle sets — see [[NgramDfCap]]. */
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sh = shingles(s, d).cache()
+    val shAll = shingles(s, d).cache()
+    val keep = shAll.groupBy($"g").agg(count(lit(1)).as("n_docs"))
+      .filter($"n_docs" <= NgramDfCap).select($"g")
+    // re-select: the equi-join moves the key column to the front, and
+    // the toDF renames below are positional
+    val sh = shAll.join(keep, "g").select($"doc_id", $"g").cache()
     val n = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val a = sh.toDF("da", "g")
     val b = sh.toDF("db", "g")
@@ -84,10 +103,13 @@ object DedupOps {
       .orderBy($"da", $"db")
   }
   val dedupNgramJaccardSql: String =
-    """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
-      |sh AS (SELECT doc_id, unnest(list_distinct(
+    s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |sh0 AS (SELECT doc_id, unnest(list_distinct(
       |         [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)])) AS g
       |       FROM tok),
+      |keep AS (SELECT g FROM (SELECT g, count(*) AS n_docs FROM sh0 GROUP BY g)
+      |         WHERE n_docs <= $NgramDfCap),
+      |sh AS (SELECT sh0.doc_id, sh0.g FROM sh0 JOIN keep ON keep.g = sh0.g),
       |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       |pairs AS (SELECT a.doc_id da, b.doc_id db, count(*) c
       |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id

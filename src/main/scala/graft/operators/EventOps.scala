@@ -163,7 +163,7 @@ object EventOps {
     s.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(graft.Tables.normalizeTs)
   }
 
   /** Stateful streaming operators create one state store per shuffle
@@ -292,7 +292,7 @@ object EventOps {
     val evs = s.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(graft.Tables.normalizeTs)
       .select($"event_id", $"ts", $"user_id")
       .as[Ev]
 
@@ -331,7 +331,7 @@ object EventOps {
     val stream = s.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(graft.Tables.normalizeTs)
       .withWatermark("ts", "1 hour")
       .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
       .agg(count(lit(1)).as("n"),
