@@ -168,13 +168,13 @@ object OpRegistry {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
-    // DECISION (round 9, from round-8 verdict #8): permanently
-    // advisory — an HLL sketch can never hash-match another engine.
-    // Its correctness contract (estimate within the configured rsd
-    // envelope of the exact count) is pinned in PipelineSpec instead;
-    // this entry stays registered so the operator remains benched and
-    // rows-checked.
-    opNoOracle("q_approx_distinct", RelationalOps.qApproxDistinct),
+    // round 12 (verdict #6): the sketch estimate itself stays
+    // engine-specific, but the row is now fully oracled — the op emits
+    // the exact count plus an in-Spark hll_ok flag (estimate within
+    // 3×rsd), so DuckDB value-compares the contract instead of the
+    // sketch. PipelineSpec pins the same envelope.
+    op("q_approx_distinct", RelationalOps.qApproxDistinct,
+      RelationalOps.qApproxDistinctSql),
     op("q_range_join", RelationalOps.qRangeJoin, RelationalOps.qRangeJoinSql),
     op("q_asof_join", RelationalOps.qAsofJoin,
       """WITH ord AS (

@@ -517,12 +517,31 @@ object RelationalOps {
       .orderBy($"r_name", $"n_name")
   }
 
-  /** Approximate distinct (HLL++) — no cross-engine oracle, rows-only. */
+  /** Approximate distinct (HLL++). The sketch estimate is
+    * engine-specific and can never hash-match another engine, so the
+    * oracle checks the CONTRACT instead of the estimate: the output
+    * carries the exact per-group count(distinct) plus a flag that the
+    * HLL estimate landed within 3×rsd of it (rsd = 0.05, so ±15% —
+    * deterministic for a fixed input since HLL hashing is
+    * deterministic). DuckDB emits the same exact count with flag = 1,
+    * making the row value-comparable while the approximate aggregation
+    * still runs — and is verified — on the Spark side. At 100 TB the
+    * HLL path is the one you'd use (fixed-size sketch, one shuffle of
+    * sketches, no distinct expansion); the exact count here is the
+    * verification harness, not the production shape. */
   def qApproxDistinct(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     lineitem(s, d)
       .groupBy($"l_returnflag")
-      .agg(approx_count_distinct($"l_partkey").as("approx_parts"))
+      .agg(approx_count_distinct($"l_partkey", 0.05).as("approx_parts"),
+        countDistinct($"l_partkey").as("exact_parts"))
+      .select($"l_returnflag", $"exact_parts",
+        when(abs($"approx_parts" - $"exact_parts") <=
+          lit(0.15) * $"exact_parts", 1L).otherwise(0L).as("hll_ok"))
       .orderBy($"l_returnflag")
   }
+  val qApproxDistinctSql: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+      |  CAST(1 AS BIGINT) AS hll_ok
+      |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
 }

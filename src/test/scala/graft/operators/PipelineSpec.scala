@@ -143,24 +143,25 @@ class PipelineSpec extends SparkSpec {
     out.unpersist()
   }
 
-  test("q_approx_distinct: HLL estimate within its error bound of the exact count (advisory op)") {
-    // An HLL sketch can never hash-match another engine (round-8
-    // verdict #8) — this bound IS its correctness contract. Spark's
-    // approx_count_distinct default rsd is 5%; assert a 3-sigma-ish
-    // 15% envelope so the test pins behavior without flaking.
+  test("q_approx_distinct: HLL estimate within its error bound of the exact count") {
+    // The op emits (exact_parts, hll_ok) where hll_ok asserts the HLL
+    // estimate landed within a 3-sigma-ish 15% envelope of the exact
+    // count (rsd 5%) — the flag is what the DuckDB oracle compares, so
+    // pin here that it is 1 for every group and that exact_parts is
+    // the true distinct count.
     import spark.implicits._
     import org.apache.spark.sql.functions.countDistinct
-    val approx = RelationalOps.qApproxDistinct(spark, sf0001)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = RelationalOps.qApproxDistinct(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val exact = graft.Tables.lineitem(spark, sf0001)
       .groupBy($"l_returnflag")
       .agg(countDistinct($"l_partkey").as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(approx.keySet == exact.keySet)
+    assert(rows.keySet == exact.keySet)
     exact.foreach { case (flag, n) =>
-      val est = approx(flag)
-      assert(math.abs(est - n) <= math.max(3, (n * 0.15).toLong),
-        s"flag=$flag exact=$n approx=$est outside 15% envelope")
+      val (exactParts, hllOk) = rows(flag)
+      assert(exactParts == n, s"flag=$flag exact_parts=$exactParts != $n")
+      assert(hllOk == 1L, s"flag=$flag HLL estimate outside 15% envelope")
     }
   }
 
