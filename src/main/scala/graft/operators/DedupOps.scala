@@ -85,11 +85,20 @@ object DedupOps {
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val shAll = shingles(s, d).cache()
-    val keep = shAll.groupBy($"g").agg(count(lit(1)).as("n_docs"))
-      .filter($"n_docs" <= NgramDfCap).select($"g")
-    // re-select: the equi-join moves the key column to the front, and
-    // the toDF renames below are positional
-    val sh = shAll.join(keep, "g").select($"doc_id", $"g").cache()
+    // apply the cap as an ANTI-join against the DROPPED shingles: the
+    // over-cap set is the small side by construction (at most
+    // total_shingle_rows / cap distinct values, a handful of
+    // boilerplate grams in practice), so AQE broadcasts it at any
+    // corpus size — where an inner join against the KEPT set would
+    // shuffle the entire distinct-shingle dictionary. Unhinted, per
+    // the ScaleSpec rule: data-derived sets never carry broadcast
+    // hints.
+    val drop = shAll.groupBy($"g").agg(count(lit(1)).as("n_docs"))
+      .filter($"n_docs" > NgramDfCap).select($"g")
+    // explicit condition (not USING): a using-join hoists the key
+    // column to the front even for anti-joins, and the toDF renames
+    // below are positional
+    val sh = shAll.join(drop, shAll("g") === drop("g"), "left_anti").cache()
     val n = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val a = sh.toDF("da", "g")
     val b = sh.toDF("db", "g")
