@@ -369,6 +369,32 @@ class ScaleSpec extends SparkSpec {
       s"range join should be an equi-join on the bucket:\n$p")
   }
 
+  test("as-of join is union + one keyed window — never a time-range theta-join") {
+    // each event matches the latest order at-or-before it; the naive
+    // t_order <= t_event theta-join is quadratic (every event × every
+    // order of that key). The composed shape — tag, union, one window
+    // per key with last-non-null propagation — must contain NO join
+    // node and exactly two hash shuffles: the orders (custkey, date)
+    // tie-break dedup (partial-aggregated) and the window's
+    // partitionBy on key; the final orderBy is a separate range
+    // exchange for the oracle sort
+    val p = plan(operators.RelationalOps.qAsofJoin(spark, sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Join"), s"as-of must compose via union+window, not a join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    assert(p.contains("partial_max"), p) // the dedup combines map-side
+  }
+
+  test("event window agg partial-aggregates around its single shuffle") {
+    // the restored ev_* family's core shape: tumbling-window groupBy
+    // must combine map-side (partial_count/partial_sum below the
+    // exchange) — at 100 TB the shuffle moves one row per
+    // (window, type) per partition, not one per event
+    val p = plan(operators.EventOps.evWindowAgg(spark, sf0001))
+    assert(p.contains("partial_count"), p.linesIterator.take(12).mkString("\n"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   test("ngram-jaccard DF cap drops boilerplate shingles before the candidate join") {
     // a shingle in k docs emits k·(k-1)/2 candidate rows from the
     // inverted-index self-join — without the DF cap, one corpus-wide
