@@ -81,7 +81,16 @@ object DedupOps {
 
   /** N-gram Jaccard near-dup pairs (threshold 1/2, exact integer
     * arithmetic: 2·|∩| ≥ |∪| avoids any float boundary) over the
-    * DF-capped shingle sets — see [[NgramDfCap]]. */
+    * DF-capped shingle sets — see [[NgramDfCap]].
+    *
+    * Shape note: the tempting one-shuffle alternative — groupBy(g)
+    * with collect_list(doc_id), filter size ≤ cap, explode pairs —
+    * builds the FULL doc list in the aggregation buffer before the
+    * size filter can drop it, so one corpus-wide boilerplate shingle
+    * materializes a DF-sized array in a single reducer: the classic
+    * skew OOM. The count-aggregate + broadcast anti-join + self-join
+    * here costs one more shuffle but every aggregation buffer is
+    * constant-size, which is the property that survives 100 TB. */
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val shAll = shingles(s, d).cache()
