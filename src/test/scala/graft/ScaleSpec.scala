@@ -381,8 +381,11 @@ class ScaleSpec extends SparkSpec {
     val p = plan(operators.RelationalOps.qAsofJoin(spark, sf0001))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("Join"), s"as-of must compose via union+window, not a join:\n$p")
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
-    assert(p.contains("partial_max"), p) // the dedup combines map-side
+    // upper bound, not exact count: reused-exchange rendering or AQE
+    // plan-text changes must not fail the pin — the regression guarded
+    // here is an EXTRA shuffle (or a join), not exchange cosmetics
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+    assert(p.contains("partial_"), p) // the dedup combines map-side
   }
 
   test("event window agg partial-aggregates around its single shuffle") {
@@ -392,7 +395,7 @@ class ScaleSpec extends SparkSpec {
     // (window, type) per partition, not one per event
     val p = plan(operators.EventOps.evWindowAgg(spark, sf0001))
     assert(p.contains("partial_count"), p.linesIterator.take(12).mkString("\n"))
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p)
   }
 
   test("ngram-jaccard DF cap drops boilerplate shingles before the candidate join") {
@@ -411,6 +414,21 @@ class ScaleSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     assert(operators.DedupOps.dedupNgramJaccard(spark, dir).count() == 0,
       s"shingles with DF > ${operators.DedupOps.NgramDfCap} must not generate candidates")
+  }
+
+  test("simhash band cap bounds candidates on a degenerate corpus") {
+    // the jaccard cap's sibling: identical docs share every (band,
+    // chunk) value, so one bucket holds the whole corpus and the band
+    // self-join emits ~k²/2 candidates without the cap. With it, every
+    // bucket is over-cap and the join emits nothing.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("simcap").toString
+    val nDocs = (operators.DedupOps.SimhashBandCap + 12).toInt
+    (0 until nDocs).map(i => (i.toLong, "boiler plate text common to all"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(operators.DedupOps.dedupSimhash(spark, dir).count() == 0,
+      s"(band, chunk) buckets over ${operators.DedupOps.SimhashBandCap} docs must not generate candidates")
   }
 
   test("events loader adapts to the on-disk ts physical type (schema drift pin)") {
