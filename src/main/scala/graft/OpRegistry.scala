@@ -283,6 +283,10 @@ object OpRegistry {
     op("rdf_bgp_path_inv", RdfOps.bgpPathInv, RdfOps.bgpPathInvSql),
     op("rdf_bgp_path_alt", RdfOps.bgpPathAlt, RdfOps.bgpPathAltSql),
     op("rdf_bgp_path_negset", RdfOps.bgpPathNegset, RdfOps.bgpPathNegsetSql),
+    op("rdf_bgp_path_quant", RdfOps.bgpPathQuant, RdfOps.bgpPathQuantSql),
+    op("rdf_bgp_agg_expr", RdfOps.bgpAggExpr, RdfOps.bgpAggExprSql),
+    op("rdf_bgp_filter_exists_expr",
+      RdfOps.bgpFilterExistsExpr, RdfOps.bgpFilterExistsExprSql),
     op("rdf_bgp_typed", RdfOps.bgpTyped, RdfOps.bgpTypedSql),
     op("rdf_graph_bound", RdfOps.graphBound, RdfOps.graphBoundSql),
     op("rdf_graph_var", RdfOps.graphVar, RdfOps.graphVarSql),

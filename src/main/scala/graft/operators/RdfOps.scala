@@ -571,6 +571,84 @@ object RdfOps {
        |WHERE p NOT IN ('in_nation', 'in_segment')
        |ORDER BY s, x""".stripMargin
 
+  /** BOUNDED path quantifier `p{n,m}` (the SPARQL 1.1 draft quantifier,
+    * a widely supported extension beyond the final REC): pairs exactly
+    * 2 or 3 `next`-hops apart on the nation chain. Evaluates as a
+    * FIXED m−1 composition rounds (Bgp.boundedPathDf) — no fixpoint —
+    * which the oracle states independently as a key-distance range. */
+  def bgpPathQuant(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val chain = nation(s, d)
+      .filter($"n_nationkey" < 24)
+      .select($"n_name".as("s"), lit("next").as("p"),
+        concat(lit("NATION_"), ($"n_nationkey" + 1).cast("string")).as("o"))
+    val q = Sparql.parse("select $a $b where { $a next{2,3} $b }")
+    val res = Bgp.compile(chain, q)
+    res.orderBy(res("a"), res("b"))
+  }
+  val bgpPathQuantSql: String =
+    """SELECT a.n_name AS a, b.n_name AS b
+      |FROM nation a JOIN nation b
+      |  ON b.n_nationkey - a.n_nationkey BETWEEN 2 AND 3
+      |ORDER BY a, b""".stripMargin
+
+  /** Aggregate EXPRESSION input (SPARQL 1.1 §11.1, `sum(?x * ?y)`):
+    * per market segment, the sum of nationkey × name-length over the
+    * distinct (segment, key, length) solution projection — the
+    * engine's documented set semantics, mirrored by the oracle's
+    * DISTINCT subselect. Operands coerce to double per the SPARQL
+    * numeric rules; the values are small ints, so the double sum is
+    * exact (FLOATS.md Class B). */
+  def bgpAggExpr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = customer(s, d)
+    val numView = c.select(
+        $"c_name".as("s"), lit("in_segment").as("p"), $"c_mktsegment".as("o"))
+      .union(c.select(
+        $"c_name".as("s"), lit("has_nationkey").as("p"),
+        $"c_nationkey".cast("string").as("o")))
+      .union(c.select(
+        $"c_name".as("s"), lit("name_len").as("p"),
+        length($"c_name").cast("string").as("o")))
+    val q = Sparql.parse(
+      """select $g sum($k*$l) avg($k+$l) where {
+        |  $c in_segment $g . $c has_nationkey $k . $c name_len $l
+        |} group by $g order by $g""".stripMargin)
+    Bgp.compile(numView, q)
+  }
+  val bgpAggExprSql: String =
+    """WITH sol AS (
+      |  SELECT DISTINCT c_mktsegment AS g,
+      |    CAST(c_nationkey AS DOUBLE) AS k,
+      |    CAST(length(c_name) AS DOUBLE) AS l
+      |  FROM customer)
+      |SELECT g, sum(k * l) AS sum_k_mul_l, avg(k + l) AS avg_k_plus_l
+      |FROM sol GROUP BY g ORDER BY g""".stripMargin
+
+  /** EXISTS inside a FILTER expression (SPARQL 1.1 §8.1.1 — the
+    * expression position, not just the standalone clause): BUILDING
+    * customers whose nation is NOT in ASIA, conjoined with a plain
+    * comparison in ONE filter. The parser lifts the [not] exists term
+    * out of the && conjunction into an exists group (identical
+    * semantics); the comparison stays a normal constraint. */
+  def bgpFilterExistsExpr(s: SparkSession, d: String): DataFrame = {
+    val q = Sparql.parse(
+      """select $c $n where {
+        |  $c in_segment BUILDING . $c in_nation $n .
+        |  filter ( not exists { $n in_region ASIA } && $n != NATION_0 )
+        |}""".stripMargin)
+    val res = Bgp.compile(tripleView(s, d), q)
+    res.orderBy(res("c"), res("n"))
+  }
+  val bgpFilterExistsExprSql: String =
+    s"""$tripleViewSql
+       |SELECT DISTINCT b.s AS c, b2.o AS n
+       |FROM t b JOIN t b2 ON b.s = b2.s
+       |WHERE b.p = 'in_segment' AND b.o = 'BUILDING'
+       |  AND b2.p = 'in_nation' AND b2.o <> 'NATION_0'
+       |  AND b2.o NOT IN (SELECT s FROM t WHERE p = 'in_region' AND o = 'ASIA')
+       |ORDER BY c, n""".stripMargin
+
   /** DESCRIBE query form (SPARQL 1.1, simple description): every
     * triple NATION_2 participates in — its region membership plus all
     * customers/suppliers in it — via ONE scan with an OR filter. */

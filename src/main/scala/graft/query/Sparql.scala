@@ -119,10 +119,20 @@ final case class Sparql(
     * DISTINCT (group keys × input vars) projection. */
   def aggregate(fn: String, v: String, alias: String): Sparql = {
     require(Sparql.AggregateFns.contains(fn), s"unsupported aggregate: $fn")
-    if (v == "*") require(fn == "count", s"only count accepts *, got $fn(*)")
-    else require(vars.contains(stripVar(v)),
-      s"aggregate variable $v not declared in select")
-    copy(aggs = aggs :+ ((fn, if (v == "*") v else stripVar(v), alias)))
+    v match {
+      case "*" => require(fn == "count", s"only count accepts *, got $fn(*)")
+      case Sparql.SelAggExprRe(a, _, b) =>
+        // arithmetic input (SPARQL 1.1 aggregate expressions): numeric
+        // aggregates only — counting or concatenating an arithmetic
+        // term has no SPARQL meaning the oracle could check
+        require(Set("sum", "avg", "min", "max").contains(fn),
+          s"arithmetic aggregate input needs sum/avg/min/max, got $fn($v)")
+        Seq(a, b).foreach(x => require(vars.contains(x),
+          s"aggregate variable $$$x not declared in select"))
+      case _ => require(vars.contains(stripVar(v)),
+        s"aggregate variable $v not declared in select")
+    }
+    copy(aggs = aggs :+ ((fn, if (v == "*") v else v.replace("$", ""), alias)))
   }
 
   /** HAVING constraint on an aggregate that appears in the select list
@@ -457,8 +467,15 @@ object Sparql {
     * and the rewrite cannot drift. */
   def pathSyntax(tok: String): Boolean =
     bareToken(tok) && (tok.contains("/") || tok.contains("|") ||
+      PathQuantRe.matches(tok) ||
       (tok.length > 1 && (tok.startsWith("^") || tok.startsWith("!") ||
         tok.endsWith("+") || tok.endsWith("*") || tok.endsWith("?"))))
+
+  /** Bounded-repetition path quantifier `p{n}` / `p{n,m}` (the SPARQL
+    * 1.1 draft quantifier grammar, dropped from the final REC but a
+    * widely supported extension). The base must be a PLAIN predicate —
+    * quantifying a composed path is rejected at evaluation. */
+  val PathQuantRe = """([^{}]+)\{(\d+)(?:,(\d+))?\}""".r
 
   /** The sequence-path subset of [[pathSyntax]]: what the parse-time
     * `p1/p2` rewrite splits. */
@@ -496,14 +513,30 @@ object Sparql {
     * argument position — rejected (nesting is unsupported) rather than
     * silently treated as a literal string. */
   private[query] val NestedCallRe = """!?\w+\(\$\w+\)""".r
-  /** `count($c)` / `count(*)` select items; alias = `fn_var` / `fn_all`. */
+  /** `count($c)` / `count(*)` / `sum($x*$y)` select items; alias =
+    * `fn_var` / `fn_all` / `fn_a_op_b` (op spelled plus/minus/mul/div). */
   private val AggTok =
-    """(?i)(count|min|max|sum|avg|group_concat|sample)\((\$\w+|\*)\)""".r
+    """(?i)(count|min|max|sum|avg|group_concat|sample)\((\$\w+[-+*/]\$\w+|\$\w+|\*)\)""".r
+  /** Arithmetic aggregate input, select-list form (`$x*$y`). */
+  private[query] val SelAggExprRe = """\$(\w+)([-+*/])\$(\w+)""".r
+  /** Same, after `$`-stripping (`x*y`) — the stored `aggs` form. */
+  private[query] val AggExprRe = """(\w+)([-+*/])(\w+)""".r
+  private def opName(op: String): String = op match {
+    case "+" => "plus"
+    case "-" => "minus"
+    case "*" => "mul"
+    case "/" => "div"
+  }
 
   /** Alias an aggregate token resolves to, if it is one. */
   def aggAlias(tok: String): Option[String] = tok match {
     case AggTok(fn, v) =>
-      Some(s"${fn.toLowerCase}_${if (v == "*") "all" else v.substring(1)}")
+      val suffix = v match {
+        case "*" => "all"
+        case SelAggExprRe(a, op, b) => s"${a}_${opName(op)}_$b"
+        case _ => v.substring(1)
+      }
+      Some(s"${fn.toLowerCase}_$suffix")
     case _ => None
   }
 
@@ -571,7 +604,11 @@ object Sparql {
     plainVars.foreach(t => require(t.startsWith("$"),
       s"select item must be a $$variable or aggregate fn($$v), got: $t"))
     // agg INPUT vars join the declared set so patterns can bind them
-    val aggVars = aggItems.collect { case (_, v, _) if v != "*" => v }
+    // (an arithmetic input `$x*$y` contributes both component vars)
+    val aggVars = aggItems.flatMap {
+      case (_, "*", _) => Nil
+      case (_, v, _)   => v.split("[-+*/]").toSeq
+    }
     val vars = plainVars ++ aggVars.filterNot(plainVars.contains)
     val afterWhere = lower.substring(wi + 5).trim
     require(afterWhere.startsWith("{"), "where clause must be braced")
@@ -592,7 +629,7 @@ object Sparql {
     val body = afterWhere.substring(0, end + 1)
     val modifierToks = afterWhere.substring(end + 1).trim
       .split("\\s+").toSeq.filter(_.nonEmpty)
-    val tokens = body.substring(1, body.length - 1).trim
+    val tokens0 = body.substring(1, body.length - 1).trim
       // make braces/parens standalone tokens so "optional{"/"filter("
       // parse (which also means regex literals cannot contain braces
       // or parens); commas are NOT split globally — they are legal
@@ -601,6 +638,26 @@ object Sparql {
       .replace("{", " { ").replace("}", " } ")
       .replace("(", " ( ").replace(")", " ) ")
       .split("\\s+").toSeq.filter(_.nonEmpty)
+    // Re-attach {n[,m]} path quantifiers that the brace spacing split
+    // (`knows{1,3}` → `knows`, `{`, `1,3`, `}`). Only a digit-bodied
+    // brace group DIRECTLY after a bare non-delimiter token merges —
+    // body groups (optional/graph/subquery/values/exists) are
+    // keyword- or brace-introduced and never digit-bodied, so the
+    // shapes cannot collide. Quantifier braces must be written without
+    // internal spaces (`p{1,3}`, not `p{ 1, 3 }`).
+    val tokens = {
+      val delim = Set("{", "}", "(", ")", ".")
+      val out = Vector.newBuilder[String]
+      var tk = 0
+      while (tk < tokens0.length) {
+        if (tk + 3 < tokens0.length && tokens0(tk + 1) == "{" &&
+            tokens0(tk + 2).matches("""\d+(,\d+)?""") && tokens0(tk + 3) == "}" &&
+            !delim.contains(tokens0(tk)) && !tokens0(tk).startsWith("$")) {
+          out += s"${tokens0(tk)}{${tokens0(tk + 2)}}"; tk += 4
+        } else { out += tokens0(tk); tk += 1 }
+      }
+      out.result()
+    }
     // With aggregates, pattern/filter variables NOT in the select list
     // are legal solution variables that aggregate away (SPARQL 1.1 —
     // `select $g count(*) where { $x in $g } group by $g` must parse);
@@ -658,7 +715,7 @@ object Sparql {
         // recursive parse expects exactly that
         subqueryBodies += tokens.slice(i + 1, sj).mkString(" ")
           .replaceAll(
-            "(?i)\\b(count|min|max|sum|avg|group_concat|sample) \\( (\\$\\w+|\\*) \\)",
+            "(?i)\\b(count|min|max|sum|avg|group_concat|sample) \\( (\\$\\w+[-+*/]\\$\\w+|\\$\\w+|\\*) \\)",
             "$1($2)")
         i = sj + 1
       } else if (tokens(i).equalsIgnoreCase("graph")) {
@@ -853,8 +910,47 @@ object Sparql {
               s"filter term must be `lhs op rhs` or `fn ( $$v [, lit] )`, got: ${other.mkString(" ")}")
           }
         }
-        val groups = splitOn(tokens.slice(i + 2, close), "||").map(splitOn(_, "&&"))
-        filterExprs += groups.map(_.map(toCmp))
+        // [not] exists { … } terms INSIDE the filter expression
+        // (`filter ( exists { $c in_nation N } && $k < 10 )`): each
+        // lifts out as a standalone exists group — their && with the
+        // remaining comparisons is exactly the conjunctive semantics
+        // the group form already evaluates. || around an exists term
+        // has no such decomposition and is rejected.
+        val raw = tokens.slice(i + 2, close)
+        val restB = Vector.newBuilder[String]
+        var hadExists = false
+        var rk = 0
+        while (rk < raw.length) {
+          val negEx = raw(rk).equalsIgnoreCase("not") && rk + 1 < raw.length &&
+            raw(rk + 1).equalsIgnoreCase("exists")
+          val posEx = raw(rk).equalsIgnoreCase("exists")
+          if (negEx || posEx) {
+            hadExists = true
+            val ebi = if (negEx) rk + 2 else rk + 1
+            require(ebi < raw.length && raw(ebi) == "{",
+              "exists inside filter must be followed by a braced group")
+            val eclose = raw.indexOf("}", ebi + 1)
+            require(eclose > 0, "unclosed exists group inside filter")
+            existsBodies += ((posEx, raw.slice(ebi + 1, eclose)))
+            rk = eclose + 1
+          } else { restB += raw(rk); rk += 1 }
+        }
+        var rest = restB.result()
+        if (hadExists) {
+          require(!rest.contains("||"),
+            "|| does not compose with exists inside a filter — use separate filters")
+          // strip separators that adjoined the lifted terms: dangling
+          // ends first, then doubled mid-expression &&
+          rest = rest.dropWhile(_ == "&&").reverse.dropWhile(_ == "&&").reverse
+            .foldLeft(Vector.empty[String]) {
+              case (acc, "&&") if acc.lastOption.contains("&&") => acc
+              case (acc, t) => acc :+ t
+            }
+        }
+        if (rest.nonEmpty) {
+          val groups = splitOn(rest, "||").map(splitOn(_, "&&"))
+          filterExprs += groups.map(_.map(toCmp))
+        }
         i = close + 1
       } else {
         required += tokens(i)
@@ -1577,15 +1673,21 @@ object Bgp {
             reach.union(nodes.select(col("_n").as("_a"), col("_n").as("_b"))).distinct()
           else reach
       }
-      // Typed endpoints mirror plainPatternDf's contract: a kind tag on
-      // a kind-unaware store fails fast, and on a kind-aware store the
-      // endpoint must be a term of that kind (semi-join against the
-      // kind-matching term set — the closure itself runs over lexical
-      // values, so the kind constraint binds at the path's ends). A
-      // bare value still matches any kind, same as plain patterns.
-      def endpointFilter(df0: DataFrame, endCol: String, v: String,
+      finishPairs(df, su, ou)
+    }
+
+    /** Shared tail for path evaluators producing a (_a, _b) pair set:
+      * typed-endpoint enforcement plus the final variable projection.
+      * Typed endpoints mirror plainPatternDf's contract: a kind tag on
+      * a kind-unaware store fails fast, and on a kind-aware store the
+      * endpoint must be a term of that kind (semi-join against the
+      * kind-matching term set — the path itself runs over lexical
+      * values, so the kind constraint binds at the path's ends). A
+      * bare value still matches any kind, same as plain patterns. */
+    def finishPairs(df0: DataFrame, su: QueryUnit, ou: QueryUnit): DataFrame = {
+      def endpointFilter(dfx: DataFrame, endCol: String, v: String,
           kind: Option[String]): DataFrame = {
-        val eq = df0.filter(col(endCol) === lit(v))
+        val eq = dfx.filter(col(endCol) === lit(v))
         kind match {
           case None => eq
           case Some(k) =>
@@ -1603,6 +1705,7 @@ object Bgp {
             eq.join(kindTerms, Seq(endCol), "left_semi")
         }
       }
+      var df = df0
       su match { case QVal(v, k) => df = endpointFilter(df, "_a", v, k); case _ => () }
       ou match { case QVal(v, k) => df = endpointFilter(df, "_b", v, k); case _ => () }
       (su, ou) match {
@@ -1613,6 +1716,70 @@ object Bgp {
         case (_, QVar(b))       => df.select(col("_b").as(b))
         case _                  => df.select()
       }
+    }
+
+    /** Bounded-repetition path `base{n,m}`: the union of the exactly-k
+      * hop compositions for k in n..m. m is a query literal, so this is
+      * a FIXED m-1 rounds of composition — no fixpoint detection, and
+      * each round localCheckpoints like the closures so the plan stays
+      * linear in m. Bound-position dispatch mirrors closureDf: a bound
+      * endpoint composes seed-restricted frontiers (per-round work
+      * bounded by the seed's reach, never all-pairs — the property
+      * ScaleSpec pins for `p+`); var-var composes the full edge
+      * relation. n = 0 adds the zero-length component (every graph
+      * term → itself, SPARQL ZeroOrMorePath semantics restricted to
+      * length 0). */
+    def boundedPathDf(base: String, nMin: Int, nMax: Int,
+        su: QueryUnit, ou: QueryUnit): DataFrame = {
+      require(nMax >= 1 && nMax >= nMin && nMax <= 16,
+        s"path quantifier must satisfy 0 <= n <= m, 1 <= m <= 16, got {$nMin,$nMax}")
+      val edges = data
+        .filter(matchValue(data, "p") === lit(base))
+        .select(matchValue(data, "s").as("_a"), matchValue(data, "o").as("_b"))
+        .distinct().localCheckpoint()
+      def nodes = data.select(matchValue(data, "s").as("_n"))
+        .union(data.select(matchValue(data, "o").as("_n")))
+        .distinct()
+      val kLo = math.max(nMin, 1)
+
+      // exactly-k-hop frontiers from a seed over e (cols _a → _b),
+      // k = 1..nMax, kept per-k so the n..m slice unions directly
+      def seededKHops(e: DataFrame, seed: String): Seq[DataFrame] = {
+        var f = e.filter(col("_a") === lit(seed))
+          .select(col("_b").as("_n")).distinct().localCheckpoint()
+        val fs = scala.collection.mutable.Buffer(f)
+        for (_ <- 2 to nMax) {
+          f = f.select(col("_n").as("_a")).join(e, "_a")
+            .select(col("_b").as("_n")).distinct().localCheckpoint()
+          fs += f
+        }
+        fs.toSeq
+      }
+
+      var df = (su, ou) match {
+        case (QVal(v, _), _) =>
+          seededKHops(edges, v).slice(kLo - 1, nMax)
+            .reduce(_ union _).distinct()
+            .select(lit(v).as("_a"), col("_n").as("_b"))
+        case (_, QVal(v, _)) =>
+          val rev = edges.select(col("_b").as("_a"), col("_a").as("_b"))
+          seededKHops(rev, v).slice(kLo - 1, nMax)
+            .reduce(_ union _).distinct()
+            .select(col("_n").as("_a"), lit(v).as("_b"))
+        case _ =>
+          var hop = edges
+          val hops = scala.collection.mutable.Buffer(hop)
+          for (_ <- 2 to nMax) {
+            hop = hop.toDF("_a", "_m").join(edges.toDF("_m", "_b"), "_m")
+              .select(col("_a"), col("_b")).distinct().localCheckpoint()
+            hops += hop
+          }
+          hops.slice(kLo - 1, nMax).reduce(_ union _).distinct()
+      }
+      if (nMin == 0)
+        df = df.union(nodes.select(col("_n").as("_a"), col("_n").as("_b")))
+          .distinct()
+      finishPairs(df, su, ou)
     }
 
     /** Path-operator dispatch on the predicate token. Only UNTYPED
@@ -1639,12 +1806,20 @@ object Bgp {
       case QVal(p, None) if !p.contains("://") && p.contains("|") =>
         val branches = p.split("\\|").toSeq
         require(branches.forall(_.nonEmpty), s"bad path alternation: $p")
-        if (branches.forall(b => !b.startsWith("^") && !b.endsWith("+") && !b.endsWith("*")))
+        if (branches.forall(b => !b.startsWith("^") && !b.endsWith("+") &&
+            !b.endsWith("*") && !Sparql.PathQuantRe.matches(b)))
           plainPatternDf(pat, altPreds = Some(branches))
         else branches.map(b => patternDf((pat._1, QVal(b), pat._3)))
           .reduce(_.unionByName(_)).distinct()
       case QVal(p, None) if p.length > 1 && p.startsWith("^") && !p.contains("://") =>
         patternDf((pat._3, QVal(p.tail), pat._1))
+      case QVal(p, None) if !p.contains("://") && Sparql.PathQuantRe.matches(p) =>
+        val Sparql.PathQuantRe(base, nStr, mStr) = p
+        require(!Sparql.pathSyntax(base),
+          s"path quantifier needs a plain predicate base, got: $base")
+        val n = nStr.toInt
+        boundedPathDf(base, n, Option(mStr).map(_.toInt).getOrElse(n),
+          pat._1, pat._3)
       case QVal(p, None) if p.length > 1 && p.endsWith("+") && !p.contains("://") =>
         closureDf(p.dropRight(1), pat._1, pat._3)
       case QVal(p, None) if p.length > 1 && p.endsWith("*") && !p.contains("://") =>
@@ -2109,13 +2284,39 @@ object Bgp {
         // count($x) to a per-solution multiset count (round-5 advice).
         val starAggs = q.aggs.filter(_._2 == "*")
         val valAggs = q.aggs.filterNot(_._2 == "*")
-        val inputs = valAggs.map(_._2)
+        // an arithmetic input (`x*y`, stored $-stripped) needs both
+        // component COLUMNS in the distinct pre-projection — the
+        // expression itself evaluates inside the aggregate
+        val inputs = valAggs.flatMap {
+          case (_, Sparql.AggExprRe(a, _, b), _) => Seq(a, b)
+          case (_, v, _)                         => Seq(v)
+        }
         (q.groupKeys ++ inputs).distinct.foreach(k =>
           require(constrained.columns.contains(k),
             s"aggregate/group variable $$$k is bound by no pattern"))
         def aggOver(pre: DataFrame,
             aggs: Seq[(String, String, String)]): DataFrame = {
           val exprs = aggs.map {
+            // aggregate EXPRESSIONS (SPARQL 1.1 §11.1, `sum(?x * ?y)`):
+            // numeric coercion per operand (non-numeric → null, row
+            // drops out of the aggregate like SQL), evaluated inside
+            // the aggregate over the distinct pre-projection
+            case (fn, Sparql.AggExprRe(va, op, vb), a)
+                if Set("sum", "avg", "min", "max").contains(fn) =>
+              val la = pre(va).try_cast("double")
+              val rb = pre(vb).try_cast("double")
+              val ex = op match {
+                case "+" => la + rb
+                case "-" => la - rb
+                case "*" => la * rb
+                case "/" => la / rb
+              }
+              (fn match {
+                case "sum" => sum(ex)
+                case "avg" => avg(ex)
+                case "min" => min(ex)
+                case "max" => max(ex)
+              }).as(a)
             case ("count", "*", a) => count(lit(1)).as(a)
             case ("count", v, a)   => count(pre(v)).as(a)
             case ("min", v, a)     => min(pre(v)).as(a)
