@@ -467,7 +467,7 @@ object Sparql {
     * and the rewrite cannot drift. */
   def pathSyntax(tok: String): Boolean =
     bareToken(tok) && (tok.contains("/") || tok.contains("|") ||
-      PathQuantRe.matches(tok) ||
+      PathQuantRe.matches(tok) || UnboundedQuantRe.matches(tok) ||
       (tok.length > 1 && (tok.startsWith("^") || tok.startsWith("!") ||
         tok.endsWith("+") || tok.endsWith("*") || tok.endsWith("?"))))
 
@@ -476,6 +476,10 @@ object Sparql {
     * widely supported extension). The base must be a PLAIN predicate —
     * quantifying a composed path is rejected at evaluation. */
   val PathQuantRe = """([^{}]+)\{(\d+)(?:,(\d+))?\}""".r
+  /** The unbounded form `p{n,}` — rewritten at parse time to existing
+    * machinery: `{0,}` → `p*`, `{1,}` → `p+`, `{n,}` (n ≥ 2) →
+    * `p{n-1}` into a hidden midpoint, then `p+`. */
+  val UnboundedQuantRe = """([^{}]+)\{(\d+),\}""".r
 
   /** The sequence-path subset of [[pathSyntax]]: what the parse-time
     * `p1/p2` rewrite splits. */
@@ -651,7 +655,7 @@ object Sparql {
       var tk = 0
       while (tk < tokens0.length) {
         if (tk + 3 < tokens0.length && tokens0(tk + 1) == "{" &&
-            tokens0(tk + 2).matches("""\d+(,\d+)?""") && tokens0(tk + 3) == "}" &&
+            tokens0(tk + 2).matches("""\d+(,\d*)?""") && tokens0(tk + 3) == "}" &&
             !delim.contains(tokens0(tk)) && !tokens0(tk).startsWith("$")) {
           out += s"${tokens0(tk)}{${tokens0(tk + 2)}}"; tk += 4
         } else { out += tokens0(tk); tk += 1 }
@@ -964,6 +968,24 @@ object Sparql {
     // steps pass through and compile to a closure in Bgp.
     var pathSeq = 0
     val pathVars = Vector.newBuilder[String]
+    def freshPathVar(): String = {
+      pathSeq += 1; val v = s"__path_$pathSeq"; pathVars += v; s"$$$v"
+    }
+    // `p{n,}` unbounded quantifiers rewrite to existing machinery:
+    // {0,} is `p*`, {1,} is `p+`, and {n,} (n ≥ 2) is the exact
+    // (n-1)-hop prefix into a hidden midpoint followed by `p+` — so
+    // bound-endpoint dispatch still applies per stage
+    def expandUnbounded(p: Seq[String]): Seq[Seq[String]] = p match {
+      case Seq(s0, Sparql.UnboundedQuantRe(base, nStr), o0) =>
+        nStr.toInt match {
+          case 0 => Seq(Seq(s0, base + "*", o0))
+          case 1 => Seq(Seq(s0, base + "+", o0))
+          case n =>
+            val mid = freshPathVar()
+            Seq(Seq(s0, s"$base{${n - 1}}", mid), Seq(mid, base + "+", o0))
+        }
+      case other => Seq(other)
+    }
     def expandPaths(pats: Seq[Seq[String]]): Seq[Seq[String]] = pats.flatMap { p =>
       // malformed (non-3-token) patterns pass through untouched so
       // parsePatterns rejects them with the documented arity error —
@@ -971,13 +993,11 @@ object Sparql {
       if (p.length == 3 && Sparql.sequencePath(p(1))) {
         val steps = p(1).split("/").toSeq
         require(steps.forall(_.nonEmpty), s"bad property path: ${p(1)}")
-        val mids = steps.init.map { _ =>
-          pathSeq += 1; val v = s"__path_$pathSeq"; pathVars += v; s"$$$v"
-        }
+        val mids = steps.init.map(_ => freshPathVar())
         val nodes = (p(0) +: mids) :+ p(2)
         steps.zipWithIndex.map { case (st, i) => Seq(nodes(i), st, nodes(i + 1)) }
       } else Seq(p)
-    }
+    }.flatMap(p => if (p.length == 3) expandUnbounded(p) else Seq(p))
     val requiredPats = expandPaths(toPatterns(required.result()))
     val optPats = optGroups.result().map(g => expandPaths(toPatterns(g)))
     val minusPats = minusBodies.result().map(g => expandPaths(toPatterns(g)))
@@ -1731,8 +1751,8 @@ object Bgp {
       * length 0). */
     def boundedPathDf(base: String, nMin: Int, nMax: Int,
         su: QueryUnit, ou: QueryUnit): DataFrame = {
-      require(nMax >= 1 && nMax >= nMin && nMax <= 16,
-        s"path quantifier must satisfy 0 <= n <= m, 1 <= m <= 16, got {$nMin,$nMax}")
+      require(nMax >= nMin && nMax <= 16 && (nMax >= 1 || nMin == 0),
+        s"path quantifier must satisfy 0 <= n <= m <= 16, got {$nMin,$nMax}")
       val edges = data
         .filter(matchValue(data, "p") === lit(base))
         .select(matchValue(data, "s").as("_a"), matchValue(data, "o").as("_b"))
@@ -1756,27 +1776,32 @@ object Bgp {
         fs.toSeq
       }
 
-      var df = (su, ou) match {
-        case (QVal(v, _), _) =>
-          seededKHops(edges, v).slice(kLo - 1, nMax)
-            .reduce(_ union _).distinct()
-            .select(lit(v).as("_a"), col("_n").as("_b"))
-        case (_, QVal(v, _)) =>
-          val rev = edges.select(col("_b").as("_a"), col("_a").as("_b"))
-          seededKHops(rev, v).slice(kLo - 1, nMax)
-            .reduce(_ union _).distinct()
-            .select(col("_n").as("_a"), lit(v).as("_b"))
-        case _ =>
-          var hop = edges
-          val hops = scala.collection.mutable.Buffer(hop)
-          for (_ <- 2 to nMax) {
-            hop = hop.toDF("_a", "_m").join(edges.toDF("_m", "_b"), "_m")
-              .select(col("_a"), col("_b")).distinct().localCheckpoint()
-            hops += hop
-          }
-          hops.slice(kLo - 1, nMax).reduce(_ union _).distinct()
-      }
-      if (nMin == 0)
+      var df =
+        if (nMax == 0)
+          // `p{0}`: the zero-length path alone — every graph term to
+          // itself, no hop computation at all
+          nodes.select(col("_n").as("_a"), col("_n").as("_b"))
+        else (su, ou) match {
+          case (QVal(v, _), _) =>
+            seededKHops(edges, v).slice(kLo - 1, nMax)
+              .reduce(_ union _).distinct()
+              .select(lit(v).as("_a"), col("_n").as("_b"))
+          case (_, QVal(v, _)) =>
+            val rev = edges.select(col("_b").as("_a"), col("_a").as("_b"))
+            seededKHops(rev, v).slice(kLo - 1, nMax)
+              .reduce(_ union _).distinct()
+              .select(col("_n").as("_a"), lit(v).as("_b"))
+          case _ =>
+            var hop = edges
+            val hops = scala.collection.mutable.Buffer(hop)
+            for (_ <- 2 to nMax) {
+              hop = hop.toDF("_a", "_m").join(edges.toDF("_m", "_b"), "_m")
+                .select(col("_a"), col("_b")).distinct().localCheckpoint()
+              hops += hop
+            }
+            hops.slice(kLo - 1, nMax).reduce(_ union _).distinct()
+        }
+      if (nMin == 0 && nMax > 0)
         df = df.union(nodes.select(col("_n").as("_a"), col("_n").as("_b")))
           .distinct()
       finishPairs(df, su, ou)

@@ -431,6 +431,20 @@ class ScaleSpec extends SparkSpec {
       s"(band, chunk) buckets over ${operators.DedupOps.SimhashBandCap} docs must not generate candidates")
   }
 
+  test("both dedup caps apply as anti-joins, never as a pre-join aggregate-list") {
+    // the cap's scale property depends on its SHAPE: an anti-join
+    // against the small over-cap set keeps every aggregation buffer
+    // constant-size, where a collect_list-then-filter formulation
+    // materializes a corpus-sized array in one reducer before the cap
+    // can drop it (the classic skew OOM, documented on dedupNgramJaccard)
+    Seq(operators.DedupOps.dedupNgramJaccard(spark, sf0001),
+        operators.DedupOps.dedupSimhash(spark, sf0001)).foreach { df =>
+      val p = plan(df)
+      assert(p.contains("LeftAnti"), s"cap must be an anti-join:\n${p.take(800)}")
+      assert(!p.contains("collect_list"), s"no aggregate-list cap:\n${p.take(800)}")
+    }
+  }
+
   test("events loader adapts to the on-disk ts physical type (schema drift pin)") {
     // the testdata generator has shipped events.ts as INT64
     // TIMESTAMP(NANOS) in some rounds and timestamp[us] in others; a

@@ -60,16 +60,59 @@ class QuantExprSpec extends SparkSpec {
     }
   }
 
-  test("path quantifier rejects inverted and degenerate bounds") {
+  test("path quantifier rejects inverted bounds; {0} is the zero-length path") {
     import spark.implicits._
     val df = Seq(("a", "next", "b")).toDF("s", "p", "o")
-    // n > m and m = 0 have no path meaning; a silent empty result
-    // would hide the typo
+    // n > m has no path meaning; a silent empty result would hide the typo
     intercept[IllegalArgumentException] {
       Bgp.compile(df, Sparql.parse("select $a $b where { $a next{3,2} $b }")).collect()
     }
-    intercept[IllegalArgumentException] {
-      Bgp.compile(df, Sparql.parse("select $a $b where { $a next{0} $b }")).collect()
+    // `p{0}` is the zero-length path alone: every graph term → itself
+    val zero = Bgp.compile(df,
+      Sparql.parse("select $a $b where { $a next{0} $b }"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(zero == Set(("a", "a"), ("b", "b")))
+  }
+
+  /** Driver-side reference: naive fixpoint closure (1-or-more hops). */
+  private def refClosure(edges: Set[(String, String)]): Set[(String, String)] = {
+    var reach = edges
+    var grew = true
+    while (grew) {
+      val next = for { (a, m) <- reach; (m2, b) <- reach if m == m2 } yield (a, b)
+      val merged = reach ++ next
+      grew = merged.size > reach.size
+      reach = merged
+    }
+    reach
+  }
+
+  test("unbounded quantifier {n,} = exact (n-1)-hop prefix into the closure") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(777L)
+    (1 to 8).foreach { caseNo =>
+      val nNodes = 3 + rnd.nextInt(7)
+      val edges = (1 to (2 + rnd.nextInt(2 * nNodes))).map { _ =>
+        (s"n${rnd.nextInt(nNodes)}", s"n${rnd.nextInt(nNodes)}")
+      }.toSet
+      val df = edges.toSeq.map { case (a, b) => (a, "next", b) }.toDF("s", "p", "o")
+      val cl = refClosure(edges)
+      val terms = edges.flatMap(e => Seq(e._1, e._2))
+      // {2,}: one exact hop, then 1+ closure
+      val ref2 = for { (a, m) <- edges; (m2, b) <- cl if m == m2 } yield (a, b)
+      val got2 = Bgp.compile(df,
+        Sparql.parse("select $a $b where { $a next{2,} $b }"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got2 == ref2, s"case $caseNo {2,}: edges=$edges")
+      // {1,} ≡ p+ and {0,} ≡ p*
+      val got1 = Bgp.compile(df,
+        Sparql.parse("select $a $b where { $a next{1,} $b }"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got1 == cl, s"case $caseNo {1,}: edges=$edges")
+      val got0 = Bgp.compile(df,
+        Sparql.parse("select $a $b where { $a next{0,} $b }"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got0 == cl ++ terms.map(t => (t, t)), s"case $caseNo {0,}: edges=$edges")
     }
   }
 
