@@ -163,8 +163,21 @@ object DedupOps {
     withSigs.select(col("doc_id") +: col("gs") +: sigs: _*)
   }
 
+  /** Bucket cap for the MinHash-LSH candidate join — the third member
+    * of the cap family ([[NgramDfCap]], [[SimhashBandCap]]): a (band,
+    * bucket) bucket of k docs emits k·(k-1)/2 candidates, and a
+    * degenerate set of near-identical docs shares every band bucket.
+    * Over-cap buckets drop before the self-join: their members either
+    * collide in another (un-skewed) band or are the all-identical case
+    * exact dedup removes first (the e2e pipeline runs minhash AFTER
+    * exact dedup for exactly this reason). Candidate output is bounded
+    * by rows·4·cap — corpus-linear. Mirrored in the oracle CTEs and
+    * pinned by ScaleSpec like its siblings. */
+  val LshBandCap = 128L
+
   /** MinHash + LSH near-dup pairs: band the K-row signature into 4
-    * buckets, candidate pairs share ≥1 band bucket, then verify with
+    * buckets, candidate pairs share ≥1 band bucket (over the
+    * bucket-capped band set — see [[LshBandCap]]), then verify with
     * exact Jaccard ≥ 1/2 on the shingle sets. The 100 TB path: the
     * candidate join shuffles fixed-width band keys, never shingle
     * sets; verification touches only candidates. Docs with no shingle
@@ -190,8 +203,16 @@ object DedupOps {
       (0 until 4).map { b =>
         md5(concat_ws("|", (4 * b until 4 * b + 4).map(i => col(s"sig_$i")): _*))
       }: _*))).toDF("doc_id", "band", "bucket")
-    val cand = bands.toDF("da", "band", "bucket")
-      .join(bands.toDF("db", "band", "bucket"), Seq("band", "bucket"))
+    // over-cap buckets are the anti-join's small side by construction
+    // (≤ band_rows / cap keys) — AQE broadcasts it unhinted, same
+    // shape as the jaccard and simhash caps
+    val drop = bands.groupBy($"band", $"bucket").agg(count(lit(1)).as("n_docs"))
+      .filter($"n_docs" > LshBandCap)
+      .select($"band".as("xband"), $"bucket".as("xbucket"))
+    val kept = bands.join(drop,
+      $"band" === $"xband" && $"bucket" === $"xbucket", "left_anti")
+    val cand = kept.toDF("da", "band", "bucket")
+      .join(kept.toDF("db", "band", "bucket"), Seq("band", "bucket"))
       .filter($"da" < $"db")
       .select($"da", $"db").distinct()
     val sets = sig.select($"doc_id", $"gs")
@@ -217,9 +238,14 @@ object DedupOps {
        |sig AS (SELECT doc_id,
        |          [list_min([md5(g || '_' || CAST(i AS VARCHAR)) for g in gs]) for i in range(0,16)] AS sigs
        |        FROM gs2),
-       |bands AS (SELECT doc_id, b,
+       |bands0 AS (SELECT doc_id, b,
        |            md5(sigs[4*b+1] || '|' || sigs[4*b+2] || '|' || sigs[4*b+3] || '|' || sigs[4*b+4]) AS bucket
        |          FROM sig, range(0,4) t(b)),
+       |keepb AS (SELECT b, bucket FROM (SELECT b, bucket, count(*) AS n_docs
+       |                                 FROM bands0 GROUP BY 1, 2)
+       |          WHERE n_docs <= $LshBandCap),
+       |bands AS (SELECT b0.* FROM bands0 b0 JOIN keepb k
+       |          ON k.b = b0.b AND k.bucket = b0.bucket),
        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
        |         FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
        |v AS (SELECT da, db, len(list_intersect(ga.gs, gb.gs)) AS c, len(ga.gs) AS na, len(gb.gs) AS nb

@@ -416,11 +416,12 @@ class ScaleSpec extends SparkSpec {
       s"shingles with DF > ${operators.DedupOps.NgramDfCap} must not generate candidates")
   }
 
-  test("simhash band cap bounds candidates on a degenerate corpus") {
-    // the jaccard cap's sibling: identical docs share every (band,
-    // chunk) value, so one bucket holds the whole corpus and the band
+  test("simhash and minhash band caps bound candidates on a degenerate corpus") {
+    // the jaccard cap's siblings: identical docs share every band
+    // bucket value, so one bucket holds the whole corpus and the band
     // self-join emits ~k²/2 candidates without the cap. With it, every
-    // bucket is over-cap and the join emits nothing.
+    // bucket is over-cap and the join emits nothing (exact dedup is
+    // the pass that handles an all-identical corpus).
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("simcap").toString
     val nDocs = (operators.DedupOps.SimhashBandCap + 12).toInt
@@ -429,16 +430,19 @@ class ScaleSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     assert(operators.DedupOps.dedupSimhash(spark, dir).count() == 0,
       s"(band, chunk) buckets over ${operators.DedupOps.SimhashBandCap} docs must not generate candidates")
+    assert(operators.DedupOps.dedupMinhashLsh(spark, dir).count() == 0,
+      s"(band, bucket) buckets over ${operators.DedupOps.LshBandCap} docs must not generate candidates")
   }
 
-  test("both dedup caps apply as anti-joins, never as a pre-join aggregate-list") {
+  test("all three dedup caps apply as anti-joins, never as a pre-join aggregate-list") {
     // the cap's scale property depends on its SHAPE: an anti-join
     // against the small over-cap set keeps every aggregation buffer
     // constant-size, where a collect_list-then-filter formulation
     // materializes a corpus-sized array in one reducer before the cap
     // can drop it (the classic skew OOM, documented on dedupNgramJaccard)
     Seq(operators.DedupOps.dedupNgramJaccard(spark, sf0001),
-        operators.DedupOps.dedupSimhash(spark, sf0001)).foreach { df =>
+        operators.DedupOps.dedupSimhash(spark, sf0001),
+        operators.DedupOps.dedupMinhashLsh(spark, sf0001)).foreach { df =>
       val p = plan(df)
       assert(p.contains("LeftAnti"), s"cap must be an anti-join:\n${p.take(800)}")
       assert(!p.contains("collect_list"), s"no aggregate-list cap:\n${p.take(800)}")
