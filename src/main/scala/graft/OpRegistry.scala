@@ -168,6 +168,7 @@ object OpRegistry {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+    op("q_bucketed_join", RelationalOps.qBucketedJoin, RelationalOps.qBucketedJoinSql),
     // round 12 (verdict #6): the sketch estimate itself stays
     // engine-specific, but the row is now fully oracled — the op emits
     // the exact count plus an in-Spark hll_ok flag (estimate within
@@ -357,6 +358,7 @@ object OpRegistry {
     op("mm_feature", MultimodalOps.mmFeature, MultimodalOps.mmFeatureSql),
     op("mm_resize", MultimodalOps.mmResize, MultimodalOps.mmResizeSql),
     op("mm_dedup_exact", MultimodalOps.mmDedupExact, MultimodalOps.mmDedupExactSql),
+    op("mm_shard_pack", MultimodalOps.mmShardPack, MultimodalOps.mmShardPackSql),
     op("doc_jsonl_roundtrip", graft.sources.DocSourceOps.jsonlRoundtrip,
       graft.sources.DocSourceOps.fingerprintSql),
     op("doc_csv_roundtrip", graft.sources.DocSourceOps.csvRoundtrip,

@@ -185,4 +185,34 @@ object MultimodalOps {
       |  count(*) AS n_copies
       |FROM documents GROUP BY sha256(text)
       |ORDER BY keep_id""".stripMargin
+
+  /** Byte-budget shard assignment for binary payloads — the multimodal
+    * analogue of [[CurationOps.docShardPack]]: media shards are sized
+    * by BYTES, not tokens (a training loader streams fixed-size
+    * tar/parquet shards of images, and a 4 MB image is not one
+    * "document" of budget). Same per-source windowed cumulative shape
+    * (no global ordering anywhere), same integer `div` — cumulative
+    * byte offsets cross 2^53 long before a 100 TB media corpus ends,
+    * so the float path is wrong at scale, not just inelegant. */
+  def mmShardPack(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents(s, d)
+      .select($"doc_id", $"source", $"text".cast("binary").as("payload"))
+      .withColumn("n_bytes", octet_length($"payload").cast("long"))
+      .withColumn("cum_before", coalesce(sum($"n_bytes").over(w), lit(0L)))
+      .withColumn("shard", expr("cum_before div 4096"))
+      .select($"doc_id", $"source", $"n_bytes", $"shard")
+      .orderBy($"doc_id")
+  }
+  val mmShardPackSql: String =
+    """SELECT doc_id, source,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  CAST(COALESCE(sum(octet_length(encode(text)))
+      |    OVER (PARTITION BY source ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096
+      |    AS BIGINT) AS shard
+      |FROM documents ORDER BY doc_id""".stripMargin
 }

@@ -178,6 +178,51 @@ object RelationalOps {
     all.except(shipped).orderBy($"okey")
   }
 
+  /** Bucketed CO-LOCATED join — the 100 TB shape for a repeated
+    * large×large join: both sides are written bucketed (and
+    * bucket-sorted) on the join key via `saveAsTable`, so Spark joins
+    * bucket-to-bucket with NO exchange on either input — the only
+    * shuffle left in the plan is the aggregation above the join. The
+    * bucketed write is the amortized cost: pay it once per table, and
+    * every downstream join/aggregation on that key is shuffle-free —
+    * at 100 TB this is the difference between re-shuffling the fact
+    * table per query and never shuffling it at all. ScaleSpec pins the
+    * no-exchange-below-the-join shape with broadcast disabled; the
+    * result is oracle-identical to the plain join, which is the point:
+    * bucketing changes the PLAN, never the answer. */
+  def qBucketedJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nb = 8
+    // a managed table's warehouse directory can survive a previous
+    // session whose in-memory catalog is gone — saveAsTable then fails
+    // on LOCATION_ALREADY_EXISTS even in overwrite mode, so clear both
+    // the catalog entry and the orphaned location first
+    Seq("graft_orders_bkt", "graft_customer_bkt").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val p = new org.apache.hadoop.fs.Path(s"$wh/$t")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    orders(s, d).write.mode("overwrite")
+      .bucketBy(nb, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("graft_orders_bkt")
+    customer(s, d).write.mode("overwrite")
+      .bucketBy(nb, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("graft_customer_bkt")
+    s.table("graft_orders_bkt")
+      .join(s.table("graft_customer_bkt"), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec($"o_totalprice")).cast("double").as("total"))
+      .orderBy($"c_mktsegment")
+  }
+  val qBucketedJoinSql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Semi join (EXISTS): customers having at least one urgent order. */
   def qSemiJoin(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

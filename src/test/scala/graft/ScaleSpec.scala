@@ -369,6 +369,23 @@ class ScaleSpec extends SparkSpec {
       s"range join should be an equi-join on the bucket:\n$p")
   }
 
+  test("bucketed join reads co-located buckets — no exchange below the join") {
+    // the whole point of the bucketed write: both inputs arrive
+    // pre-partitioned (and bucket-sorted) on the join key, so the join
+    // itself is exchange-free and the ONLY hash exchange in the plan
+    // is the aggregation above it. Broadcast is disabled for the pin —
+    // at test SF the customer side would broadcast, which also avoids
+    // the shuffle but hides whether bucketing held.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(operators.RelationalOps.qBucketedJoin(spark, sf0001))
+      assert(p.contains("SortMergeJoin"), s"bucketed join should sort-merge:\n${p.take(600)}")
+      assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+        s"only the post-join aggregation may shuffle:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("as-of join is union + one keyed window — never a time-range theta-join") {
     // each event matches the latest order at-or-before it; the naive
     // t_order <= t_event theta-join is quadratic (every event × every
