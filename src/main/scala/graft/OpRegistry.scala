@@ -177,6 +177,7 @@ object OpRegistry {
     op("q_approx_distinct", RelationalOps.qApproxDistinct,
       RelationalOps.qApproxDistinctSql),
     op("q_range_join", RelationalOps.qRangeJoin, RelationalOps.qRangeJoinSql),
+    op("q_merge_upsert", RelationalOps.qMergeUpsert, RelationalOps.qMergeUpsertSql),
     op("q_asof_join", RelationalOps.qAsofJoin,
       """WITH ord AS (
         |  SELECT o_custkey AS key, o_orderdate AS t, max(o_orderkey) AS okey
@@ -318,6 +319,7 @@ object OpRegistry {
     op("text_pii", TextOps.textPii, TextOps.textPiiSql),
     op("text_simhash_by_source", TextOps.textSimhashBySource, TextOps.textSimhashBySourceSql),
     op("text_dup_ratio", TextOps.textDupRatio, TextOps.textDupRatioSql),
+    op("text_gopher_rules", TextOps.textGopherRules, TextOps.textGopherRulesSql),
     op("dedup_exact", DedupOps.dedupExact, DedupOps.dedupExactSql),
     op("dedup_norm", DedupOps.dedupNorm, DedupOps.dedupNormSql),
     op("dedup_ngram_jaccard", DedupOps.dedupNgramJaccard, DedupOps.dedupNgramJaccardSql),
@@ -378,6 +380,9 @@ object OpRegistry {
     op("ev_stream_to_parquet", EventOps.evStreamToParquet, EventOps.evStreamToParquetSql),
     op("ev_funnel", EventOps.evFunnel, EventOps.evFunnelSql),
     op("ev_retention", EventOps.evRetention, EventOps.evRetentionSql),
+    op("ev_scd2", EventOps.evScd2, EventOps.evScd2Sql),
+    op("ev_hop_window", EventOps.evHopWindow, EventOps.evHopWindowSql),
+    op("ev_gap_stats", EventOps.evGapStats, EventOps.evGapStatsSql),
     op("rdf_xml_source", RdfXmlOps.xmlSource, RdfXmlOps.xmlOracleSql),
     op("rdf_xml_roundtrip", RdfXmlOps.xmlRoundtrip, RdfXmlOps.xmlOracleSql),
     op("rdf_nt_roundtrip", RdfXmlOps.ntRoundtrip, RdfOps.apFullSql),

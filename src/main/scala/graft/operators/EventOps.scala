@@ -415,4 +415,97 @@ object EventOps {
       |  UNION ALL SELECT '2_view_after_signup', count(*) FROM s2
       |  UNION ALL SELECT '3_purchase_after_view', count(*) FROM s3)
       |ORDER BY stage""".stripMargin
+
+  /** SCD Type-2 dimension build from the event stream: per user, each
+    * change of event_type opens a validity interval [valid_from,
+    * valid_to) closed by the next change (NULL = current row). Two
+    * window passes over the SAME (user_id) partitioning — lag to
+    * detect the change, lead over the change rows to close the
+    * interval — so the whole build is ONE hash shuffle; the filter
+    * between them preserves partitioning and Catalyst elides the
+    * second exchange. This is the standard warehouse history-table
+    * shape: at 100 TB it shuffles each event once and never widens
+    * beyond the change rows. Tie-break on event_id keeps same-ts
+    * events deterministic across engines. */
+  def evScd2(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val changes = events(s, d)
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNull || $"prev_type" =!= $"event_type")
+    val w2 = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    changes
+      .withColumn("valid_to", lead($"ts", 1).over(w2))
+      .select($"user_id", $"event_id", $"event_type",
+        $"ts".as("valid_from"), $"valid_to",
+        when($"valid_to".isNull, 1L).otherwise(0L).as("is_current"))
+      .orderBy($"user_id", $"valid_from", $"event_id")
+  }
+  val evScd2Sql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, event_id, event_type, ts,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM events),
+      |changes AS (
+      |  SELECT user_id, event_id, event_type, ts AS valid_from FROM ordered
+      |  WHERE prev_type IS NULL OR prev_type <> event_type)
+      |SELECT user_id, event_id, event_type, valid_from,
+      |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to,
+      |  CAST(CASE WHEN lead(valid_from) OVER
+      |    (PARTITION BY user_id ORDER BY valid_from, event_id) IS NULL
+      |    THEN 1 ELSE 0 END AS BIGINT) AS is_current
+      |FROM changes
+      |ORDER BY user_id, valid_from, event_id""".stripMargin
+
+  /** Sliding (hopping) 30-minute window, 15-minute hop, via Spark's
+    * native `window(ts, size, slide)` — the generator expands each
+    * event into its size/slide = 2 windows BEFORE the shuffle, so the
+    * exchange moves (window, type)-partial rows, not raw events, and
+    * the expansion factor is a plan constant independent of data
+    * volume. The oracle mirrors the window arithmetic with integer
+    * epoch-µs division — no float touches a boundary. */
+  def evHopWindow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .groupBy(window($"ts", "30 minutes", "15 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("n_users"))
+      .select($"w.start".as("w_start"), $"event_type", $"n", $"n_users")
+      .orderBy($"w_start", $"event_type")
+  }
+  val evHopWindowSql: String =
+    """WITH hopped AS (
+      |  SELECT make_timestamp(((epoch_us(ts) // 900000000) - t.i) * 900000000) AS w_start,
+      |    event_type, user_id
+      |  FROM events CROSS JOIN generate_series(0, 1) t(i))
+      |SELECT w_start, event_type, count(*) AS n,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM hopped GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
+
+  /** Inter-event gap distribution per user: lag over (user_id, ts),
+    * gaps in integer µs, then min/max/sum/count per user. The groupBy
+    * key equals the window's partitionBy key, so the aggregation
+    * reuses the window's hash partitioning — the whole op is ONE
+    * shuffle of raw events and map-side partials above it. Gap stats
+    * at 100 TB are the standard sessionization-health signal; integer
+    * µs keeps every value exact cross-engine. */
+  def evGapStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    events(s, d)
+      .withColumn("gap_us", unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w)))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), count($"gap_us").as("n_gaps"),
+        min($"gap_us").as("min_gap_us"), max($"gap_us").as("max_gap_us"),
+        sum($"gap_us").as("sum_gap_us"))
+      .orderBy($"user_id")
+  }
+  val evGapStatsSql: String =
+    """WITH gaps AS (
+      |  SELECT user_id,
+      |    epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+      |  FROM events)
+      |SELECT user_id, count(*) AS n_events, count(gap_us) AS n_gaps,
+      |  min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us,
+      |  sum(gap_us) AS sum_gap_us
+      |FROM gaps GROUP BY user_id ORDER BY user_id""".stripMargin
 }

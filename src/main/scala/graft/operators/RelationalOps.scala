@@ -594,4 +594,50 @@ object RelationalOps {
     """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
       |  CAST(1 AS BIGINT) AS hll_ok
       |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
+  /** CDC MERGE (upsert) applied as one relational pass: a deterministic
+    * changeset (updates for every 7th order, inserts keyed past the
+    * base's key space for every 101st) is merged into `orders` with a
+    * FULL OUTER join on the key, taking the change row when present.
+    * This is the Delta/Iceberg MERGE INTO execution shape expressed on
+    * plain DataFrames: one hash shuffle per side on the merge key (or
+    * zero extra when both sides are bucketed by it), then a per-key
+    * coalesce — at 100 TB the changeset side is typically small enough
+    * to broadcast, collapsing the merge to a map-side join against the
+    * base scan. No collect, no driver loop; AQE handles key skew. */
+  def qMergeUpsert(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = orders(s, d)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus")
+    val updates = base.filter($"o_orderkey" % 7 === 0)
+      .select($"o_orderkey", $"o_custkey", lit("U").as("o_orderstatus"))
+    val inserts = base.filter($"o_orderkey" % 101 === 0)
+      .select(($"o_orderkey" + 100000000L).as("o_orderkey"), $"o_custkey",
+        lit("N").as("o_orderstatus"))
+    val changes = updates.union(inserts)
+      .withColumnRenamed("o_custkey", "c_cust")
+      .withColumnRenamed("o_orderstatus", "c_status")
+    base.join(changes, Seq("o_orderkey"), "full_outer")
+      .select($"o_orderkey",
+        coalesce($"c_cust", $"o_custkey").as("cust"),
+        coalesce($"c_status", $"o_orderstatus").as("status"),
+        when($"o_custkey".isNull, "insert")
+          .when($"c_cust".isNull, "keep").otherwise("update").as("action"))
+      .orderBy($"o_orderkey")
+  }
+  val qMergeUpsertSql: String =
+    """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus FROM orders),
+      |changes AS (
+      |  SELECT o_orderkey, o_custkey AS c_cust, 'U' AS c_status
+      |  FROM base WHERE o_orderkey % 7 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey AS c_cust, 'N' AS c_status
+      |  FROM base WHERE o_orderkey % 101 = 0)
+      |SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+      |  COALESCE(c.c_cust, b.o_custkey) AS cust,
+      |  COALESCE(c.c_status, b.o_orderstatus) AS status,
+      |  CASE WHEN b.o_custkey IS NULL THEN 'insert'
+      |       WHEN c.c_cust IS NULL THEN 'keep' ELSE 'update' END AS action
+      |FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+      |ORDER BY o_orderkey""".stripMargin
 }

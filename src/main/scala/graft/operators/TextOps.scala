@@ -328,4 +328,68 @@ object TextOps {
       |    // count(*) AS dup_ppm
       |FROM sh JOIN gd ON gd.g = sh.g
       |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin
+
+  /** Gopher-style repetition/quality gate (Rae et al. 2021 §A1.1
+    * adapted): per-document boolean rules, every one expressed in pure
+    * integer arithmetic so no ratio threshold ever touches a float —
+    * "mean word length in [3,10]" is `3·n_words <= word_chars <=
+    * 10·n_words`, "≥80% words alphabetic" is `5·n_alpha >= 4·n_words`,
+    * etc. Pure map-side over the scan (the only exchange is the oracle
+    * sort): the shape every corpus-scale quality filter must have,
+    * since at 100 TB a shuffle in a per-doc filter is pure waste. */
+  def textGopherRules(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = toks($"text")
+    val flag = (c: org.apache.spark.sql.Column) => when(c, 1L).otherwise(0L)
+    documents(s, d)
+      .select($"doc_id",
+        size(t).cast("long").as("n_words"),
+        length(regexp_replace($"text", " ", "")).cast("long").as("word_chars"),
+        size(filter(t, c => c.rlike("[A-Za-z]"))).cast("long").as("n_alpha"),
+        size(filter(t, c => c.endsWith("..."))).cast("long").as("n_ellipsis"),
+        (length($"text") - length(regexp_replace($"text", "#", "")))
+          .cast("long").as("n_hash"),
+        size(filter(t, c => c.isInCollection(stopwords))).cast("long").as("n_stop"))
+      .select($"doc_id", $"n_words",
+        flag($"n_words" >= 50L && $"n_words" <= 100000L).as("f_wordcount"),
+        flag($"word_chars" >= lit(3L) * $"n_words" &&
+          $"word_chars" <= lit(10L) * $"n_words").as("f_meanlen"),
+        flag(lit(5L) * $"n_alpha" >= lit(4L) * $"n_words").as("f_alpha"),
+        flag(lit(10L) * $"n_ellipsis" <= lit(3L) * $"n_words").as("f_ellipsis"),
+        flag(lit(10L) * $"n_hash" <= $"n_words").as("f_symbol"),
+        flag($"n_stop" >= 2L).as("f_stop"))
+      .withColumn("keep",
+        flag($"f_wordcount" + $"f_meanlen" + $"f_alpha" + $"f_ellipsis" +
+          $"f_symbol" + $"f_stop" === 6L))
+      .orderBy($"doc_id")
+  }
+  val textGopherRulesSql: String = {
+    val sw = stopwords.map("'" + _ + "'").mkString(", ")
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+       |    CAST(length(replace(text,' ','')) AS BIGINT) AS word_chars,
+       |    CAST(len(list_filter(string_split(text,' '),
+       |      w -> regexp_matches(w,'[A-Za-z]'))) AS BIGINT) AS n_alpha,
+       |    CAST(len(list_filter(string_split(text,' '),
+       |      w -> suffix(w,'...'))) AS BIGINT) AS n_ellipsis,
+       |    CAST(length(text) - length(replace(text,'#','')) AS BIGINT) AS n_hash,
+       |    CAST(len(list_filter(string_split(text,' '),
+       |      w -> w IN ($sw))) AS BIGINT) AS n_stop
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, n_words,
+       |    CAST(CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS BIGINT) AS f_wordcount,
+       |    CAST(CASE WHEN word_chars BETWEEN 3*n_words AND 10*n_words THEN 1 ELSE 0 END AS BIGINT) AS f_meanlen,
+       |    CAST(CASE WHEN 5*n_alpha >= 4*n_words THEN 1 ELSE 0 END AS BIGINT) AS f_alpha,
+       |    CAST(CASE WHEN 10*n_ellipsis <= 3*n_words THEN 1 ELSE 0 END AS BIGINT) AS f_ellipsis,
+       |    CAST(CASE WHEN 10*n_hash <= n_words THEN 1 ELSE 0 END AS BIGINT) AS f_symbol,
+       |    CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS f_stop
+       |  FROM m)
+       |SELECT doc_id, n_words, f_wordcount, f_meanlen, f_alpha, f_ellipsis,
+       |  f_symbol, f_stop,
+       |  CAST(CASE WHEN f_wordcount + f_meanlen + f_alpha + f_ellipsis +
+       |    f_symbol + f_stop = 6 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
 }
