@@ -320,6 +320,8 @@ object OpRegistry {
     op("text_simhash_by_source", TextOps.textSimhashBySource, TextOps.textSimhashBySourceSql),
     op("text_dup_ratio", TextOps.textDupRatio, TextOps.textDupRatioSql),
     op("text_gopher_rules", TextOps.textGopherRules, TextOps.textGopherRulesSql),
+    op("text_bpe_pairs", TextOps.textBpePairs, TextOps.textBpePairsSql),
+    op("text_ngram_lm", TextOps.textNgramLm, TextOps.textNgramLmSql),
     op("dedup_exact", DedupOps.dedupExact, DedupOps.dedupExactSql),
     op("dedup_norm", DedupOps.dedupNorm, DedupOps.dedupNormSql),
     op("dedup_ngram_jaccard", DedupOps.dedupNgramJaccard, DedupOps.dedupNgramJaccardSql),
@@ -382,6 +384,7 @@ object OpRegistry {
     op("ev_retention", EventOps.evRetention, EventOps.evRetentionSql),
     op("ev_scd2", EventOps.evScd2, EventOps.evScd2Sql),
     op("ev_hop_window", EventOps.evHopWindow, EventOps.evHopWindowSql),
+    op("ev_stream_hop_window", EventOps.evStreamHopWindow, EventOps.evStreamHopWindowSql),
     op("ev_gap_stats", EventOps.evGapStats, EventOps.evGapStatsSql),
     op("rdf_xml_source", RdfXmlOps.xmlSource, RdfXmlOps.xmlOracleSql),
     op("rdf_xml_roundtrip", RdfXmlOps.xmlRoundtrip, RdfXmlOps.xmlOracleSql),

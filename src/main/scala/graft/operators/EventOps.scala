@@ -481,6 +481,32 @@ object EventOps {
       |  count(DISTINCT user_id) AS n_users
       |FROM hopped GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
 
+  /** [[evHopWindow]] as a Structured Streaming query — Spark's window
+    * generator accepts a slide duration in streaming too, so the hop
+    * expansion happens per micro-batch before the stateful agg and
+    * state is keyed by (window, type): bounded by the window catalog,
+    * not the event volume. countDistinct is not a streaming-legal
+    * aggregate, so the streaming contract (and its oracle) is the
+    * count-only projection of the batch op. */
+  def evStreamHopWindow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val name = "graft_stream_hop_" + math.abs(d.hashCode).toString
+    val stream = eventsStream(s, d)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "30 minutes", "15 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    runToTable(s, stream, name, "complete", streamParts(s, d))
+      .select($"w.start".as("w_start"), $"event_type", $"n")
+      .orderBy($"w_start", $"event_type")
+  }
+  val evStreamHopWindowSql: String =
+    """WITH hopped AS (
+      |  SELECT make_timestamp(((epoch_us(ts) // 900000000) - t.i) * 900000000) AS w_start,
+      |    event_type
+      |  FROM events CROSS JOIN generate_series(0, 1) t(i))
+      |SELECT w_start, event_type, count(*) AS n
+      |FROM hopped GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
+
   /** Inter-event gap distribution per user: lag over (user_id, ts),
     * gaps in integer µs, then min/max/sum/count per user. The groupBy
     * key equals the window's partitionBy key, so the aggregation

@@ -337,6 +337,85 @@ object TextOps {
     * etc. Pure map-side over the scan (the only exchange is the oracle
     * sort): the shape every corpus-scale quality filter must have,
     * since at 100 TB a shuffle in a per-doc filter is pure waste. */
+  /** One BPE merge iteration over the corpus: count adjacent CHARACTER
+    * pairs inside every word and rank the top 50 — the inner loop of
+    * tokenizer-vocabulary induction (Sennrich et al. 2016), run as one
+    * explode + groupBy. The pair expansion happens map-side (array
+    * comprehension over integer offsets, no UDF), so the shuffle moves
+    * (pair, partial-count) rows: at 100 TB that is bounded by the pair
+    * vocabulary per partition, not by corpus characters. Single-char
+    * words are filtered BEFORE the sequence expr — Spark's
+    * sequence(1, 0) yields a DESCENDING [1,0], not empty. */
+  def textBpePairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select(explode(toks($"text")).as("word"))
+      .filter(length($"word") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"))
+      .groupBy($"pair").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"pair")
+      .limit(50)
+  }
+  val textBpePairsSql: String =
+    """WITH words AS (
+      |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      |pairs AS (
+      |  SELECT unnest([substr(word, i, 2) for i in range(1, length(word))]) AS pair
+      |  FROM words WHERE length(word) >= 2)
+      |SELECT pair, count(*) AS n FROM pairs
+      |GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin
+
+  /** Corpus n-gram LM counts: token bigrams and trigrams, top 25 per
+    * order by frequency — the count table a KenLM-style quality or
+    * perplexity filter is built from. Same inverted-index shape as the
+    * shingle ops (map-side expansion, one count shuffle), then one
+    * row_number window over the 2-row `n` partition space — the window
+    * runs on catalog-sized data (distinct grams), never on the corpus. */
+  def textNgramLm(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // docs shorter than k tokens are dropped BEFORE the sequence expr:
+    // sequence(0, negative) would generate a descending range (and
+    // out-of-bounds subscripts), not an empty one
+    def grams(k: Int) = documents(s, d)
+      .select(toks($"text").as("ws"))
+      .filter(size($"ws") >= k)
+      .select(explode(expr(
+        s"transform(sequence(0, size(ws) - $k), i -> concat_ws(' ', " +
+          (0 until k).map(j => s"ws[i+$j]").mkString(", ") + "))"))
+        .as("gram"))
+      .select(lit(k.toLong).as("n_order"), $"gram")
+    val counted = grams(2).union(grams(3))
+      .groupBy($"n_order", $"gram").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"n_order").orderBy($"n".desc, $"gram")
+    counted.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 25)
+      .select($"n_order", $"gram", $"n", $"rank".cast("long").as("rank"))
+      .orderBy($"n_order", $"rank")
+  }
+  val textNgramLmSql: String =
+    """WITH tok AS (SELECT string_split(text, ' ') AS ws FROM documents),
+      |g2 AS (SELECT 2 AS n_order,
+      |         unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS gram
+      |       FROM tok),
+      |g3 AS (SELECT 3 AS n_order,
+      |         unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |                 for i in range(1, len(ws) - 1)]) AS gram
+      |       FROM tok),
+      |counted AS (
+      |  SELECT n_order, gram, count(*) AS n
+      |  FROM (SELECT * FROM g2 UNION ALL SELECT * FROM g3)
+      |  GROUP BY n_order, gram),
+      |ranked AS (
+      |  SELECT CAST(n_order AS BIGINT) AS n_order, gram, n,
+      |    CAST(row_number() OVER (PARTITION BY n_order ORDER BY n DESC, gram)
+      |      AS BIGINT) AS rank
+      |  FROM counted)
+      |SELECT n_order, gram, n, rank FROM ranked
+      |WHERE rank <= 25 ORDER BY n_order, rank""".stripMargin
+
   def textGopherRules(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val t = toks($"text")

@@ -84,6 +84,37 @@ class WarehouseOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("bpe pairs: 2-char pairs only, ranked deterministically") {
+    import spark.implicits._
+    val out = TextOps.textBpePairs(spark, sf0001).collect()
+    assert(out.length <= 50 && out.nonEmpty)
+    assert(out.forall(_.getString(0).length == 2))
+    val ns = out.map(_.getLong(1))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, "sorted by n desc")
+  }
+
+  test("ngram lm: top-25 per order, gram token count matches its order") {
+    import spark.implicits._
+    val out = TextOps.textNgramLm(spark, sf0001).cache()
+    Seq(2L, 3L).foreach { k =>
+      val rows = out.filter($"n_order" === k)
+      assert(rows.count() <= 25 && rows.count() > 0, s"order $k")
+      assert(rows.filter(size(split($"gram", " ")) =!= k.toInt).count() == 0)
+      // ranks are dense 1..count within each order
+      val ranks = rows.select($"rank").collect().map(_.getLong(0)).sorted
+      assert(ranks.sameElements(1L to ranks.length), s"dense ranks for $k")
+    }
+    out.unpersist()
+  }
+
+  test("streaming hop window equals the batch hop window's count projection") {
+    import spark.implicits._
+    val batch = EventOps.evHopWindow(spark, sf0001)
+      .select($"w_start", $"event_type", $"n").collect().toSeq
+    val streamed = EventOps.evStreamHopWindow(spark, sf0001).collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("gopher rules and gap stats are single-pass shapes (no stray shuffles)") {
     // gopher: map-only over the scan — the sole exchange is the oracle sort
     val gp = TextOps.textGopherRules(spark, sf0001)
