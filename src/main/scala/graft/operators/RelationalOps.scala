@@ -597,14 +597,22 @@ object RelationalOps {
 
   /** CDC MERGE (upsert) applied as one relational pass: a deterministic
     * changeset (updates for every 7th order, inserts keyed past the
-    * base's key space for every 101st) is merged into `orders` with a
-    * FULL OUTER join on the key, taking the change row when present.
-    * This is the Delta/Iceberg MERGE INTO execution shape expressed on
-    * plain DataFrames: one hash shuffle per side on the merge key (or
-    * zero extra when both sides are bucketed by it), then a per-key
-    * coalesce — at 100 TB the changeset side is typically small enough
-    * to broadcast, collapsing the merge to a map-side join against the
-    * base scan. No collect, no driver loop; AQE handles key skew. */
+    * base's key space for every 101st) is merged into `orders`. The
+    * naive formulation is one FULL OUTER join — but full outer can
+    * NEVER broadcast (both sides must stream unmatched rows), forcing
+    * a shuffle of the 100 TB base for a megabyte changeset. So the
+    * merge decomposes into the broadcast-able equivalent the Delta/
+    * Iceberg MERGE INTO planners use: base LEFT JOIN changes (change
+    * row wins when present) UNION changes ANTI JOIN base (the genuinely
+    * new keys). A LEFT ANTI of changes vs base would put the 100 TB
+    * base on the build side, so the insert set is found the way MERGE
+    * planners find touched files: a SEMI join of base vs broadcast
+    * changes (output is changeset-sized), then changes ANTI the
+    * matched-key set — every join in the plan broadcasts changeset-
+    * sized data and the base table never shuffles; the only exchange
+    * left is the oracle sort. No collect, no driver loop; AQE handles
+    * skew if the changeset outgrows the threshold and joins degrade
+    * to SMJ. */
   def qMergeUpsert(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val base = orders(s, d)
@@ -617,13 +625,19 @@ object RelationalOps {
     val changes = updates.union(inserts)
       .withColumnRenamed("o_custkey", "c_cust")
       .withColumnRenamed("o_orderstatus", "c_status")
-    base.join(changes, Seq("o_orderkey"), "full_outer")
+    val upserted = base
+      .join(broadcast(changes), Seq("o_orderkey"), "left")
       .select($"o_orderkey",
         coalesce($"c_cust", $"o_custkey").as("cust"),
         coalesce($"c_status", $"o_orderstatus").as("status"),
-        when($"o_custkey".isNull, "insert")
-          .when($"c_cust".isNull, "keep").otherwise("update").as("action"))
-      .orderBy($"o_orderkey")
+        when($"c_cust".isNull, "keep").otherwise("update").as("action"))
+    val matched = base.select($"o_orderkey")
+      .join(broadcast(changes.select($"o_orderkey")), Seq("o_orderkey"), "left_semi")
+    val fresh = changes
+      .join(broadcast(matched), Seq("o_orderkey"), "left_anti")
+      .select($"o_orderkey", $"c_cust".as("cust"), $"c_status".as("status"),
+        lit("insert").as("action"))
+    upserted.union(fresh).orderBy($"o_orderkey")
   }
   val qMergeUpsertSql: String =
     """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus FROM orders),

@@ -129,5 +129,13 @@ class WarehouseOpsSpec extends SparkSpec {
     val sc = EventOps.evScd2(spark, sf0001)
       .queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning".r.findAllIn(sc).size <= 1, sc)
+    // merge upsert: every join broadcasts changeset-sized data — the
+    // base table must never hash-shuffle (a full-outer or un-flipped
+    // anti join would SMJ it); the only exchange is the oracle sort
+    val mu = RelationalOps.qMergeUpsert(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(mu.contains("BroadcastHashJoin"), mu)
+    assert(!mu.contains("SortMergeJoin"), mu)
+    assert("Exchange hashpartitioning".r.findAllIn(mu).isEmpty, mu)
   }
 }
