@@ -321,6 +321,7 @@ object OpRegistry {
     op("text_dup_ratio", TextOps.textDupRatio, TextOps.textDupRatioSql),
     op("text_gopher_rules", TextOps.textGopherRules, TextOps.textGopherRulesSql),
     op("text_bpe_pairs", TextOps.textBpePairs, TextOps.textBpePairsSql),
+    op("doc_tfidf_topk", TextOps.docTfidfTopk, TextOps.docTfidfTopkSql),
     op("text_ngram_lm", TextOps.textNgramLm, TextOps.textNgramLmSql),
     op("dedup_exact", DedupOps.dedupExact, DedupOps.dedupExactSql),
     op("dedup_norm", DedupOps.dedupNorm, DedupOps.dedupNormSql),
@@ -357,6 +358,7 @@ object OpRegistry {
     // quantized Lloyd rounds) and fully hash-checked.
     op("sim_ann_ivf", MlOps.simAnnIvf, MlOps.ivfOracleSql),
     op("sim_ann_ivf_index", MlOps.simAnnIvfIndex, MlOps.ivfOracleSql),
+    op("sim_ann_pq", MlOps.simAnnPq, MlOps.pqOracleSql),
     op("mm_metadata", MultimodalOps.mmMetadata, MultimodalOps.mmMetadataSql),
     op("mm_frame_sample", MultimodalOps.mmFrameSample, MultimodalOps.mmFrameSampleSql),
     op("mm_feature", MultimodalOps.mmFeature, MultimodalOps.mmFeatureSql),

@@ -32,7 +32,31 @@ object IvfKmeans {
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
 
   def centroids(s: SparkSession, d: String): Array[Array[Double]] =
-    cache.computeIfAbsent(d, _ => loadOrFit(s, d))
+    cache.computeIfAbsent(d, _ => loadOrFit(s, d, "ivf",
+      withV(s, d).select(col("vec_id"), col("v"))))
+
+  /** PQ codebook for subspace `m` of [[MlOps.simAnnPq]]: the same
+    * deterministic fit, run on a `subDim`-wide slice of the unit-
+    * normalized vector — an index artifact exactly like the IVF
+    * coarse quantizer (fit once per corpus, disk-persisted, never
+    * re-fit per query). */
+  def pqCodebook(s: SparkSession, d: String, m: Int, subDim: Int): Array[Array[Double]] =
+    cache.computeIfAbsent(s"$d#pq${m}x$subDim", _ => loadOrFit(s, d, s"pq${m}x$subDim",
+      withUnitV(s, d).select(col("vec_id"),
+        expr(s"slice(v, ${m * subDim + 1}, $subDim)").as("v"))))
+
+  /** [[withV]] unit-L2-normalized (guarded against zero vectors), so
+    * squared L2 is 2·(1−cos) and PQ's distance quantization ranks the
+    * same way the exact-cosine contract does. sqrt and division are
+    * correctly-rounded IEEE ops on identical inputs — both engines
+    * produce bit-identical normalized coordinates. */
+  def withUnitV(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    withV(s, d)
+      .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
+      .select($"vec_id", $"embedding",
+        expr("CASE WHEN nrm > 0D THEN transform(v, x -> x / nrm) ELSE v END").as("v"))
+  }
 
   /** On-disk centroid cache path for corpus `d`, under the same
     * configurable root as the list-partitioned index (shared storage
@@ -42,7 +66,7 @@ object IvfKmeans {
     * at the same path every round — the key changes and the stale
     * artifact is simply never found, instead of silently feeding wrong
     * assignments to every IVF op. */
-  private def centroidPath(s: SparkSession, d: String): String = {
+  private def centroidPath(s: SparkSession, d: String, tag: String): String = {
     val root = s.conf.getOption("spark.graft.indexRoot")
       .getOrElse(System.getProperty("java.io.tmpdir") + "/graft_ivf")
     val fingerprint =
@@ -55,7 +79,7 @@ object IvfKmeans {
       } catch { case scala.util.control.NonFatal(_) => "nofp" }
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$d#$fingerprint".getBytes("UTF-8")).map("%02x".format(_)).mkString
-    s"$root/centroids_$key"
+    s"$root/centroids_${tag}_$key"
   }
 
   /** Fitting kmeans is the whole cold cost of the IVF ops (round-12
@@ -64,8 +88,9 @@ object IvfKmeans {
     * a k-row parquet beside the index and load them on any later cold
     * call (new JVM, same corpus). A missing/corrupt/wrong-cardinality
     * artifact falls back to a fresh fit. */
-  private def loadOrFit(s: SparkSession, d: String): Array[Array[Double]] = {
-    val path = centroidPath(s, d)
+  private def loadOrFit(s: SparkSession, d: String, tag: String,
+      input: DataFrame): Array[Array[Double]] = {
+    val path = centroidPath(s, d, tag)
     val loaded: Option[Array[Array[Double]]] =
       try {
         val p = new org.apache.hadoop.fs.Path(path)
@@ -79,7 +104,7 @@ object IvfKmeans {
         }
       } catch { case scala.util.control.NonFatal(_) => None }
     loaded.getOrElse {
-      val cents = fit(s, d)
+      val cents = fit(s, input)
       try centroidFrame(s, cents).coalesce(1)
         .write.mode("overwrite").parquet(path)
       catch { case scala.util.control.NonFatal(e) =>
@@ -126,9 +151,9 @@ object IvfKmeans {
     cents.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toDF("list_id", "c")
   }
 
-  private def fit(s: SparkSession, d: String): Array[Array[Double]] = {
+  private def fit(s: SparkSession, input: DataFrame): Array[Array[Double]] = {
     import s.implicits._
-    val e = withV(s, d).select($"vec_id", $"v").cache()
+    val e = input.cache()
     // seeds: the k rows with the smallest md5(vec_id) — a deterministic
     // "random" draw any engine reproduces with its own md5()
     var cents: Array[Array[Double]] = e

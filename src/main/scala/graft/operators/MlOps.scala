@@ -151,6 +151,164 @@ object MlOps {
     s.createDataFrame(rows.asJava, out.schema)
   }
 
+  /** Product-quantization ANN (Jégou et al. 2011): unit-normalized
+    * 64-d vectors split into M=8 8-d subspaces, each quantized by its
+    * own deterministic [[IvfKmeans.pqCodebook]] (k=16, fit once per
+    * corpus, disk-persisted) — so every vector compresses to 8
+    * nibble-sized codes, a 32× reduction of what a 100 TB scan has to
+    * touch. A query builds an 8×16 asymmetric-distance lookup table
+    * (exact query subvector vs each codebook centroid) and every
+    * candidate's approximate distance is 8 table lookups + 7 adds: the
+    * scan side joins the BROADCAST lookup tables on its stored codes
+    * and never touches the raw vectors. The unit normalization makes
+    * squared L2 rank like cosine, so the ADC shortlist (top-64) feeds
+    * a final exact-cosine rerank of queries×64 rows — the standard
+    * two-stage PQ retrieval. The ADC sum is a fixed-order
+    * d0+d1+...+d7 expression (not a groupBy sum) so both engines
+    * accumulate identically, which is what lets the DuckDB replay
+    * hash-match an approximate index. Ranking contract mirrors the
+    * other ANN ops: top-3 per query (vec_id < 5), ties to the lower
+    * neighbor id. */
+  private[operators] val PqM = 8
+  private[operators] val PqSubDim = 8
+  private[operators] val PqRerank = 64
+
+  def simAnnPq(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val e = IvfKmeans.withUnitV(s, d).cache()
+    def sub(m: Int) = expr(s"slice(v, ${m * PqSubDim + 1}, $PqSubDim)")
+    val cbs = (0 until PqM).map(m =>
+      IvfKmeans.centroidFrame(s, IvfKmeans.pqCodebook(s, d, m, PqSubDim)))
+    // encode: per-subspace nearest codebook id, M narrow assignments
+    // joined on vec_id into one (vec_id, code0..codeM-1) row per vector
+    val codes = (0 until PqM).map { m =>
+      IvfKmeans.assign(e.select($"vec_id", sub(m).as("v")), cbs(m))
+        .withColumnRenamed("list_id", s"code$m")
+    }.reduce(_.join(_, "vec_id"))
+    // ADC lookup tables: (query, code) -> exact partial squared
+    // distance; 5 queries x 16 codes per subspace — broadcast-sized
+    // by construction at any corpus size
+    val luts = (0 until PqM).map { m =>
+      IvfKmeans.withDists(
+          e.filter($"vec_id" < 5).select($"vec_id".as("qid"), sub(m).as("v")),
+          cbs(m))
+        .select($"qid", col("list_id").as(s"code$m"), $"dist".as(s"d$m"))
+    }
+    val withD = luts.zipWithIndex.foldLeft(codes) { case (acc, (lut, m)) =>
+      acc.join(broadcast(lut),
+        if (m == 0) Seq(s"code$m") else Seq("qid", s"code$m"))
+    }
+    val scored = withD.filter($"qid" =!= $"vec_id")
+      .select($"qid", $"vec_id".as("nid"),
+        (0 until PqM).map(m => col(s"d$m")).reduce(_ + _).as("adc"))
+    // ADC shortlist (top-R), then exact-cosine rerank of R candidates —
+    // the standard two-stage PQ retrieval: the scan side touches only
+    // codes, the exact kernel runs on queries x R rows
+    val wAdc = Window.partitionBy($"qid").orderBy($"adc", $"nid")
+    val shortlist = scored.withColumn("arn", row_number().over(wAdc))
+      .filter($"arn" <= PqRerank)
+      .select($"qid", $"nid")
+    val reranked = shortlist
+      .join(e.select($"vec_id".as("qid"), $"embedding".as("qe")), "qid")
+      .join(e.select($"vec_id".as("nid"), $"embedding".as("ne")), "nid")
+      .select($"qid", $"nid", expr("cosine_sim(qe, ne)").as("cos"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
+    reranked.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"qid", $"rank", $"nid")
+      .orderBy($"qid", $"rank")
+  }
+
+  /** DuckDB replay of the full PQ pipeline: unit normalization,
+    * per-subspace sliced embeddings, the same unrolled deterministic
+    * Lloyd fit as [[ivfOracleSql]] (suffixed CTEs per subspace), code
+    * assignment, ADC lookup join with a fixed-order M-term distance
+    * sum, top-64 shortlist, exact-cosine rerank, top-3. */
+  val pqOracleSql: String = {
+    val M = PqM; val SubDim = PqSubDim; val K = IvfKmeans.K; val R = IvfKmeans.Rounds
+    def assignSelect(m: Int, cfrom: String, where: String, rnBound: Int): String =
+      s"""  SELECT vec_id, list_id FROM (
+         |    SELECT e.vec_id, c.list_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_sum(list_transform(list_zip(e.v, c.c),
+         |                          p -> (p[1]-p[2])*(p[1]-p[2]))), c.list_id) AS rn
+         |    FROM emb_$m e CROSS JOIN $cfrom c$where) z
+         |  WHERE rn <= $rnBound""".stripMargin
+    val perSub = (0 until M).map { m =>
+      val lo = m * SubDim + 1; val hi = (m + 1) * SubDim
+      val rounds = (1 to R).map { r =>
+        s"""a${r}_$m AS MATERIALIZED (
+           |${assignSelect(m, s"c${r - 1}_$m", "", 1)}),
+           |m${r}_$m AS MATERIALIZED (
+           |  SELECT list_id, i, round(avg(x), 6) AS cx FROM (
+           |    SELECT a.list_id, generate_subscripts(e.v, 1) AS i, unnest(e.v) AS x
+           |    FROM a${r}_$m a JOIN emb_$m e USING (vec_id)) z
+           |  GROUP BY list_id, i),
+           |c${r}_$m AS MATERIALIZED (
+           |  SELECT p.list_id, COALESCE(n.c, p.c) AS c
+           |  FROM c${r - 1}_$m p LEFT JOIN
+           |    (SELECT list_id, list(cx ORDER BY i) AS c FROM m${r}_$m GROUP BY list_id) n
+           |  USING (list_id))""".stripMargin
+      }.mkString(",\n")
+      s"""emb_$m AS MATERIALIZED (
+         |  SELECT vec_id, v[$lo:$hi] AS v FROM emb),
+         |c0_$m AS MATERIALIZED (
+         |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS list_id,
+         |         v AS c
+         |  FROM (SELECT vec_id, v FROM emb_$m
+         |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $K) s),
+         |$rounds,
+         |af_$m AS MATERIALIZED (
+         |${assignSelect(m, s"c${R}_$m", "", 1)}),
+         |lut_$m AS MATERIALIZED (
+         |  SELECT q.vec_id AS qid, c.list_id AS code$m,
+         |    list_sum(list_transform(list_zip(q.v, c.c),
+         |             p -> (p[1]-p[2])*(p[1]-p[2]))) AS d$m
+         |  FROM emb_$m q CROSS JOIN c${R}_$m c WHERE q.vec_id < 5)""".stripMargin
+    }.mkString(",\n")
+    val codeCols = (0 until M).map(m => s"a$m.list_id AS code$m").mkString(", ")
+    val codeJoins = (1 until M)
+      .map(m => s"JOIN af_$m a$m USING (vec_id)").mkString(" ")
+    val lutJoins = (1 until M)
+      .map(m => s"JOIN lut_$m l$m ON l$m.qid = l0.qid AND l$m.code$m = codes.code$m")
+      .mkString("\n  ")
+    val adcSum = (0 until M).map(m => s"l$m.d$m").mkString(" + ")
+    s"""WITH raw AS MATERIALIZED (
+       |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+       |emb AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    CASE WHEN sqrt(list_sum(list_transform(v, x -> x * x))) > 0
+       |      THEN list_transform(v, x -> x / sqrt(list_sum(list_transform(v, x -> x * x))))
+       |      ELSE v END AS v
+       |  FROM raw),
+       |$perSub,
+       |codes AS MATERIALIZED (
+       |  SELECT a0.vec_id, $codeCols
+       |  FROM af_0 a0 $codeJoins),
+       |scored AS MATERIALIZED (
+       |  SELECT l0.qid, codes.vec_id AS nid,
+       |    $adcSum AS adc
+       |  FROM codes
+       |  JOIN lut_0 l0 ON l0.code0 = codes.code0
+       |  $lutJoins
+       |  WHERE l0.qid <> codes.vec_id),
+       |shortlist AS MATERIALIZED (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS arn
+       |    FROM scored) z
+       |  WHERE arn <= $PqRerank),
+       |reranked AS MATERIALIZED (
+       |  SELECT s.qid, s.nid, list_cosine_similarity(q.v, n.v) AS cos
+       |  FROM shortlist s
+       |  JOIN raw q ON q.vec_id = s.qid
+       |  JOIN raw n ON n.vec_id = s.nid)
+       |SELECT qid, rank, nid FROM (
+       |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |  FROM reranked) z
+       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+  }
+
   /** DuckDB replay of the ENTIRE deterministic IVF pipeline — seeds,
     * the fixed Lloyd rounds (unrolled as plain CTEs; the round count
     * is a compile-time constant, so no recursion is needed), final

@@ -416,6 +416,49 @@ object TextOps {
       |SELECT n_order, gram, n, rank FROM ranked
       |WHERE rank <= 25 ORDER BY n_order, rank""".stripMargin
 
+  /** TF-IDF top-5 terms per document, with the idf weighting kept in
+    * INTEGER space: score = tf·1e6 div df — order-equivalent to tf/df
+    * for ranking within a document (where tf·N/df ∝ tf·idf up to the
+    * shared log shape), and bit-identical across engines where a
+    * float log() would not be. Inverted-index shape: one shuffle for
+    * per-doc term counts, one for document frequencies (vocab-sized —
+    * the join back is a vocab-table join AQE can broadcast), then a
+    * per-doc top-5 window. At 100 TB nothing here is corpus²: every
+    * intermediate is corpus-linear or vocab-sized. */
+  def docTfidfTopk(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val terms = documents(s, d)
+      .select($"doc_id", explode(toks($"text")).as("token"))
+    val tf = terms.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val df = terms.distinct().groupBy($"token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy(col("score").desc, $"token")
+    tf.join(df, "token")
+      .withColumn("score", expr("(1000000L * tf) div df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .select($"doc_id", $"rank", $"token", $"tf", $"df", $"score")
+      .orderBy($"doc_id", $"rank")
+  }
+  val docTfidfTopkSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM terms GROUP BY 1, 2),
+      |df AS (SELECT token, count(*) AS df
+      |       FROM (SELECT DISTINCT doc_id, token FROM terms) GROUP BY token),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+      |    (1000000 * tf.tf) // df.df AS score
+      |  FROM tf JOIN df USING (token)),
+      |ranked AS (
+      |  SELECT doc_id, token, tf, df, score,
+      |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token)
+      |      AS BIGINT) AS rank
+      |  FROM scored)
+      |SELECT doc_id, rank, token, tf, df, score FROM ranked
+      |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
+
   def textGopherRules(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val t = toks($"text")

@@ -107,6 +107,38 @@ class WarehouseOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("pq ann: shortlist+rerank recovers exact neighbors, deterministic") {
+    import spark.implicits._
+    val pq = MlOps.simAnnPq(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = SimilarityOps.simTopkBrute(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pq.length == brute.length)
+    // PQ is approximate; the exact-cosine rerank of the ADC top-64
+    // shortlist must put >= 1 of the true top-3 into the PQ top-3 per
+    // query on this corpus (measured: the shortlist catches 2-3 of 3)
+    val byQ = brute.groupBy(_._1).view.mapValues(_.map(_._3).toSet)
+    pq.groupBy(_._1).foreach { case (q, rows) =>
+      val hit = rows.map(_._3).toSet.intersect(byQ(q)).size
+      assert(hit >= 1, s"query $q: PQ top-3 disjoint from exact top-3")
+    }
+    // deterministic across invocations (codebooks are cached artifacts)
+    val again = MlOps.simAnnPq(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.sameElements(pq))
+  }
+
+  test("tfidf: rank window is dense per doc, df counts docs not tokens") {
+    import spark.implicits._
+    val out = TextOps.docTfidfTopk(spark, sf0001).cache()
+    val nDocs = graft.Tables.documents(spark, sf0001).count()
+    assert(out.filter($"rank" === 1L).count() == nDocs)
+    assert(out.filter($"rank" < 1L || $"rank" > 5L).count() == 0)
+    assert(out.filter($"df" > nDocs || $"df" < 1L).count() == 0)
+    assert(out.filter($"score" =!= expr("(1000000L * tf) div df")).count() == 0)
+    out.unpersist()
+  }
+
   test("streaming hop window equals the batch hop window's count projection") {
     import spark.implicits._
     val batch = EventOps.evHopWindow(spark, sf0001)
