@@ -323,7 +323,10 @@ object OpRegistry {
     op("text_bpe_pairs", TextOps.textBpePairs, TextOps.textBpePairsSql),
     op("doc_tfidf_topk", TextOps.docTfidfTopk, TextOps.docTfidfTopkSql),
     op("text_ngram_lm", TextOps.textNgramLm, TextOps.textNgramLmSql),
+    op("text_lm_coverage", TextOps.textLmCoverage, TextOps.textLmCoverageSql),
     op("dedup_exact", DedupOps.dedupExact, DedupOps.dedupExactSql),
+    op("dedup_incremental", DedupOps.dedupIncremental, DedupOps.dedupIncrementalSql),
+    op("dedup_span", DedupOps.dedupSpan, DedupOps.dedupSpanSql),
     op("dedup_norm", DedupOps.dedupNorm, DedupOps.dedupNormSql),
     op("dedup_ngram_jaccard", DedupOps.dedupNgramJaccard, DedupOps.dedupNgramJaccardSql),
     op("dedup_clusters", DedupOps.dedupClusters, DedupOps.dedupClustersSql),
@@ -342,10 +345,12 @@ object OpRegistry {
     op("doc_pack_manifest",
       CurationOps.docPackManifest, CurationOps.docPackManifestSql),
     op("doc_interleave", CurationOps.docInterleave, CurationOps.docInterleaveSql),
+    op("doc_mix_weights", CurationOps.docMixWeights, CurationOps.docMixWeightsSql),
     op("doc_train_feed_e2e", CurationOps.docTrainFeed, CurationOps.docTrainFeedSql),
     op("doc_pipeline_e2e", CurationOps.docPipelineE2e, CurationOps.docPipelineE2eSql),
     op("sim_topk_brute", SimilarityOps.simTopkBrute, SimilarityOps.simTopkBruteSql),
     op("sim_ann_lsh", SimilarityOps.simAnnLsh, SimilarityOps.simAnnLshSql),
+    op("sim_knn_graph", SimilarityOps.simKnnGraph, SimilarityOps.simKnnGraphSql),
     op("sim_vector_stats",
       SimilarityOps.simVectorStats, SimilarityOps.simVectorStatsSql),
     // DECISION (round 9, from round-8 verdict #4, superseding the
@@ -388,6 +393,7 @@ object OpRegistry {
     op("ev_hop_window", EventOps.evHopWindow, EventOps.evHopWindowSql),
     op("ev_stream_hop_window", EventOps.evStreamHopWindow, EventOps.evStreamHopWindowSql),
     op("ev_gap_stats", EventOps.evGapStats, EventOps.evGapStatsSql),
+    op("ev_anomaly", EventOps.evAnomaly, EventOps.evAnomalySql),
     op("rdf_xml_source", RdfXmlOps.xmlSource, RdfXmlOps.xmlOracleSql),
     op("rdf_xml_roundtrip", RdfXmlOps.xmlRoundtrip, RdfXmlOps.xmlOracleSql),
     op("rdf_nt_roundtrip", RdfXmlOps.ntRoundtrip, RdfOps.apFullSql),

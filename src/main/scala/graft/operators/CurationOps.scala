@@ -515,4 +515,51 @@ object CurationOps {
       |SELECT d.doc_id FROM documents d
       |WHERE d.doc_id % 50 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM dirty)
       |ORDER BY doc_id""".stripMargin
+
+  /** Upsampling cap for [[docMixWeights]], in ppm of a 1.0× weight: a
+    * tiny domain is never repeated more than 4 epochs — past that,
+    * repetition hurts more than the mixture balance helps (the
+    * standard data-mixing guard). */
+  val MixUpsampleCapPpm = 4000000L
+
+  /** Domain-mixture weights: per-source token counts, corpus share,
+    * and the uniform-target sampling weight (how many epochs of each
+    * source a balanced mixture would draw), all in integer ppm — the
+    * table a weighted interleave ([[docInterleave]]) or a sampler
+    * consumes to rebalance a multi-source corpus.
+    *
+    * weight_ppm = (total_tokens / n_sources) / source_tokens, capped
+    * at [[MixUpsampleCapPpm]]. Shape: one partial-aggregated groupBy
+    * to source-sized rows, then the totals join is sources × 1 —
+    * catalog-scale from the first shuffle on; nothing downstream
+    * touches corpus rows. Pure int64 arithmetic end-to-end (the
+    * repo's float-free oracle contract). */
+  def docMixWeights(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val per = documents(s, d)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split($"text", " ")).cast("long")).as("n_tokens"))
+    val tot = per.agg(sum($"n_tokens").as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    per.crossJoin(tot)
+      .select($"source", $"n_docs", $"n_tokens",
+        expr("(1000000L * n_tokens) div total_tokens").as("share_ppm"),
+        least(
+          expr("(1000000L * (total_tokens div n_sources)) div n_tokens"),
+          lit(MixUpsampleCapPpm)).as("weight_ppm"))
+      .orderBy($"source")
+  }
+  val docMixWeightsSql: String =
+    s"""WITH per AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |          count(*) AS n_sources FROM per)
+       |SELECT source, n_docs, n_tokens,
+       |  (1000000 * n_tokens) // total_tokens AS share_ppm,
+       |  least((1000000 * (total_tokens // n_sources)) // n_tokens,
+       |        $MixUpsampleCapPpm) AS weight_ppm
+       |FROM per, tot ORDER BY source""".stripMargin
 }

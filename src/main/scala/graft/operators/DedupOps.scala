@@ -491,4 +491,105 @@ object DedupOps {
        |  SELECT r.x, eg.b FROM reach r JOIN eg ON r.y = eg.a)
        |SELECT x AS vec_id, min(y) AS canonical FROM reach GROUP BY x
        |ORDER BY vec_id""".stripMargin
+
+  /** The "incoming batch" sources for [[dedupIncremental]] — a
+    * pipeline ingesting continuously dedups each new crawl batch
+    * against the already-accepted corpus, never corpus-vs-corpus. */
+  private val IncrementalBatchSources = Seq("src0", "src1")
+
+  /** Incremental (batch-vs-corpus) exact dedup: the arriving batch
+    * keeps only documents whose content hash is absent from the
+    * existing corpus, then dedups within itself — the shape every
+    * continuously-fed training pipeline runs per crawl drop, where
+    * re-hashing the full corpus per batch would be quadratic over the
+    * pipeline's lifetime.
+    *
+    * Shape: the corpus side reduces to DISTINCT hashes with a
+    * map-side partial aggregate before the LeftAnti join, so the join
+    * input is |unique corpus docs| not |corpus rows|; both sides
+    * shuffle once on the hash. At 100 TB the corpus hash set is a
+    * persisted, bucketed index updated per batch (plus a bloom-filter
+    * pre-pass executors apply at the scan), so only the BATCH pays
+    * per-ingest cost — here it is derived inline so the op is
+    * self-contained and oracle-checkable. */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+      .select($"doc_id", $"source", md5($"text").as("key"))
+    val incoming = docs.filter($"source".isInCollection(IncrementalBatchSources))
+    val corpus = docs.filter(!$"source".isInCollection(IncrementalBatchSources))
+      .select($"key").distinct()
+    incoming.join(corpus, Seq("key"), "left_anti")
+      .groupBy($"key")
+      .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_batch"))
+      .orderBy($"key")
+  }
+  val dedupIncrementalSql: String = {
+    val batch = IncrementalBatchSources.map("'" + _ + "'").mkString(", ")
+    s"""WITH hashed AS (
+       |  SELECT doc_id, source, md5(text) AS key FROM documents),
+       |corpus AS (SELECT DISTINCT key FROM hashed WHERE source NOT IN ($batch))
+       |SELECT key, min(doc_id) AS keeper, count(*) AS n_batch
+       |FROM hashed
+       |WHERE source IN ($batch) AND key NOT IN (SELECT key FROM corpus)
+       |GROUP BY key ORDER BY key""".stripMargin
+  }
+
+  /** Span length (tokens) and document-frequency cap for
+    * [[dedupSpan]]. 12 tokens stands in for the ~50-token span the
+    * exact-substring dedup literature uses at web scale — scaled to
+    * the test corpus's ~40-token documents so the op exercises real
+    * matches. The DF cap is the same pigeonhole guard as
+    * [[NgramDfCap]]: a span shared by k docs emits k²/2 pairs, and
+    * only boilerplate (license headers, navigation chrome) has high
+    * span-DF, which carries no duplication signal. */
+  val SpanLen = 12
+  val SpanDfCap = 64L
+
+  /** Exact substring-span dedup: pairs of documents sharing at least
+    * one verbatim [[SpanLen]]-token span — the "memorization risk"
+    * dedup that Jaccard similarity misses when two long documents
+    * share one copied paragraph but differ everywhere else (overall
+    * Jaccard low, yet the span is verbatim training leakage).
+    *
+    * Shape: identical inverted-index discipline to
+    * [[dedupNgramJaccard]] — distinct spans per doc map-side, over-cap
+    * spans removed via a LeftAnti join whose small side is the
+    * over-cap set (≤ span_rows / cap keys ⇒ AQE broadcasts it
+    * unhinted), then a self-join on span hash. Output is bounded by
+    * rows·cap — corpus-linear. Joining on the md5 of the span (not
+    * the span text) keeps shuffle rows fixed-width; md5 on both
+    * engines makes the oracle value-exact. */
+  def dedupSpan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = SpanLen
+    val sp = spreadDocs(s, d)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .filter(size($"ws") >= k)
+      .select($"doc_id", explode(array_distinct(expr(
+        s"transform(sequence(0, size(ws) - $k), i -> md5(concat_ws(' ', " +
+          (0 until k).map(j => s"ws[i+$j]").mkString(", ") + ")))")))
+        .as("g"))
+    val drop = sp.groupBy($"g").agg(count(lit(1)).as("n_docs"))
+      .filter($"n_docs" > SpanDfCap).select($"g".as("xg"))
+    val kept = sp.join(drop, $"g" === $"xg", "left_anti")
+    kept.toDF("da", "g").join(kept.toDF("db", "g"), "g")
+      .filter($"da" < $"db")
+      .groupBy($"da", $"db").agg(count(lit(1)).as("n_spans"))
+      .orderBy($"da", $"db")
+  }
+  val dedupSpanSql: String = {
+    val k = SpanLen
+    val gram = (0 until k).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+    s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+       |sp AS (SELECT doc_id, unnest(list_distinct(
+       |         [md5($gram) for i in range(1, len(ws) - ${k - 1} + 1)])) AS g
+       |       FROM tok WHERE len(ws) >= $k),
+       |keep AS (SELECT g FROM (SELECT g, count(*) AS n_docs FROM sp GROUP BY g)
+       |         WHERE n_docs <= $SpanDfCap)
+       |SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_spans
+       |FROM sp a JOIN sp b ON a.g = b.g AND a.doc_id < b.doc_id
+       |WHERE a.g IN (SELECT g FROM keep)
+       |GROUP BY 1, 2 ORDER BY da, db""".stripMargin
+  }
 }

@@ -534,4 +534,41 @@ object EventOps {
       |  min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us,
       |  sum(gap_us) AS sum_gap_us
       |FROM gaps GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Rank-based anomaly flagging: the top 1% of events per event_type
+    * by value — distribution-free (no mean/stddev float model, so no
+    * float crosses the oracle boundary; the repo's float-free
+    * contract) and robust to heavy tails where a z-score isn't.
+    *
+    * The window's (value DESC, event_id) order is total, so the flag
+    * set is deterministic on both engines; output is integer/string
+    * only. Scale note: a per-type row_number sorts each event_type
+    * partition in one task — with few types that partition is
+    * corpus-sized, so at 100 TB the production form is two-pass
+    * threshold selection (approx_percentile cutoff per type —
+    * catalog-sized — then one map-only scan-filter); the exact
+    * window here is the oracle-checkable correctness form of the
+    * same semantics, and the two-pass form is exactly how
+    * [[graft.operators.RelationalOps.qSaltedAgg]]-style skew guards
+    * restructure hot keys. */
+  def evAnomaly(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"value".desc, $"event_id")
+    val n = Window.partitionBy($"event_type")
+    events(s, d)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(n))
+      .filter(lit(100L) * $"rank" <= $"n")
+      .select($"event_type", $"rank", $"event_id", $"user_id")
+      .orderBy($"event_type", $"rank")
+  }
+  val evAnomalySql: String =
+    """WITH r AS (
+      |  SELECT event_type, event_id, user_id,
+      |    CAST(row_number() OVER (PARTITION BY event_type
+      |           ORDER BY value DESC, event_id) AS BIGINT) AS rank,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events)
+      |SELECT event_type, rank, event_id, user_id
+      |FROM r WHERE 100 * rank <= n ORDER BY event_type, rank""".stripMargin
 }

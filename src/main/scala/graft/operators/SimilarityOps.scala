@@ -143,4 +143,64 @@ object SimilarityOps {
       |    AS max_abs,
       |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos
       |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  /** k-nearest-neighbor GRAPH (k = 3) over the whole embedding table —
+    * the all-vectors generalization of [[simAnnLsh]]'s per-query probe,
+    * and the substrate semantic-dedup clustering and diversity
+    * sampling both consume. Each vector's neighbors come from its own
+    * LSH bucket, so the all-pairs crossJoin becomes a bucket
+    * equi-join: every vector shuffles ONCE on its 4-bit hyperplane
+    * signature and pairs only within its bucket — sum over buckets of
+    * |b|², corpus-linear for balanced buckets, vs n² brute force. At
+    * 100 TB the plane count scales as log2(rows / target bucket size)
+    * to hold |b| constant, and multi-probe (flipping the weakest sign
+    * bit) recovers the recall a single probe loses; vectors in
+    * singleton buckets simply emit fewer than k edges, which
+    * downstream CC/diversity consumers treat as isolated. Signature,
+    * tie-break (cos DESC, nid) and double-widened arithmetic are the
+    * shared md5 contract, so the DuckDB oracle is value-exact. */
+  def simKnnGraph(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nPlanes = 4
+    val signs = planeSigns(nPlanes, 64)
+    val sigCols = (0 until nPlanes).map { i =>
+      val arr = s"array(${signs(i).mkString(", ")})"
+      when(expr(
+        s"aggregate(zip_with(v, $arr, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)") > 0,
+        lit(1L << i)).otherwise(lit(0L))
+    }
+    graft.functions.GraftFunctions.register(s)
+    val e = embeddings(s, d).select($"vec_id",
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("bucket", sigCols.reduce(_ + _))
+      .cache()
+    val a = e.toDF("qid", "va", "bucket")
+    val b = e.toDF("nid", "vb", "bucket")
+    val scored = a.join(b, "bucket").filter($"qid" =!= $"nid")
+      .select($"qid", $"nid", expr("cosine_sim(va, vb)").as("cos"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"qid", $"rank", $"nid")
+      .orderBy($"qid", $"rank")
+  }
+  /** DuckDB replica of the full kNN graph: identical md5-sign planes,
+    * bucket assignment, in-bucket cosine and tie-break. */
+  val simKnnGraphSql: String =
+    """WITH pl AS (SELECT i,
+      |    [CASE WHEN strpos('89abcdef', substr(md5('p_' || CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 1)) > 0
+      |          THEN 1 ELSE -1 END for j in range(0,64)] AS sg
+      |  FROM range(0,4) t(i)),
+      |e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+      |bk AS (SELECT e.vec_id, first(e.v) AS v,
+      |         CAST(sum(CASE WHEN list_sum([e.v[j+1] * pl.sg[j+1] for j in range(0,64)]) > 0
+      |                       THEN (1::BIGINT << pl.i) ELSE 0 END) AS BIGINT) AS bucket
+      |       FROM e, pl GROUP BY e.vec_id),
+      |scored AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+      |             list_cosine_similarity(a.v, b.v) AS cos
+      |           FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+      |ranked AS (SELECT qid, nid,
+      |             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+      |           FROM scored)
+      |SELECT qid, rank, nid FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 }

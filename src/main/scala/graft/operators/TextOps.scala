@@ -514,4 +514,51 @@ object TextOps {
        |    f_symbol + f_stop = 6 THEN 1 ELSE 0 END AS BIGINT) AS keep
        |FROM f ORDER BY doc_id""".stripMargin
   }
+
+  /** In-domain LM coverage score: the fraction (integer ppm — the
+    * repo's float-free contract after the `text_dup_ratio` lesson) of
+    * each document's bigram OCCURRENCES that fall inside the corpus's
+    * top-100 bigram table — the cheap KenLM-perplexity proxy used to
+    * score how "in-domain" a document is against a reference corpus
+    * LM before a float log-prob model exists.
+    *
+    * Shape: one count shuffle induces the LM (distinct-bigram-sized,
+    * never corpus-sized), a global sort-LIMIT takes the top-100
+    * (TakeOrderedAndProject — per-partition top-k then a 100-row
+    * driver merge, no full sort), and the scoring join is doc-bigrams
+    * × a 100-row table, which AQE broadcasts at any corpus size. The
+    * top-k tie-break is total (count DESC, gram) so both engines cut
+    * the same 100 rows. Docs with < 2 tokens have no bigrams and are
+    * excluded — mirrored by the SQL's len(ws) >= 2 guard. */
+  def textLmCoverage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bi = documents(s, d)
+      .select($"doc_id", toks($"text").as("ws"))
+      .filter(size($"ws") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> concat_ws(' ', ws[i], ws[i+1]))"))
+        .as("g"))
+    val lm = bi.groupBy($"g").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"g").limit(100)
+      .select($"g", lit(1L).as("hit"))
+    bi.join(lm, Seq("g"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        coalesce(sum($"hit"), lit(0L)).as("n_in_lm"))
+      .withColumn("coverage_ppm", expr("(1000000L * n_in_lm) div n_bigrams"))
+      .orderBy($"doc_id")
+  }
+  val textLmCoverageSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |bi AS (SELECT doc_id,
+      |         unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS g
+      |       FROM tok WHERE len(ws) >= 2),
+      |lm AS (SELECT g FROM (SELECT g, count(*) AS n FROM bi GROUP BY g)
+      |       ORDER BY n DESC, g LIMIT 100),
+      |sc AS (SELECT b.doc_id, count(*) AS n_bigrams,
+      |         CAST(count(lm.g) AS BIGINT) AS n_in_lm
+      |       FROM bi b LEFT JOIN lm ON lm.g = b.g GROUP BY 1)
+      |SELECT doc_id, n_bigrams, n_in_lm,
+      |  (1000000 * n_in_lm) // n_bigrams AS coverage_ppm
+      |FROM sc ORDER BY doc_id""".stripMargin
 }

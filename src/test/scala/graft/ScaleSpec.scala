@@ -451,6 +451,22 @@ class ScaleSpec extends SparkSpec {
       s"(band, bucket) buckets over ${operators.DedupOps.LshBandCap} docs must not generate candidates")
   }
 
+  test("span-dedup DF cap bounds candidates when one span is corpus-wide boilerplate") {
+    // same pigeonhole guard as the jaccard cap, for exact 12-token
+    // spans: a license-header span shared by the whole corpus would
+    // otherwise emit k²/2 pairs from the span self-join. With every
+    // span over-cap, the join must emit nothing.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("spancap").toString
+    val nDocs = (operators.DedupOps.SpanDfCap + 12).toInt
+    val boiler = (1 to operators.DedupOps.SpanLen).map(i => s"w$i").mkString(" ")
+    (0 until nDocs).map(i => (i.toLong, boiler))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(operators.DedupOps.dedupSpan(spark, dir).count() == 0,
+      s"spans with DF > ${operators.DedupOps.SpanDfCap} must not generate candidates")
+  }
+
   test("all three dedup caps apply as anti-joins, never as a pre-join aggregate-list") {
     // the cap's scale property depends on its SHAPE: an anti-join
     // against the small over-cap set keeps every aggregation buffer
@@ -459,7 +475,8 @@ class ScaleSpec extends SparkSpec {
     // can drop it (the classic skew OOM, documented on dedupNgramJaccard)
     Seq(operators.DedupOps.dedupNgramJaccard(spark, sf0001),
         operators.DedupOps.dedupSimhash(spark, sf0001),
-        operators.DedupOps.dedupMinhashLsh(spark, sf0001)).foreach { df =>
+        operators.DedupOps.dedupMinhashLsh(spark, sf0001),
+        operators.DedupOps.dedupSpan(spark, sf0001)).foreach { df =>
       val p = plan(df)
       assert(p.contains("LeftAnti"), s"cap must be an anti-join:\n${p.take(800)}")
       assert(!p.contains("collect_list"), s"no aggregate-list cap:\n${p.take(800)}")

@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Behavioral invariants for the round-13 pipeline-extension ops —
+  * properties the DuckDB oracle can't state (cross-op consistency,
+  * bound/monotonicity contracts, cap behavior on adversarial input).
+  */
+class ExtOpsSpec extends SparkSpec {
+
+  test("lm coverage: ppm bounded, hits never exceed bigrams, every 2+-token doc scored") {
+    import spark.implicits._
+    val cov = TextOps.textLmCoverage(spark, sf0001).cache()
+    val bad = cov.filter($"coverage_ppm" < 0L || $"coverage_ppm" > 1000000L ||
+      $"n_in_lm" > $"n_bigrams" || $"n_bigrams" <= 0L).count()
+    assert(bad == 0, "coverage_ppm out of [0, 1e6] or hits > bigrams")
+    val eligible = graft.Tables.documents(spark, sf0001)
+      .filter(size(split($"text", " ")) >= 2).count()
+    assert(cov.count() == eligible, "every doc with >= 2 tokens gets a score")
+    cov.unpersist()
+  }
+
+  test("incremental dedup: keepers come from the batch and never collide with the corpus") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"source", md5($"text").as("key"))
+    val out = DedupOps.dedupIncremental(spark, sf0001).cache()
+    val batchIds = docs.filter($"source".isin("src0", "src1"))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(out.select($"keeper").as[Long].collect().forall(batchIds),
+      "every keeper must be a batch doc")
+    val corpusKeys = docs.filter(!$"source".isin("src0", "src1"))
+      .select($"key").distinct().as[String].collect().toSet
+    assert(out.select($"key").as[String].collect().forall(k => !corpusKeys(k)),
+      "no surviving batch hash may already exist in the corpus")
+    out.unpersist()
+  }
+
+  test("span dedup: every reported pair verifiably shares a 12-token span") {
+    import spark.implicits._
+    val k = DedupOps.SpanLen
+    val pairs = DedupOps.dedupSpan(spark, sf0001).cache()
+    assert(pairs.count() > 0, "sf0.001 contains genuine duplicated passages")
+    // recompute each pair's span sets directly from the text and
+    // intersect — the op's inverted index must never invent a pair
+    val spans = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .filter(size($"ws") >= k)
+      .select($"doc_id", expr(
+        s"array_distinct(transform(sequence(0, size(ws) - $k), i -> concat_ws(' ', " +
+          (0 until k).map(j => s"ws[i+$j]").mkString(", ") + ")))").as("sp"))
+    val checked = pairs
+      .join(spans.toDF("da", "spa"), "da")
+      .join(spans.toDF("db", "spb"), "db")
+      .withColumn("shared", size(array_intersect($"spa", $"spb")).cast("long"))
+    assert(checked.filter($"shared" < $"n_spans").count() == 0,
+      "reported n_spans must be witnessed by the documents' actual spans")
+    pairs.unpersist()
+  }
+
+  test("knn graph restricted to the probe set equals the per-query ANN path") {
+    // sim_ann_lsh answers queries vec_id < 5 against the same buckets
+    // the full graph uses, so the graph's rows for those vectors must
+    // be IDENTICAL — one contract, two access shapes
+    import spark.implicits._
+    val graphRows = SimilarityOps.simKnnGraph(spark, sf0001)
+      .filter($"qid" < 5).select($"qid", $"rank", $"nid")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val annRows = SimilarityOps.simAnnLsh(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(graphRows == annRows, "knn graph and ANN probe disagree on shared queries")
+  }
+
+  test("knn graph: ranks contiguous from 1, at most k=3 neighbors, no self-edges") {
+    import spark.implicits._
+    val g = SimilarityOps.simKnnGraph(spark, sf0001).cache()
+    assert(g.filter($"qid" === $"nid").count() == 0)
+    val perQ = g.groupBy($"qid")
+      .agg(count(lit(1)).as("n"), max($"rank").as("mx"), min($"rank").as("mn"))
+    assert(perQ.filter($"n" > 3L || $"mx" =!= $"n" || $"mn" =!= 1L).count() == 0,
+      "ranks must be 1..n with n <= 3")
+    g.unpersist()
+  }
+
+  test("mix weights: shares sum to <= 1e6 ppm, weights capped, inverse-monotone in size") {
+    import spark.implicits._
+    val w = CurationOps.docMixWeights(spark, sf0001).cache()
+    val sumShare = w.agg(sum($"share_ppm")).head().getLong(0)
+    assert(sumShare <= 1000000L && sumShare > 900000L,
+      s"integer-floor shares must sum to just under 1e6, got $sumShare")
+    assert(w.filter($"weight_ppm" > CurationOps.MixUpsampleCapPpm).count() == 0)
+    // a strictly larger source never gets a strictly larger weight
+    val rows = w.select($"n_tokens", $"weight_ppm")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    rows.sliding(2).foreach {
+      case Array((t1, w1), (t2, w2)) =>
+        assert(t1 == t2 || w2 <= w1, s"weight must not grow with size: ($t1,$w1) -> ($t2,$w2)")
+      case _ => ()
+    }
+    w.unpersist()
+  }
+
+  test("anomaly flags: exactly floor(n/100) per type, all at or above the unflagged max") {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sf0001).cache()
+    val flagged = EventOps.evAnomaly(spark, sf0001).cache()
+    val expect = ev.groupBy($"event_type").agg((count(lit(1)) / 100).cast("long").as("want"))
+    val got = flagged.groupBy($"event_type").agg(count(lit(1)).as("got"))
+    assert(expect.join(got, Seq("event_type"), "left")
+      .filter(coalesce($"got", lit(0L)) =!= $"want").count() == 0,
+      "flag count must be floor(n/100) per event_type")
+    val minFlagged = ev.join(flagged.select($"event_id"), "event_id")
+      .groupBy($"event_type").agg(min($"value").as("minf"))
+    val maxUnflagged = ev.join(flagged.select($"event_id"), Seq("event_id"), "left_anti")
+      .groupBy($"event_type").agg(max($"value").as("maxu"))
+    assert(minFlagged.join(maxUnflagged, "event_type")
+      .filter($"minf" < $"maxu").count() == 0,
+      "every flagged value must be >= every unflagged value in its type")
+    flagged.unpersist(); ev.unpersist()
+  }
+}
