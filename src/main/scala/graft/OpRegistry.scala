@@ -329,6 +329,7 @@ object OpRegistry {
     op("dedup_span", DedupOps.dedupSpan, DedupOps.dedupSpanSql),
     op("dedup_norm", DedupOps.dedupNorm, DedupOps.dedupNormSql),
     op("dedup_ngram_jaccard", DedupOps.dedupNgramJaccard, DedupOps.dedupNgramJaccardSql),
+    op("dedup_containment", DedupOps.dedupContainment, DedupOps.dedupContainmentSql),
     op("dedup_clusters", DedupOps.dedupClusters, DedupOps.dedupClustersSql),
     op("dedup_embedding_clusters",
       DedupOps.dedupEmbeddingClusters, DedupOps.dedupEmbeddingClustersSql),
@@ -346,6 +347,7 @@ object OpRegistry {
       CurationOps.docPackManifest, CurationOps.docPackManifestSql),
     op("doc_interleave", CurationOps.docInterleave, CurationOps.docInterleaveSql),
     op("doc_mix_weights", CurationOps.docMixWeights, CurationOps.docMixWeightsSql),
+    op("doc_global_shuffle", CurationOps.docGlobalShuffle, CurationOps.docGlobalShuffleSql),
     op("doc_train_feed_e2e", CurationOps.docTrainFeed, CurationOps.docTrainFeedSql),
     op("doc_pipeline_e2e", CurationOps.docPipelineE2e, CurationOps.docPipelineE2eSql),
     op("sim_topk_brute", SimilarityOps.simTopkBrute, SimilarityOps.simTopkBruteSql),
@@ -364,6 +366,7 @@ object OpRegistry {
     op("sim_ann_ivf", MlOps.simAnnIvf, MlOps.ivfOracleSql),
     op("sim_ann_ivf_index", MlOps.simAnnIvfIndex, MlOps.ivfOracleSql),
     op("sim_ann_pq", MlOps.simAnnPq, MlOps.pqOracleSql),
+    op("sim_cluster_sample", MlOps.simClusterSample, MlOps.clusterSampleSql),
     op("mm_metadata", MultimodalOps.mmMetadata, MultimodalOps.mmMetadataSql),
     op("mm_frame_sample", MultimodalOps.mmFrameSample, MultimodalOps.mmFrameSampleSql),
     op("mm_feature", MultimodalOps.mmFeature, MultimodalOps.mmFeatureSql),

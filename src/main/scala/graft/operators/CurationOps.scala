@@ -516,6 +516,34 @@ object CurationOps {
       |WHERE d.doc_id % 50 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM dirty)
       |ORDER BY doc_id""".stripMargin
 
+  /** Deterministic epoch shuffle: the reproducible global training
+    * order — every epoch reads documents in a pseudo-random order that
+    * is a pure function of (epoch seed, doc_id), so a resumed or
+    * re-run job sees byte-identical order with no RNG state to
+    * checkpoint. Order key = md5 of the seeded id; dense positions via
+    * [[graft.store.Dict.denseIndex]] (range-sort + zipWithIndex, the
+    * two-pass distributed shape) — NEVER a partitionless row_number()
+    * window, which funnels the corpus through one partition. At 100 TB
+    * the range sort on the uniformly-distributed md5 key partitions
+    * evenly by construction (no skew: the key space is uniform), and
+    * each epoch is the same plan with a different seed literal. */
+  def docGlobalShuffle(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val keyed = documents(s, d)
+      .select($"doc_id",
+        md5(concat(lit("ep0_"), $"doc_id".cast("string"))).as("shuffle_key"))
+    graft.store.Dict
+      .denseIndex(keyed, Seq("shuffle_key", "doc_id"), "position", 0L)
+      .select($"position", $"doc_id", $"shuffle_key")
+      .orderBy($"position")
+  }
+  val docGlobalShuffleSql: String =
+    """SELECT CAST(row_number() OVER (
+      |         ORDER BY md5('ep0_' || CAST(doc_id AS VARCHAR)), doc_id)
+      |       AS BIGINT) - 1 AS position,
+      |  doc_id, md5('ep0_' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+      |FROM documents ORDER BY position""".stripMargin
+
   /** Upsampling cap for [[docMixWeights]], in ppm of a 1.0× weight: a
     * tiny domain is never repeated more than 4 epochs — past that,
     * repetition hurts more than the mixture balance helps (the

@@ -535,6 +535,61 @@ object DedupOps {
        |GROUP BY key ORDER BY key""".stripMargin
   }
 
+  /** Containment near-dup pairs: the ASYMMETRIC companion to
+    * [[dedupNgramJaccard]]. Jaccard |∩|/|∪| misses the doc-in-doc
+    * case — a paragraph quoted wholesale inside a much longer document
+    * scores low Jaccard (the union is large) yet the smaller doc is
+    * ~fully contained, which is exactly the duplication/memorization
+    * signal a training pipeline wants to catch. Flag pairs where the
+    * SMALLER document's shingle set is ≥ 80% contained in the other:
+    * 5·|∩| ≥ 4·min(|A|,|B|), pure integer (no float threshold), plus
+    * the containment in integer ppm for downstream ranking.
+    *
+    * Shape: identical DF-capped inverted index and anti-join cap as
+    * the Jaccard op ([[NgramDfCap]]) — candidate output stays
+    * corpus-linear; only the final filter/arithmetic differs, so the
+    * scale argument is inherited, and ScaleSpec's cap-shape pin covers
+    * this op through the shared candidate generator. */
+  def dedupContainment(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val shAll = shingles(s, d).cache()
+    val drop = shAll.groupBy($"g").agg(count(lit(1)).as("n_docs"))
+      .filter($"n_docs" > NgramDfCap).select($"g")
+    val sh = shAll.join(drop, shAll("g") === drop("g"), "left_anti").cache()
+    sh.count()
+    shAll.unpersist()
+    val n = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.toDF("da", "g")
+    val b = sh.toDF("db", "g")
+    val common = a.join(b, "g").filter($"da" < $"db")
+      .groupBy($"da", $"db").agg(count(lit(1)).as("c"))
+    common
+      .join(n.toDF("da", "na"), "da")
+      .join(n.toDF("db", "nb"), "db")
+      .filter(lit(5) * $"c" >= lit(4) * least($"na", $"nb"))
+      .select($"da", $"db", $"c",
+        least($"na", $"nb").as("n_small"),
+        expr("(1000000L * c) div least(na, nb)").as("cont_ppm"))
+      .orderBy($"da", $"db")
+  }
+  val dedupContainmentSql: String =
+    s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |sh0 AS (SELECT doc_id, unnest(list_distinct(
+      |         [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)])) AS g
+      |       FROM tok),
+      |keep AS (SELECT g FROM (SELECT g, count(*) AS n_docs FROM sh0 GROUP BY g)
+      |         WHERE n_docs <= $NgramDfCap),
+      |sh AS (SELECT sh0.doc_id, sh0.g FROM sh0 JOIN keep ON keep.g = sh0.g),
+      |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id da, b.doc_id db, count(*) c
+      |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT da, db, c, least(na.n, nb.n) AS n_small,
+      |  (1000000 * c) // least(na.n, nb.n) AS cont_ppm
+      |FROM pairs JOIN n na ON na.doc_id = da JOIN n nb ON nb.doc_id = db
+      |WHERE 5*c >= 4*least(na.n, nb.n)
+      |ORDER BY da, db""".stripMargin
+
   /** Span length (tokens) and document-frequency cap for
     * [[dedupSpan]]. 12 tokens stands in for the ~50-token span the
     * exact-substring dedup literature uses at web scale — scaled to

@@ -315,18 +315,26 @@ object MlOps {
     * assignment, 2-probe, exact-cosine top-3. Squared distances zip
     * and accumulate in index order exactly like the Spark expression;
     * centroid means are quantized with the same round(·, 6). */
-  val ivfOracleSql: String = {
-    def assignSelect(cfrom: String, where: String, rnBound: Int): String =
-      s"""  SELECT vec_id, list_id FROM (
-         |    SELECT e.vec_id, c.list_id,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY list_sum(list_transform(list_zip(e.v, c.c),
-         |                          p -> (p[1]-p[2])*(p[1]-p[2]))), c.list_id) AS rn
-         |    FROM emb e CROSS JOIN $cfrom c$where) z
-         |  WHERE rn <= $rnBound""".stripMargin
+  /** DuckDB assignment subquery against centroid CTE `cfrom` —
+    * shared by the fit replay, the probe, and every consumer of the
+    * final assignment. */
+  private def ivfAssignSelect(cfrom: String, where: String, rnBound: Int): String =
+    s"""  SELECT vec_id, list_id FROM (
+       |    SELECT e.vec_id, c.list_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_sum(list_transform(list_zip(e.v, c.c),
+       |                          p -> (p[1]-p[2])*(p[1]-p[2]))), c.list_id) AS rn
+       |    FROM emb e CROSS JOIN $cfrom c$where) z
+       |  WHERE rn <= $rnBound""".stripMargin
+
+  /** The full DuckDB replay of the deterministic [[IvfKmeans]] fit:
+    * CTEs from `emb` through `af` (the final nearest-centroid
+    * assignment of every vector). Shared prefix of [[ivfOracleSql]]
+    * and [[clusterSampleSql]] so the two oracles can never drift. */
+  private val ivfFitCtes: String = {
     val rounds = (1 to IvfKmeans.Rounds).map { r =>
       s"""a$r AS (
-         |${assignSelect(s"c${r - 1}", "", 1)}),
+         |${ivfAssignSelect(s"c${r - 1}", "", 1)}),
          |m$r AS (
          |  SELECT list_id, i, round(avg(x), 6) AS cx FROM (
          |    SELECT a.list_id, generate_subscripts(e.v, 1) AS i, unnest(e.v) AS x
@@ -347,9 +355,13 @@ object MlOps {
        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT ${IvfKmeans.K}) s),
        |$rounds,
        |af AS (
-       |${assignSelect(s"c${IvfKmeans.Rounds}", "", 1)}),
+       |${ivfAssignSelect(s"c${IvfKmeans.Rounds}", "", 1)})""".stripMargin
+  }
+
+  val ivfOracleSql: String =
+    s"""$ivfFitCtes,
        |probe AS (
-       |${assignSelect(s"c${IvfKmeans.Rounds}", " WHERE e.vec_id < 5", 2)}),
+       |${ivfAssignSelect(s"c${IvfKmeans.Rounds}", " WHERE e.vec_id < 5", 2)}),
        |scored AS (
        |  SELECT p.vec_id AS qid, af.vec_id AS nid,
        |    list_cosine_similarity(q.v, n.v) AS cos
@@ -362,5 +374,46 @@ object MlOps {
        |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
        |  FROM scored) z
        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
+  /** Per-list pick budget for [[simClusterSample]]: 4×16 lists = a
+    * 64-vector balanced draw on the test corpus; at scale both k and
+    * the budget grow with the target sample size. */
+  val ClusterSamplePerList = 4L
+
+  /** Cluster-balanced diversity sample: up to [[ClusterSamplePerList]]
+    * vectors per IVF list, drawn deterministically by md5 order — the
+    * embedding-space analogue of [[CurationOps.docSampleStratified]].
+    * Uniform random sampling over-represents dense regions of
+    * embedding space (boilerplate-heavy web text); sampling a fixed
+    * budget per coarse-quantizer cell yields the spread-out subset
+    * semantic-coverage evals and seed-set selection want.
+    *
+    * Shape: assignment is the broadcast-centroid map-side aggregate
+    * ([[IvfKmeans.assign]]); the per-list pick is a window over
+    * list-sized partitions (k lists — each partition holds ~n/k rows,
+    * and at 100 TB the same two-pass top-k trick as ev_anomaly applies
+    * if a list outgrows a task). Output integer-only; oracle replays
+    * the identical fit via [[ivfFitCtes]]. */
+  def simClusterSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cdf = IvfKmeans.centroidFrame(s, IvfKmeans.centroids(s, d))
+    val e = IvfKmeans.withV(s, d)
+    val w = Window.partitionBy($"list_id")
+      .orderBy(md5($"vec_id".cast("string")), $"vec_id")
+    IvfKmeans.assign(e, cdf)
+      .withColumn("pick", row_number().over(w).cast("long"))
+      .filter($"pick" <= ClusterSamplePerList)
+      .select($"list_id".cast("long").as("list_id"), $"pick", $"vec_id")
+      .orderBy($"list_id", $"pick")
   }
+  val clusterSampleSql: String =
+    s"""$ivfFitCtes,
+       |ranked AS (
+       |  SELECT list_id, vec_id,
+       |    CAST(row_number() OVER (PARTITION BY list_id
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS pick
+       |  FROM af)
+       |SELECT CAST(list_id AS BIGINT) AS list_id, pick, vec_id
+       |FROM ranked WHERE pick <= $ClusterSamplePerList
+       |ORDER BY list_id, pick""".stripMargin
 }

@@ -476,11 +476,21 @@ class ScaleSpec extends SparkSpec {
     Seq(operators.DedupOps.dedupNgramJaccard(spark, sf0001),
         operators.DedupOps.dedupSimhash(spark, sf0001),
         operators.DedupOps.dedupMinhashLsh(spark, sf0001),
-        operators.DedupOps.dedupSpan(spark, sf0001)).foreach { df =>
+        operators.DedupOps.dedupSpan(spark, sf0001),
+        operators.DedupOps.dedupContainment(spark, sf0001)).foreach { df =>
       val p = plan(df)
       assert(p.contains("LeftAnti"), s"cap must be an anti-join:\n${p.take(800)}")
       assert(!p.contains("collect_list"), s"no aggregate-list cap:\n${p.take(800)}")
     }
+  }
+
+  test("knn graph pairs only within LSH buckets — never an all-pairs product") {
+    // the all-vectors kNN graph must stay a bucket equi-join: a
+    // CartesianProduct or nested-loop here is the n² brute shape that
+    // dies at 100 TB (sim_topk_brute is the labeled baseline for that)
+    val p = plan(operators.SimilarityOps.simKnnGraph(spark, sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"knn graph must equi-join on the signature bucket:\n${p.take(800)}")
   }
 
   test("events loader adapts to the on-disk ts physical type (schema drift pin)") {

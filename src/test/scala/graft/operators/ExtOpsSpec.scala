@@ -101,6 +101,68 @@ class ExtOpsSpec extends SparkSpec {
     w.unpersist()
   }
 
+  test("containment catches doc-in-doc pairs that Jaccard misses") {
+    import spark.implicits._
+    // A = a distinctive paragraph; B = A plus a long unrelated tail.
+    // Containment(A in B) = 1.0 but Jaccard is far below 1/2 — the
+    // exact case the asymmetric op exists for.
+    val dir = java.nio.file.Files.createTempDirectory("contain").toString
+    val para = (1 to 24).map(i => s"para$i").mkString(" ")
+    val tail = (1 to 300).map(i => s"tail$i").mkString(" ")
+    Seq((1L, para), (2L, s"$para $tail"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cont = DedupOps.dedupContainment(spark, dir)
+      .select($"da", $"db").as[(Long, Long)].collect().toSet
+    assert(cont == Set((1L, 2L)), s"containment must flag the embedded doc, got $cont")
+    assert(DedupOps.dedupNgramJaccard(spark, dir).count() == 0,
+      "symmetric Jaccard at 1/2 must miss this pair (that's why containment exists)")
+    // and on the real corpus every reported ppm respects the 80% gate
+    val bad = DedupOps.dedupContainment(spark, sf0001)
+      .filter($"cont_ppm" < 800000L || $"cont_ppm" > 1000000L).count()
+    assert(bad == 0, "cont_ppm must lie in [0.8e6, 1e6]")
+  }
+
+  test("global shuffle: dense 0..n-1 permutation, deterministic, not id order") {
+    import spark.implicits._
+    val sh = CurationOps.docGlobalShuffle(spark, sf0001).cache()
+    val n = graft.Tables.documents(spark, sf0001).count()
+    assert(sh.count() == n, "every document gets a position")
+    assert(sh.select($"doc_id").distinct().count() == n, "a permutation, no dup ids")
+    val posStats = sh.agg(min($"position"), max($"position"),
+      countDistinct($"position")).head()
+    assert(posStats.getLong(0) == 0L && posStats.getLong(1) == n - 1 &&
+      posStats.getLong(2) == n, "positions must be dense 0..n-1")
+    // pure function of (seed, doc_id): a second run is byte-identical
+    val again = CurationOps.docGlobalShuffle(spark, sf0001)
+    assert(sh.except(again).count() == 0 && again.except(sh).count() == 0,
+      "shuffle order must be reproducible")
+    // and it actually shuffles: the md5 order must not be id order
+    val inIdOrder = sh.filter($"position" === $"doc_id").count()
+    assert(inIdOrder < n / 2, "md5 order should displace most documents")
+    sh.unpersist()
+  }
+
+  test("cluster sample: per-list budget respected, picks contiguous, assignment consistent") {
+    import spark.implicits._
+    val sm = MlOps.simClusterSample(spark, sf0001).cache()
+    val perList = sm.groupBy($"list_id")
+      .agg(count(lit(1)).as("n"), max($"pick").as("mx"), min($"pick").as("mn"))
+    assert(perList.filter($"n" > MlOps.ClusterSamplePerList ||
+      $"mx" =!= $"n" || $"mn" =!= 1L).count() == 0,
+      "each list contributes 1..n picks with n <= budget")
+    assert(sm.select($"vec_id").distinct().count() == sm.count(),
+      "a vector is sampled at most once")
+    // each sampled vector's list_id must equal the quantizer's assignment
+    val cdf = IvfKmeans.centroidFrame(spark, IvfKmeans.centroids(spark, sf0001))
+    val assigned = IvfKmeans.assign(IvfKmeans.withV(spark, sf0001), cdf)
+      .select($"vec_id", $"list_id".cast("long").as("true_list"))
+    assert(sm.join(assigned, "vec_id")
+      .filter($"list_id" =!= $"true_list").count() == 0,
+      "sample must agree with the IVF assignment")
+    sm.unpersist()
+  }
+
   test("anomaly flags: exactly floor(n/100) per type, all at or above the unflagged max") {
     import spark.implicits._
     val ev = graft.Tables.events(spark, sf0001).cache()
