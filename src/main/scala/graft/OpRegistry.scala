@@ -330,6 +330,7 @@ object OpRegistry {
     op("dedup_norm", DedupOps.dedupNorm, DedupOps.dedupNormSql),
     op("dedup_ngram_jaccard", DedupOps.dedupNgramJaccard, DedupOps.dedupNgramJaccardSql),
     op("dedup_containment", DedupOps.dedupContainment, DedupOps.dedupContainmentSql),
+    op("dedup_cross_source", DedupOps.dedupCrossSource, DedupOps.dedupCrossSourceSql),
     op("dedup_clusters", DedupOps.dedupClusters, DedupOps.dedupClustersSql),
     op("dedup_embedding_clusters",
       DedupOps.dedupEmbeddingClusters, DedupOps.dedupEmbeddingClustersSql),
@@ -348,6 +349,8 @@ object OpRegistry {
     op("doc_interleave", CurationOps.docInterleave, CurationOps.docInterleaveSql),
     op("doc_mix_weights", CurationOps.docMixWeights, CurationOps.docMixWeightsSql),
     op("doc_global_shuffle", CurationOps.docGlobalShuffle, CurationOps.docGlobalShuffleSql),
+    op("doc_quality_rank", CurationOps.docQualityRank, CurationOps.docQualityRankSql),
+    op("doc_token_budget", CurationOps.docTokenBudget, CurationOps.docTokenBudgetSql),
     op("doc_train_feed_e2e", CurationOps.docTrainFeed, CurationOps.docTrainFeedSql),
     op("doc_pipeline_e2e", CurationOps.docPipelineE2e, CurationOps.docPipelineE2eSql),
     op("sim_topk_brute", SimilarityOps.simTopkBrute, SimilarityOps.simTopkBruteSql),
@@ -397,6 +400,7 @@ object OpRegistry {
     op("ev_stream_hop_window", EventOps.evStreamHopWindow, EventOps.evStreamHopWindowSql),
     op("ev_gap_stats", EventOps.evGapStats, EventOps.evGapStatsSql),
     op("ev_anomaly", EventOps.evAnomaly, EventOps.evAnomalySql),
+    op("ev_stream_anomaly", EventOps.evStreamAnomaly, EventOps.evStreamAnomalySql),
     op("rdf_xml_source", RdfXmlOps.xmlSource, RdfXmlOps.xmlOracleSql),
     op("rdf_xml_roundtrip", RdfXmlOps.xmlRoundtrip, RdfXmlOps.xmlOracleSql),
     op("rdf_nt_roundtrip", RdfXmlOps.ntRoundtrip, RdfOps.apFullSql),

@@ -544,6 +544,82 @@ object CurationOps {
       |  doc_id, md5('ep0_' || CAST(doc_id AS VARCHAR)) AS shuffle_key
       |FROM documents ORDER BY position""".stripMargin
 
+  /** Curriculum decile: rank documents WITHIN each source by an
+    * integer prose-quality score (stopword ratio in ppm — the cheap
+    * naturalness proxy) and cut into 10 NTILE buckets — the table a
+    * curriculum schedule reads ("train on deciles 1-3 first, open up
+    * later"). Per-source windows shuffle once on source and each
+    * partition ranks independently; the (score DESC, doc_id) order is
+    * total, so both engines cut identical buckets (NTILE's
+    * extra-rows-to-early-buckets rule is the SQL standard on both).
+    * Pure integer output. */
+  def docQualityRank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sw = TextOps.stopwords
+    val scored = documents(s, d)
+      .select($"doc_id", $"source",
+        expr(s"(1000000L * size(filter(split(text, ' '), x -> x IN (${sw.map("'" + _ + "'").mkString(", ")})))) div size(split(text, ' '))")
+          .as("score_ppm"))
+    val w = Window.partitionBy($"source").orderBy($"score_ppm".desc, $"doc_id")
+    scored.withColumn("decile", ntile(10).over(w).cast("long"))
+      .select($"doc_id", $"source", $"score_ppm", $"decile")
+      .orderBy($"doc_id")
+  }
+  val docQualityRankSql: String = {
+    val sw = TextOps.stopwords.map("'" + _ + "'").mkString(", ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, source,
+       |    (1000000 * len(list_filter(string_split(text,' '), x -> x IN ($sw))))
+       |      // len(string_split(text,' ')) AS score_ppm
+       |  FROM documents)
+       |SELECT doc_id, source, score_ppm,
+       |  CAST(ntile(10) OVER (PARTITION BY source
+       |         ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS decile
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  /** Token budget per source for [[docTokenBudget]] — sized so the
+    * test corpus's ~25-doc sources are cut roughly in half, proving
+    * the carve actually trims. */
+  val TokenBudgetPerSource = 500L
+
+  /** Deterministic budget carve: per source, admit documents in
+    * doc_id order until the cumulative token count crosses
+    * [[TokenBudgetPerSource]] — "give me N tokens per domain" dataset
+    * carving, reproducible because admission order is the stable
+    * doc_id, not arrival order. The cumulative sum is one per-source
+    * window pass (map-side token counts, one shuffle on source); the
+    * admitted set is a prefix per source, so re-carving with a larger
+    * budget only APPENDS — the property incremental dataset releases
+    * need. The doc whose span CROSSES the budget is excluded (strict
+    * prefix under budget), identically on both engines via integer
+    * running sums. */
+  def docTokenBudget(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(s, d)
+      .select($"doc_id", $"source",
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum($"n_tokens").over(w))
+      .filter($"cum_tokens" <= TokenBudgetPerSource)
+      .select($"doc_id", $"source", $"n_tokens", $"cum_tokens")
+      .orderBy($"doc_id")
+  }
+  val docTokenBudgetSql: String =
+    s"""WITH c AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+       |    CAST(sum(len(string_split(text,' '))) OVER (
+       |      PARTITION BY source ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |  FROM documents)
+       |SELECT doc_id, source, n_tokens, cum_tokens
+       |FROM c WHERE cum_tokens <= $TokenBudgetPerSource
+       |ORDER BY doc_id""".stripMargin
+
   /** Upsampling cap for [[docMixWeights]], in ppm of a 1.0× weight: a
     * tiny domain is never repeated more than 4 epochs — past that,
     * repetition hurts more than the mixture balance helps (the

@@ -615,7 +615,11 @@ object DedupOps {
     * rows·cap — corpus-linear. Joining on the md5 of the span (not
     * the span text) keeps shuffle rows fixed-width; md5 on both
     * engines makes the oracle value-exact. */
-  def dedupSpan(s: SparkSession, d: String): DataFrame = {
+  /** The DF-capped span inverted index shared by [[dedupSpan]] and
+    * [[dedupCrossSource]]: distinct [[SpanLen]]-token span hashes per
+    * doc, with over-cap spans removed by the LeftAnti pigeonhole
+    * guard. Columns (doc_id, g). */
+  private def cappedSpans(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val k = SpanLen
     val sp = spreadDocs(s, d)
@@ -627,13 +631,13 @@ object DedupOps {
         .as("g"))
     val drop = sp.groupBy($"g").agg(count(lit(1)).as("n_docs"))
       .filter($"n_docs" > SpanDfCap).select($"g".as("xg"))
-    val kept = sp.join(drop, $"g" === $"xg", "left_anti")
-    kept.toDF("da", "g").join(kept.toDF("db", "g"), "g")
-      .filter($"da" < $"db")
-      .groupBy($"da", $"db").agg(count(lit(1)).as("n_spans"))
-      .orderBy($"da", $"db")
+    sp.join(drop, $"g" === $"xg", "left_anti")
   }
-  val dedupSpanSql: String = {
+
+  /** The shared DuckDB CTE prefix replicating [[cappedSpans]]:
+    * defines `sp` (the uncapped index) and `keep` (under-cap spans).
+    * Consumers filter `sp` through `keep`. */
+  private val spanCtesSql: String = {
     val k = SpanLen
     val gram = (0 until k).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
     s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
@@ -641,10 +645,61 @@ object DedupOps {
        |         [md5($gram) for i in range(1, len(ws) - ${k - 1} + 1)])) AS g
        |       FROM tok WHERE len(ws) >= $k),
        |keep AS (SELECT g FROM (SELECT g, count(*) AS n_docs FROM sp GROUP BY g)
-       |         WHERE n_docs <= $SpanDfCap)
+       |         WHERE n_docs <= $SpanDfCap)""".stripMargin
+  }
+
+  def dedupSpan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val kept = cappedSpans(s, d)
+    kept.toDF("da", "g").join(kept.toDF("db", "g"), "g")
+      .filter($"da" < $"db")
+      .groupBy($"da", $"db").agg(count(lit(1)).as("n_spans"))
+      .orderBy($"da", $"db")
+  }
+  val dedupSpanSql: String =
+    s"""$spanCtesSql
        |SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_spans
        |FROM sp a JOIN sp b ON a.g = b.g AND a.doc_id < b.doc_id
        |WHERE a.g IN (SELECT g FROM keep)
        |GROUP BY 1, 2 ORDER BY da, db""".stripMargin
+
+  /** Cross-source syndication matrix: for every ordered pair of
+    * sources, how many distinct verbatim [[SpanLen]]-token spans — and
+    * how many (span, doc-pair) co-occurrences — they share. Wire-copy,
+    * mirrors, and cross-posted boilerplate silently over-weight one
+    * passage across a "diverse" source mixture; this is the
+    * catalog-scale table (|sources|² rows at most) a curation run
+    * reviews to decide which domain pairs need cross-source dedup.
+    * (Keyed on spans, not whole-text hashes: syndicated content is
+    * near-identical, so byte-exact cross-source duplicates are rare —
+    * the shared-passage signal is what survives real corpora.)
+    *
+    * Shape: the same [[cappedSpans]] index (the cap bounds the
+    * self-join output corpus-linearly; pinned via the shared
+    * generator), one extra doc_id equi-join to attach sources, and the
+    * final aggregate collapses to source-pair cardinality — every
+    * downstream row count is bounded by |sources|², independent of
+    * corpus size. */
+  def dedupCrossSource(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val src = documents(s, d).select($"doc_id", $"source")
+    val sp = cappedSpans(s, d).join(src, "doc_id")
+      .select($"source", $"g")
+    sp.toDF("sa", "g").join(sp.toDF("sb", "g"), "g")
+      .filter($"sa" < $"sb")
+      .groupBy($"sa".as("src_a"), $"sb".as("src_b"))
+      .agg(countDistinct($"g").cast("long").as("n_spans"),
+        count(lit(1)).as("n_hits"))
+      .orderBy($"src_a", $"src_b")
   }
+  val dedupCrossSourceSql: String =
+    s"""$spanCtesSql,
+       |sps AS (SELECT d.source, sp.g FROM sp
+       |        JOIN documents d USING (doc_id)
+       |        WHERE sp.g IN (SELECT g FROM keep))
+       |SELECT a.source AS src_a, b.source AS src_b,
+       |  CAST(count(DISTINCT a.g) AS BIGINT) AS n_spans,
+       |  count(*) AS n_hits
+       |FROM sps a JOIN sps b ON a.g = b.g AND a.source < b.source
+       |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
 }

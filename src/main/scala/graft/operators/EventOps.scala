@@ -571,4 +571,54 @@ object EventOps {
       |  FROM events)
       |SELECT event_type, rank, event_id, user_id
       |FROM r WHERE 100 * rank <= n ORDER BY event_type, rank""".stripMargin
+
+  /** [[evAnomaly]]'s documented two-pass production shape made
+    * literal, as a STREAM: pass 1 (batch, index-build side) computes
+    * the per-type cutoff — the (value, event_id) of the LAST flagged
+    * row in the rank order, one row per event_type, catalog-scale at
+    * any corpus size; pass 2 filters the live stream against that
+    * table. The stream side is STATELESS (an inner stream-static join
+    * + filter — no watermark, no state store): each arriving event is
+    * flagged by comparing against the bounded threshold table, which
+    * is how a production detector runs (thresholds refreshed
+    * periodically from batch, applied in-stream at wire rate).
+    *
+    * The cutoff comparison reproduces the batch flag set EXACTLY —
+    * flagged ⇔ (value, −event_id) ≥ the cutoff pair lexicographically
+    * — so the same DuckDB oracle checks both forms (types with
+    * n < 100 have no cutoff row and are dropped by the inner join,
+    * matching floor(n/100) = 0). Both engines compare doubles each
+    * parsed from the same parquet, so no cross-engine float boundary
+    * exists; output is integer/string only. */
+  def evStreamAnomaly(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"value".desc, $"event_id")
+    val n = Window.partitionBy($"event_type")
+    // threshold table: unhinted (data-derived — the ScaleSpec rule);
+    // one row per event_type, so any planner broadcasts it on size
+    val thr = events(s, d)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(n))
+      .filter(lit(100L) * $"rank" <= $"n")
+      .groupBy($"event_type".as("t_type"))
+      .agg(max_by($"value", $"rank").as("thr_value"),
+        max_by($"event_id", $"rank").as("thr_eid"))
+    val flagged = eventsStream(s, d)
+      .join(thr, $"event_type" === $"t_type" &&
+        ($"value" > $"thr_value" ||
+          ($"value" === $"thr_value" && $"event_id" <= $"thr_eid")))
+      .select($"event_type", $"event_id", $"user_id")
+    val t = runToTable(s, flagged, "graft_anom_" + math.abs(d.hashCode),
+      "append", streamParts(s, d))
+    t.orderBy($"event_type", $"event_id")
+  }
+  val evStreamAnomalySql: String =
+    """WITH r AS (
+      |  SELECT event_type, event_id, user_id,
+      |    CAST(row_number() OVER (PARTITION BY event_type
+      |           ORDER BY value DESC, event_id) AS BIGINT) AS rank,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events)
+      |SELECT event_type, event_id, user_id
+      |FROM r WHERE 100 * rank <= n ORDER BY event_type, event_id""".stripMargin
 }

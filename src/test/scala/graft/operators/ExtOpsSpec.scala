@@ -181,4 +181,85 @@ class ExtOpsSpec extends SparkSpec {
       "every flagged value must be >= every unflagged value in its type")
     flagged.unpersist(); ev.unpersist()
   }
+
+  test("quality rank: balanced deciles per source, score-monotone across deciles") {
+    import spark.implicits._
+    val qr = CurationOps.docQualityRank(spark, sf0001).cache()
+    assert(qr.filter($"decile" < 1L || $"decile" > 10L).count() == 0)
+    // NTILE balance: bucket sizes within a source differ by at most 1
+    val sizes = qr.groupBy($"source", $"decile").agg(count(lit(1)).as("n"))
+      .groupBy($"source").agg((max($"n") - min($"n")).as("spread"))
+    assert(sizes.filter($"spread" > 1L).count() == 0, "NTILE buckets must be balanced")
+    // monotone: a doc in decile k never outscores any doc in decile k-1
+    val agg = qr.groupBy($"source", $"decile")
+      .agg(min($"score_ppm").as("lo"), max($"score_ppm").as("hi"))
+    val next = agg.select($"source", ($"decile" - 1).as("decile"), $"hi".as("next_hi"))
+    assert(agg.join(next, Seq("source", "decile"))
+      .filter($"lo" < $"next_hi").count() == 0,
+      "decile k's max score must not exceed decile k-1's min score")
+    qr.unpersist()
+  }
+
+  test("token budget: admitted set is the maximal under-budget doc_id prefix per source") {
+    import spark.implicits._
+    val b = CurationOps.docTokenBudget(spark, sf0001).cache()
+    assert(b.filter($"cum_tokens" > CurationOps.TokenBudgetPerSource).count() == 0)
+    assert(b.count() > 0, "budget must admit something on the test corpus")
+    // prefix property: per source, every admitted doc_id is smaller
+    // than every excluded doc_id
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"source").cache()
+    val excluded = docs.join(b.select($"doc_id"), Seq("doc_id"), "left_anti")
+    val maxIn = b.groupBy($"source").agg(max($"doc_id").as("max_in"))
+    val minOut = excluded.groupBy($"source").agg(min($"doc_id").as("min_out"))
+    assert(maxIn.join(minOut, "source").filter($"max_in" > $"min_out").count() == 0,
+      "admitted docs must form a doc_id prefix per source")
+    // maximality: the first excluded doc would overflow the budget
+    val tok = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("nt"))
+    val lastCum = b.groupBy($"source").agg(max($"cum_tokens").as("cum"))
+    val firstOut = excluded.join(tok, "doc_id")
+      .groupBy($"source").agg(min_by($"nt", $"doc_id").as("next_nt"))
+    assert(lastCum.join(firstOut, "source")
+      .filter($"cum" + $"next_nt" <= CurationOps.TokenBudgetPerSource)
+      .count() == 0, "carve must be maximal — next doc must not fit")
+    b.unpersist(); docs.unpersist()
+  }
+
+  test("cross-source syndication matrix is consistent with the span pair graph") {
+    import spark.implicits._
+    val xs = DedupOps.dedupCrossSource(spark, sf0001).cache()
+    assert(xs.count() > 0, "sf0.001 contains cross-source shared passages")
+    assert(xs.filter($"src_a" >= $"src_b" || $"n_hits" < $"n_spans" ||
+      $"n_spans" <= 0L).count() == 0,
+      "ordered pairs, and co-occurrences can never undercount distinct spans")
+    // every cross-source doc pair that dedup_span reports must surface
+    // as a row of the matrix — one index, two aggregations
+    val src = graft.Tables.documents(spark, sf0001).select($"doc_id", $"source")
+    val pairs = DedupOps.dedupSpan(spark, sf0001)
+      .join(src.toDF("da", "s_a"), "da")
+      .join(src.toDF("db", "s_b"), "db")
+      .filter($"s_a" =!= $"s_b")
+      .select(least($"s_a", $"s_b").as("src_a"),
+        greatest($"s_a", $"s_b").as("src_b"))
+      .distinct()
+    assert(pairs.join(xs, Seq("src_a", "src_b"), "left_anti").count() == 0,
+      "a cross-source span pair implies its source-pair matrix row")
+    xs.unpersist()
+  }
+
+  test("stream anomaly flags exactly the batch anomaly set") {
+    // the two-pass threshold stream must reproduce the exact-window
+    // batch flag set — one contract, two execution shapes (the same
+    // pin style as knn-graph vs per-query ANN)
+    import spark.implicits._
+    val batch = EventOps.evAnomaly(spark, sf0001)
+      .select($"event_type", $"event_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val stream = EventOps.evStreamAnomaly(spark, sf0001)
+      .select($"event_type", $"event_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(stream == batch,
+      s"stream/batch disagree: only-stream=${(stream -- batch).take(5)} only-batch=${(batch -- stream).take(5)}")
+  }
 }
