@@ -477,7 +477,8 @@ class ScaleSpec extends SparkSpec {
         operators.DedupOps.dedupSimhash(spark, sf0001),
         operators.DedupOps.dedupMinhashLsh(spark, sf0001),
         operators.DedupOps.dedupSpan(spark, sf0001),
-        operators.DedupOps.dedupContainment(spark, sf0001)).foreach { df =>
+        operators.DedupOps.dedupContainment(spark, sf0001),
+        operators.DedupOps.dedupCrossSource(spark, sf0001)).foreach { df =>
       val p = plan(df)
       assert(p.contains("LeftAnti"), s"cap must be an anti-join:\n${p.take(800)}")
       assert(!p.contains("collect_list"), s"no aggregate-list cap:\n${p.take(800)}")
