@@ -414,6 +414,7 @@ object OpRegistry {
     op("graphx_pagerank", GraphOps.graphxPagerank, GraphOps.graphxPagerankSql),
     op("graphx_triangles", GraphOps.graphxTriangles, GraphOps.graphxTrianglesSql),
     op("graphx_sssp", GraphOps.graphxSssp, GraphOps.graphxSsspSql),
+    op("graphx_label_prop", GraphOps.graphxLabelProp, GraphOps.graphxLabelPropSql),
   )
 
   val ops: Seq[Op] = relational ++ rdfParity ++ pipeline

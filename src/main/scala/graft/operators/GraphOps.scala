@@ -217,4 +217,66 @@ object GraphOps {
        |FROM reach GROUP BY term, lm
        |ORDER BY term, landmark""".stripMargin
   }
+
+  /** Rounds for [[graphxLabelProp]] — FIXED, like the pagerank
+    * iteration count and the kmeans Lloyd rounds: a convergence loop
+    * would make the result depend on float/iteration-order details,
+    * while a fixed unrolled count is replayable as SQL CTEs. */
+  val LpaRounds = 3
+
+  /** Synchronous majority label propagation over the embedding
+    * near-dup graph — community detection that, unlike
+    * [[graphxCc]]/[[DedupOps.dedupEmbeddingClusters]], separates
+    * DENSELY linked groups instead of merging everything reachable:
+    * the near-dup graph's long thin chains (A~B~C where A!~C) collapse
+    * to one connected component but to several LPA communities, which
+    * is the granularity semantic-dedup keep-one actually wants when a
+    * chain drifts topically. Votes are neighbor labels only; the
+    * winner is (count DESC, label ASC) — a total order, so the
+    * [[LpaRounds]]-round sync state is deterministic and DuckDB
+    * replays it CTE-for-CTE. Isolated vectors keep their own label.
+    *
+    * Shape: each round is one edge⋈label equi-join + two aggregations
+    * — 2 shuffles per round over the PAIR graph (dup-volume-sized,
+    * not corpus-sized; the brute pair source is the documented
+    * baseline with [[DedupOps.dedupEmbeddingLsh]] as the bucketed
+    * scale path). A DataFrame loop, not Pregel: 3 unrolled sync
+    * rounds need no vertex-program state machine, and each round's
+    * aggregate partial-aggregates map-side like any groupBy. */
+  def graphxLabelProp(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.Tables.embeddings
+    val pairs = DedupOps.dedupEmbeddingCosine(s, d).toDF("a", "b")
+    val e = pairs.union(pairs.select($"b", $"a")).toDF("v", "n").cache()
+    var lbl = embeddings(s, d)
+      .select($"vec_id".as("v"), $"vec_id".cast("long").as("lbl"))
+    for (_ <- 1 to LpaRounds) {
+      val votes = e.join(lbl.toDF("n", "nl"), "n")
+        .groupBy($"v", $"nl").agg(count(lit(1)).as("c"))
+        .groupBy($"v").agg(min_by($"nl", struct(-$"c", $"nl")).as("new_lbl"))
+      lbl = lbl.join(votes, Seq("v"), "left")
+        .select($"v", coalesce($"new_lbl", $"lbl").as("lbl"))
+    }
+    lbl.select($"v".as("vec_id"), $"lbl".as("community")).orderBy($"vec_id")
+  }
+  val graphxLabelPropSql: String = {
+    val rounds = (1 to LpaRounds).map { r =>
+      s"""v$r AS (SELECT e.v, l.lbl AS nl, count(*) AS c
+         |        FROM e JOIN l${r - 1} l ON l.v = e.n GROUP BY 1, 2),
+         |b$r AS (SELECT v, nl,
+         |          row_number() OVER (PARTITION BY v ORDER BY c DESC, nl) AS rn
+         |        FROM v$r),
+         |l$r AS (SELECT l.v, COALESCE(b.nl, l.lbl) AS lbl
+         |        FROM l${r - 1} l LEFT JOIN
+         |          (SELECT v, nl FROM b$r WHERE rn = 1) b USING (v))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH und AS (
+       |  SELECT a.vec_id AS a, b.vec_id AS b
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |  WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.4),
+       |e AS (SELECT a AS v, b AS n FROM und UNION ALL SELECT b, a FROM und),
+       |l0 AS (SELECT vec_id AS v, CAST(vec_id AS BIGINT) AS lbl FROM embeddings),
+       |$rounds
+       |SELECT v AS vec_id, lbl AS community FROM l$LpaRounds ORDER BY vec_id""".stripMargin
+  }
 }

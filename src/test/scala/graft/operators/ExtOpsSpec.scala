@@ -248,6 +248,38 @@ class ExtOpsSpec extends SparkSpec {
     xs.unpersist()
   }
 
+  test("label propagation refines connected components and fixes isolated vectors") {
+    import spark.implicits._
+    val lpa = GraphOps.graphxLabelProp(spark, sf0001).cache()
+    val n = graft.Tables.embeddings(spark, sf0001).count()
+    assert(lpa.count() == n, "every vector gets a community")
+    // labels move only along edges, so an LPA community can never
+    // span two connected components OF THE SAME (cosine) graph —
+    // note dedupEmbeddingClusters' CC is over the LSH pair subset,
+    // a finer partition, so compare against CC over the lpa edges
+    import org.apache.spark.graphx.{Edge, Graph => XGraph}
+    val pairs = DedupOps.dedupEmbeddingCosine(spark, sf0001).toDF("a", "b").cache()
+    val eRdd = pairs.as[(Long, Long)].rdd.map { case (a, b) => Edge(a, b, ()) }
+    val cc = spark.createDataFrame(
+      XGraph.fromEdges(eRdd, ()).connectedComponents().vertices)
+      .toDF("vec_id", "canonical")
+    val split = lpa.join(cc, "vec_id").groupBy($"community")
+      .agg(countDistinct($"canonical").as("n_cc"))
+      .filter($"n_cc" > 1L).count()
+    assert(split == 0, "an LPA community must lie inside one connected component")
+    // isolated vectors (no cosine pair at all) keep their own label
+    val touched = pairs.select($"a".as("vec_id"))
+      .union(pairs.select($"b".as("vec_id"))).distinct()
+    val iso = lpa.join(touched, Seq("vec_id"), "left_anti")
+    assert(iso.filter($"community" =!= $"vec_id").count() == 0,
+      "no neighbors ⇒ own label survives")
+    val lpaNonIso = lpa.join(touched, "vec_id")
+    assert(lpaNonIso.select($"community").distinct().count() >=
+      cc.select($"canonical").distinct().count(),
+      "LPA partitions at least as finely as CC on the same edges")
+    lpa.unpersist(); pairs.unpersist()
+  }
+
   test("stream anomaly flags exactly the batch anomaly set") {
     // the two-pass threshold stream must reproduce the exact-window
     // batch flag set — one contract, two execution shapes (the same
