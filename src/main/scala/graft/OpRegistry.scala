@@ -376,6 +376,7 @@ object OpRegistry {
     op("mm_resize", MultimodalOps.mmResize, MultimodalOps.mmResizeSql),
     op("mm_dedup_exact", MultimodalOps.mmDedupExact, MultimodalOps.mmDedupExactSql),
     op("mm_shard_pack", MultimodalOps.mmShardPack, MultimodalOps.mmShardPackSql),
+    op("mm_pipeline_e2e", MultimodalOps.mmPipelineE2e, MultimodalOps.mmPipelineE2eSql),
     op("doc_jsonl_roundtrip", graft.sources.DocSourceOps.jsonlRoundtrip,
       graft.sources.DocSourceOps.fingerprintSql),
     op("doc_csv_roundtrip", graft.sources.DocSourceOps.csvRoundtrip,

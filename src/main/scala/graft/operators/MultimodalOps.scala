@@ -215,4 +215,58 @@ object MultimodalOps {
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096
       |    AS BIGINT) AS shard
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** The composed MEDIA curation pipeline — size gate → perceptual-
+    * bucket keep-one → per-source byte-budget shard pack — as ONE
+    * query, the multimodal sibling of
+    * [[CurationOps.docPipelineE2e]]. The "perceptual" key is the stub
+    * analogue of a perceptual-hash (pHash) near-dup key: (width,
+    * height, n_bytes div 64) — derived deterministically from the
+    * fake-decode dimensions per this file's stub contract, so the
+    * keep-one stage is ACTIVE on the test corpus (distinct payloads
+    * share buckets) and a real pHash swaps in at one expression.
+    *
+    * Every stage keeps its standalone op's scale shape: the gate is
+    * map-side, keep-one is one shuffle on the bucket key (min_by —
+    * constant aggregation buffers), and packing windows per source
+    * over survivors (no global ordering). */
+  def mmPipelineE2e(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val meta = documents(s, d)
+      .select($"doc_id", $"source",
+        octet_length($"text".cast("binary")).cast("long").as("n_bytes"),
+        (lit(64) + $"n_chars" % 512).cast("long").as("width"),
+        (lit(64) + ($"n_chars" * 7) % 512).cast("long").as("height"))
+      .filter($"n_bytes" >= 64L)
+    val kept = meta
+      .groupBy($"width", $"height", expr("n_bytes div 64").as("size_bucket"))
+      .agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+    val survivors = meta.join(kept, "doc_id")
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    survivors
+      .withColumn("cum_before", coalesce(sum($"n_bytes").over(w), lit(0L)))
+      .withColumn("shard", expr("cum_before div 4096"))
+      .select($"doc_id", $"source", $"n_bytes", $"width", $"height", $"shard")
+      .orderBy($"doc_id")
+  }
+  val mmPipelineE2eSql: String =
+    """WITH meta AS (
+      |  SELECT doc_id, source,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |    CAST(64 + n_chars % 512 AS BIGINT) AS width,
+      |    CAST(64 + (n_chars * 7) % 512 AS BIGINT) AS height
+      |  FROM documents
+      |  WHERE octet_length(encode(text)) >= 64),
+      |kept AS (
+      |  SELECT min(doc_id) AS doc_id
+      |  FROM meta GROUP BY width, height, n_bytes // 64),
+      |survivors AS (SELECT m.* FROM meta m JOIN kept USING (doc_id))
+      |SELECT doc_id, source, n_bytes, width, height,
+      |  CAST(COALESCE(sum(n_bytes) OVER (PARTITION BY source ORDER BY doc_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096
+      |    AS BIGINT) AS shard
+      |FROM survivors ORDER BY doc_id""".stripMargin
 }

@@ -280,6 +280,26 @@ class ExtOpsSpec extends SparkSpec {
     lpa.unpersist(); pairs.unpersist()
   }
 
+  test("mm pipeline: keep-one per perceptual bucket is active, shards contiguous from 0") {
+    import spark.implicits._
+    val out = MultimodalOps.mmPipelineE2e(spark, sf0001).cache()
+    val gated = graft.Tables.documents(spark, sf0001)
+      .filter(octet_length($"text".cast("binary")) >= 64).count()
+    assert(out.count() > 0 && out.count() < gated,
+      "the perceptual keep-one stage must actually drop bucket duplicates")
+    val dupBuckets = out
+      .groupBy($"width", $"height", expr("n_bytes div 64"))
+      .agg(count(lit(1)).as("n")).filter($"n" > 1L).count()
+    assert(dupBuckets == 0, "at most one survivor per (w, h, size) bucket")
+    // shards are a contiguous 0..k run per source (cum_before div 4096)
+    val bad = out.groupBy($"source")
+      .agg(min($"shard").as("mn"), max($"shard").as("mx"),
+        countDistinct($"shard").as("nd"))
+      .filter($"mn" =!= 0L || $"nd" =!= $"mx" + 1L).count()
+    assert(bad == 0, "per-source shard ids must run 0..max without gaps")
+    out.unpersist()
+  }
+
   test("stream anomaly flags exactly the batch anomaly set") {
     // the two-pass threshold stream must reproduce the exact-window
     // batch flag set — one contract, two execution shapes (the same
