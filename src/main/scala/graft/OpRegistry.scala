@@ -324,6 +324,7 @@ object OpRegistry {
     op("doc_tfidf_topk", TextOps.docTfidfTopk, TextOps.docTfidfTopkSql),
     op("text_ngram_lm", TextOps.textNgramLm, TextOps.textNgramLmSql),
     op("text_lm_coverage", TextOps.textLmCoverage, TextOps.textLmCoverageSql),
+    op("text_encode_ids", TextOps.textEncodeIds, TextOps.textEncodeIdsSql),
     op("dedup_exact", DedupOps.dedupExact, DedupOps.dedupExactSql),
     op("dedup_incremental", DedupOps.dedupIncremental, DedupOps.dedupIncrementalSql),
     op("dedup_span", DedupOps.dedupSpan, DedupOps.dedupSpanSql),

@@ -561,4 +561,70 @@ object TextOps {
       |SELECT doc_id, n_bigrams, n_in_lm,
       |  (1000000 * n_in_lm) // n_bigrams AS coverage_ppm
       |FROM sc ORDER BY doc_id""".stripMargin
+
+  /** Vocabulary size for [[textEncodeIds]] — the induced id space a
+    * trainer's embedding table would be sized to. */
+  val EncodeVocab = 64
+
+  /** Tokenizer APPLY — the step after vocab induction
+    * ([[textBpePairs]] counts the merges, this encodes with the
+    * result): map every document to its id sequence under the corpus's
+    * top-[[EncodeVocab]] token vocabulary (ids 1..V by count-DESC,
+    * token-ASC rank; out-of-vocabulary → 0), the preprocessing that
+    * feeds [[CurationOps.docPackManifest]]-style packing. Ids are
+    * emitted as a space-joined STRING: engines render list columns
+    * differently, while a string is comparator-proof (the repo's
+    * float-free-contract logic applied to arrays).
+    *
+    * Shape: the vocab is distinct-token-sized → top-V via
+    * TakeOrderedAndProject (per-partition top-k, V-row driver merge);
+    * encoding is posexplode → broadcast-sized join against the V-row
+    * vocab → one groupBy(doc_id) re-assembly whose sort_array puts
+    * positions back in order — two shuffles over token rows,
+    * corpus-linear. (Both engines split "" to [""], so even an empty
+    * doc encodes — to the single id of the empty-string token.) */
+  def textEncodeIds(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tok = documents(s, d)
+      .select($"doc_id", posexplode(toks($"text")).as(Seq("pos", "t")))
+    val vocab = tok
+      .groupBy($"t").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"t").limit(EncodeVocab)
+      .select($"t", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"n".desc, $"t"))
+        .cast("long").as("id"))
+    tok.join(vocab, Seq("t"), "left")
+      .select($"doc_id", $"pos", coalesce($"id", lit(0L)).as("id"))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when($"id" === 0L, 1L).otherwise(0L)).cast("long").as("n_oov"),
+        concat_ws(" ", expr(
+          "transform(sort_array(collect_list(struct(pos, id))), x -> CAST(x.id AS STRING))"))
+          .as("ids_str"))
+      .orderBy($"doc_id")
+  }
+  val textEncodeIdsSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+       |    generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM documents),
+       |vocab AS (
+       |  SELECT t, CAST(row_number() OVER (ORDER BY n DESC, t) AS BIGINT) AS id
+       |  FROM (SELECT t, count(*) AS n FROM tok GROUP BY t
+       |        ORDER BY n DESC, t LIMIT $EncodeVocab) z),
+       |enc AS (
+       |  SELECT tok.doc_id, tok.pos, COALESCE(vocab.id, 0) AS id
+       |  FROM tok LEFT JOIN vocab USING (t)),
+       |agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |    string_agg(CAST(id AS VARCHAR), ' ' ORDER BY pos) AS ids_str
+       |  FROM enc GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(a.n_tokens, 0) AS n_tokens,
+       |  COALESCE(a.n_oov, 0) AS n_oov,
+       |  COALESCE(a.ids_str, '') AS ids_str
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 }

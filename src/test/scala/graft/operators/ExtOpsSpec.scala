@@ -300,6 +300,22 @@ class ExtOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("encode ids: sequence length, OOV count, and id range all consistent") {
+    import spark.implicits._
+    val enc = TextOps.textEncodeIds(spark, sf0001)
+      .withColumn("ids", split($"ids_str", " ")).cache()
+    assert(enc.count() == graft.Tables.documents(spark, sf0001).count())
+    assert(enc.filter(size($"ids") =!= $"n_tokens").count() == 0,
+      "ids_str must hold exactly n_tokens ids")
+    assert(enc.filter(
+      size(filter($"ids", x => x === "0")) =!= $"n_oov").count() == 0,
+      "n_oov must count exactly the zero ids")
+    val maxId = enc.select(max(expr(
+      "array_max(transform(ids, x -> CAST(x AS BIGINT)))"))).head().getLong(0)
+    assert(maxId <= TextOps.EncodeVocab, s"ids must be <= vocab size, got $maxId")
+    enc.unpersist()
+  }
+
   test("stream anomaly flags exactly the batch anomaly set") {
     // the two-pass threshold stream must reproduce the exact-window
     // batch flag set — one contract, two execution shapes (the same
