@@ -174,6 +174,8 @@ object OpRegistry {
     // the exact count plus an in-Spark hll_ok flag (estimate within
     // 3×rsd), so DuckDB value-compares the contract instead of the
     // sketch. PipelineSpec pins the same envelope.
+    op("q_approx_percentile",
+      RelationalOps.qApproxPercentile, RelationalOps.qApproxPercentileSql),
     op("q_approx_distinct", RelationalOps.qApproxDistinct,
       RelationalOps.qApproxDistinctSql),
     op("q_range_join", RelationalOps.qRangeJoin, RelationalOps.qRangeJoinSql),
@@ -354,6 +356,7 @@ object OpRegistry {
     op("doc_token_budget", CurationOps.docTokenBudget, CurationOps.docTokenBudgetSql),
     op("doc_train_feed_e2e", CurationOps.docTrainFeed, CurationOps.docTrainFeedSql),
     op("doc_pipeline_e2e", CurationOps.docPipelineE2e, CurationOps.docPipelineE2eSql),
+    op("doc_ccnet_e2e", CurationOps.docCcnetE2e, CurationOps.docCcnetE2eSql),
     op("sim_topk_brute", SimilarityOps.simTopkBrute, SimilarityOps.simTopkBruteSql),
     op("sim_ann_lsh", SimilarityOps.simAnnLsh, SimilarityOps.simAnnLshSql),
     op("sim_knn_graph", SimilarityOps.simKnnGraph, SimilarityOps.simKnnGraphSql),

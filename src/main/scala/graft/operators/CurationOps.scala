@@ -620,6 +620,66 @@ object CurationOps {
        |FROM c WHERE cum_tokens <= $TokenBudgetPerSource
        |ORDER BY doc_id""".stripMargin
 
+  /** LM-coverage bucket thresholds for [[docCcnetE2e]] (integer ppm),
+    * set at the test corpus's rough terciles so every bucket is
+    * populated and the gate actually gates. */
+  val CcnetHeadPpm = 170000L
+  val CcnetMiddlePpm = 125000L
+
+  /** The CCNet-style scoring pipeline — language ID, then reference-LM
+    * quality bucketing (head/middle/tail), then the keep decision
+    * (target language AND not tail) — composed as ONE query from the
+    * op surface's own stages: [[TextOps.textLangId]] (map-side profile
+    * argmax) and [[TextOps.textLmCoverage]] (the KenLM-perplexity
+    * proxy, bucketed at [[CcnetHeadPpm]]/[[CcnetMiddlePpm]]). This is
+    * the canonical web-corpus curation recipe: bucket by in-domain LM
+    * score per language, train on head+middle, drop tail. Docs too
+    * short to have bigrams surface with coverage 0 (tail), not as
+    * dropped rows — short docs must be gated, not lost. The oracle
+    * embeds both ops' own SQL (order stripped) so the composition can
+    * never drift from the standalone stages. */
+  def docCcnetE2e(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lang = TextOps.textLangId(s, d)
+    val cov = TextOps.textLmCoverage(s, d).select($"doc_id", $"coverage_ppm")
+    lang.join(cov, Seq("doc_id"), "left")
+      .select($"doc_id", $"pred_lang",
+        coalesce($"coverage_ppm", lit(0L)).as("coverage_ppm"))
+      .withColumn("bucket",
+        when($"coverage_ppm" >= CcnetHeadPpm, "head")
+          .when($"coverage_ppm" >= CcnetMiddlePpm, "middle")
+          .otherwise("tail"))
+      .withColumn("keep",
+        when($"pred_lang" === "en" && $"bucket" =!= "tail", 1L)
+          .otherwise(0L))
+      .orderBy($"doc_id")
+  }
+  val docCcnetE2eSql: String = {
+    // strip ONLY the trailing oracle-ordering sort — inner ORDER BYs
+    // (the LM's top-k cut) are semantic and must survive
+    def noOrder(sql: String) = sql.stripSuffix(" ORDER BY doc_id")
+    s"""WITH lang AS (
+       |${noOrder(TextOps.textLangIdSql)}
+       |),
+       |cov AS (
+       |${noOrder(TextOps.textLmCoverageSql)}
+       |),
+       |j AS (
+       |  SELECT l.doc_id, l.pred_lang,
+       |    COALESCE(c.coverage_ppm, 0) AS coverage_ppm
+       |  FROM lang l LEFT JOIN cov c USING (doc_id)),
+       |b AS (
+       |  SELECT doc_id, pred_lang, coverage_ppm,
+       |    CASE WHEN coverage_ppm >= $CcnetHeadPpm THEN 'head'
+       |         WHEN coverage_ppm >= $CcnetMiddlePpm THEN 'middle'
+       |         ELSE 'tail' END AS bucket
+       |  FROM j)
+       |SELECT doc_id, pred_lang, coverage_ppm, bucket,
+       |  CAST(CASE WHEN pred_lang = 'en' AND bucket <> 'tail'
+       |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM b ORDER BY doc_id""".stripMargin
+  }
+
   /** Upsampling cap for [[docMixWeights]], in ppm of a 1.0× weight: a
     * tiny domain is never repeated more than 4 epochs — past that,
     * repetition hurts more than the mixture balance helps (the

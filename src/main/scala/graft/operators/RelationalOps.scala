@@ -595,6 +595,36 @@ object RelationalOps {
       |  CAST(1 AS BIGINT) AS hll_ok
       |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
 
+  /** Sketch-based quantiles under the [[qApproxDistinct]] contract:
+    * `approx_percentile` (a deterministic mergeable quantile sketch —
+    * fixed-size state, one shuffle of sketches, the only quantile
+    * shape that survives 100 TB) verified in-query against the exact
+    * `percentile_disc`, emitting an `ok` flag the oracle hard-codes
+    * to 1. The envelope is RANK-based, not value-based: the approx
+    * median must fall between the exact 40th and 60th percentile
+    * VALUES of its group — value-space envelopes break on heavy-tailed
+    * columns where adjacent ranks are far apart, while a rank
+    * envelope is what the sketch's accuracy parameter actually
+    * promises. The exact percentiles are the verification harness;
+    * the sketch is the production path. Output integer/flag only — no
+    * float crosses the comparator. */
+  def qApproxPercentile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    orders(s, d)
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        expr("approx_percentile(o_totalprice, 0.5, 1000)").as("apx"),
+        expr("percentile_disc(0.4) WITHIN GROUP (ORDER BY o_totalprice)").as("lo"),
+        expr("percentile_disc(0.6) WITHIN GROUP (ORDER BY o_totalprice)").as("hi"))
+      .select($"o_orderpriority", $"n",
+        when($"apx" >= $"lo" && $"apx" <= $"hi", 1L).otherwise(0L).as("pct_ok"))
+      .orderBy($"o_orderpriority")
+  }
+  val qApproxPercentileSql: String =
+    """SELECT o_orderpriority, count(*) AS n, CAST(1 AS BIGINT) AS pct_ok
+      |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
   /** CDC MERGE (upsert) applied as one relational pass: a deterministic
     * changeset (updates for every 7th order, inserts keyed past the
     * base's key space for every 101st) is merged into `orders`. The

@@ -316,6 +316,33 @@ class ExtOpsSpec extends SparkSpec {
     enc.unpersist()
   }
 
+  test("ccnet pipeline: populated buckets, threshold-consistent, gate honors lang+bucket") {
+    import spark.implicits._
+    val cc = CurationOps.docCcnetE2e(spark, sf0001).cache()
+    assert(cc.count() == graft.Tables.documents(spark, sf0001).count())
+    val buckets = cc.select($"bucket").distinct().as[String].collect().toSet
+    assert(buckets == Set("head", "middle", "tail"),
+      s"all three buckets must be populated, got $buckets")
+    assert(cc.filter(
+      ($"bucket" === "head" && $"coverage_ppm" < CurationOps.CcnetHeadPpm) ||
+      ($"bucket" === "middle" && ($"coverage_ppm" >= CurationOps.CcnetHeadPpm ||
+        $"coverage_ppm" < CurationOps.CcnetMiddlePpm)) ||
+      ($"bucket" === "tail" && $"coverage_ppm" >= CurationOps.CcnetMiddlePpm))
+      .count() == 0, "bucket must follow the ppm thresholds")
+    assert(cc.filter($"keep" === 1L &&
+      ($"pred_lang" =!= "en" || $"bucket" === "tail")).count() == 0,
+      "keep=1 requires target language and a non-tail bucket")
+    assert(cc.filter($"keep" === 1L).count() > 0, "the gate must pass something")
+    cc.unpersist()
+  }
+
+  test("approx percentile sketch lands inside the exact rank envelope on every group") {
+    import spark.implicits._
+    val ap = RelationalOps.qApproxPercentile(spark, sf0001)
+    assert(ap.count() > 0 && ap.filter($"pct_ok" =!= 1L).count() == 0,
+      "approx median must sit between the exact P40 and P60 values per group")
+  }
+
   test("stream anomaly flags exactly the batch anomaly set") {
     // the two-pass threshold stream must reproduce the exact-window
     // batch flag set — one contract, two execution shapes (the same
