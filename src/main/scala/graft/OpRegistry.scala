@@ -357,6 +357,8 @@ object OpRegistry {
     op("doc_train_feed_e2e", CurationOps.docTrainFeed, CurationOps.docTrainFeedSql),
     op("doc_pipeline_e2e", CurationOps.docPipelineE2e, CurationOps.docPipelineE2eSql),
     op("doc_ccnet_e2e", CurationOps.docCcnetE2e, CurationOps.docCcnetE2eSql),
+    op("doc_partitioned_sink",
+      CurationOps.docPartitionedSink, CurationOps.docPartitionedSinkSql),
     op("sim_topk_brute", SimilarityOps.simTopkBrute, SimilarityOps.simTopkBruteSql),
     op("sim_ann_lsh", SimilarityOps.simAnnLsh, SimilarityOps.simAnnLshSql),
     op("sim_knn_graph", SimilarityOps.simKnnGraph, SimilarityOps.simKnnGraphSql),

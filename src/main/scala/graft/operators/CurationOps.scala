@@ -620,6 +620,36 @@ object CurationOps {
        |FROM c WHERE cum_tokens <= $TokenBudgetPerSource
        |ORDER BY doc_id""".stripMargin
 
+  /** The curated-corpus SINK made physical: write the gated documents
+    * as source-partitioned parquet (the layout a downstream trainer
+    * reads: one directory per domain, so per-domain mixing/carving is
+    * partition PRUNING, not scanning), then read back ONE source and
+    * fingerprint it — proving the round-trip is lossless and the read
+    * touches only the probed partition. The doc-side sibling of
+    * [[graft.store.TripleStore]]'s predicate-partitioned persistence
+    * and [[MlOps.simAnnIvfIndex]]'s list-partitioned index; together
+    * they make "partition the physical layout by the access key" the
+    * repo-wide storage rule. Root from `spark.graft.indexRoot` so a
+    * cluster points at shared storage; ScaleSpec pins the
+    * PartitionFilters-only read. */
+  def docPartitionedSink(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = s.conf.getOption("spark.graft.indexRoot")
+      .getOrElse(System.getProperty("java.io.tmpdir") + "/graft_ivf")
+    val dir = s"$root/docs_${java.util.UUID.randomUUID}"
+    val gated = documents(s, d)
+      .join(qualityGate(documents(s, d)).select($"doc_id"), Seq("doc_id"), "left_semi")
+    gated.write.mode("overwrite").partitionBy("source").parquet(dir)
+    s.read.parquet(dir)
+      .filter($"source" === "src3")
+      .select($"doc_id", md5($"text").as("fp"))
+      .orderBy($"doc_id")
+  }
+  val docPartitionedSinkSql: String =
+    s"""SELECT doc_id, md5(text) AS fp FROM documents
+       |WHERE source = 'src3' AND $qualityGateWhereSql
+       |ORDER BY doc_id""".stripMargin
+
   /** LM-coverage bucket thresholds for [[docCcnetE2e]] (integer ppm),
     * set at the test corpus's rough terciles so every bucket is
     * populated and the gate actually gates. */

@@ -485,6 +485,17 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("partitioned doc sink read-back prunes to the probed source partition") {
+    // the curated-corpus layout rule: one directory per source, so a
+    // per-domain read is partition PRUNING — the filter must land in
+    // PartitionFilters (directory selection), not as a data filter
+    // over a full scan
+    val p = plan(operators.CurationOps.docPartitionedSink(spark, sf0001))
+    val pf = p.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.exists(_.contains("src3")),
+      s"source filter must prune partitions:\n${p.take(1200)}")
+  }
+
   test("knn graph pairs only within LSH buckets — never an all-pairs product") {
     // the all-vectors kNN graph must stay a bucket equi-join: a
     // CartesianProduct or nested-loop here is the n² brute shape that
