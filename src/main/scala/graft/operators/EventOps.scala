@@ -95,8 +95,8 @@ object EventOps {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |sess AS (
       |  SELECT user_id, ts,
-      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
       |  FROM flagged)
       |SELECT user_id, min(ts) AS sess_start, count(*) AS n_events
       |FROM sess GROUP BY user_id, sess_id
@@ -532,7 +532,7 @@ object EventOps {
       |  FROM events)
       |SELECT user_id, count(*) AS n_events, count(gap_us) AS n_gaps,
       |  min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us,
-      |  sum(gap_us) AS sum_gap_us
+      |  CAST(sum(gap_us) AS BIGINT) AS sum_gap_us
       |FROM gaps GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** Rank-based anomaly flagging: the top 1% of events per event_type

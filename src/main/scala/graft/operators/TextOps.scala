@@ -274,11 +274,11 @@ object TextOps {
       |tok AS (SELECT source, doc_id, unnest(string_split(text, ' ')) AS tk FROM docs),
       |hb AS (SELECT source, md5(tk) AS h FROM tok),
       |bitsum AS (SELECT source, j,
-      |             sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, j//4+1, 1))-1) >> (j%4)) & 1 = 1
-      |                      THEN 1 ELSE -1 END) AS sm
+      |             CAST(sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, j//4+1, 1))-1) >> (j%4)) & 1 = 1
+      |                      THEN 1 ELSE -1 END) AS BIGINT) AS sm
       |           FROM hb, range(0,64) t(j) GROUP BY source, j),
       |chunks AS (SELECT source, j//16 AS b,
-      |             sum(CASE WHEN sm > 0 THEN (1::BIGINT << (j%16)) ELSE 0 END) AS chunk
+      |             CAST(sum(CASE WHEN sm > 0 THEN (1::BIGINT << (j%16)) ELSE 0 END) AS BIGINT) AS chunk
       |           FROM bitsum GROUP BY source, j//16),
       |nd AS (SELECT source, count(*) AS n_docs FROM docs GROUP BY source)
       |SELECT c.source,
@@ -323,9 +323,9 @@ object TextOps {
       |       FROM tok),
       |gd AS (SELECT g, count(*) AS n_docs FROM sh GROUP BY g)
       |SELECT sh.doc_id, count(*) AS n_shingles,
-      |  sum(CASE WHEN gd.n_docs > 1 THEN 1 ELSE 0 END) AS n_shared,
-      |  (1000000 * sum(CASE WHEN gd.n_docs > 1 THEN 1 ELSE 0 END))
-      |    // count(*) AS dup_ppm
+      |  CAST(sum(CASE WHEN gd.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+      |  CAST((1000000 * sum(CASE WHEN gd.n_docs > 1 THEN 1 ELSE 0 END))
+      |    // count(*) AS BIGINT) AS dup_ppm
       |FROM sh JOIN gd ON gd.g = sh.g
       |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin
 

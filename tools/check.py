@@ -41,6 +41,35 @@ def norm(v):
     return "s:" + str(v)
 
 
+def oracle_type_violations(con, sql):
+    """Round 13 lesson: DuckDB `sum()` over integers returns HUGEINT
+    (int128). A typed comparator (the driver's Arrow/parquet layer)
+    hash-differs int128 vs Spark's int64 even on identical values,
+    while this script is blind to it (Python renders both as `int`).
+    So: fail any oracle whose RESULT SCHEMA contains a type that can
+    never round-trip to a Spark result column — HUGEINT/UHUGEINT, any
+    nested type, or a DECIMAL that escaped the final CAST AS DOUBLE.
+    Types come from the lazy relation — no execution cost."""
+    rel = con.sql(sql)
+    bad = []
+    for c, t in zip(rel.columns, (str(t).upper() for t in rel.types)):
+        if (t in ("HUGEINT", "UHUGEINT") or "[]" in t
+                or t.startswith(("STRUCT", "MAP", "LIST", "UNION", "DECIMAL"))):
+            bad.append(f"{c}:{t}")
+    return bad
+
+
+def guard_selftest(con):
+    # the guard itself must trip on a deliberately bare integer sum()
+    # (DuckDB returns HUGEINT) — if this ever passes clean, the guard
+    # is broken and every oracle "pass" below is suspect.
+    bad = oracle_type_violations(con, "SELECT sum(i) AS s FROM range(3) t(i)")
+    if not bad:
+        print("FATAL: oracle type guard self-test failed "
+              "(bare sum() did not trip HUGEINT detection)")
+        sys.exit(2)
+
+
 def table_of(rows, cols):
     # sort columns by name, then rows lexicographically by normalized values
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -58,6 +87,7 @@ def main():
     for t in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(t)[:-8]
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{t}'")
+    guard_selftest(con)
 
     n_pass = n_fail = 0
     for name in sorted(oracle):
@@ -73,6 +103,13 @@ def main():
         got_cols = [d[0] for d in got.description]
         got_rows = got.fetchall()
         try:
+            bad_types = oracle_type_violations(con, oracle[name])
+            if bad_types:
+                print(f"FAIL {name}: oracle result-type guard: {bad_types} "
+                      "(HUGEINT/nested/DECIMAL cannot round-trip a typed "
+                      "comparator — CAST in the final projection)")
+                n_fail += 1
+                continue
             exp = con.execute(oracle[name])
             exp_cols = [d[0] for d in exp.description]
             exp_rows = exp.fetchall()
