@@ -105,6 +105,7 @@ object CurationOps {
       regexp_replace($"text", TextOps.EmailRe, "<EMAIL>"),
       TextOps.UrlRe, "<URL>")
     documents(s, d)
+      .filter($"text".isNotNull) // family-wide NULL-text guard, see TextOps.textStats
       .select($"doc_id", md5(red).as("redacted_md5"),
         length(red).cast("long").as("redacted_len"))
       .orderBy($"doc_id")
@@ -117,7 +118,7 @@ object CurationOps {
        |  CAST(length(regexp_replace(regexp_replace(text,
        |    '${TextOps.EmailRe}', '<EMAIL>', 'g'),
        |    '${TextOps.UrlRe}', '<URL>', 'g')) AS BIGINT) AS redacted_len
-       |FROM documents ORDER BY doc_id""".stripMargin
+       |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin
 
   /** Token-budget shard packing — the sequence/shard assembly step
     * before tokenization: within each source, docs pack in doc_id
@@ -391,7 +392,16 @@ object CurationOps {
     * banded LSH, paired-subgraph-only Pregel, broadcast benchmark
     * index, per-source windows); the oracle replays the identical
     * composition as chained CTEs with a recursive closure for the
-    * cluster step. */
+    * cluster step.
+    *
+    * The MinHash pair stage deliberately RECOMPUTES inline rather than
+    * reusing the standalone `dedup_minhash_lsh` result cached earlier
+    * in the session: the inputs differ — here pairs are generated over
+    * the GATED, exact-deduped survivors (stages 1-2), not the full
+    * corpus, so the standalone pair set is a superset with different
+    * shingle statistics. The inline cost IS the honest e2e cost; the
+    * `.cache()` below only amortizes the pair DF across the CC
+    * iteration within this one query. */
   def docPipelineE2e(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -458,8 +468,9 @@ object CurationOps {
        |dirty AS (SELECT DISTINCT n.doc_id
        |          FROM (SELECT nk.doc_id, sf.g FROM nearkept nk JOIN shf sf ON sf.doc_id = nk.doc_id) n
        |          JOIN bench b ON n.g = b.g),
-       |clean AS (SELECT * FROM nearkept
-       |          WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM dirty)),
+       |clean AS (SELECT * FROM nearkept nk
+       |          WHERE doc_id % 50 <> 0
+       |            AND NOT EXISTS (SELECT 1 FROM dirty dy WHERE dy.doc_id = nk.doc_id)),
        |samp AS (SELECT * FROM clean
        |         WHERE substr(md5('smp_' || CAST(doc_id AS VARCHAR)), 1, 1) <
        |           CASE WHEN TRY_CAST(substr(source, 4) AS INT) % 2 = 0 THEN '8' ELSE '4' END)
@@ -513,7 +524,8 @@ object CurationOps {
       |dirty AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bench b ON s.g = b.g
       |          WHERE s.doc_id % 50 <> 0)
       |SELECT d.doc_id FROM documents d
-      |WHERE d.doc_id % 50 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM dirty)
+      |WHERE d.doc_id % 50 <> 0
+      |  AND NOT EXISTS (SELECT 1 FROM dirty dy WHERE dy.doc_id = d.doc_id)
       |ORDER BY doc_id""".stripMargin
 
   /** Deterministic epoch shuffle: the reproducible global training
@@ -530,6 +542,11 @@ object CurationOps {
   def docGlobalShuffle(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val keyed = documents(s, d)
+      // NULL-id guard, both sides: a NULL doc_id yields a NULL
+      // shuffle_key, and the engines order NULL keys differently
+      // (Spark NULLS FIRST asc vs DuckDB NULLS LAST) — every position
+      // after it would shift.
+      .filter($"doc_id".isNotNull)
       .select($"doc_id",
         md5(concat(lit("ep0_"), $"doc_id".cast("string"))).as("shuffle_key"))
     graft.store.Dict
@@ -542,7 +559,7 @@ object CurationOps {
       |         ORDER BY md5('ep0_' || CAST(doc_id AS VARCHAR)), doc_id)
       |       AS BIGINT) - 1 AS position,
       |  doc_id, md5('ep0_' || CAST(doc_id AS VARCHAR)) AS shuffle_key
-      |FROM documents ORDER BY position""".stripMargin
+      |FROM documents WHERE doc_id IS NOT NULL ORDER BY position""".stripMargin
 
   /** Curriculum decile: rank documents WITHIN each source by an
     * integer prose-quality score (stopword ratio in ppm — the cheap
@@ -558,6 +575,10 @@ object CurationOps {
     import org.apache.spark.sql.expressions.Window
     val sw = TextOps.stopwords
     val scored = documents(s, d)
+      // NULL-text guard, both sides: Spark would score a NULL text as
+      // 1000000 * (-1) div (-1) = 1000000 ppm while DuckDB yields NULL
+      // — divergent deciles. EdgeCaseSpec pins this.
+      .filter($"text".isNotNull)
       .select($"doc_id", $"source",
         expr(s"(1000000L * size(filter(split(text, ' '), x -> x IN (${sw.map("'" + _ + "'").mkString(", ")})))) div size(split(text, ' '))")
           .as("score_ppm"))
@@ -572,7 +593,7 @@ object CurationOps {
        |  SELECT doc_id, source,
        |    (1000000 * len(list_filter(string_split(text,' '), x -> x IN ($sw))))
        |      // len(string_split(text,' ')) AS score_ppm
-       |  FROM documents)
+       |  FROM documents WHERE text IS NOT NULL)
        |SELECT doc_id, source, score_ppm,
        |  CAST(ntile(10) OVER (PARTITION BY source
        |         ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS decile
@@ -601,6 +622,12 @@ object CurationOps {
     val w = Window.partitionBy($"source").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     documents(s, d)
+      // NULL-text guard on BOTH sides: Spark's size(split(NULL,' ')) is
+      // -1 and would shift every later doc's running sum, while DuckDB's
+      // len(string_split(NULL,' ')) is NULL and skipped by sum() — the
+      // same divergence documented at docPackManifest. EdgeCaseSpec
+      // pins the NULL-text row behavior.
+      .filter($"text".isNotNull)
       .select($"doc_id", $"source",
         size(split($"text", " ")).cast("long").as("n_tokens"))
       .withColumn("cum_tokens", sum($"n_tokens").over(w))
@@ -615,7 +642,7 @@ object CurationOps {
        |    CAST(sum(len(string_split(text,' '))) OVER (
        |      PARTITION BY source ORDER BY doc_id
        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
-       |  FROM documents)
+       |  FROM documents WHERE text IS NOT NULL)
        |SELECT doc_id, source, n_tokens, cum_tokens
        |FROM c WHERE cum_tokens <= $TokenBudgetPerSource
        |ORDER BY doc_id""".stripMargin
@@ -636,7 +663,13 @@ object CurationOps {
     import s.implicits._
     val root = s.conf.getOption("spark.graft.indexRoot")
       .getOrElse(System.getProperty("java.io.tmpdir") + "/graft_ivf")
-    val dir = s"$root/docs_${java.util.UUID.randomUUID}"
+    // Corpus-keyed deterministic path (same discipline as
+    // IvfKmeans.centroidPath): reruns OVERWRITE instead of
+    // accumulating one UUID tree per invocation across bench/verify
+    // runs; one directory per corpus, bounded.
+    val dir = s"$root/docs_part_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val gated = documents(s, d)
       .join(qualityGate(documents(s, d)).select($"doc_id"), Seq("doc_id"), "left_semi")
     gated.write.mode("overwrite").partitionBy("source").parquet(dir)
@@ -686,8 +719,14 @@ object CurationOps {
   }
   val docCcnetE2eSql: String = {
     // strip ONLY the trailing oracle-ordering sort — inner ORDER BYs
-    // (the LM's top-k cut) are semantic and must survive
-    def noOrder(sql: String) = sql.stripSuffix(" ORDER BY doc_id")
+    // (the LM's top-k cut) are semantic and must survive. The require
+    // makes a component-SQL reformat (e.g. a newline before ORDER BY)
+    // fail loudly at plan-build time instead of silently no-op'ing.
+    def noOrder(sql: String) = {
+      require(sql.endsWith(" ORDER BY doc_id"),
+        s"ccnet_e2e component SQL no longer ends with ' ORDER BY doc_id': ...${sql.takeRight(40)}")
+      sql.stripSuffix(" ORDER BY doc_id")
+    }
     s"""WITH lang AS (
        |${noOrder(TextOps.textLangIdSql)}
        |),
@@ -731,6 +770,10 @@ object CurationOps {
   def docMixWeights(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val per = documents(s, d)
+      // NULL-text guard, both sides: size(split(NULL,' ')) = -1 enters
+      // Spark's sum while DuckDB's NULL is skipped — divergent token
+      // totals (and n_docs counts NULL-text docs only on Spark).
+      .filter($"text".isNotNull)
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split($"text", " ")).cast("long")).as("n_tokens"))
@@ -748,7 +791,7 @@ object CurationOps {
     s"""WITH per AS (
        |  SELECT source, count(*) AS n_docs,
        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
-       |  FROM documents GROUP BY source),
+       |  FROM documents WHERE text IS NOT NULL GROUP BY source),
        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        |          count(*) AS n_sources FROM per)
        |SELECT source, n_docs, n_tokens,

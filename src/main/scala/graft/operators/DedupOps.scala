@@ -17,22 +17,31 @@ import org.apache.spark.sql.functions._
 object DedupOps {
 
   /** Exact dedup: group on content hash, keep min doc_id.
-    * At scale: map-side partial agg on md5 → one shuffle. */
+    * At scale: map-side partial agg on md5 → one shuffle.
+    * NULL-text docs are excluded on BOTH sides: md5(NULL) is NULL, and
+    * a NULL group key both emits a null output column and means
+    * different things to downstream anti-joins per engine — there is
+    * no content to dedup. EdgeCaseSpec pins the NULL-text row. */
   def dedupExact(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     documents(s, d)
+      .filter($"text".isNotNull)
       .groupBy(md5($"text").as("key"))
       .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_dups"))
       .orderBy($"key")
   }
   val dedupExactSql: String =
     """SELECT md5(text) AS key, min(doc_id) AS keeper, count(*) AS n_dups
-      |FROM documents GROUP BY 1 ORDER BY key""".stripMargin
+      |FROM documents WHERE text IS NOT NULL GROUP BY 1 ORDER BY key""".stripMargin
 
-  /** Normalization-based exact dedup: key = first 5 tokens. */
+  /** Normalization-based exact dedup: key = first 5 tokens.
+    * Same NULL-text exclusion as [[dedupExact]] (Spark's concat_ws
+    * folds a NULL token array to '' while DuckDB keeps NULL — the keys
+    * would diverge). */
   def dedupNorm(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     documents(s, d)
+      .filter($"text".isNotNull)
       .groupBy(concat_ws(" ", slice(split($"text", " "), 1, 5)).as("key"))
       .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_dups"))
       .orderBy($"key")
@@ -40,7 +49,7 @@ object DedupOps {
   val dedupNormSql: String =
     """SELECT array_to_string(string_split(text,' ')[1:5], ' ') AS key,
       |  min(doc_id) AS keeper, count(*) AS n_dups
-      |FROM documents GROUP BY 1 ORDER BY key""".stripMargin
+      |FROM documents WHERE text IS NOT NULL GROUP BY 1 ORDER BY key""".stripMargin
 
   /** Spread a raw (doc_id, text) scan across the cluster when the
     * input has fewer splits than cores: shingling/signatures are
@@ -338,6 +347,11 @@ object DedupOps {
     import s.implicits._
     GraftFunctions.register(s)
     val sig = documents(s, d)
+      // NULL-text guard: Spark's simhash_md5 yields a NULL sig (doc
+      // silently dropped by posexplode) while the DuckDB replica's CASE
+      // folds NULL to an all-zero sig (doc kept) — excluded identically
+      // on both sides, same contract as TextOps.textSimhash
+      .filter($"text".isNotNull)
       .select($"doc_id", expr("simhash_md5(split(text,' '))").as("sig"))
       .cache()
     // single pass over sig: posexplode the 4 chunk values per row
@@ -364,7 +378,8 @@ object DedupOps {
   /** DuckDB replica: same md5 nibble-bit SimHash, banding, and Hamming
     * verification (see [[graft.functions.Md5Bits]] for the contract). */
   val dedupSimhashSql: String =
-    s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+    s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents
+      |            WHERE text IS NOT NULL),
       |hs AS (SELECT doc_id, [md5(t) for t in ws] AS hs FROM tok),
       |bits AS (SELECT doc_id,
       |           [CASE WHEN list_sum([CASE WHEN ((strpos('0123456789abcdef', substr(h, j//4+1, 1))-1) >> (j%4)) & 1 = 1
@@ -515,6 +530,10 @@ object DedupOps {
   def dedupIncremental(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = documents(s, d)
+      // NULL-text guard (r13 ADVICE): md5(NULL) would put a NULL in the
+      // corpus hash set — harmless to the Spark LeftAnti but fatal to a
+      // NOT IN-style oracle, and a NULL batch key would emit a null row
+      .filter($"text".isNotNull)
       .select($"doc_id", $"source", md5($"text").as("key"))
     val incoming = docs.filter($"source".isInCollection(IncrementalBatchSources))
     val corpus = docs.filter(!$"source".isInCollection(IncrementalBatchSources))
@@ -527,11 +546,13 @@ object DedupOps {
   val dedupIncrementalSql: String = {
     val batch = IncrementalBatchSources.map("'" + _ + "'").mkString(", ")
     s"""WITH hashed AS (
-       |  SELECT doc_id, source, md5(text) AS key FROM documents),
+       |  SELECT doc_id, source, md5(text) AS key FROM documents
+       |  WHERE text IS NOT NULL),
        |corpus AS (SELECT DISTINCT key FROM hashed WHERE source NOT IN ($batch))
        |SELECT key, min(doc_id) AS keeper, count(*) AS n_batch
-       |FROM hashed
-       |WHERE source IN ($batch) AND key NOT IN (SELECT key FROM corpus)
+       |FROM hashed h
+       |WHERE source IN ($batch)
+       |  AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.key = h.key)
        |GROUP BY key ORDER BY key""".stripMargin
   }
 

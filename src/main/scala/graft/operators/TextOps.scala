@@ -19,10 +19,15 @@ object TextOps {
 
   private def toks(c: org.apache.spark.sql.Column) = split(c, " ")
 
-  /** Token statistics: count, distinct count, char length. */
+  /** Token statistics: count, distinct count, char length.
+    * NULL-text docs are excluded on BOTH sides (the family-wide
+    * guard): Spark's size(split(NULL)) = -1 vs DuckDB's NULL would
+    * otherwise diverge — there are no token statistics for text that
+    * does not exist. EdgeCaseSpec pins the NULL-text row. */
   def textStats(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     documents(s, d)
+      .filter($"text".isNotNull)
       .select($"doc_id",
         size(toks($"text")).cast("long").as("n_tokens"),
         size(array_distinct(toks($"text"))).cast("long").as("n_unique"),
@@ -34,7 +39,7 @@ object TextOps {
       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
       |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique,
       |  CAST(length(text) AS BIGINT) AS len_chars
-      |FROM documents ORDER BY doc_id""".stripMargin
+      |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin
 
   // shared with CurationOps (quality gate, redaction) — ONE definition
   // of the stopword list and PII patterns, in Scala and (interpolated)
@@ -49,6 +54,7 @@ object TextOps {
     import s.implicits._
     val t = toks($"text")
     documents(s, d)
+      .filter($"text".isNotNull) // family-wide NULL-text guard, see textStats
       .select($"doc_id",
         size(filter(t, c => c.isInCollection(stopwords))).cast("long").as("n_stop"),
         size(filter(t, c => length(c) <= 3)).cast("long").as("n_short"),
@@ -61,7 +67,7 @@ object TextOps {
        |  CAST(len(list_filter(string_split(text,' '), t -> t IN ($sw))) AS BIGINT) AS n_stop,
        |  CAST(len(list_filter(string_split(text,' '), t -> length(t) <= 3)) AS BIGINT) AS n_short,
        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
-       |FROM documents ORDER BY doc_id""".stripMargin
+       |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin
   }
 
   /** Stopword-profile language ID: score each language by distinct-
@@ -77,7 +83,9 @@ object TextOps {
   def textLangId(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val dt = array_distinct(toks($"text"))
-    val scored = documents(s, d).select(
+    // family-wide NULL-text guard (see textStats); composed ops
+    // (docCcnetE2e) inherit it symmetrically through the shared SQL
+    val scored = documents(s, d).filter($"text".isNotNull).select(
       $"doc_id" +:
         profiles.map { case (l, ws) =>
           size(array_intersect(dt, array(ws.map(lit): _*))).as(s"s_$l")
@@ -101,7 +109,7 @@ object TextOps {
     }.mkString("CASE ", " ", " ELSE 'und' END")
     s"""WITH scored AS (SELECT doc_id,
        |  $scores
-       |FROM documents)
+       |FROM documents WHERE text IS NOT NULL)
        |SELECT doc_id, $caseExpr AS pred_lang FROM scored ORDER BY doc_id""".stripMargin
   }
 
@@ -109,6 +117,7 @@ object TextOps {
   def textFingerprint(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     documents(s, d)
+      .filter($"text".isNotNull) // family-wide NULL-text guard, see textStats
       .select($"doc_id", md5($"text").as("fp_md5"),
         substring(sha2($"text", 256), 1, 16).as("fp_sha_pfx"))
       .orderBy($"doc_id")
@@ -116,7 +125,7 @@ object TextOps {
   val textFingerprintSql: String =
     """SELECT doc_id, md5(text) AS fp_md5,
       |  substr(sha256(text), 1, 16) AS fp_sha_pfx
-      |FROM documents ORDER BY doc_id""".stripMargin
+      |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin
 
   /** BPE-ish pre-tokenization pattern (GPT-2 style, minus lookarounds
     * so Java regex and RE2 agree): contraction suffixes, letter runs,
@@ -130,6 +139,7 @@ object TextOps {
   def textTokensBpe(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     documents(s, d)
+      .filter($"text".isNotNull) // family-wide NULL-text guard, see textStats
       .select($"doc_id",
         size(toks($"text")).cast("long").as("n_ws"),
         size(regexp_extract_all($"text", lit(bpePattern), lit(0))).cast("long").as("n_bpe"))
@@ -140,7 +150,7 @@ object TextOps {
     s"""SELECT doc_id,
        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
        |  CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_bpe
-       |FROM documents ORDER BY doc_id""".stripMargin
+       |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin
   }
 
   /** Repetition scoring — the fraction of duplicate 3-gram shingles,
@@ -150,6 +160,7 @@ object TextOps {
   def textRepetition(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     documents(s, d)
+      .filter($"text".isNotNull) // family-wide NULL-text guard, see textStats
       .select($"doc_id", split($"text", " ").as("ws"))
       .select($"doc_id", expr(
         """CASE WHEN size(ws) >= 3
@@ -164,7 +175,8 @@ object TextOps {
       .orderBy($"doc_id")
   }
   val textRepetitionSql: String =
-    """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+    """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents
+      |            WHERE text IS NOT NULL),
       |sh AS (SELECT doc_id,
       |         CASE WHEN len(ws) >= 3
       |           THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]
@@ -183,6 +195,7 @@ object TextOps {
   def textPii(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     documents(s, d)
+      .filter($"text".isNotNull) // family-wide NULL-text guard, see textStats
       .select($"doc_id",
         size(regexp_extract_all($"text", lit(EmailRe), lit(0)))
           .cast("long").as("n_emails"),
@@ -194,7 +207,7 @@ object TextOps {
     s"""SELECT doc_id,
        |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
        |  CAST(len(regexp_extract_all(text, '$UrlRe')) AS BIGINT) AS n_urls
-       |FROM documents ORDER BY doc_id""".stripMargin
+       |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin
 
   /** Corpus token frequencies, top 50: explode → two-phase aggregate
     * (map-side combine before the shuffle — the wordcount shape that
@@ -464,6 +477,7 @@ object TextOps {
     val t = toks($"text")
     val flag = (c: org.apache.spark.sql.Column) => when(c, 1L).otherwise(0L)
     documents(s, d)
+      .filter($"text".isNotNull) // family-wide NULL-text guard, see textStats
       .select($"doc_id",
         size(t).cast("long").as("n_words"),
         length(regexp_replace($"text", " ", "")).cast("long").as("word_chars"),
@@ -498,7 +512,7 @@ object TextOps {
        |    CAST(length(text) - length(replace(text,'#','')) AS BIGINT) AS n_hash,
        |    CAST(len(list_filter(string_split(text,' '),
        |      w -> w IN ($sw))) AS BIGINT) AS n_stop
-       |  FROM documents),
+       |  FROM documents WHERE text IS NOT NULL),
        |f AS (
        |  SELECT doc_id, n_words,
        |    CAST(CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS BIGINT) AS f_wordcount,
@@ -593,7 +607,7 @@ object TextOps {
       .select($"t", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy($"n".desc, $"t"))
         .cast("long").as("id"))
-    tok.join(vocab, Seq("t"), "left")
+    val agg = tok.join(vocab, Seq("t"), "left")
       .select($"doc_id", $"pos", coalesce($"id", lit(0L)).as("id"))
       .groupBy($"doc_id")
       .agg(
@@ -602,6 +616,16 @@ object TextOps {
         concat_ws(" ", expr(
           "transform(sort_array(collect_list(struct(pos, id))), x -> CAST(x.id AS STRING))"))
           .as("ids_str"))
+    // Defensive left join back to documents on BOTH sides (the oracle
+    // always had it): a doc whose tokenization is empty (NULL text —
+    // posexplode emits no row) must surface as (0, 0, '') rather than
+    // be dropped on exactly one engine.
+    documents(s, d).select($"doc_id")
+      .join(agg, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_tokens", lit(0L)).as("n_tokens"),
+        coalesce($"n_oov", lit(0L)).as("n_oov"),
+        coalesce($"ids_str", lit("")).as("ids_str"))
       .orderBy($"doc_id")
   }
   val textEncodeIdsSql: String =

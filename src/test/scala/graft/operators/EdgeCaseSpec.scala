@@ -26,7 +26,8 @@ class EdgeCaseSpec extends SparkSpec {
       (4L, "の 日本語 トークン と émoji ☃ mixé", "ja", "src2", 20L), // unicode
       (5L, big, "en", "src2", big.length.toLong),            // 5000-token outlier
       (6L, big, "en", "src3", big.length.toLong),            // exact dup of the outlier, other source
-      (7L, "the the the the the the", "en", "src3", 23L)     // pure repetition
+      (7L, "the the the the the the", "en", "src3", 23L),    // pure repetition
+      (8L, null.asInstanceOf[String], "en", "src1", 0L)      // NULL text (r13 ADVICE)
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$d/documents.parquet")
     d
@@ -83,8 +84,17 @@ class EdgeCaseSpec extends SparkSpec {
     // sub-span-length docs emit no span candidates
     assert(DedupOps.dedupSpan(spark, dir)
       .filter($"da" === 3L || $"db" === 3L).count() == 0)
-    // the shuffle still covers every doc including the empty one
-    assert(CurationOps.docGlobalShuffle(spark, dir).count() == 8)
+    // the shuffle still covers every doc with an id, including the
+    // empty-text and NULL-text ones (the key is doc_id-derived)
+    assert(CurationOps.docGlobalShuffle(spark, dir).count() == 9)
+    // NULL-text doc is excluded from token-weighted admission sets on
+    // BOTH engines (the guards added for the r13 ADVICE), not admitted
+    // with a poisoned -1 token count
+    assert(CurationOps.docTokenBudget(spark, dir).filter($"doc_id" === 8L).count() == 0)
+    assert(CurationOps.docQualityRank(spark, dir).filter($"doc_id" === 8L).count() == 0)
+    // encode_ids surfaces it as an empty encoding rather than dropping it
+    val enc = TextOps.textEncodeIds(spark, dir).filter($"doc_id" === 8L).collect()
+    assert(enc.length == 1 && enc(0).getLong(1) == 0L && enc(0).getString(3) == "")
     // the 5000-token outlier blows the per-source token budget alone:
     // later docs in its source may still land if earlier by doc_id —
     // the carve just must not crash and must respect the cap
