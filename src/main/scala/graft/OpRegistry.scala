@@ -180,6 +180,8 @@ object OpRegistry {
       RelationalOps.qApproxDistinctSql),
     op("q_range_join", RelationalOps.qRangeJoin, RelationalOps.qRangeJoinSql),
     op("q_merge_upsert", RelationalOps.qMergeUpsert, RelationalOps.qMergeUpsertSql),
+    op("q_range_frames", RelationalOps.qRangeFrames, RelationalOps.qRangeFramesSql),
+    op("q_first_last", RelationalOps.qFirstLast, RelationalOps.qFirstLastSql),
     op("q_asof_join", RelationalOps.qAsofJoin,
       """WITH ord AS (
         |  SELECT o_custkey AS key, o_orderdate AS t, max(o_orderkey) AS okey
@@ -327,7 +329,10 @@ object OpRegistry {
     op("text_ngram_lm", TextOps.textNgramLm, TextOps.textNgramLmSql),
     op("text_lm_coverage", TextOps.textLmCoverage, TextOps.textLmCoverageSql),
     op("text_encode_ids", TextOps.textEncodeIds, TextOps.textEncodeIdsSql),
+    op("text_hash_features", TextOps.textHashFeatures, TextOps.textHashFeaturesSql),
+    op("text_eval_overlap", TextOps.textEvalOverlap, TextOps.textEvalOverlapSql),
     op("dedup_exact", DedupOps.dedupExact, DedupOps.dedupExactSql),
+    op("dedup_prefix", DedupOps.dedupPrefix, DedupOps.dedupPrefixSql),
     op("dedup_incremental", DedupOps.dedupIncremental, DedupOps.dedupIncrementalSql),
     op("dedup_span", DedupOps.dedupSpan, DedupOps.dedupSpanSql),
     op("dedup_norm", DedupOps.dedupNorm, DedupOps.dedupNormSql),
@@ -354,6 +359,8 @@ object OpRegistry {
     op("doc_global_shuffle", CurationOps.docGlobalShuffle, CurationOps.docGlobalShuffleSql),
     op("doc_quality_rank", CurationOps.docQualityRank, CurationOps.docQualityRankSql),
     op("doc_token_budget", CurationOps.docTokenBudget, CurationOps.docTokenBudgetSql),
+    op("doc_length_histogram",
+      CurationOps.docLengthHistogram, CurationOps.docLengthHistogramSql),
     op("doc_train_feed_e2e", CurationOps.docTrainFeed, CurationOps.docTrainFeedSql),
     op("doc_pipeline_e2e", CurationOps.docPipelineE2e, CurationOps.docPipelineE2eSql),
     op("doc_ccnet_e2e", CurationOps.docCcnetE2e, CurationOps.docCcnetE2eSql),
@@ -376,6 +383,7 @@ object OpRegistry {
     op("sim_ann_ivf_index", MlOps.simAnnIvfIndex, MlOps.ivfOracleSql),
     op("sim_ann_pq", MlOps.simAnnPq, MlOps.pqOracleSql),
     op("sim_cluster_sample", MlOps.simClusterSample, MlOps.clusterSampleSql),
+    op("sim_ann_recall", MlOps.simAnnRecall, MlOps.simAnnRecallSql),
     op("mm_metadata", MultimodalOps.mmMetadata, MultimodalOps.mmMetadataSql),
     op("mm_frame_sample", MultimodalOps.mmFrameSample, MultimodalOps.mmFrameSampleSql),
     op("mm_feature", MultimodalOps.mmFeature, MultimodalOps.mmFeatureSql),
@@ -408,6 +416,8 @@ object OpRegistry {
     op("ev_gap_stats", EventOps.evGapStats, EventOps.evGapStatsSql),
     op("ev_anomaly", EventOps.evAnomaly, EventOps.evAnomalySql),
     op("ev_stream_anomaly", EventOps.evStreamAnomaly, EventOps.evStreamAnomalySql),
+    op("ev_top_k_per_window", EventOps.evTopKPerWindow, EventOps.evTopKPerWindowSql),
+    op("ev_rate_fill", EventOps.evRateFill, EventOps.evRateFillSql),
     op("rdf_xml_source", RdfXmlOps.xmlSource, RdfXmlOps.xmlOracleSql),
     op("rdf_xml_roundtrip", RdfXmlOps.xmlRoundtrip, RdfXmlOps.xmlOracleSql),
     op("rdf_nt_roundtrip", RdfXmlOps.ntRoundtrip, RdfOps.apFullSql),

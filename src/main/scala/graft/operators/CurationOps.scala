@@ -799,4 +799,33 @@ object CurationOps {
        |  least((1000000 * (total_tokens // n_sources)) // n_tokens,
        |        $MixUpsampleCapPpm) AS weight_ppm
        |FROM per, tot ORDER BY source""".stripMargin
+
+  /** Per-source document-length histogram on power-of-2 buckets —
+    * the length-distribution fingerprint every corpus report leads
+    * with (truncation bugs, boilerplate floods, and extraction
+    * failures all show up as bucket-mass shifts before any quality
+    * metric moves). bucket = floor(log2(n_tokens)) computed WITHOUT
+    * floats as length(bin(n)) − 1 — the binary-string length trick
+    * both engines implement identically on integers, keeping the op
+    * inside the float-free oracle contract. Pure map-side bucket
+    * derivation + one partial-aggregated groupBy to (source × ~20
+    * buckets) rows: catalog-sized output at any corpus size. */
+  def docLengthHistogram(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .filter($"text".isNotNull) // family-wide NULL-text guard
+      .select($"source",
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+      .withColumn("bucket", (length(bin($"n_tokens")) - 1).cast("long"))
+      .groupBy($"source", $"bucket")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("sum_tokens"))
+      .orderBy($"source", $"bucket")
+  }
+  val docLengthHistogramSql: String =
+    """WITH t AS (
+      |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents WHERE text IS NOT NULL)
+      |SELECT source, CAST(length(bin(n_tokens)) - 1 AS BIGINT) AS bucket,
+      |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+      |FROM t GROUP BY source, bucket ORDER BY source, bucket""".stripMargin
 }

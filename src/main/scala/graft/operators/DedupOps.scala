@@ -723,4 +723,46 @@ object DedupOps {
        |  count(*) AS n_hits
        |FROM sps a JOIN sps b ON a.g = b.g AND a.source < b.source
        |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
+
+  /** Group-size cap for [[dedupPrefix]] — same anti-join discipline as
+    * [[NgramDfCap]]/[[SpanDfCap]]: a boilerplate opening shared by more
+    * docs than this carries no pair signal and would emit quadratic
+    * pairs. */
+  val PrefixDfCap = 64L
+
+  /** Prefix near-dup pairs: documents sharing their first 4 tokens —
+    * the cheapest candidate signal for template/truncation duplicates
+    * (same article re-crawled with a different tail, syndicated ledes,
+    * boilerplate openings), which span/shingle dedup only catches at
+    * much higher cost. Key = md5 of the 4-token prefix; one shuffle on
+    * the key, pairs only within equal keys, so with the [[PrefixDfCap]]
+    * anti-join the output is corpus-LINEAR (≤ rows·cap), the property
+    * every pair generator in this file pins via ScaleSpec. Docs shorter
+    * than 4 tokens still key on their full token list (slice stops at
+    * the end on both engines) — they form their own honest groups
+    * rather than being dropped. */
+  def dedupPrefix(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val keyed = documents(s, d)
+      .filter($"text".isNotNull)
+      .select($"doc_id",
+        md5(concat_ws(" ", slice(split($"text", " "), 1, 4))).as("pk"))
+    val drop = keyed.groupBy($"pk").agg(count(lit(1)).as("n"))
+      .filter($"n" > PrefixDfCap).select($"pk")
+    val kept = keyed.join(drop, keyed("pk") === drop("pk"), "left_anti")
+    kept.toDF("da", "pk").join(kept.toDF("db", "pk"), "pk")
+      .filter($"da" < $"db")
+      .select($"da", $"db", $"pk")
+      .orderBy($"da", $"db")
+  }
+  val dedupPrefixSql: String =
+    s"""WITH keyed AS (
+       |  SELECT doc_id, md5(array_to_string(string_split(text, ' ')[1:4], ' ')) AS pk
+       |  FROM documents WHERE text IS NOT NULL),
+       |kept AS (SELECT * FROM keyed
+       |         WHERE pk IN (SELECT pk FROM keyed GROUP BY pk
+       |                      HAVING count(*) <= $PrefixDfCap))
+       |SELECT a.doc_id AS da, b.doc_id AS db, a.pk
+       |FROM kept a JOIN kept b ON a.pk = b.pk AND a.doc_id < b.doc_id
+       |ORDER BY da, db""".stripMargin
 }

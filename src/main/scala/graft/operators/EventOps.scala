@@ -621,4 +621,73 @@ object EventOps {
       |  FROM events)
       |SELECT event_type, event_id, user_id
       |FROM r WHERE 100 * rank <= n ORDER BY event_type, event_id""".stripMargin
+
+  /** Top-k event types per 15-minute tumbling window — the "what's
+    * trending in each window" leaderboard. Counts aggregate with
+    * map-side partials on (window, type) — one shuffle of partial
+    * counts — then the rank window repartitions to window-sized groups
+    * (≤ |types| rows each): both exchanges move aggregate-sized data,
+    * never raw events, so the op is corpus-linear with a catalog-sized
+    * tail. (n DESC, event_type) is a total order per window, so the
+    * k-cut is deterministic cross-engine. */
+  def evTopKPerWindow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val counts = events(s, d)
+      .groupBy(window($"ts", "15 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("w_start"), $"event_type", $"n")
+    val w = Window.partitionBy($"w_start").orderBy($"n".desc, $"event_type")
+    counts.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= 2)
+      .orderBy($"w_start", $"rnk")
+  }
+  val evTopKPerWindowSql: String =
+    """WITH c AS (
+      |  SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS w_start,
+      |    event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT w_start, event_type, n,
+      |    CAST(row_number() OVER (PARTITION BY w_start
+      |           ORDER BY n DESC, event_type) AS BIGINT) AS rnk
+      |  FROM c)
+      |SELECT w_start, event_type, n, rnk
+      |FROM r WHERE rnk <= 2 ORDER BY w_start, rnk""".stripMargin
+
+  /** Zero-filled hourly event rates: the monitoring-grade rate series
+    * where an hour with NO events must surface as an explicit 0 row,
+    * not a gap (a gap is invisible to a threshold alert — the silent
+    * failure mode this op exists to prevent). The dense (hour × type)
+    * grid is generated from the corpus's own time bounds: its size is
+    * time-range × |event types| — bounded by the CALENDAR, not the
+    * corpus, so the grid build and the left join against hourly
+    * partial counts stay catalog-scale at any event volume; raw events
+    * are touched exactly once by the counting aggregate. */
+  def evRateFill(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bounds = events(s, d)
+      .agg(date_trunc("hour", min($"ts")).as("h0"),
+        date_trunc("hour", max($"ts")).as("h1"))
+    val grid = bounds
+      .select(explode(sequence($"h0", $"h1", expr("interval 1 hour"))).as("w_start"))
+    val types = events(s, d).select($"event_type").distinct()
+    val counts = events(s, d)
+      .groupBy(date_trunc("hour", $"ts").as("w_start"), $"event_type")
+      .agg(count(lit(1)).as("n0"))
+    grid.crossJoin(types) // calendar × catalog — tiny by construction
+      .join(counts, Seq("w_start", "event_type"), "left")
+      .select($"w_start", $"event_type", coalesce($"n0", lit(0L)).as("n"))
+      .orderBy($"w_start", $"event_type")
+  }
+  val evRateFillSql: String =
+    """WITH b AS (SELECT date_trunc('hour', min(ts)) AS h0,
+      |             date_trunc('hour', max(ts)) AS h1 FROM events),
+      |grid AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS w_start FROM b),
+      |ty AS (SELECT DISTINCT event_type FROM events),
+      |c AS (SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS n0
+      |      FROM events GROUP BY 1, 2)
+      |SELECT g.w_start, t.event_type, CAST(COALESCE(c.n0, 0) AS BIGINT) AS n
+      |FROM grid g CROSS JOIN ty t
+      |LEFT JOIN c ON c.w_start = g.w_start AND c.event_type = t.event_type
+      |ORDER BY g.w_start, t.event_type""".stripMargin
 }

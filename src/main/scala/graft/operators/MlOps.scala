@@ -416,4 +416,42 @@ object MlOps {
        |SELECT CAST(list_id AS BIGINT) AS list_id, pick, vec_id
        |FROM ranked WHERE pick <= $ClusterSamplePerList
        |ORDER BY list_id, pick""".stripMargin
+
+  /** ANN quality evaluation as a first-class query: recall@3 of the
+    * LSH index path against the brute-force ground truth, per query,
+    * in integer ppm — the measurement that justifies (or vetoes) an
+    * approximate index before a 100 TB rollout. SimilaritySpec pins a
+    * recall floor as a unit test; this op makes the same number
+    * QUERYABLE so an index rollout can gate on it in-pipeline. Both
+    * sides are existing registered ops reused verbatim (Spark: the op
+    * functions; oracle: their SQL embedded as subqueries), so the
+    * metric can never drift from what the index ops actually return.
+    * Cost = brute + LSH + a queries×k join: evaluation is always
+    * sampled-query-sized, never corpus-sized. */
+  def simAnnRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val brute = SimilarityOps.simTopkBrute(s, d).select($"qid", $"nid")
+    val lsh = SimilarityOps.simAnnLsh(s, d).select($"qid", $"nid")
+      .withColumn("hit", lit(1L))
+    brute.join(lsh, Seq("qid", "nid"), "left")
+      .groupBy($"qid")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce($"hit", lit(0L))).as("n_hit"))
+      .select($"qid", $"n_true", $"n_hit",
+        expr("(1000000L * n_hit) div n_true").as("recall_ppm"))
+      .orderBy($"qid")
+  }
+  val simAnnRecallSql: String =
+    s"""WITH brute AS (SELECT qid, nid FROM (
+       |${SimilarityOps.simTopkBruteSql}
+       |) zb),
+       |lsh AS (SELECT qid, nid FROM (
+       |${SimilarityOps.simAnnLshSql}
+       |) zl)
+       |SELECT b.qid, count(*) AS n_true,
+       |  CAST(sum(CASE WHEN l.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  CAST((1000000 * sum(CASE WHEN l.nid IS NOT NULL THEN 1 ELSE 0 END))
+       |    // count(*) AS BIGINT) AS recall_ppm
+       |FROM brute b LEFT JOIN lsh l ON l.qid = b.qid AND l.nid = b.nid
+       |GROUP BY b.qid ORDER BY b.qid""".stripMargin
 }

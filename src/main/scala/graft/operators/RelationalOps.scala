@@ -684,4 +684,67 @@ object RelationalOps {
       |       WHEN c.c_cust IS NULL THEN 'keep' ELSE 'update' END AS action
       |FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
       |ORDER BY o_orderkey""".stripMargin
+
+  /** True RANGE window frames (the VALUE-based frame [[qWindowFrames]]
+    * doesn't cover — its frames are ROWS/offset): per customer, spend
+    * and order count within ±30 DAYS of each order, ordered by an
+    * integer day number so the frame bound is engine-exact. RANGE
+    * includes ALL peers of the bound rows, so same-day orders
+    * contribute symmetrically regardless of tie order — deterministic
+    * without a tiebreak key, unlike ROWS. The aggregation runs in
+    * DECIMAL (exact, order-independent) and casts once at the edge
+    * (FLOATS.md Class A). One shuffle on o_custkey; the frame scan is
+    * a per-partition sliding pass, the at-scale shape for "activity
+    * around each event" features. */
+  def qRangeFrames(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"day_no")
+      .rangeBetween(-30, 30)
+    orders(s, d)
+      .withColumn("day_no",
+        datediff($"o_orderdate".cast("date"), lit("1970-01-01").cast("date")).cast("long"))
+      .withColumn("nearby_spend", sum(dec($"o_totalprice")).over(w).cast("double"))
+      .withColumn("nearby_n", count(lit(1)).over(w))
+      .select($"o_custkey", $"o_orderkey", $"day_no", $"nearby_spend", $"nearby_n")
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+  val qRangeFramesSql: String =
+    """SELECT o_custkey, o_orderkey, day_no,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER rw AS DOUBLE) AS nearby_spend,
+      |  count(*) OVER rw AS nearby_n
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |        CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_no
+      |      FROM orders) t
+      |WINDOW rw AS (PARTITION BY o_custkey ORDER BY day_no
+      |              RANGE BETWEEN 30 PRECEDING AND 30 FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Positional window values — nth_value / last_value / lead with
+    * offset 2 — over the full partition frame, the "compare each order
+    * to the customer's second and final order" shape. The explicit
+    * UNBOUNDED FOLLOWING frame matters: last_value under the default
+    * frame is just the current row, a classic cross-engine silent-bug
+    * surface this op pins instead. Order key o_orderkey is unique per
+    * partition, so every positional value is deterministic. */
+  def qFirstLast(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val seq0 = Window.partitionBy($"o_custkey").orderBy($"o_orderkey")
+    val full = seq0.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders(s, d)
+      .withColumn("second_key", nth_value($"o_orderkey", 2).over(full))
+      .withColumn("last_key", last($"o_orderkey").over(full))
+      .withColumn("skip2_key", lead($"o_orderkey", 2).over(seq0))
+      .select($"o_custkey", $"o_orderkey", $"second_key", $"last_key", $"skip2_key")
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+  val qFirstLastSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  nth_value(o_orderkey, 2) OVER fw AS second_key,
+      |  last_value(o_orderkey) OVER fw AS last_key,
+      |  lead(o_orderkey, 2) OVER sw AS skip2_key
+      |FROM orders
+      |WINDOW sw AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+      |       fw AS (PARTITION BY o_custkey ORDER BY o_orderkey
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
 }

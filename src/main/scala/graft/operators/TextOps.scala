@@ -651,4 +651,92 @@ object TextOps {
        |  COALESCE(a.ids_str, '') AS ids_str
        |FROM documents d LEFT JOIN agg a USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
+
+  /** Feature-hashed linear quality score — the fastText-style
+    * classifier shape (hash token → bucket, score = Σ weight[bucket])
+    * in pure integer arithmetic: bucket = the first md5 BYTE of the
+    * token (0..255, cross-engine via nibble decode), weight =
+    * (bucket % 7) − 3, a deterministic stand-in for trained weights
+    * (the container has no model artifacts; the PLUMBING — hashing,
+    * bucketing, map-side scoring — is the part that must be right at
+    * 100 TB). Pure map-side over exploded tokens + one doc_id rollup;
+    * no vocabulary table at all, which is the point of the hashing
+    * trick: memory is O(buckets), not O(vocab). NULL-text docs surface
+    * as (0, 0) through the defensive documents join, same contract as
+    * [[textEncodeIds]]. */
+  def textHashFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tok = documents(s, d)
+      .select($"doc_id", explode(toks($"text")).as("t"))
+      .withColumn("bucket", conv(substring(md5($"t"), 1, 2), 16, 10).cast("long"))
+      .withColumn("wt", $"bucket" % 7L - 3L)
+    val agg = tok.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum($"wt").as("score"))
+    documents(s, d).select($"doc_id")
+      .join(agg, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_tokens", lit(0L)).as("n_tokens"),
+        coalesce($"score", lit(0L)).as("score"))
+      .orderBy($"doc_id")
+  }
+  val textHashFeaturesSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |sc AS (
+      |  SELECT doc_id,
+      |    (16 * (strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1)
+      |        + (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1)) AS bucket
+      |  FROM tok),
+      |agg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |    CAST(sum(bucket % 7 - 3) AS BIGINT) AS score
+      |  FROM sc GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  COALESCE(a.n_tokens, 0) AS n_tokens,
+      |  COALESCE(a.score, 0) AS score
+      |FROM documents d LEFT JOIN agg a USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** Per-eval-document contamination measurement — the inverse view of
+    * [[CurationOps.dedupDecontaminate]]: instead of dropping dirty
+    * TRAINING docs, report for each held-out doc (doc_id % 50 = 0, the
+    * same stand-in benchmark) what fraction (integer ppm) of its
+    * distinct word-5-grams appear anywhere in the training side. This
+    * is the eval-integrity report a lab publishes next to benchmark
+    * numbers. Shape: the eval shingle stream (benchmark-sized, small
+    * by construction) left-joins the distinct training-gram index on
+    * the gram — one shuffle on g, corpus-linear to build the index;
+    * everything after is eval-sized. Docs too short for a 5-gram are
+    * absent identically on both engines (built from the same shingle
+    * stream). */
+  def textEvalOverlap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    val sh = documents(s, d)
+      .select($"doc_id", explode(expr("word_shingles(split(text, ' '), 5)")).as("g"))
+    val train = sh.filter($"doc_id" % 50 =!= 0)
+      .select($"g").distinct().withColumn("hit", lit(1L))
+    sh.filter($"doc_id" % 50 === 0)
+      .join(train, Seq("g"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce($"hit", lit(0L))).as("n_hit"))
+      .select($"doc_id", $"n_grams", $"n_hit",
+        expr("(1000000L * n_hit) div n_grams").as("overlap_ppm"))
+      .orderBy($"doc_id")
+  }
+  val textEvalOverlapSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |         [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]
+      |          for i in range(1, len(ws)-3)])) AS g
+      |       FROM tok),
+      |train AS (SELECT DISTINCT g FROM sh WHERE doc_id % 50 <> 0),
+      |ev AS (SELECT doc_id, g FROM sh WHERE doc_id % 50 = 0)
+      |SELECT e.doc_id, count(*) AS n_grams,
+      |  CAST(sum(CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+      |  CAST((1000000 * sum(CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END))
+      |    // count(*) AS BIGINT) AS overlap_ppm
+      |FROM ev e LEFT JOIN train t ON t.g = e.g
+      |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin
 }

@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-14 additions: RANGE window frames,
+  * positional window values, windowed leaderboards, zero-filled rate
+  * series, feature hashing, eval-contamination ppm, length histograms,
+  * prefix dedup, and the ANN recall meter. */
+class Round14OpsSpec extends SparkSpec {
+
+  test("range frames: window includes self, and is at least the same-day peer set") {
+    import spark.implicits._
+    val out = RelationalOps.qRangeFrames(spark, sf0001).cache()
+    // the ±30-day frame always contains the row itself
+    assert(out.filter($"nearby_n" < 1L).count() == 0)
+    assert(out.filter($"nearby_spend".isNull).count() == 0)
+    // frame is symmetric in the day key: same (custkey, day) rows must
+    // report identical nearby_n (RANGE peers aggregate identically)
+    val diverging = out.groupBy($"o_custkey", $"day_no")
+      .agg(countDistinct($"nearby_n").as("k")).filter($"k" > 1L)
+    assert(diverging.count() == 0)
+    out.unpersist()
+  }
+
+  test("first/last: positional values agree with per-partition extremes") {
+    import spark.implicits._
+    val out = RelationalOps.qFirstLast(spark, sf0001).cache()
+    // last_key is constant per customer and equals the max order key
+    val bad = out.groupBy($"o_custkey")
+      .agg(countDistinct($"last_key").as("k"),
+        max($"o_orderkey").as("mx"), first($"last_key").as("lk"))
+      .filter($"k" =!= 1L || $"mx" =!= $"lk")
+    assert(bad.count() == 0)
+    // second_key is null only for 1-row partitions
+    val singles = out.groupBy($"o_custkey").count().filter($"count" === 1L).count()
+    assert(out.filter($"second_key".isNull).count() == singles)
+    out.unpersist()
+  }
+
+  test("top-k per window: at most 2 rows per window, ranks dense from 1") {
+    import spark.implicits._
+    val out = EventOps.evTopKPerWindow(spark, sf0001).cache()
+    val perW = out.groupBy($"w_start").agg(count(lit(1)).as("n"),
+      min($"rnk").as("lo"), max($"rnk").as("hi"))
+    assert(perW.filter($"n" > 2L || $"lo" =!= 1L || $"hi" =!= $"n").count() == 0)
+    // rank 1's count dominates rank 2's within every window
+    val w1 = out.filter($"rnk" === 1L).select($"w_start", $"n".as("n1"))
+    val w2 = out.filter($"rnk" === 2L).select($"w_start", $"n".as("n2"))
+    assert(w1.join(w2, "w_start").filter($"n1" < $"n2").count() == 0)
+    out.unpersist()
+  }
+
+  test("rate fill: dense calendar grid, counts conserve the corpus") {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sf0001)
+    val out = EventOps.evRateFill(spark, sf0001).cache()
+    val types = ev.select($"event_type").distinct().count()
+    val hours = out.select($"w_start").distinct().count()
+    // dense grid: exactly hours × types rows, no gaps
+    assert(out.count() == hours * types)
+    // zero-filling adds rows, never counts: totals match the raw table
+    assert(out.agg(sum($"n")).head.getLong(0) == ev.count())
+    assert(out.filter($"n" < 0L).count() == 0)
+    out.unpersist()
+  }
+
+  test("hash features: every doc surfaces; score bounded by ±3·n_tokens") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf0001)
+    val out = TextOps.textHashFeatures(spark, sf0001).cache()
+    assert(out.count() == docs.count())
+    // weights live in [-3, 3], so |score| ≤ 3·n_tokens
+    assert(out.filter(abs($"score") > lit(3L) * $"n_tokens").count() == 0)
+    out.unpersist()
+  }
+
+  test("eval overlap: only held-out docs, ppm within [0, 1e6]") {
+    import spark.implicits._
+    val out = TextOps.textEvalOverlap(spark, sf0001).cache()
+    assert(out.filter($"doc_id" % 50 =!= 0L).count() == 0)
+    assert(out.filter($"overlap_ppm" < 0L || $"overlap_ppm" > 1000000L).count() == 0)
+    assert(out.filter($"n_hit" > $"n_grams").count() == 0)
+    out.unpersist()
+  }
+
+  test("length histogram: bucket mass conserves docs and tokens") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf0001).filter($"text".isNotNull)
+    val out = CurationOps.docLengthHistogram(spark, sf0001).cache()
+    assert(out.agg(sum($"n_docs")).head.getLong(0) == docs.count())
+    val tokTotal = docs.agg(sum(size(split($"text", " ")).cast("long")))
+      .head.getLong(0)
+    assert(out.agg(sum($"sum_tokens")).head.getLong(0) == tokTotal)
+    // bucket = floor(log2): doc count per (source, bucket) is positive
+    assert(out.filter($"n_docs" < 1L || $"bucket" < 0L).count() == 0)
+    out.unpersist()
+  }
+
+  test("prefix dedup: pairs are ordered, share the 4-token prefix key") {
+    import spark.implicits._
+    val out = DedupOps.dedupPrefix(spark, sf0001).cache()
+    assert(out.filter($"da" >= $"db").count() == 0)
+    // re-derive each side's prefix key and check both equal the pair's
+    val k = graft.Tables.documents(spark, sf0001).filter($"text".isNotNull)
+      .select($"doc_id", md5(concat_ws(" ", slice(split($"text", " "), 1, 4))).as("k"))
+    val bad = out
+      .join(k.toDF("da", "ka"), "da").join(k.toDF("db", "kb"), "db")
+      .filter($"ka" =!= $"pk" || $"kb" =!= $"pk")
+    assert(bad.count() == 0)
+    out.unpersist()
+  }
+
+  test("ann recall: lsh can never beat brute force; ppm consistent") {
+    import spark.implicits._
+    val out = MlOps.simAnnRecall(spark, sf0001).cache()
+    assert(out.count() == 5) // the 5 fixed query vectors
+    assert(out.filter($"n_true" =!= 3L).count() == 0) // recall@3 ground truth
+    assert(out.filter($"n_hit" > $"n_true" || $"n_hit" < 0L).count() == 0)
+    val bad = out.filter(
+      $"recall_ppm" =!= expr("(1000000 * n_hit) div n_true"))
+    assert(bad.count() == 0)
+    out.unpersist()
+  }
+}
