@@ -182,6 +182,7 @@ object OpRegistry {
     op("q_merge_upsert", RelationalOps.qMergeUpsert, RelationalOps.qMergeUpsertSql),
     op("q_range_frames", RelationalOps.qRangeFrames, RelationalOps.qRangeFramesSql),
     op("q_first_last", RelationalOps.qFirstLast, RelationalOps.qFirstLastSql),
+    op("q_pivot_multi", RelationalOps.qPivotMulti, RelationalOps.qPivotMultiSql),
     op("q_asof_join", RelationalOps.qAsofJoin,
       """WITH ord AS (
         |  SELECT o_custkey AS key, o_orderdate AS t, max(o_orderkey) AS okey
@@ -331,8 +332,11 @@ object OpRegistry {
     op("text_encode_ids", TextOps.textEncodeIds, TextOps.textEncodeIdsSql),
     op("text_hash_features", TextOps.textHashFeatures, TextOps.textHashFeaturesSql),
     op("text_eval_overlap", TextOps.textEvalOverlap, TextOps.textEvalOverlapSql),
+    op("text_ngram_novelty", TextOps.textNgramNovelty, TextOps.textNgramNoveltySql),
+    op("text_vocab_growth", TextOps.textVocabGrowth, TextOps.textVocabGrowthSql),
     op("dedup_exact", DedupOps.dedupExact, DedupOps.dedupExactSql),
     op("dedup_prefix", DedupOps.dedupPrefix, DedupOps.dedupPrefixSql),
+    op("dedup_report", DedupOps.dedupReport, DedupOps.dedupReportSql),
     op("dedup_incremental", DedupOps.dedupIncremental, DedupOps.dedupIncrementalSql),
     op("dedup_span", DedupOps.dedupSpan, DedupOps.dedupSpanSql),
     op("dedup_norm", DedupOps.dedupNorm, DedupOps.dedupNormSql),
@@ -418,6 +422,9 @@ object OpRegistry {
     op("ev_stream_anomaly", EventOps.evStreamAnomaly, EventOps.evStreamAnomalySql),
     op("ev_top_k_per_window", EventOps.evTopKPerWindow, EventOps.evTopKPerWindowSql),
     op("ev_rate_fill", EventOps.evRateFill, EventOps.evRateFillSql),
+    op("ev_user_lifetime", EventOps.evUserLifetime, EventOps.evUserLifetimeSql),
+    op("ev_burst_detect", EventOps.evBurstDetect, EventOps.evBurstDetectSql),
+    op("ev_stream_top_k", EventOps.evStreamTopK, EventOps.evTopKPerWindowSql),
     op("rdf_xml_source", RdfXmlOps.xmlSource, RdfXmlOps.xmlOracleSql),
     op("rdf_xml_roundtrip", RdfXmlOps.xmlRoundtrip, RdfXmlOps.xmlOracleSql),
     op("rdf_nt_roundtrip", RdfXmlOps.ntRoundtrip, RdfOps.apFullSql),

@@ -765,4 +765,47 @@ object DedupOps {
        |SELECT a.doc_id AS da, b.doc_id AS db, a.pk
        |FROM kept a JOIN kept b ON a.pk = b.pk AND a.doc_id < b.doc_id
        |ORDER BY da, db""".stripMargin
+
+  /** The corpus duplication REPORT: per source, how many documents are
+    * flagged by each near-dup family (span index, prefix key) — the
+    * health dashboard a data team reads before deciding which dedup
+    * pass to run where. Composed from the registered pair generators
+    * themselves on BOTH engine sides ([[dedupSpan]]/[[dedupPrefix]]
+    * functions here; their SQL embedded as subqueries in the oracle),
+    * so the report can never drift from what the ops actually flag.
+    * Cost: the two capped pair sets (corpus-linear each, see their
+    * docs) + flag unions and one source-sized rollup. */
+  def dedupReport(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d).select($"doc_id", $"source")
+    def flagged(p: DataFrame, c: String) =
+      p.select($"da".as("doc_id")).union(p.select($"db".as("doc_id")))
+        .distinct().withColumn(c, lit(1L))
+    docs
+      .join(flagged(dedupSpan(s, d), "f_span"), Seq("doc_id"), "left")
+      .join(flagged(dedupPrefix(s, d), "f_pref"), Seq("doc_id"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce($"f_span", lit(0L))).as("n_span_dup"),
+        sum(coalesce($"f_pref", lit(0L))).as("n_prefix_dup"))
+      .orderBy($"source")
+  }
+  val dedupReportSql: String =
+    s"""WITH rep_sp AS (SELECT da, db FROM (
+       |$dedupSpanSql
+       |) z1),
+       |rep_pf AS (SELECT da, db FROM (
+       |$dedupPrefixSql
+       |) z2),
+       |fs AS (SELECT DISTINCT doc_id FROM
+       |        (SELECT da AS doc_id FROM rep_sp UNION SELECT db FROM rep_sp) u),
+       |fp AS (SELECT DISTINCT doc_id FROM
+       |        (SELECT da AS doc_id FROM rep_pf UNION SELECT db FROM rep_pf) u)
+       |SELECT d.source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN fs.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_span_dup,
+       |  CAST(sum(CASE WHEN fp.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_prefix_dup
+       |FROM documents d
+       |LEFT JOIN fs ON fs.doc_id = d.doc_id
+       |LEFT JOIN fp ON fp.doc_id = d.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
 }

@@ -690,4 +690,89 @@ object EventOps {
       |FROM grid g CROSS JOIN ty t
       |LEFT JOIN c ON c.w_start = g.w_start AND c.event_type = t.event_type
       |ORDER BY g.w_start, t.event_type""".stripMargin
+
+  /** Per-user lifetime rollup — the user-dimension build every event
+    * warehouse materializes (first/last seen, volume, breadth,
+    * lifetime span). ONE partial-aggregated groupBy on user_id; the
+    * distinct-type count rewrites to a two-phase aggregate under the
+    * same exchange. Output is user-catalog-sized at any event volume,
+    * and every derived column is integer/timestamp — nothing for a
+    * comparator to wobble on. */
+  def evUserLifetime(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .groupBy($"user_id")
+      .agg(min($"ts").as("first_ts"), max($"ts").as("last_ts"),
+        count(lit(1)).as("n_events"),
+        countDistinct($"event_type").as("n_types"))
+      .withColumn("lifetime_days",
+        datediff($"last_ts".cast("date"), $"first_ts".cast("date")).cast("long"))
+      .orderBy($"user_id")
+  }
+  val evUserLifetimeSql: String =
+    """SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts,
+      |  count(*) AS n_events, count(DISTINCT event_type) AS n_types,
+      |  CAST(date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))
+      |    AS BIGINT) AS lifetime_days
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Burst detection: each user's peak 15-minute window — the
+    * bot/abuse screening signal (a human's peak rate is bounded; a
+    * scraper's is not). Counts aggregate on (user, window) with
+    * map-side partials; the per-user argmax is a rank window over
+    * user-sized groups with a total (n DESC, w_start) order, so the
+    * peak is deterministic even when two windows tie. Both shuffles
+    * move aggregate rows only. */
+  def evBurstDetect(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val counts = events(s, d)
+      .groupBy($"user_id", window($"ts", "15 minutes"))
+      .agg(count(lit(1)).as("peak_n"))
+      .select($"user_id", $"window.start".as("peak_w_start"), $"peak_n")
+    val w = Window.partitionBy($"user_id").orderBy($"peak_n".desc, $"peak_w_start")
+    counts.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"peak_w_start", $"peak_n")
+      .orderBy($"user_id")
+  }
+  val evBurstDetectSql: String =
+    """WITH c AS (
+      |  SELECT user_id,
+      |    make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS peak_w_start,
+      |    count(*) AS peak_n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT user_id, peak_w_start, peak_n,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY peak_n DESC, peak_w_start) AS rn
+      |  FROM c)
+      |SELECT user_id, peak_w_start, peak_n
+      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** Streaming leaderboard: the [[evTopKPerWindow]] aggregation run as
+    * a Structured Streaming query (complete-mode windowed counts into
+    * a result table) with the rank cut applied to the materialized
+    * table — the standard split for rank-after-aggregate in streaming,
+    * where ranking inside the stream would need complete-mode state
+    * over every window anyway. Oracle: identical to the batch op, the
+    * stream/batch parity contract every ev_stream_* op carries. */
+  def evStreamTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    val name = "graft_stream_topk_" + math.abs(d.hashCode).toString
+    val stream = s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .transform(graft.Tables.normalizeTs)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "15 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    val t = runToTable(s, stream, name, "complete", streamParts(s, d))
+      .select($"w.start".as("w_start"), $"event_type", $"n")
+    val w = Window.partitionBy($"w_start").orderBy($"n".desc, $"event_type")
+    t.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= 2)
+      .orderBy($"w_start", $"rnk")
+  }
 }

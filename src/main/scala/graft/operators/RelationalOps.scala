@@ -747,4 +747,30 @@ object RelationalOps {
       |       fw AS (PARTITION BY o_custkey ORDER BY o_orderkey
       |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Multi-measure PIVOT ([[qPivot]] carries one measure): per order
+    * priority, order COUNT and DECIMAL-exact SPEND for each status —
+    * Spark's `{value}_{alias}` pivot column naming, mirrored by FILTER
+    * aggregates in the oracle (the portable spelling). Compiles to ONE
+    * two-phase aggregate: 6 conditional aggregates in a single pass,
+    * no per-status scans. */
+  def qPivotMulti(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    orders(s, d)
+      .groupBy($"o_orderpriority")
+      .pivot($"o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec($"o_totalprice")).cast("double").as("spend"))
+      .orderBy($"o_orderpriority")
+  }
+  val qPivotMultiSql: String =
+    """SELECT o_orderpriority,
+      |  count(*) FILTER (o_orderstatus = 'F') AS F_n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'F') AS DOUBLE) AS F_spend,
+      |  count(*) FILTER (o_orderstatus = 'O') AS O_n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'O') AS DOUBLE) AS O_spend,
+      |  count(*) FILTER (o_orderstatus = 'P') AS P_n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'P') AS DOUBLE) AS P_spend
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
 }

@@ -739,4 +739,86 @@ object TextOps {
       |    // count(*) AS BIGINT) AS overlap_ppm
       |FROM ev e LEFT JOIN train t ON t.g = e.g
       |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin
+
+  /** Per-document n-gram NOVELTY against everything that came before
+    * it (doc_id order = ingest order in this corpus): the ppm of a
+    * doc's distinct 3-grams whose FIRST occurrence is this doc. The
+    * streaming-ingest health metric — novelty collapsing toward zero
+    * means the crawl is re-reading the same web. Shape: the inverted
+    * first-seen index (gram → min doc_id) is one map-side-combined
+    * shuffle on the gram; the join back runs on the same key and the
+    * rollup shuffles doc-sized rows — corpus-linear, no doc×doc
+    * anywhere, same family as [[textDupRatio]]. */
+  def textNgramNovelty(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    val sh = documents(s, d)
+      .select($"doc_id", explode(expr("word_shingles(split(text, ' '))")).as("g"))
+    val firstSeen = sh.groupBy($"g").agg(min($"doc_id").as("first_doc"))
+    sh.join(firstSeen, "g")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+      .select($"doc_id", $"n_grams", $"n_novel",
+        expr("(1000000L * n_novel) div n_grams").as("novelty_ppm"))
+      .orderBy($"doc_id")
+  }
+  val textNgramNoveltySql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |         [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)])) AS g
+      |       FROM tok),
+      |fs AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g)
+      |SELECT sh.doc_id, count(*) AS n_grams,
+      |  CAST(sum(CASE WHEN fs.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |  CAST((1000000 * sum(CASE WHEN fs.first_doc = sh.doc_id THEN 1 ELSE 0 END))
+      |    // count(*) AS BIGINT) AS novelty_ppm
+      |FROM sh JOIN fs ON fs.g = sh.g
+      |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin
+
+  /** Vocabulary-growth thresholds for [[textVocabGrowth]] (doc_id
+    * prefix sizes): fixed literals so the curve is comparable across
+    * corpora; thresholds beyond the corpus simply report the full
+    * vocabulary. */
+  val VocabGrowthThresholds: Seq[Long] = Seq(25L, 50L, 100L, 200L, 400L, 800L)
+
+  /** Vocabulary growth curve (the Heaps'-law measurement): for each
+    * doc_id prefix threshold, the distinct-token vocabulary size and
+    * total token occurrences within that prefix — the plot that tells
+    * a tokenizer team when vocab growth flattens and a crawl team when
+    * new data stops adding words. Shape: one shuffle builds the
+    * token → first-doc index (map-side combined); one more builds the
+    * doc → token-count table; both collapse to CATALOG-sized frames
+    * (distinct tokens, docs) before the tiny threshold cross join, so
+    * the curve costs two aggregates regardless of corpus size. */
+  def textVocabGrowth(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val thr = VocabGrowthThresholds.toDF("threshold")
+    val tok = documents(s, d)
+      .select($"doc_id", explode(toks($"text")).as("t"))
+    val firstSeen = tok.groupBy($"t").agg(min($"doc_id").as("fd"))
+    val vocab = firstSeen.join(broadcast(thr), $"fd" <= $"threshold")
+      .groupBy($"threshold").agg(count(lit(1)).as("vocab_size"))
+    val occ = tok.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      .join(broadcast(thr), $"doc_id" <= $"threshold")
+      .groupBy($"threshold").agg(sum($"n").as("n_occurrences"))
+    vocab.join(occ, Seq("threshold"), "left")
+      .select($"threshold", $"vocab_size",
+        coalesce($"n_occurrences", lit(0L)).as("n_occurrences"))
+      .orderBy($"threshold")
+  }
+  val textVocabGrowthSql: String = {
+    val thrRows = VocabGrowthThresholds.map(t => s"($t)").mkString(", ")
+    s"""WITH thr(threshold) AS (VALUES $thrRows),
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |fs AS (SELECT t, min(doc_id) AS fd FROM tok GROUP BY t),
+       |vocab AS (SELECT threshold, count(*) AS vocab_size
+       |          FROM fs, thr WHERE fd <= threshold GROUP BY threshold),
+       |occ AS (SELECT threshold, CAST(sum(n) AS BIGINT) AS n_occurrences
+       |        FROM (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id) dn, thr
+       |        WHERE doc_id <= threshold GROUP BY threshold)
+       |SELECT v.threshold, v.vocab_size, COALESCE(o.n_occurrences, 0) AS n_occurrences
+       |FROM vocab v LEFT JOIN occ o USING (threshold)
+       |ORDER BY v.threshold""".stripMargin
+  }
 }

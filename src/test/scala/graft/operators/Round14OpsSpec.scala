@@ -111,6 +111,80 @@ class Round14OpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("user lifetime: one row per user, bounds ordered, breadth bounded") {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sf0001)
+    val out = EventOps.evUserLifetime(spark, sf0001).cache()
+    assert(out.count() == ev.select($"user_id").distinct().count())
+    assert(out.filter($"first_ts" > $"last_ts").count() == 0)
+    assert(out.filter($"n_types" > $"n_events" || $"lifetime_days" < 0L).count() == 0)
+    assert(out.agg(sum($"n_events")).head.getLong(0) == ev.count())
+    out.unpersist()
+  }
+
+  test("burst detect: one peak per user, peak is the max windowed count") {
+    import spark.implicits._
+    val out = EventOps.evBurstDetect(spark, sf0001).cache()
+    assert(out.select($"user_id").distinct().count() == out.count())
+    // the peak can't be below the user's mean 15-min rate ceiling: it
+    // is at least ceil(n_events / n_windows) ≥ 1
+    assert(out.filter($"peak_n" < 1L).count() == 0)
+    // peak window start aligns to the 15-minute grid
+    assert(out.filter(unix_micros($"peak_w_start") % 900000000L =!= 0L).count() == 0)
+    out.unpersist()
+  }
+
+  test("stream top-k equals the batch leaderboard") {
+    val batch = EventOps.evTopKPerWindow(spark, sf0001).collect().toSeq
+    val stream = EventOps.evStreamTopK(spark, sf0001).collect().toSeq
+    assert(stream == batch)
+  }
+
+  test("ngram novelty: first doc is fully novel, ppm bounded") {
+    import spark.implicits._
+    val out = TextOps.textNgramNovelty(spark, sf0001).cache()
+    // the lowest doc_id with grams owns all of its grams
+    val firstDoc = out.agg(min($"doc_id")).head.getLong(0)
+    val fd = out.filter($"doc_id" === firstDoc).head
+    assert(fd.getAs[Long]("n_novel") == fd.getAs[Long]("n_grams"))
+    assert(out.filter($"novelty_ppm" < 0L || $"novelty_ppm" > 1000000L).count() == 0)
+    assert(out.filter($"n_novel" > $"n_grams").count() == 0)
+    out.unpersist()
+  }
+
+  test("vocab growth: monotone in the threshold, capped by full vocab") {
+    import spark.implicits._
+    val out = TextOps.textVocabGrowth(spark, sf0001).orderBy($"threshold")
+      .collect().toSeq
+    val vocabs = out.map(_.getAs[Long]("vocab_size"))
+    val occs = out.map(_.getAs[Long]("n_occurrences"))
+    assert(vocabs == vocabs.sorted && occs == occs.sorted) // non-decreasing
+    val fullVocab = graft.Tables.documents(spark, sf0001)
+      .select(explode(split($"text", " "))).distinct().count()
+    assert(vocabs.last <= fullVocab)
+  }
+
+  test("dedup report: flag counts bounded by doc counts, sources conserved") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf0001)
+    val out = DedupOps.dedupReport(spark, sf0001).cache()
+    assert(out.agg(sum($"n_docs")).head.getLong(0) == docs.count())
+    assert(out.filter($"n_span_dup" > $"n_docs" || $"n_prefix_dup" > $"n_docs").count() == 0)
+    // the report's span-flag total equals the distinct doc set in the pairs
+    val spanDocs = DedupOps.dedupSpan(spark, sf0001)
+      .select($"da").union(DedupOps.dedupSpan(spark, sf0001).select($"db"))
+      .distinct().count()
+    assert(out.agg(sum($"n_span_dup")).head.getLong(0) == spanDocs)
+    out.unpersist()
+  }
+
+  test("pivot multi: measures reconcile with the unpivoted aggregate") {
+    import spark.implicits._
+    val out = RelationalOps.qPivotMulti(spark, sf0001)
+    val total = out.agg(sum($"F_n") + sum($"O_n") + sum($"P_n")).head.getLong(0)
+    assert(total == graft.Tables.orders(spark, sf0001).count())
+  }
+
   test("ann recall: lsh can never beat brute force; ppm consistent") {
     import spark.implicits._
     val out = MlOps.simAnnRecall(spark, sf0001).cache()
