@@ -467,6 +467,21 @@ class ScaleSpec extends SparkSpec {
       s"spans with DF > ${operators.DedupOps.SpanDfCap} must not generate candidates")
   }
 
+  test("prefix-dedup DF cap bounds candidates when one opening is corpus-wide") {
+    // round-14 sibling of the jaccard/simhash/span caps: a boilerplate
+    // 4-token opening ("subscribe to our newsletter …") shared by the
+    // whole corpus puts every doc in one prefix-key group — k²/2 pairs
+    // without the cap, zero with it (every group is over-cap).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("prefcap").toString
+    val nDocs = (operators.DedupOps.PrefixDfCap + 12).toInt
+    (0 until nDocs).map(i => (i.toLong, s"same four token opening then unique tail $i"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(operators.DedupOps.dedupPrefix(spark, dir).count() == 0,
+      s"prefix keys over ${operators.DedupOps.PrefixDfCap} docs must not generate candidates")
+  }
+
   test("all three dedup caps apply as anti-joins, never as a pre-join aggregate-list") {
     // the cap's scale property depends on its SHAPE: an anti-join
     // against the small over-cap set keeps every aggregation buffer
@@ -478,7 +493,8 @@ class ScaleSpec extends SparkSpec {
         operators.DedupOps.dedupMinhashLsh(spark, sf0001),
         operators.DedupOps.dedupSpan(spark, sf0001),
         operators.DedupOps.dedupContainment(spark, sf0001),
-        operators.DedupOps.dedupCrossSource(spark, sf0001)).foreach { df =>
+        operators.DedupOps.dedupCrossSource(spark, sf0001),
+        operators.DedupOps.dedupPrefix(spark, sf0001)).foreach { df =>
       val p = plan(df)
       assert(p.contains("LeftAnti"), s"cap must be an anti-join:\n${p.take(800)}")
       assert(!p.contains("collect_list"), s"no aggregate-list cap:\n${p.take(800)}")
