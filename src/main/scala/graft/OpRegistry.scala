@@ -275,6 +275,7 @@ object OpRegistry {
     op("rdf_bgp_subquery", RdfOps.bgpSubquery, RdfOps.bgpSubquerySql),
     op("rdf_bgp_values", RdfOps.bgpValues, RdfOps.bgpValuesSql),
     op("rdf_bgp_values_multi", RdfOps.bgpValuesMulti, RdfOps.bgpValuesMultiSql),
+    op("rdf_bgp_values_undef", RdfOps.bgpValuesUndef, RdfOps.bgpValuesUndefSql),
     op("rdf_bgp_minus", RdfOps.bgpMinus, RdfOps.bgpMinusSql),
     op("rdf_bgp_exists", RdfOps.bgpExists, RdfOps.bgpExistsSql),
     op("rdf_bgp_bind", RdfOps.bgpBind, RdfOps.bgpBindSql),

@@ -297,6 +297,29 @@ object RdfOps {
        |       (a.o = 'NATION_7' AND b.o = 'AUTOMOBILE'))
        |ORDER BY c, n, seg""".stripMargin
 
+  /** VALUES with UNDEF cells (SPARQL 1.1 §10.2): the row
+    * (NATION_2, undef) admits EVERY segment for NATION_2 customers,
+    * while (NATION_7, AUTOMOBILE) stays fully bound — compiled as an
+    * OR-of-ANDs filter (see Sparql.valuesTable), which the oracle
+    * states directly as the same disjunction. */
+  def bgpValuesUndef(s: SparkSession, d: String): DataFrame = {
+    val q = Sparql.parse(
+      """select $c $n $seg where {
+        |  $c in_nation $n . $c in_segment $seg .
+        |  values ( $n $seg ) { ( NATION_2 undef ) ( NATION_7 AUTOMOBILE ) }
+        |}""".stripMargin)
+    val res = Bgp.compile(tripleView(s, d), q)
+    res.orderBy(res("c"), res("n"), res("seg"))
+  }
+  val bgpValuesUndefSql: String =
+    s"""$tripleViewSql
+       |SELECT DISTINCT a.s AS c, a.o AS n, b.o AS seg
+       |FROM t a JOIN t b ON a.s = b.s
+       |WHERE a.p = 'in_nation' AND b.p = 'in_segment'
+       |  AND (a.o = 'NATION_2' OR
+       |       (a.o = 'NATION_7' AND b.o = 'AUTOMOBILE'))
+       |ORDER BY c, n, seg""".stripMargin
+
   /** MINUS (SPARQL 1.1): members of NATION_2 minus the BUILDING-segment
     * customers — an anti-join on the shared variable. Suppliers survive
     * (they have no segment at all, so nothing is compatible). */

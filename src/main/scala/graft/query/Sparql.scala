@@ -179,9 +179,10 @@ final case class Sparql(
 
   /** VALUES clause, multi-variable form (SPARQL 1.1 §10.2): the listed
     * variables may only take the enumerated row combinations — an
-    * inline table the solution joins against. Rows are fully bound
-    * (UNDEF is out of scope: an unbound cell turns the join into a
-    * per-row disjunction, which OPTIONAL + FILTER expresses). */
+    * inline table the solution joins against. An `undef` cell (§10.2's
+    * UNDEF) leaves that variable unconstrained in its row: the clause
+    * then compiles to a per-row disjunction filter instead of the
+    * semi-join (fully-bound row sets keep the join path). */
   def valuesTable(vs: Seq[String], rows: Seq[Seq[String]]): Sparql = {
     val svs = vs.map(stripVar)
     require(svs.nonEmpty, "values needs at least one variable")
@@ -2097,13 +2098,28 @@ object Bgp {
     val multiValued = q.multiValuesClauses.foldLeft(valued) { case (acc, (vs, rows)) =>
       vs.foreach(v => require(acc.columns.contains(v),
         s"values variable $$$v is bound by no pattern"))
-      val spark = acc.sparkSession
-      val schema = org.apache.spark.sql.types.StructType(vs.map(v =>
-        org.apache.spark.sql.types.StructField(v, org.apache.spark.sql.types.StringType)))
-      import scala.jdk.CollectionConverters._
-      val tbl = spark.createDataFrame(
-        rows.map(r => org.apache.spark.sql.Row.fromSeq(r)).asJava, schema)
-      acc.join(broadcast(tbl), vs, "left_semi")
+      if (rows.exists(_.exists(_.equalsIgnoreCase("undef")))) {
+        // UNDEF cells (§10.2): an unbound cell constrains nothing, so
+        // the row set compiles to an OR of per-row AND conjunctions —
+        // a plain filter Catalyst can push down; a row of ALL undef
+        // cells is compatible with every solution (lit(true)). The
+        // set semantics stay intact: a solution matching several rows
+        // still appears once (filter, not join).
+        val cond = rows.map { r =>
+          vs.zip(r).filterNot(_._2.equalsIgnoreCase("undef"))
+            .map { case (v, value) => acc(v) === lit(value) }
+            .reduceOption(_ && _).getOrElse(lit(true))
+        }.reduce(_ || _)
+        acc.filter(cond)
+      } else {
+        val spark = acc.sparkSession
+        val schema = org.apache.spark.sql.types.StructType(vs.map(v =>
+          org.apache.spark.sql.types.StructField(v, org.apache.spark.sql.types.StringType)))
+        import scala.jdk.CollectionConverters._
+        val tbl = spark.createDataFrame(
+          rows.map(r => org.apache.spark.sql.Row.fromSeq(r)).asJava, schema)
+        acc.join(broadcast(tbl), vs, "left_semi")
+      }
     }
     // MINUS: anti-join on the shared variables; a group sharing no
     // variable removes nothing (SPARQL §8.3.3 compatibility semantics)

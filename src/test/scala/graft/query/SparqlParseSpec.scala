@@ -392,6 +392,27 @@ class SparqlParseSpec extends SparkSpec {
       "select $x where { $x in g1 . values $x { $y } }"))
   }
 
+  test("values UNDEF cell leaves its variable unconstrained in that row") {
+    import spark.implicits._
+    val triples = Seq(
+      ("alice", "in", "g1"), ("alice", "likes", "tea"),
+      ("bob", "in", "g2"), ("bob", "likes", "coffee"),
+      ("carol", "in", "g1"), ("carol", "likes", "coffee"))
+      .toDF("s", "p", "o")
+    // row 1: anyone in g1, whatever they like; row 2: coffee-likers in g2
+    val q = Sparql.parse(
+      """select $x $g $l where { $x in $g . $x likes $l .
+        |  values ( $g $l ) { ( g1 undef ) ( g2 coffee ) } }""".stripMargin)
+    assert(Bgp.compile(triples, q).orderBy("x").collect().toSeq ==
+      Seq(Row("alice", "g1", "tea"), Row("bob", "g2", "coffee"),
+        Row("carol", "g1", "coffee")))
+    // an all-UNDEF row admits every solution (it constrains nothing)
+    val qAll = Sparql.parse(
+      """select $x $g where { $x in $g .
+        |  values ( $g ) { ( undef ) } }""".stripMargin)
+    assert(Bgp.compile(triples, qAll).count() == 3)
+  }
+
   test("minus removes compatible solutions; disjoint minus removes nothing") {
     import spark.implicits._
     val triples = Seq(
