@@ -183,6 +183,7 @@ object OpRegistry {
     op("q_range_frames", RelationalOps.qRangeFrames, RelationalOps.qRangeFramesSql),
     op("q_first_last", RelationalOps.qFirstLast, RelationalOps.qFirstLastSql),
     op("q_pivot_multi", RelationalOps.qPivotMulti, RelationalOps.qPivotMultiSql),
+    op("q_latest_per_key", RelationalOps.qLatestPerKey, RelationalOps.qLatestPerKeySql),
     op("q_asof_join", RelationalOps.qAsofJoin,
       """WITH ord AS (
         |  SELECT o_custkey AS key, o_orderdate AS t, max(o_orderkey) AS okey
@@ -366,6 +367,7 @@ object OpRegistry {
     op("doc_token_budget", CurationOps.docTokenBudget, CurationOps.docTokenBudgetSql),
     op("doc_length_histogram",
       CurationOps.docLengthHistogram, CurationOps.docLengthHistogramSql),
+    op("doc_chunk", CurationOps.docChunk, CurationOps.docChunkSql),
     op("doc_train_feed_e2e", CurationOps.docTrainFeed, CurationOps.docTrainFeedSql),
     op("doc_pipeline_e2e", CurationOps.docPipelineE2e, CurationOps.docPipelineE2eSql),
     op("doc_ccnet_e2e", CurationOps.docCcnetE2e, CurationOps.docCcnetE2eSql),
@@ -426,6 +428,7 @@ object OpRegistry {
     op("ev_user_lifetime", EventOps.evUserLifetime, EventOps.evUserLifetimeSql),
     op("ev_burst_detect", EventOps.evBurstDetect, EventOps.evBurstDetectSql),
     op("ev_stream_top_k", EventOps.evStreamTopK, EventOps.evTopKPerWindowSql),
+    op("ev_cooccurrence", EventOps.evCooccurrence, EventOps.evCooccurrenceSql),
     op("rdf_xml_source", RdfXmlOps.xmlSource, RdfXmlOps.xmlOracleSql),
     op("rdf_xml_roundtrip", RdfXmlOps.xmlRoundtrip, RdfXmlOps.xmlOracleSql),
     op("rdf_nt_roundtrip", RdfXmlOps.ntRoundtrip, RdfOps.apFullSql),

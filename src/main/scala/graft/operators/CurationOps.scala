@@ -828,4 +828,48 @@ object CurationOps {
       |SELECT source, CAST(length(bin(n_tokens)) - 1 AS BIGINT) AS bucket,
       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
       |FROM t GROUP BY source, bucket ORDER BY source, bucket""".stripMargin
+
+  /** Chunk width for [[docChunk]], in whitespace tokens — sized so the
+    * test corpus's 20–120-token docs actually SPLIT (up to 4 chunks),
+    * exercising the multi-chunk path in the driver gate; production
+    * would use the embedding model's context width (e.g. 512). */
+  val ChunkTokens = 32L
+
+  /** Fixed-width document chunking — the RAG/embedding-prep step that
+    * turns documents into retrievable [[ChunkTokens]]-token slices.
+    * Emits (doc_id, chunk_id, token count, content md5): the md5
+    * stands in for the chunk text so the oracle compare stays O(1)
+    * per row (same trick as textRedact). Shape: pure map-side — the
+    * chunk index explodes from an in-row sequence and the slice is a
+    * per-row array op; no shuffle at all except the oracle sort, so
+    * chunking parallelizes embarrassingly at any corpus size. The last
+    * chunk is short (both engines' slice clamps at the end); an empty
+    * doc is one chunk of the single empty token, never zero rows. */
+  def docChunk(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .filter($"text".isNotNull) // family-wide NULL-text guard
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .select($"doc_id", $"ws",
+        explode(expr(s"sequence(0L, (size(ws) - 1) div $ChunkTokens)")).as("chunk_id"))
+      .select($"doc_id", $"chunk_id",
+        expr(s"slice(ws, chunk_id * $ChunkTokens + 1, $ChunkTokens)").as("cw"))
+      .select($"doc_id", $"chunk_id",
+        size($"cw").cast("long").as("n_tokens"),
+        md5(concat_ws(" ", $"cw")).as("chunk_md5"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+  val docChunkSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+       |           FROM documents WHERE text IS NOT NULL),
+       |ix AS (SELECT doc_id, ws,
+       |         unnest([i for i in range(0, ((len(ws) - 1) // $ChunkTokens) + 1)]) AS chunk_id
+       |       FROM t),
+       |c AS (SELECT doc_id, chunk_id,
+       |        ws[chunk_id * $ChunkTokens + 1 : (chunk_id + 1) * $ChunkTokens] AS cw
+       |      FROM ix)
+       |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |  CAST(len(cw) AS BIGINT) AS n_tokens,
+       |  md5(array_to_string(cw, ' ')) AS chunk_md5
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 }

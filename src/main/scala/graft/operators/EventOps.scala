@@ -775,4 +775,30 @@ object EventOps {
       .filter($"rnk" <= 2)
       .orderBy($"w_start", $"rnk")
   }
+
+  /** Event-type co-occurrence graph build (the bipartite projection:
+    * user × type → type × type): for each unordered type pair, how
+    * many users emit both — the edge-weight table behind "users who do
+    * X also do Y". Shape: the distinct (user, type) reduction comes
+    * first (one map-side-combined shuffle — the corpus touch), then
+    * the per-user pair expansion is |types-per-user|² with the type
+    * CATALOG as its ceiling, so the projection is corpus-linear with a
+    * catalog-bounded blowup; output ≤ |types|² rows. The same shape at
+    * 100 TB projects user×item graphs with a per-user degree cap. */
+  def evCooccurrence(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ut = events(s, d).select($"user_id", $"event_type").distinct()
+    ut.toDF("u", "ta").join(ut.toDF("u", "tb"), "u")
+      .filter($"ta" < $"tb")
+      .groupBy($"ta".as("type_a"), $"tb".as("type_b"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"type_a", $"type_b")
+  }
+  val evCooccurrenceSql: String =
+    """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+      |SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |  count(*) AS n_users
+      |FROM ut a JOIN ut b
+      |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |GROUP BY 1, 2 ORDER BY type_a, type_b""".stripMargin
 }

@@ -773,4 +773,29 @@ object RelationalOps {
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'P') AS DOUBLE) AS P_spend
       |FROM orders GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
+
+  /** Deduplicate-to-latest (the DISTINCT ON shape): each customer's
+    * most recent order, ties broken by the higher order key — the
+    * snapshot-from-history primitive behind every "current state"
+    * table. Spelled as row_number-over-window = 1 (the ANSI form both
+    * engines agree on), which Spark executes with WindowGroupLimit:
+    * each partition pre-prunes to its top row BEFORE the rank
+    * exchange, so the window stage moves one row per key, not the
+    * history. */
+  def qLatestPerKey(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+    orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_orderstatus")
+      .orderBy($"o_custkey")
+  }
+  val qLatestPerKeySql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus
+      |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+      |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |      FROM orders) t
+      |WHERE rn = 1 ORDER BY o_custkey""".stripMargin
 }

@@ -185,6 +185,52 @@ class Round14OpsSpec extends SparkSpec {
     assert(total == graft.Tables.orders(spark, sf0001).count())
   }
 
+  test("doc chunk: widths conserve tokens, ids dense, only the tail is short") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf0001).filter($"text".isNotNull)
+    val out = CurationOps.docChunk(spark, sf0001).cache()
+    // token conservation: chunk widths sum to each doc's token count
+    val perDoc = out.groupBy($"doc_id").agg(
+      sum($"n_tokens").as("total"), max($"chunk_id").as("mx"),
+      count(lit(1)).as("k"))
+    val truth = docs.select($"doc_id", size(split($"text", " ")).cast("long").as("n"))
+    assert(perDoc.join(truth, "doc_id").filter($"total" =!= $"n").count() == 0)
+    // chunk ids are dense 0..k-1
+    assert(perDoc.filter($"mx" =!= $"k" - 1L).count() == 0)
+    // every chunk except a doc's last is exactly ChunkTokens wide
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+    val short = out.withColumn("last_id", max($"chunk_id").over(w))
+      .filter($"chunk_id" =!= $"last_id" &&
+        $"n_tokens" =!= CurationOps.ChunkTokens)
+    assert(short.count() == 0)
+    // the corpus actually exercises the multi-chunk path
+    assert(perDoc.filter($"k" > 1L).count() > 0)
+    out.unpersist()
+  }
+
+  test("cooccurrence: symmetric-free pairs, weight bounded by user count") {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sf0001)
+    val out = EventOps.evCooccurrence(spark, sf0001).cache()
+    assert(out.filter($"type_a" >= $"type_b").count() == 0)
+    val nUsers = ev.select($"user_id").distinct().count()
+    assert(out.filter($"n_users" > nUsers || $"n_users" < 1L).count() == 0)
+    out.unpersist()
+  }
+
+  test("latest per key: one row per customer, and it is the max (date, key)") {
+    import spark.implicits._
+    val orders = graft.Tables.orders(spark, sf0001)
+    val out = RelationalOps.qLatestPerKey(spark, sf0001).cache()
+    assert(out.count() == orders.select($"o_custkey").distinct().count())
+    val truth = orders.groupBy($"o_custkey")
+      .agg(max(struct($"o_orderdate", $"o_orderkey")).as("m"))
+      .select($"o_custkey", $"m.o_orderkey".as("true_key"))
+    assert(out.join(truth, "o_custkey")
+      .filter($"o_orderkey" =!= $"true_key").count() == 0)
+    out.unpersist()
+  }
+
   test("ann recall: lsh can never beat brute force; ppm consistent") {
     import spark.implicits._
     val out = MlOps.simAnnRecall(spark, sf0001).cache()
