@@ -184,6 +184,7 @@ object OpRegistry {
     op("q_first_last", RelationalOps.qFirstLast, RelationalOps.qFirstLastSql),
     op("q_pivot_multi", RelationalOps.qPivotMulti, RelationalOps.qPivotMultiSql),
     op("q_latest_per_key", RelationalOps.qLatestPerKey, RelationalOps.qLatestPerKeySql),
+    op("q_incremental_agg", RelationalOps.qIncrementalAgg, RelationalOps.qIncrementalAggSql),
     op("q_asof_join", RelationalOps.qAsofJoin,
       """WITH ord AS (
         |  SELECT o_custkey AS key, o_orderdate AS t, max(o_orderkey) AS okey
@@ -429,6 +430,8 @@ object OpRegistry {
     op("ev_burst_detect", EventOps.evBurstDetect, EventOps.evBurstDetectSql),
     op("ev_stream_top_k", EventOps.evStreamTopK, EventOps.evTopKPerWindowSql),
     op("ev_cooccurrence", EventOps.evCooccurrence, EventOps.evCooccurrenceSql),
+    op("ev_transitions", EventOps.evTransitions, EventOps.evTransitionsSql),
+    op("ev_time_to_convert", EventOps.evTimeToConvert, EventOps.evTimeToConvertSql),
     op("rdf_xml_source", RdfXmlOps.xmlSource, RdfXmlOps.xmlOracleSql),
     op("rdf_xml_roundtrip", RdfXmlOps.xmlRoundtrip, RdfXmlOps.xmlOracleSql),
     op("rdf_nt_roundtrip", RdfXmlOps.ntRoundtrip, RdfOps.apFullSql),

@@ -801,4 +801,62 @@ object EventOps {
       |FROM ut a JOIN ut b
       |  ON a.user_id = b.user_id AND a.event_type < b.event_type
       |GROUP BY 1, 2 ORDER BY type_a, type_b""".stripMargin
+
+  /** First-order event-type transition counts (the Markov-chain /
+    * clickstream-mining table): per user, consecutive event pairs in
+    * (ts, event_id) order, rolled up to (from_type, to_type, n). One
+    * shuffle on user_id for the lead window, then a catalog-sized
+    * (|types|²) aggregate with map-side partials — the canonical
+    * sequence-mining shape at any event volume. */
+  def evTransitions(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    events(s, d)
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"next_type".as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"from_type", $"to_type")
+  }
+  val evTransitionsSql: String =
+    """WITH nx AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS to_type
+      |  FROM events)
+      |SELECT from_type, to_type, count(*) AS n
+      |FROM nx WHERE to_type IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin
+
+  /** Time-to-convert: per user, the integer-µs gap from their FIRST
+    * 'view' to the first 'purchase' AFTER it — the attribution-window
+    * primitive. Both anchors are min-aggregates per user (map-side
+    * partials, one user_id shuffle shared by construction), the "after
+    * it" constraint is a conditional min, and everything is integer µs
+    * so the oracle compare is exact. Users who never view or never
+    * convert after viewing are excluded identically on both engines. */
+  def evTimeToConvert(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, d).select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+    val firstView = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"us").as("view_us"))
+    ev.filter($"event_type" === "purchase")
+      .join(firstView, "user_id")
+      .filter($"us" >= $"view_us")
+      .groupBy($"user_id")
+      .agg(min($"us").as("purchase_us"), min($"view_us").as("view_us2"))
+      .select($"user_id", ($"purchase_us" - $"view_us2").as("convert_us"))
+      .orderBy($"user_id")
+  }
+  val evTimeToConvertSql: String =
+    """WITH fv AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS view_us
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+      |cv AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS purchase_us, min(fv.view_us) AS view_us
+      |  FROM events e JOIN fv ON fv.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= fv.view_us
+      |  GROUP BY e.user_id)
+      |SELECT user_id, CAST(purchase_us - view_us AS BIGINT) AS convert_us
+      |FROM cv ORDER BY user_id""".stripMargin
 }

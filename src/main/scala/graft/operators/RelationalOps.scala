@@ -798,4 +798,29 @@ object RelationalOps {
       |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
       |      FROM orders) t
       |WHERE rn = 1 ORDER BY o_custkey""".stripMargin
+
+  /** Incremental aggregate maintenance (the materialized-view update
+    * shape): the customer spend table maintained as BASE partial
+    * aggregates merged with a DELTA batch's partials by re-aggregation
+    * — count merges as sum-of-counts, a DECIMAL sum merges as
+    * sum-of-sums (both associative and exact, which is WHY the view
+    * never needs the base data again). The oracle recomputes from
+    * scratch, so the driver's hash-match IS the proof that
+    * merge(partials) ≡ recompute — the invariant that makes
+    * incremental 100 TB view refresh sound. */
+  def qIncrementalAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def partial(df: DataFrame) = df.groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n"), sum(dec($"o_totalprice")).as("spend"))
+    val base = partial(orders(s, d).filter($"o_orderkey" % 101 =!= 0))
+    val delta = partial(orders(s, d).filter($"o_orderkey" % 101 === 0))
+    base.unionByName(delta)
+      .groupBy($"o_custkey")
+      .agg(sum($"n").as("n_orders"), sum($"spend").cast("double").as("spend"))
+      .orderBy($"o_custkey")
+  }
+  val qIncrementalAggSql: String =
+    """SELECT o_custkey, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 }

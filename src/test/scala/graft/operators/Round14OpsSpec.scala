@@ -231,6 +231,46 @@ class Round14OpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("transitions: totals conserve (events - one per user), types real") {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sf0001)
+    val out = EventOps.evTransitions(spark, sf0001).cache()
+    // each user contributes (n_events - 1) transitions
+    val users = ev.select($"user_id").distinct().count()
+    assert(out.agg(sum($"n")).head.getLong(0) == ev.count() - users)
+    val types = ev.select($"event_type").distinct().collect().map(_.getString(0)).toSet
+    assert(out.filter(!$"from_type".isin(types.toSeq: _*) ||
+      !$"to_type".isin(types.toSeq: _*)).count() == 0)
+    out.unpersist()
+  }
+
+  test("time to convert: non-negative, only users with view-then-purchase") {
+    import spark.implicits._
+    val out = EventOps.evTimeToConvert(spark, sf0001).cache()
+    assert(out.filter($"convert_us" < 0L).count() == 0)
+    assert(out.select($"user_id").distinct().count() == out.count())
+    // every reported user really has a purchase at/after their first view
+    val ev = graft.Tables.events(spark, sf0001)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+    val fv = ev.filter($"event_type" === "view").groupBy($"user_id")
+      .agg(min($"us").as("vu"))
+    val eligible = ev.filter($"event_type" === "purchase").join(fv, "user_id")
+      .filter($"us" >= $"vu").select($"user_id").distinct()
+    assert(out.join(eligible, Seq("user_id"), "left_anti").count() == 0)
+    assert(out.count() == eligible.count())
+    out.unpersist()
+  }
+
+  test("incremental agg merge equals full recompute") {
+    import spark.implicits._
+    val out = RelationalOps.qIncrementalAgg(spark, sf0001)
+    val full = graft.Tables.orders(spark, sf0001).groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("spend"))
+      .orderBy($"o_custkey")
+    assert(out.collect().toSeq == full.collect().toSeq)
+  }
+
   test("ann recall: lsh can never beat brute force; ppm consistent") {
     import spark.implicits._
     val out = MlOps.simAnnRecall(spark, sf0001).cache()
