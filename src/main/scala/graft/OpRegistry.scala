@@ -337,6 +337,7 @@ object OpRegistry {
     op("text_eval_overlap", TextOps.textEvalOverlap, TextOps.textEvalOverlapSql),
     op("text_ngram_novelty", TextOps.textNgramNovelty, TextOps.textNgramNoveltySql),
     op("text_vocab_growth", TextOps.textVocabGrowth, TextOps.textVocabGrowthSql),
+    op("text_winnowing", TextOps.textWinnowing, TextOps.textWinnowingSql),
     op("dedup_exact", DedupOps.dedupExact, DedupOps.dedupExactSql),
     op("dedup_prefix", DedupOps.dedupPrefix, DedupOps.dedupPrefixSql),
     op("dedup_report", DedupOps.dedupReport, DedupOps.dedupReportSql),
@@ -432,6 +433,7 @@ object OpRegistry {
     op("ev_cooccurrence", EventOps.evCooccurrence, EventOps.evCooccurrenceSql),
     op("ev_transitions", EventOps.evTransitions, EventOps.evTransitionsSql),
     op("ev_time_to_convert", EventOps.evTimeToConvert, EventOps.evTimeToConvertSql),
+    op("ev_churn_cohort", EventOps.evChurnCohort, EventOps.evChurnCohortSql),
     op("rdf_xml_source", RdfXmlOps.xmlSource, RdfXmlOps.xmlOracleSql),
     op("rdf_xml_roundtrip", RdfXmlOps.xmlRoundtrip, RdfXmlOps.xmlOracleSql),
     op("rdf_nt_roundtrip", RdfXmlOps.ntRoundtrip, RdfOps.apFullSql),

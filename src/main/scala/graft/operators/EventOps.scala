@@ -859,4 +859,44 @@ object EventOps {
       |  GROUP BY e.user_id)
       |SELECT user_id, CAST(purchase_us - view_us AS BIGINT) AS convert_us
       |FROM cv ORDER BY user_id""".stripMargin
+
+  /** Cohort churn table: per signup-DAY cohort (first event's day —
+    * this corpus's signups concentrate in days, so a week grid would
+    * collapse to one cohort), how many users went silent — last
+    * event more than 7 days before the corpus's end — in integer ppm.
+    * The per-user rollup is one partial-aggregated shuffle; the corpus
+    * end is a 1-row scalar (the documented scalar-totals crossJoin
+    * exception) and the cohort rollup is week-catalog-sized. The churn
+    * horizon anchors to the DATA's end, not wall-clock, so the op is
+    * deterministic and re-runnable. */
+  def evChurnCohort(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ul = events(s, d).groupBy($"user_id")
+      .agg(min($"ts").as("first_ts"), max($"ts").as("last_ts"))
+      .select($"user_id",
+        datediff($"first_ts".cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("cohort_day"),
+        unix_micros($"last_ts").as("last_us"))
+    val end = events(s, d).agg(max(unix_micros($"ts")).as("end_us"))
+    ul.crossJoin(end) // 1-row scalar total — the documented exception
+      .withColumn("churned",
+        when($"last_us" < $"end_us" - lit(7L * 86400L * 1000000L), 1L).otherwise(0L))
+      .groupBy($"cohort_day")
+      .agg(count(lit(1)).as("n_users"), sum($"churned").as("n_churned"))
+      .select($"cohort_day", $"n_users", $"n_churned",
+        expr("(1000000L * n_churned) div n_users").as("churn_ppm"))
+      .orderBy($"cohort_day")
+  }
+  val evChurnCohortSql: String =
+    """WITH ul AS (
+      |  SELECT user_id,
+      |    date_diff('day', DATE '1970-01-01', CAST(min(ts) AS DATE)) AS cohort_day,
+      |    max(epoch_us(ts)) AS last_us
+      |  FROM events GROUP BY user_id),
+      |e AS (SELECT max(epoch_us(ts)) AS end_us FROM events)
+      |SELECT CAST(cohort_day AS BIGINT) AS cohort_day, count(*) AS n_users,
+      |  CAST(sum(CASE WHEN last_us < end_us - 604800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+      |  CAST((1000000 * sum(CASE WHEN last_us < end_us - 604800000000 THEN 1 ELSE 0 END))
+      |    // count(*) AS BIGINT) AS churn_ppm
+      |FROM ul, e GROUP BY cohort_day ORDER BY cohort_day""".stripMargin
 }

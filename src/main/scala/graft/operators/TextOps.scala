@@ -807,6 +807,66 @@ object TextOps {
         coalesce($"n_occurrences", lit(0L)).as("n_occurrences"))
       .orderBy($"threshold")
   }
+  /** Winnowing window for [[textWinnowing]], in gram positions. */
+  val WinnowW = 4
+
+  /** Winnowing document fingerprints (Schleimer et al. 2003 — the MOSS
+    * plagiarism-detection selector): hash every positional 3-gram,
+    * slide a [[WinnowW]]-gram window, keep each window's MINIMUM hash.
+    * Winnowing guarantees any shared run of ≥ W+2 tokens between two
+    * documents shares a fingerprint, while storing only ~2/(W+1) of
+    * the hashes — the density/recall tradeoff that makes fingerprint
+    * indexes feasible at 100 TB. The "hash" is the md5 HEX STRING and
+    * the minimum is lexicographic: a total order both engines
+    * implement identically, so the selection is cross-engine exact
+    * with no integer-decode step. Shape: map-side gram hashing, ONE
+    * per-doc window pass (shuffle on doc_id), and a rollup reusing the
+    * same partitioning. Emitted as per-doc fingerprint counts (the
+    * index build's size estimate); docs too short for a full window
+    * are absent identically on both sides. */
+  def textWinnowing(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(Window.currentRow, WinnowW - 1)
+    documents(s, d)
+      .filter($"text".isNotNull)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .filter(size($"ws") >= 3)
+      .select($"doc_id", size($"ws").cast("long").as("n_toks"),
+        posexplode(expr(
+          "transform(sequence(0, size(ws) - 3), i -> md5(concat_ws(' ', ws[i], ws[i+1], ws[i+2])))"))
+          .as(Seq("pos", "h")))
+      .withColumn("n_grams", $"n_toks" - 2)
+      .withColumn("fp", min($"h").over(w))
+      .filter($"pos" <= $"n_grams" - WinnowW) // full windows only
+      .groupBy($"doc_id")
+      .agg(max($"n_grams").as("n_grams"),
+        (max($"n_grams") - (WinnowW - 1)).as("n_windows"),
+        countDistinct($"fp").as("n_fingerprints"))
+      .orderBy($"doc_id")
+  }
+  val textWinnowingSql: String = {
+    val W = WinnowW
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+       |           FROM documents WHERE text IS NOT NULL),
+       |ix AS (SELECT doc_id, ws, CAST(len(ws) - 2 AS BIGINT) AS n_grams,
+       |         unnest([i for i in range(1, len(ws) - 1)]) AS i
+       |       FROM t WHERE len(ws) >= 3),
+       |g AS (SELECT doc_id, n_grams, i AS pos,
+       |        md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS h
+       |      FROM ix),
+       |fps AS (SELECT doc_id, n_grams, pos,
+       |          min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |            ROWS BETWEEN CURRENT ROW AND ${W - 1} FOLLOWING) AS fp
+       |        FROM g)
+       |SELECT doc_id, max(n_grams) AS n_grams,
+       |  max(n_grams) - ${W - 1} AS n_windows,
+       |  CAST(count(DISTINCT fp) AS BIGINT) AS n_fingerprints
+       |FROM fps WHERE pos <= n_grams - $W + 1
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val textVocabGrowthSql: String = {
     val thrRows = VocabGrowthThresholds.map(t => s"($t)").mkString(", ")
     s"""WITH thr(threshold) AS (VALUES $thrRows),
