@@ -434,6 +434,7 @@ object OpRegistry {
     op("ev_transitions", EventOps.evTransitions, EventOps.evTransitionsSql),
     op("ev_time_to_convert", EventOps.evTimeToConvert, EventOps.evTimeToConvertSql),
     op("ev_churn_cohort", EventOps.evChurnCohort, EventOps.evChurnCohortSql),
+    op("ev_active_users", EventOps.evActiveUsers, EventOps.evActiveUsersSql),
     op("rdf_xml_source", RdfXmlOps.xmlSource, RdfXmlOps.xmlOracleSql),
     op("rdf_xml_roundtrip", RdfXmlOps.xmlRoundtrip, RdfXmlOps.xmlOracleSql),
     op("rdf_nt_roundtrip", RdfXmlOps.ntRoundtrip, RdfOps.apFullSql),

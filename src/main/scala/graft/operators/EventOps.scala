@@ -899,4 +899,44 @@ object EventOps {
       |  CAST((1000000 * sum(CASE WHEN last_us < end_us - 604800000000 THEN 1 ELSE 0 END))
       |    // count(*) AS BIGINT) AS churn_ppm
       |FROM ul, e GROUP BY cohort_day ORDER BY cohort_day""".stripMargin
+
+  /** Daily + rolling-7-day active users (the DAU/WAU table): exact
+    * distinct users per day and per trailing week. Distinct-over-a-
+    * sliding-window doesn't decompose into window-function partials,
+    * so the standard exact shape is: (1) reduce the corpus to the
+    * DISTINCT (day, user) set — the only corpus-sized step, one
+    * map-side-combined shuffle; (2) expand each such row to the ≤7
+    * calendar days whose trailing window contains it (map-side
+    * sequence explode, calendar-bounded blowup); (3) count distinct
+    * users per day. At 100 TB step 1 dominates and steps 2–3 are
+    * (days × weekly-active) sized. Approximate variants (HLL partial
+    * merge) trade this exactness for one pass — [[RelationalOps]]'s
+    * q_approx_distinct documents that path. */
+  def evActiveUsers(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val du = events(s, d)
+      .select(datediff($"ts".cast("date"), lit("1970-01-01").cast("date"))
+        .cast("long").as("day"), $"user_id")
+      .distinct()
+    val dau = du.groupBy($"day").agg(countDistinct($"user_id").as("dau"))
+    val wau = du
+      .select(explode(expr("sequence(day, day + 6)")).as("day"), $"user_id")
+      .groupBy($"day").agg(countDistinct($"user_id").as("wau"))
+    // trailing windows that start before the corpus have partial data;
+    // keep only days that themselves have events (inner join on dau)
+    dau.join(wau, "day")
+      .select($"day", $"dau", $"wau")
+      .orderBy($"day")
+  }
+  val evActiveUsersSql: String =
+    """WITH du AS (
+      |  SELECT DISTINCT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+      |    user_id
+      |  FROM events),
+      |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM du GROUP BY day),
+      |ex AS (SELECT unnest([day + i for i in range(0, 7)]) AS day, user_id FROM du),
+      |wau AS (SELECT day, count(DISTINCT user_id) AS wau FROM ex GROUP BY day)
+      |SELECT CAST(d.day AS BIGINT) AS day, d.dau, w.wau
+      |FROM dau d JOIN wau w USING (day)
+      |ORDER BY day""".stripMargin
 }

@@ -302,6 +302,20 @@ class Round14OpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("active users: wau dominates dau, both bounded by the user catalog") {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sf0001)
+    val out = EventOps.evActiveUsers(spark, sf0001).cache()
+    assert(out.filter($"wau" < $"dau").count() == 0)
+    val nUsers = ev.select($"user_id").distinct().count()
+    assert(out.filter($"dau" > nUsers || $"wau" > nUsers).count() == 0)
+    // every event day appears
+    val days = ev.select(datediff($"ts".cast("date"),
+      lit("1970-01-01").cast("date"))).distinct().count()
+    assert(out.count() == days)
+    out.unpersist()
+  }
+
   test("ann recall: lsh can never beat brute force; ppm consistent") {
     import spark.implicits._
     val out = MlOps.simAnnRecall(spark, sf0001).cache()
