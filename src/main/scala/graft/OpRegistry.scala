@@ -338,6 +338,8 @@ object OpRegistry {
     op("text_ngram_novelty", TextOps.textNgramNovelty, TextOps.textNgramNoveltySql),
     op("text_vocab_growth", TextOps.textVocabGrowth, TextOps.textVocabGrowthSql),
     op("text_winnowing", TextOps.textWinnowing, TextOps.textWinnowingSql),
+    op("text_lang_mix", TextOps.textLangMix, TextOps.textLangMixSql),
+    op("dedup_winnow", DedupOps.dedupWinnow, DedupOps.dedupWinnowSql),
     op("dedup_exact", DedupOps.dedupExact, DedupOps.dedupExactSql),
     op("dedup_prefix", DedupOps.dedupPrefix, DedupOps.dedupPrefixSql),
     op("dedup_report", DedupOps.dedupReport, DedupOps.dedupReportSql),

@@ -808,4 +808,40 @@ object DedupOps {
        |LEFT JOIN fs ON fs.doc_id = d.doc_id
        |LEFT JOIN fp ON fp.doc_id = d.doc_id
        |GROUP BY d.source ORDER BY d.source""".stripMargin
+
+  /** Fingerprint-frequency cap for [[dedupWinnow]] — the same anti-join
+    * discipline as every pair generator here. */
+  val WinnowDfCap = 64L
+
+  /** Winnowing-based near-dup pairs — the MOSS match step completing
+    * [[graft.operators.TextOps.textWinnowing]]'s selection: documents
+    * sharing a winnowed fingerprint are candidates, weighted by how
+    * many they share. Winnowing's guarantee makes this HIGH-RECALL for
+    * long shared runs (any common run of ≥ W+2 tokens is caught) at
+    * ~2/(W+1) the index size of a full shingle index — the storage
+    * argument that matters when the inverted index itself must live on
+    * 100 TB infrastructure. Same capped inverted-index shape as the
+    * jaccard/span generators ([[WinnowDfCap]] applied as LeftAnti):
+    * candidate output corpus-linear, pinned by ScaleSpec. */
+  def dedupWinnow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wfp = TextOps.winnowFps(s, d)
+      .select($"doc_id", $"fp").distinct()
+    val drop = wfp.groupBy($"fp").agg(count(lit(1)).as("n"))
+      .filter($"n" > WinnowDfCap).select($"fp")
+    val kept = wfp.join(drop, wfp("fp") === drop("fp"), "left_anti")
+    kept.toDF("da", "fp").join(kept.toDF("db", "fp"), "fp")
+      .filter($"da" < $"db")
+      .groupBy($"da", $"db").agg(count(lit(1)).as("n_shared"))
+      .orderBy($"da", $"db")
+  }
+  val dedupWinnowSql: String =
+    s"""${TextOps.winnowFpCtesSql},
+       |dwfp AS (SELECT DISTINCT doc_id, fp FROM wfp),
+       |keepw AS (SELECT fp FROM (SELECT fp, count(*) AS n FROM dwfp GROUP BY fp)
+       |          WHERE n <= $WinnowDfCap),
+       |kw AS (SELECT w.doc_id, w.fp FROM dwfp w JOIN keepw USING (fp))
+       |SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_shared
+       |FROM kw a JOIN kw b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 ORDER BY da, db""".stripMargin
 }

@@ -824,7 +824,10 @@ object TextOps {
     * same partitioning. Emitted as per-doc fingerprint counts (the
     * index build's size estimate); docs too short for a full window
     * are absent identically on both sides. */
-  def textWinnowing(s: SparkSession, d: String): DataFrame = {
+  /** The winnowing fingerprint stream — (doc_id, n_grams, pos, fp)
+    * rows for full windows only; shared by [[textWinnowing]] and
+    * [[DedupOps.dedupWinnow]] so the two can never drift. */
+  private[operators] def winnowFps(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy($"doc_id").orderBy($"pos")
@@ -840,13 +843,10 @@ object TextOps {
       .withColumn("n_grams", $"n_toks" - 2)
       .withColumn("fp", min($"h").over(w))
       .filter($"pos" <= $"n_grams" - WinnowW) // full windows only
-      .groupBy($"doc_id")
-      .agg(max($"n_grams").as("n_grams"),
-        (max($"n_grams") - (WinnowW - 1)).as("n_windows"),
-        countDistinct($"fp").as("n_fingerprints"))
-      .orderBy($"doc_id")
   }
-  val textWinnowingSql: String = {
+  /** The matching oracle CTE chain (ends with the `fps`/full-window
+    * `wfp` views) — one definition used by both ops' SQL. */
+  private[operators] val winnowFpCtesSql: String = {
     val W = WinnowW
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
        |           FROM documents WHERE text IS NOT NULL),
@@ -859,13 +859,63 @@ object TextOps {
        |fps AS (SELECT doc_id, n_grams, pos,
        |          min(h) OVER (PARTITION BY doc_id ORDER BY pos
        |            ROWS BETWEEN CURRENT ROW AND ${W - 1} FOLLOWING) AS fp
-       |        FROM g)
-       |SELECT doc_id, max(n_grams) AS n_grams,
-       |  max(n_grams) - ${W - 1} AS n_windows,
-       |  CAST(count(DISTINCT fp) AS BIGINT) AS n_fingerprints
-       |FROM fps WHERE pos <= n_grams - $W + 1
-       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |        FROM g),
+       |wfp AS (SELECT doc_id, n_grams, pos, fp FROM fps
+       |        WHERE pos <= n_grams - $W + 1)""".stripMargin
   }
+
+  def textWinnowing(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    winnowFps(s, d)
+      .groupBy($"doc_id")
+      .agg(max($"n_grams").as("n_grams"),
+        (max($"n_grams") - (WinnowW - 1)).as("n_windows"),
+        countDistinct($"fp").as("n_fingerprints"))
+      .orderBy($"doc_id")
+  }
+  val textWinnowingSql: String =
+    s"""$winnowFpCtesSql
+       |SELECT doc_id, max(n_grams) AS n_grams,
+       |  max(n_grams) - ${WinnowW - 1} AS n_windows,
+       |  CAST(count(DISTINCT fp) AS BIGINT) AS n_fingerprints
+       |FROM wfp
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Language-mix matrix: per (source, predicted language), document
+    * count and the language's integer-ppm share OF THAT SOURCE — the
+    * corpus-composition table a multilingual data team reads next to
+    * [[CurationOps.docMixWeights]]. Composed from [[textLangId]]'s own
+    * predictions on both engine sides (the oracle embeds its SQL), so
+    * the mix can never disagree with the classifier. Shape: map-side
+    * language ID, one (source, lang) rollup, and a source-sized totals
+    * join — catalog-scale after the first aggregate. */
+  def textLangMix(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lang = textLangId(s, d)
+    val tagged = documents(s, d).select($"doc_id", $"source")
+      .join(lang, "doc_id")
+    val per = tagged.groupBy($"source", $"pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = per.groupBy($"source").agg(sum($"n_docs").as("n_src"))
+    per.join(tot, "source")
+      .select($"source", $"pred_lang", $"n_docs",
+        expr("(1000000L * n_docs) div n_src").as("share_ppm"))
+      .orderBy($"source", $"pred_lang")
+  }
+  val textLangMixSql: String =
+    s"""WITH lang AS (SELECT * FROM (
+       |$textLangIdSql
+       |) z),
+       |per AS (
+       |  SELECT d.source, l.pred_lang, count(*) AS n_docs
+       |  FROM documents d JOIN lang l USING (doc_id)
+       |  GROUP BY 1, 2),
+       |tot AS (SELECT source, CAST(sum(n_docs) AS BIGINT) AS n_src
+       |        FROM per GROUP BY source)
+       |SELECT p.source, p.pred_lang, p.n_docs,
+       |  CAST((1000000 * p.n_docs) // t.n_src AS BIGINT) AS share_ppm
+       |FROM per p JOIN tot t ON t.source = p.source
+       |ORDER BY p.source, p.pred_lang""".stripMargin
 
   val textVocabGrowthSql: String = {
     val thrRows = VocabGrowthThresholds.map(t => s"($t)").mkString(", ")
