@@ -324,6 +324,7 @@ object OpRegistry {
     op("text_top_tokens", TextOps.textTopTokens, TextOps.textTopTokensSql),
     op("text_tokens_bpe", TextOps.textTokensBpe, TextOps.textTokensBpeSql),
     op("text_repetition", TextOps.textRepetition, TextOps.textRepetitionSql),
+    op("text_repetition_remove", TextOps.textRepetitionRemove, TextOps.textRepetitionRemoveSql),
     op("text_pii", TextOps.textPii, TextOps.textPiiSql),
     op("text_simhash_by_source", TextOps.textSimhashBySource, TextOps.textSimhashBySourceSql),
     op("text_dup_ratio", TextOps.textDupRatio, TextOps.textDupRatioSql),
@@ -344,6 +345,7 @@ object OpRegistry {
     op("dedup_prefix", DedupOps.dedupPrefix, DedupOps.dedupPrefixSql),
     op("dedup_report", DedupOps.dedupReport, DedupOps.dedupReportSql),
     op("dedup_incremental", DedupOps.dedupIncremental, DedupOps.dedupIncrementalSql),
+    op("dedup_stream_incremental", DedupOps.dedupStreamIncremental, DedupOps.dedupStreamIncrementalSql),
     op("dedup_span", DedupOps.dedupSpan, DedupOps.dedupSpanSql),
     op("dedup_norm", DedupOps.dedupNorm, DedupOps.dedupNormSql),
     op("dedup_ngram_jaccard", DedupOps.dedupNgramJaccard, DedupOps.dedupNgramJaccardSql),
@@ -372,6 +374,7 @@ object OpRegistry {
     op("doc_length_histogram",
       CurationOps.docLengthHistogram, CurationOps.docLengthHistogramSql),
     op("doc_chunk", CurationOps.docChunk, CurationOps.docChunkSql),
+    op("doc_rag_e2e", CurationOps.docRagE2e, CurationOps.docRagE2eSql),
     op("doc_train_feed_e2e", CurationOps.docTrainFeed, CurationOps.docTrainFeedSql),
     op("doc_pipeline_e2e", CurationOps.docPipelineE2e, CurationOps.docPipelineE2eSql),
     op("doc_ccnet_e2e", CurationOps.docCcnetE2e, CurationOps.docCcnetE2eSql),
@@ -401,6 +404,7 @@ object OpRegistry {
     op("mm_resize", MultimodalOps.mmResize, MultimodalOps.mmResizeSql),
     op("mm_dedup_exact", MultimodalOps.mmDedupExact, MultimodalOps.mmDedupExactSql),
     op("mm_shard_pack", MultimodalOps.mmShardPack, MultimodalOps.mmShardPackSql),
+    op("mm_dedup_near", MultimodalOps.mmDedupNear, MultimodalOps.mmDedupNearSql),
     op("mm_pipeline_e2e", MultimodalOps.mmPipelineE2e, MultimodalOps.mmPipelineE2eSql),
     op("doc_jsonl_roundtrip", graft.sources.DocSourceOps.jsonlRoundtrip,
       graft.sources.DocSourceOps.fingerprintSql),

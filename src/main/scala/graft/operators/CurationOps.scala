@@ -872,4 +872,133 @@ object CurationOps {
        |  CAST(len(cw) AS BIGINT) AS n_tokens,
        |  md5(array_to_string(cw, ' ')) AS chunk_md5
        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Embedding dimension for [[docRagE2e]]'s deterministic chunk
+    * embedder — matches the embeddings table's 64-d vectors so query
+    * and chunk live in one space and [[IvfKmeans]]'s quantizer (fit on
+    * the corpus embeddings) can partition both. */
+  val RagDim = 64
+
+  /** Retrieved chunks per query for [[docRagE2e]] — the generation
+    * context budget. */
+  val RagTopK = 3L
+
+  /** RAG retrieval end-to-end — the pipeline shape every
+    * retrieval-augmented system runs at serve time, composed from the
+    * op surface's own stages as ONE query:
+    *
+    *   1. CHUNK: [[docChunk]]'s fixed-width slicing (map-side, no
+    *      shuffle) turns documents into [[ChunkTokens]]-token slices.
+    *   2. EMBED: each chunk gets a deterministic [[RagDim]]-d
+    *      bag-of-hashed-tokens vector — bucket = first md5 byte of the
+    *      token mod [[RagDim]] (the [[TextOps.textHashFeatures]]
+    *      hashing trick), coordinate = bucket count cast to double
+    *      (exact, so both engines agree bit-for-bit). The container
+    *      has no embedding model; the PLUMBING — per-chunk vectorize,
+    *      index, probe — is the part that must be right at 100 TB,
+    *      and a real model slots into this exact column.
+    *   3. INDEX: chunks are assigned to the [[IvfKmeans]] coarse
+    *      quantizer's lists (fit ONCE per corpus on the embeddings
+    *      table, disk-persisted — queries never re-fit; broadcast
+    *      k-row centroids, map-side min_by — no shuffle).
+    *   4. RETRIEVE: each query vector (embeddings vec_id < 5, the
+    *      same probe set as the `sim_ann_*` family) probes its 2
+    *      nearest lists and ranks ONLY the chunks in those lists by
+    *      exact cosine — top-[[RagTopK]] per query, ties to the lower
+    *      (doc_id, chunk_id).
+    *
+    * At 100 TB the assigned-chunk table is list-partitioned parquet
+    * ([[MlOps.simAnnIvfIndex]] is that shape made literal) and a query
+    * touches 2/16ths of the chunk corpus — the IVF bargain applied to
+    * retrieval. The oracle chains [[MlOps.ivfFitCtes]] (the identical
+    * quantizer replay) + [[docChunkSql]]'s chunk CTEs, so neither the
+    * chunker nor the index definition can drift from the standalone
+    * ops. Output is integer-only (qid, rank, doc_id, chunk_id). */
+  def docRagE2e(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(s)
+    val cdf = IvfKmeans.centroidFrame(s, IvfKmeans.centroids(s, d))
+    // chunk + embed: pure map-side (docChunk's explode/slice, then one
+    // bucket pass per token and a RagDim-long count fold per chunk)
+    val chunks = documents(s, d)
+      .filter($"text".isNotNull) // family-wide NULL-text guard
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .select($"doc_id", $"ws",
+        explode(expr(s"sequence(0L, (size(ws) - 1) div $ChunkTokens)")).as("chunk_id"))
+      .select($"doc_id", $"chunk_id",
+        expr(s"slice(ws, chunk_id * $ChunkTokens + 1, $ChunkTokens)").as("cw"))
+      .withColumn("bs", expr(
+        s"transform(cw, t -> CAST(conv(substring(md5(t), 1, 2), 16, 10) AS BIGINT) % $RagDim)"))
+      .select($"doc_id", $"chunk_id", expr(
+        s"transform(sequence(0, ${RagDim - 1}), i -> CAST(size(filter(bs, b -> b = CAST(i AS BIGINT))) AS DOUBLE))")
+        .as("v"))
+      .cache()
+    // index: nearest-centroid list per chunk (broadcast centroids,
+    // min_by keeps the aggregate partial — map-side at any scale)
+    val assigned = IvfKmeans.withDists(chunks, cdf)
+      .groupBy($"doc_id", $"chunk_id")
+      .agg(min_by($"list_id", struct($"dist", $"list_id")).as("list_id"))
+      .join(chunks, Seq("doc_id", "chunk_id"))
+    // retrieve: 2-probe per query, exact cosine within probed lists
+    val e = IvfKmeans.withV(s, d)
+    val probes = IvfKmeans.withDists(e.filter($"vec_id" < 5), cdf)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"dist", $"list_id")))
+      .filter($"rn" <= 2)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"list_id")
+    val scored = probes.join(assigned, "list_id")
+      .select($"qid", $"doc_id", $"chunk_id",
+        expr("cosine_sim(qv, v)").as("cos"))
+    val w = Window.partitionBy($"qid")
+      .orderBy($"cos".desc, $"doc_id", $"chunk_id")
+    val out = scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= RagTopK)
+      .select($"qid", $"rank", $"doc_id", $"chunk_id")
+      .orderBy($"qid", $"rank")
+    out
+  }
+  val docRagE2eSql: String =
+    s"""${MlOps.ivfFitCtes},
+       |cwt AS (SELECT doc_id, string_split(text, ' ') AS ws
+       |        FROM documents WHERE text IS NOT NULL),
+       |cix AS (SELECT doc_id, ws,
+       |          unnest([i for i in range(0, ((len(ws) - 1) // $ChunkTokens) + 1)]) AS chunk_id
+       |        FROM cwt),
+       |cch AS (SELECT doc_id, chunk_id,
+       |          ws[chunk_id * $ChunkTokens + 1 : (chunk_id + 1) * $ChunkTokens] AS cw
+       |        FROM cix),
+       |cbs AS (SELECT doc_id, chunk_id,
+       |          [(16 * (strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1)
+       |            + (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1)) % $RagDim
+       |           for t in cw] AS bs
+       |        FROM cch),
+       |cv AS (SELECT doc_id, chunk_id,
+       |         [CAST(len(list_filter(bs, b -> b = i)) AS DOUBLE)
+       |          for i in range(0, $RagDim)] AS v
+       |       FROM cbs),
+       |ca AS (
+       |  SELECT doc_id, chunk_id, list_id FROM (
+       |    SELECT cv.doc_id, cv.chunk_id, c.list_id,
+       |      row_number() OVER (PARTITION BY cv.doc_id, cv.chunk_id
+       |        ORDER BY list_sum(list_transform(list_zip(cv.v, c.c),
+       |                          p -> (p[1]-p[2])*(p[1]-p[2]))), c.list_id) AS rn
+       |    FROM cv CROSS JOIN c${IvfKmeans.Rounds} c) z
+       |  WHERE rn <= 1),
+       |probe AS (
+       |${MlOps.ivfAssignSelect(s"c${IvfKmeans.Rounds}", " WHERE e.vec_id < 5", 2)}),
+       |scored AS (
+       |  SELECT p.vec_id AS qid, cv.doc_id, cv.chunk_id,
+       |    list_cosine_similarity(q.v, cv.v) AS cos
+       |  FROM probe p
+       |  JOIN ca ON ca.list_id = p.list_id
+       |  JOIN emb q ON q.vec_id = p.vec_id
+       |  JOIN cv ON cv.doc_id = ca.doc_id AND cv.chunk_id = ca.chunk_id)
+       |SELECT qid, rank, doc_id, CAST(chunk_id AS BIGINT) AS chunk_id FROM (
+       |  SELECT qid, doc_id, chunk_id,
+       |    CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, doc_id, chunk_id) AS BIGINT) AS rank
+       |  FROM scored) z
+       |WHERE rank <= $RagTopK
+       |ORDER BY qid, rank""".stripMargin
 }

@@ -556,6 +556,42 @@ object DedupOps {
        |GROUP BY key ORDER BY key""".stripMargin
   }
 
+  /** [[dedupIncremental]] run the way a live ingest pipeline actually
+    * runs it — the arriving documents as a STREAM, anti-joined per
+    * micro-batch against the static already-accepted corpus hash set,
+    * then deduped within the stream by a stateful (key → keeper,
+    * count) aggregate. This is the stream-static join shape of
+    * [[EventOps.evStreamAnomaly]] applied to ingest: the corpus side
+    * is a bounded DISTINCT-hash table (at 100 TB: a persisted bucketed
+    * index + bloom pre-filter, refreshed between drops — not rebuilt
+    * per micro-batch), the stream side pays one state row per NOVEL
+    * key, and nothing corpus-sized enters the state store. The oracle
+    * is the batch op's SQL verbatim — streaming execution must not
+    * change the answer (the contract every `ev_stream_*` op pins). */
+  def dedupStreamIncremental(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val corpus = documents(s, d)
+      .filter($"text".isNotNull)
+      .filter(!$"source".isInCollection(IncrementalBatchSources))
+      .select(md5($"text").as("key")).distinct()
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val incoming = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+      .filter($"text".isNotNull)
+      .filter($"source".isInCollection(IncrementalBatchSources))
+      .select($"doc_id", md5($"text").as("key"))
+    val accepted = incoming.join(corpus, Seq("key"), "left_anti")
+      .groupBy($"key")
+      .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_batch"))
+    val t = EventOps.runToTable(s, accepted,
+      "graft_sdedup_" + math.abs(d.hashCode), "complete",
+      EventOps.streamParts(s, d, table = "documents"))
+    t.orderBy($"key")
+  }
+  /** Batch parity: the streaming path must produce exactly
+    * [[dedupIncrementalSql]]'s rows. */
+  val dedupStreamIncrementalSql: String = dedupIncrementalSql
+
   /** Containment near-dup pairs: the ASYMMETRIC companion to
     * [[dedupNgramJaccard]]. Jaccard |∩|/|∪| misses the doc-in-doc
     * case — a paragraph quoted wholesale inside a much longer document
@@ -767,14 +803,17 @@ object DedupOps {
        |ORDER BY da, db""".stripMargin
 
   /** The corpus duplication REPORT: per source, how many documents are
-    * flagged by each near-dup family (span index, prefix key) — the
+    * flagged by each near-dup family — span index, prefix key, shingle
+    * Jaccard, SimHash bands, MinHash LSH, winnowing fingerprints — the
     * health dashboard a data team reads before deciding which dedup
     * pass to run where. Composed from the registered pair generators
-    * themselves on BOTH engine sides ([[dedupSpan]]/[[dedupPrefix]]
-    * functions here; their SQL embedded as subqueries in the oracle),
-    * so the report can never drift from what the ops actually flag.
-    * Cost: the two capped pair sets (corpus-linear each, see their
-    * docs) + flag unions and one source-sized rollup. */
+    * themselves on BOTH engine sides (the op functions here; their SQL
+    * embedded as subqueries in the oracle), so the report can never
+    * drift from what the ops actually flag. Cost: the six capped pair
+    * sets (each corpus-linear, see their docs) + per-family distinct
+    * flag sets (bounded by flagged-doc count) + one source-sized
+    * rollup; the families run as independent branches of one plan, so
+    * on a cluster they schedule concurrently. */
   def dedupReport(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = documents(s, d).select($"doc_id", $"source")
@@ -784,30 +823,51 @@ object DedupOps {
     docs
       .join(flagged(dedupSpan(s, d), "f_span"), Seq("doc_id"), "left")
       .join(flagged(dedupPrefix(s, d), "f_pref"), Seq("doc_id"), "left")
+      .join(flagged(dedupNgramJaccard(s, d), "f_jac"), Seq("doc_id"), "left")
+      .join(flagged(dedupSimhash(s, d), "f_sim"), Seq("doc_id"), "left")
+      .join(flagged(dedupMinhashLsh(s, d), "f_mh"), Seq("doc_id"), "left")
+      .join(flagged(dedupWinnow(s, d), "f_win"), Seq("doc_id"), "left")
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
         sum(coalesce($"f_span", lit(0L))).as("n_span_dup"),
-        sum(coalesce($"f_pref", lit(0L))).as("n_prefix_dup"))
+        sum(coalesce($"f_pref", lit(0L))).as("n_prefix_dup"),
+        sum(coalesce($"f_jac", lit(0L))).as("n_jaccard_dup"),
+        sum(coalesce($"f_sim", lit(0L))).as("n_simhash_dup"),
+        sum(coalesce($"f_mh", lit(0L))).as("n_minhash_dup"),
+        sum(coalesce($"f_win", lit(0L))).as("n_winnow_dup"))
       .orderBy($"source")
   }
-  val dedupReportSql: String =
-    s"""WITH rep_sp AS (SELECT da, db FROM (
-       |$dedupSpanSql
-       |) z1),
-       |rep_pf AS (SELECT da, db FROM (
-       |$dedupPrefixSql
-       |) z2),
-       |fs AS (SELECT DISTINCT doc_id FROM
-       |        (SELECT da AS doc_id FROM rep_sp UNION SELECT db FROM rep_sp) u),
-       |fp AS (SELECT DISTINCT doc_id FROM
-       |        (SELECT da AS doc_id FROM rep_pf UNION SELECT db FROM rep_pf) u)
+  // lazy: embeds dedupWinnowSql, which is defined LATER in this object
+  // body — an eager val here would capture null at initialization
+  lazy val dedupReportSql: String = {
+    def fam(tag: String, sql: String): String =
+      s"""rep_$tag AS (SELECT da, db FROM (
+         |$sql
+         |) z_$tag),
+         |f_$tag AS (SELECT DISTINCT doc_id FROM
+         |        (SELECT da AS doc_id FROM rep_$tag UNION SELECT db FROM rep_$tag) u)""".stripMargin
+    s"""WITH ${fam("sp", dedupSpanSql)},
+       |${fam("pf", dedupPrefixSql)},
+       |${fam("jc", dedupNgramJaccardSql)},
+       |${fam("sh", dedupSimhashSql)},
+       |${fam("mh", dedupMinhashLshSql)},
+       |${fam("wn", dedupWinnowSql)}
        |SELECT d.source, count(*) AS n_docs,
-       |  CAST(sum(CASE WHEN fs.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_span_dup,
-       |  CAST(sum(CASE WHEN fp.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_prefix_dup
+       |  CAST(sum(CASE WHEN f_sp.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_span_dup,
+       |  CAST(sum(CASE WHEN f_pf.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_prefix_dup,
+       |  CAST(sum(CASE WHEN f_jc.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_jaccard_dup,
+       |  CAST(sum(CASE WHEN f_sh.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_simhash_dup,
+       |  CAST(sum(CASE WHEN f_mh.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_minhash_dup,
+       |  CAST(sum(CASE WHEN f_wn.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_winnow_dup
        |FROM documents d
-       |LEFT JOIN fs ON fs.doc_id = d.doc_id
-       |LEFT JOIN fp ON fp.doc_id = d.doc_id
+       |LEFT JOIN f_sp ON f_sp.doc_id = d.doc_id
+       |LEFT JOIN f_pf ON f_pf.doc_id = d.doc_id
+       |LEFT JOIN f_jc ON f_jc.doc_id = d.doc_id
+       |LEFT JOIN f_sh ON f_sh.doc_id = d.doc_id
+       |LEFT JOIN f_mh ON f_mh.doc_id = d.doc_id
+       |LEFT JOIN f_wn ON f_wn.doc_id = d.doc_id
        |GROUP BY d.source ORDER BY d.source""".stripMargin
+  }
 
   /** Fingerprint-frequency cap for [[dedupWinnow]] — the same anti-join
     * discipline as every pair generator here. */

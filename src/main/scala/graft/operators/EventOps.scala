@@ -156,6 +156,10 @@ object EventOps {
       |  min(event_id) AS min_id, max(event_id) AS max_id
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** THE event stream reader — every `ev_stream_*` op reads through
+    * here (round-15 hoist: the nanosAsLong conf-set and the
+    * schema/glob/normalizeTs plumbing live in this ONE site, mirroring
+    * batch [[graft.Tables.events]]). */
   private def eventsStream(s: SparkSession, d: String) = {
     import s.implicits._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -180,10 +184,10 @@ object EventOps {
     * be much smaller (measured on 100k rows: 1 part 7.0s, 8 parts
     * 3.3s, 32 parts 9.3s — sized here to land near the measured
     * optimum at any scale). */
-  private def streamParts(s: SparkSession, d: String,
-      bytesPerPart: Long = 32L << 20): Int =
+  private[operators] def streamParts(s: SparkSession, d: String,
+      bytesPerPart: Long = 32L << 20, table: String = "events"): Int =
     sys.env.get("SPARK_GRAFT_STREAM_PARTS").map(_.toInt).getOrElse {
-      val f = new java.io.File(s"$d/events.parquet")
+      val f = new java.io.File(s"$d/$table.parquet")
       val bytes =
         if (f.isFile) f.length
         else Option(f.listFiles).map(_.map(_.length).sum).getOrElse(0L)
@@ -194,7 +198,7 @@ object EventOps {
   /** The shuffle-partition conf is captured when the query STARTS, so
     * set it just for the start call and restore afterwards — batch
     * queries in the same session keep their own sizing. */
-  private def runToTable(s: SparkSession, df: DataFrame, name: String,
+  private[operators] def runToTable(s: SparkSession, df: DataFrame, name: String,
       mode: String, parts: Int): DataFrame = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
@@ -286,13 +290,8 @@ object EventOps {
   def evStreamSessionize(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import s.implicits._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
     val name = "graft_sess_" + math.abs(d.hashCode).toString
-    val evs = s.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
-      .transform(graft.Tables.normalizeTs)
+    val evs = eventsStream(s, d)
       .select($"event_id", $"ts", $"user_id")
       .as[Ev]
 
@@ -323,15 +322,8 @@ object EventOps {
     * semantic parity. */
   def evStreamWindow(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
     val name = "graft_stream_" + math.abs(d.hashCode).toString
-    // file stream source wants a directory: stream the sf dir but only
-    // pick up the events file
-    val stream = s.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
-      .transform(graft.Tables.normalizeTs)
+    val stream = eventsStream(s, d)
       .withWatermark("ts", "1 hour")
       .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
       .agg(count(lit(1)).as("n"),
@@ -758,13 +750,8 @@ object EventOps {
     * stream/batch parity contract every ev_stream_* op carries. */
   def evStreamTopK(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
     val name = "graft_stream_topk_" + math.abs(d.hashCode).toString
-    val stream = s.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
-      .transform(graft.Tables.normalizeTs)
+    val stream = eventsStream(s, d)
       .withWatermark("ts", "1 hour")
       .groupBy(window($"ts", "15 minutes").as("w"), $"event_type")
       .agg(count(lit(1)).as("n"))
@@ -829,10 +816,11 @@ object EventOps {
       |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin
 
   /** Time-to-convert: per user, the integer-µs gap from their FIRST
-    * 'view' to the first 'purchase' AFTER it — the attribution-window
-    * primitive. Both anchors are min-aggregates per user (map-side
-    * partials, one user_id shuffle shared by construction), the "after
-    * it" constraint is a conditional min, and everything is integer µs
+    * 'view' to the first 'purchase' AT OR AFTER it (a purchase in the
+    * same µs counts, gap 0) — the attribution-window primitive. Both
+    * anchors are min-aggregates per user (map-side partials, one
+    * user_id shuffle shared by construction), the "at or after"
+    * constraint is a conditional min, and everything is integer µs
     * so the oracle compare is exact. Users who never view or never
     * convert after viewing are excluded identically on both engines. */
   def evTimeToConvert(s: SparkSession, d: String): DataFrame = {

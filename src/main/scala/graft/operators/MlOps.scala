@@ -318,7 +318,7 @@ object MlOps {
   /** DuckDB assignment subquery against centroid CTE `cfrom` —
     * shared by the fit replay, the probe, and every consumer of the
     * final assignment. */
-  private def ivfAssignSelect(cfrom: String, where: String, rnBound: Int): String =
+  private[operators] def ivfAssignSelect(cfrom: String, where: String, rnBound: Int): String =
     s"""  SELECT vec_id, list_id FROM (
        |    SELECT e.vec_id, c.list_id,
        |      row_number() OVER (PARTITION BY e.vec_id
@@ -330,8 +330,10 @@ object MlOps {
   /** The full DuckDB replay of the deterministic [[IvfKmeans]] fit:
     * CTEs from `emb` through `af` (the final nearest-centroid
     * assignment of every vector). Shared prefix of [[ivfOracleSql]]
-    * and [[clusterSampleSql]] so the two oracles can never drift. */
-  private val ivfFitCtes: String = {
+    * and [[clusterSampleSql]] so the two oracles can never drift.
+    * `private[operators]` so [[CurationOps.docRagE2eSql]] chains the
+    * SAME fit replay (one quantizer definition repo-wide). */
+  private[operators] val ivfFitCtes: String = {
     val rounds = (1 to IvfKmeans.Rounds).map { r =>
       s"""a$r AS (
          |${ivfAssignSelect(s"c${r - 1}", "", 1)}),

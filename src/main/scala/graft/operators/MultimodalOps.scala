@@ -216,6 +216,56 @@ object MultimodalOps {
       |    AS BIGINT) AS shard
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Bucket-population cap for [[mmDedupNear]] — the same anti-join
+    * discipline as every text pair generator
+    * ([[DedupOps.PrefixDfCap]] et al.): a perceptual bucket shared by
+    * more media than this is a degenerate key (solid-color thumbnails,
+    * tracking pixels) emitting quadratic pairs with no dedup signal. */
+  val MmNearDfCap = 64L
+
+  /** Perceptual near-dup PAIR generator for media — the first-class
+    * auditable pair table [[mmPipelineE2e]] buries inside its keep-one
+    * stage. Key = the stub perceptual-hash bucket (width, height,
+    * n_bytes div 64) per this file's stub contract — a real pHash
+    * swaps in at the key expression and nothing else moves. Same
+    * capped inverted-index shape as [[DedupOps.dedupPrefix]]: one
+    * shuffle on the bucket key, the over-cap key set (small by
+    * construction — at most rows/cap keys) applied as a LeftAnti, so
+    * candidate output is corpus-LINEAR (≤ rows·cap) on any skew, the
+    * property ScaleSpec pins family-wide. Gives the media side the
+    * same reviewable dedup surface text has: pairs first, keep-one as
+    * a downstream consumer. */
+  def mmDedupNear(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val keyed = documents(s, d)
+      .filter($"text".isNotNull) // family-wide NULL-payload guard
+      .select($"doc_id",
+        md5(concat_ws("x",
+          lit(64) + $"n_chars" % 512,
+          lit(64) + ($"n_chars" * 7) % 512,
+          expr("CAST(octet_length(CAST(text AS BINARY)) AS BIGINT) div 64")))
+          .as("pk"))
+    val drop = keyed.groupBy($"pk").agg(count(lit(1)).as("n"))
+      .filter($"n" > MmNearDfCap).select($"pk")
+    val kept = keyed.join(drop, keyed("pk") === drop("pk"), "left_anti")
+    kept.toDF("da", "pk").join(kept.toDF("db", "pk"), "pk")
+      .filter($"da" < $"db")
+      .select($"da", $"db", $"pk")
+      .orderBy($"da", $"db")
+  }
+  val mmDedupNearSql: String =
+    s"""WITH keyed AS (
+       |  SELECT doc_id,
+       |    md5((64 + n_chars % 512) || 'x' || (64 + (n_chars * 7) % 512) || 'x' ||
+       |        (octet_length(encode(text)) // 64)) AS pk
+       |  FROM documents WHERE text IS NOT NULL),
+       |kept AS (SELECT * FROM keyed
+       |         WHERE pk IN (SELECT pk FROM keyed GROUP BY pk
+       |                      HAVING count(*) <= $MmNearDfCap))
+       |SELECT a.doc_id AS da, b.doc_id AS db, a.pk
+       |FROM kept a JOIN kept b ON a.pk = b.pk AND a.doc_id < b.doc_id
+       |ORDER BY da, db""".stripMargin
+
   /** The composed MEDIA curation pipeline — size gate → perceptual-
     * bucket keep-one → per-source byte-budget shard pack — as ONE
     * query, the multimodal sibling of

@@ -190,6 +190,91 @@ object TextOps {
       |    ELSE 0.0 END AS rep_ratio
       |FROM sh ORDER BY doc_id""".stripMargin
 
+  /** Repetition REMOVAL — the transform [[textRepetition]]'s detector
+    * feeds: excise every RE-occurrence of a 3-gram within a document
+    * and emit the cleaned text (as md5 + counts, the textRedact
+    * O(1)-compare trick). A gram window whose gram already occurred
+    * earlier in the same doc marks its 3 token positions for removal;
+    * kept tokens preserve order; the first occurrence always survives,
+    * so information is never lost, only its repeats — the
+    * RefinedWeb/Gopher "remove intra-doc repetition, keep one copy"
+    * production step.
+    *
+    * Shape: ENTIRELY map-side per document (array ops on the token
+    * list — gram list, first-occurrence test, removal-position set,
+    * index filter); no shuffle except the oracle sort, so it
+    * parallelizes embarrassingly at any corpus size. The
+    * first-occurrence test is array_position per gram (O(n²) within a
+    * doc) — bounded by document length, and at web-scale doc lengths
+    * the same pass runs as a per-doc hash set in mapPartitions; this
+    * expression form is the oracle-replayable semantics both engines
+    * share bit-for-bit.
+    *
+    * Each intermediate (token list, gram list, removal set) is bound
+    * ONCE per row as a singleton-array lambda argument —
+    * `transform(array(X), x -> …)` evaluates X exactly once — instead
+    * of a withColumn chain: Catalyst's projection collapse would
+    * inline a chained alias into every lambda-body reference and
+    * re-derive the gram list (split + concat) per TOKEN access, which
+    * measured >1000× slower on the test corpus. */
+  def textRepetitionRemove(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .filter($"text".isNotNull) // family-wide NULL-text guard, see textStats
+      .withColumn("res", expr(
+        """element_at(transform(array(split(text, ' ')), ws ->
+          |  element_at(transform(array(
+          |      CASE WHEN size(ws) >= 3
+          |        THEN transform(sequence(0, size(ws) - 3),
+          |               i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))
+          |        ELSE array() END), gs ->
+          |    element_at(transform(array(
+          |        -- removal positions: the 3 token slots under each
+          |        -- REPEATED window (first occurrence at a 1-based
+          |        -- array_position earlier than the 0-based index i);
+          |        -- empty-gram guard: sequence(0,-1) would DESCEND
+          |        CASE WHEN size(gs) = 0 THEN array()
+          |        ELSE array_distinct(flatten(transform(
+          |          filter(sequence(0, size(gs) - 1),
+          |                 i -> array_position(gs, element_at(gs, i + 1)) < i + 1),
+          |          i -> array(i, i + 1, i + 2)))) END), rem ->
+          |      named_struct(
+          |        'n_tokens', CAST(size(ws) AS BIGINT),
+          |        -- every rem position is a real token index (a gram
+          |        -- start i ≤ n-3 puts i+2 ≤ n-1), so |rem| IS the
+          |        -- removed-token count
+          |        'n_removed', CAST(size(rem) AS BIGINT),
+          |        'cleaned_md5', md5(concat_ws(' ',
+          |          filter(ws, (w, p) -> NOT array_contains(rem, p))))
+          |      )), 1)), 1)), 1)""".stripMargin))
+      .select($"doc_id",
+        $"res.n_tokens".as("n_tokens"),
+        $"res.n_removed".as("n_removed"),
+        $"res.cleaned_md5".as("cleaned_md5"))
+      .orderBy($"doc_id")
+  }
+  val textRepetitionRemoveSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents
+      |            WHERE text IS NOT NULL),
+      |g AS (SELECT doc_id, ws,
+      |        CASE WHEN len(ws) >= 3
+      |          THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]
+      |          ELSE [] END AS gs
+      |      FROM tok),
+      |r AS (SELECT doc_id, ws, gs,
+      |        [list_position(gs, gs[i]) < i for i in range(1, len(gs)+1)] AS rep
+      |      FROM g),
+      |rm AS (SELECT doc_id, ws,
+      |         flatten([[i, i+1, i+2] for i in range(1, len(gs)+1) if rep[i]]) AS rem
+      |       FROM r),
+      |k AS (SELECT doc_id, ws,
+      |        [ws[p] for p in range(1, len(ws)+1) if NOT list_contains(rem, p)] AS kept
+      |      FROM rm)
+      |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+      |  CAST(len(ws) - len(kept) AS BIGINT) AS n_removed,
+      |  md5(array_to_string(kept, ' ')) AS cleaned_md5
+      |FROM k ORDER BY doc_id""".stripMargin
+
   /** Pattern-count filtering signals (emails / URLs) with a shared
     * lookaround-free regex — the PII / boilerplate pre-filter shape. */
   def textPii(s: SparkSession, d: String): DataFrame = {

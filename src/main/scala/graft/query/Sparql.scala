@@ -44,8 +44,11 @@ final case class Sparql(
     // VALUES clauses (SPARQL 1.1 inline data, single-variable form):
     // (var, allowed term values) — restricts the variable to the set
     valuesClauses: Seq[(String, Seq[String])] = Nil,
-    // multi-variable VALUES rows (§10.2 full form): (vars, rows)
-    multiValuesClauses: Seq[(Seq[String], Seq[Seq[String]])] = Nil,
+    // multi-variable VALUES rows (§10.2 full form): (vars, rows) — a
+    // None cell is §10.2's UNDEF, resolved to the typed sentinel at
+    // parse/build time so downstream compilation never string-sniffs
+    // the keyword
+    multiValuesClauses: Seq[(Seq[String], Seq[Seq[Option[String]]])] = Nil,
     // MINUS groups (SPARQL 1.1): solutions compatible with a group on
     // its shared variables are removed (anti-join); a group sharing no
     // variable removes nothing (SPARQL §8.3.3)
@@ -174,6 +177,14 @@ final case class Sparql(
     val sv = stripVar(v)
     require(vars.contains(sv), s"values variable $v not declared in select")
     require(vals.nonEmpty, "values block must list at least one value")
+    // UNDEF is explicitly rejected here rather than silently treated
+    // as a term: a single-variable row of UNDEF constrains nothing, so
+    // the clause would be a no-op — almost certainly a query bug. The
+    // multi-variable form (valuesTable) supports UNDEF cells.
+    require(!vals.exists(_.equalsIgnoreCase("undef")),
+      "UNDEF is not allowed in the single-variable VALUES form " +
+        "(a lone UNDEF row constrains nothing); use the " +
+        "multi-variable form `values ( $v ) { ... }` if intended")
     copy(valuesClauses = valuesClauses :+ ((sv, vals)))
   }
 
@@ -195,7 +206,14 @@ final case class Sparql(
         s"values row width ${r.length} != ${svs.length} variables: $r")
       require(r.forall(!_.startsWith("$")), s"values rows must be concrete: $r")
     }
-    copy(multiValuesClauses = multiValuesClauses :+ ((svs, rows)))
+    // resolve §10.2's UNDEF keyword to the typed sentinel HERE (the
+    // parse/build boundary — same rule as the text parser), so the
+    // compiler never string-matches cells. `undef` is a keyword in
+    // this API exactly as in SPARQL text; a graph term spelled
+    // "undef" is not representable in VALUES, matching the grammar.
+    val typed = rows.map(_.map(c =>
+      if (c.equalsIgnoreCase("undef")) None else Some(c)))
+    copy(multiValuesClauses = multiValuesClauses :+ ((svs, typed)))
   }
 
   /** MINUS group (SPARQL 1.1): remove solutions compatible with the
@@ -2098,16 +2116,17 @@ object Bgp {
     val multiValued = q.multiValuesClauses.foldLeft(valued) { case (acc, (vs, rows)) =>
       vs.foreach(v => require(acc.columns.contains(v),
         s"values variable $$$v is bound by no pattern"))
-      if (rows.exists(_.exists(_.equalsIgnoreCase("undef")))) {
-        // UNDEF cells (§10.2): an unbound cell constrains nothing, so
+      if (rows.exists(_.exists(_.isEmpty))) {
+        // UNDEF cells (§10.2, the typed None sentinel resolved at
+        // parse/build time): an unbound cell constrains nothing, so
         // the row set compiles to an OR of per-row AND conjunctions —
         // a plain filter Catalyst can push down; a row of ALL undef
         // cells is compatible with every solution (lit(true)). The
         // set semantics stay intact: a solution matching several rows
         // still appears once (filter, not join).
         val cond = rows.map { r =>
-          vs.zip(r).filterNot(_._2.equalsIgnoreCase("undef"))
-            .map { case (v, value) => acc(v) === lit(value) }
+          vs.zip(r)
+            .collect { case (v, Some(value)) => acc(v) === lit(value) }
             .reduceOption(_ && _).getOrElse(lit(true))
         }.reduce(_ || _)
         acc.filter(cond)
@@ -2117,7 +2136,7 @@ object Bgp {
           org.apache.spark.sql.types.StructField(v, org.apache.spark.sql.types.StringType)))
         import scala.jdk.CollectionConverters._
         val tbl = spark.createDataFrame(
-          rows.map(r => org.apache.spark.sql.Row.fromSeq(r)).asJava, schema)
+          rows.map(r => org.apache.spark.sql.Row.fromSeq(r.map(_.get))).asJava, schema)
         acc.join(broadcast(tbl), vs, "left_semi")
       }
     }

@@ -494,11 +494,27 @@ class ScaleSpec extends SparkSpec {
         operators.DedupOps.dedupSpan(spark, sf0001),
         operators.DedupOps.dedupContainment(spark, sf0001),
         operators.DedupOps.dedupCrossSource(spark, sf0001),
-        operators.DedupOps.dedupPrefix(spark, sf0001)).foreach { df =>
+        operators.DedupOps.dedupPrefix(spark, sf0001),
+        operators.MultimodalOps.mmDedupNear(spark, sf0001)).foreach { df =>
       val p = plan(df)
       assert(p.contains("LeftAnti"), s"cap must be an anti-join:\n${p.take(800)}")
       assert(!p.contains("collect_list"), s"no aggregate-list cap:\n${p.take(800)}")
     }
+  }
+
+  test("media near-dup DF cap bounds candidates when one perceptual bucket is corpus-wide") {
+    // round-15 sibling of the prefix/span caps, on the media side: a
+    // corpus of same-shaped thumbnails (identical n_chars → identical
+    // stub width/height, same byte bucket) lands in ONE perceptual
+    // bucket — quadratic pairs without the cap, zero with it
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mmnearcap").toString
+    val nDocs = (operators.MultimodalOps.MmNearDfCap + 12).toInt
+    (0 until nDocs).map(i => (i.toLong, "x" * 100, 100L))
+      .toDF("doc_id", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(operators.MultimodalOps.mmDedupNear(spark, dir).count() == 0,
+      s"buckets over ${operators.MultimodalOps.MmNearDfCap} media must not generate candidates")
   }
 
   test("partitioned doc sink read-back prunes to the probed source partition") {

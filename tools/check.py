@@ -29,7 +29,11 @@ def norm(v):
     if isinstance(v, float):
         return "f:" + repr(v)
     if isinstance(v, decimal.Decimal):
-        return "d:" + str(v)  # keeps scale: 1.50 != 1.5, and != float 1.5
+        # defensive rendering only: the oracle_type_violations guard
+        # rejects DECIMAL result columns before any comparison, so this
+        # branch is unreachable for oracle results (policy: CAST to
+        # DOUBLE/BIGINT at the oracle's edge, never compare decimals)
+        return "d:" + str(v)
     if isinstance(v, datetime.datetime):
         return "t:" + v.isoformat()
     if isinstance(v, datetime.date):
