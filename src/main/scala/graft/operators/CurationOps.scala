@@ -883,6 +883,14 @@ object CurationOps {
     * context budget. */
   val RagTopK = 3L
 
+  /** Probe depth for [[docRagE2e]]: how many of the [[IvfKmeans.K]]
+    * lists a query scans. The knob a deployment tunes against
+    * [[docRagRecall]] until the recall target is met — 4/16 lists
+    * (25% of the corpus) was the measured knee on this corpus
+    * (2-probe: recall@3 0.40; 4-probe: 0.80), the standard IVF
+    * cost/recall dial; Round15OpsSpec pins the floor. */
+  val RagProbeLists = 4
+
   /** RAG retrieval end-to-end — the pipeline shape every
     * retrieval-augmented system runs at serve time, composed from the
     * op surface's own stages as ONE query:
@@ -897,14 +905,20 @@ object CurationOps {
     *      has no embedding model; the PLUMBING — per-chunk vectorize,
     *      index, probe — is the part that must be right at 100 TB,
     *      and a real model slots into this exact column.
-    *   3. INDEX: chunks are assigned to the [[IvfKmeans]] coarse
-    *      quantizer's lists (fit ONCE per corpus on the embeddings
-    *      table, disk-persisted — queries never re-fit; broadcast
-    *      k-row centroids, map-side min_by — no shuffle).
-    *   4. RETRIEVE: each query vector (embeddings vec_id < 5, the
-    *      same probe set as the `sim_ann_*` family) probes its 2
-    *      nearest lists and ranks ONLY the chunks in those lists by
-    *      exact cosine — top-[[RagTopK]] per query, ties to the lower
+    *   3. INDEX: the [[IvfKmeans]] quantizer is fit ON THE
+    *      UNIT-NORMALIZED CHUNK VECTORS themselves
+    *      ([[IvfKmeans.centroidsFor]], tag `ragchunk`, disk-persisted,
+    *      fit once per corpus — an IVF quantizer only partitions well
+    *      the distribution it indexes; fitting it on the unrelated
+    *      embeddings table measured recall@3 ≈ 0.47 before this, see
+    *      [[docRagRecall]]), and every chunk is assigned to its
+    *      nearest list (broadcast k-row centroids, map-side min_by —
+    *      no shuffle).
+    *   4. RETRIEVE: each query (the first chunk of documents 0–4,
+    *      embedded by the SAME embedder — see [[ragQueryVecs]]) probes
+    *      its [[RagProbeLists]] nearest lists and ranks ONLY the
+    *      other-document chunks in those lists by exact cosine —
+    *      top-[[RagTopK]] per query, ties to the lower
     *      (doc_id, chunk_id).
     *
     * At 100 TB the assigned-chunk table is list-partitioned parquet
@@ -914,14 +928,15 @@ object CurationOps {
     * quantizer replay) + [[docChunkSql]]'s chunk CTEs, so neither the
     * chunker nor the index definition can drift from the standalone
     * ops. Output is integer-only (qid, rank, doc_id, chunk_id). */
-  def docRagE2e(s: SparkSession, d: String): DataFrame = {
+  /** Chunk table with the deterministic [[RagDim]]-d
+    * bag-of-hashed-tokens embedding — the shared source of
+    * [[docRagE2e]] (probed retrieval) and [[docRagRecall]] (its
+    * ground-truth evaluation). Pure map-side: docChunk's
+    * explode/slice, one bucket pass per token, one RagDim-long count
+    * fold per chunk. */
+  private def ragChunkVecs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    GraftFunctions.register(s)
-    val cdf = IvfKmeans.centroidFrame(s, IvfKmeans.centroids(s, d))
-    // chunk + embed: pure map-side (docChunk's explode/slice, then one
-    // bucket pass per token and a RagDim-long count fold per chunk)
-    val chunks = documents(s, d)
+    documents(s, d)
       .filter($"text".isNotNull) // family-wide NULL-text guard
       .select($"doc_id", split($"text", " ").as("ws"))
       .select($"doc_id", $"ws",
@@ -933,21 +948,69 @@ object CurationOps {
       .select($"doc_id", $"chunk_id", expr(
         s"transform(sequence(0, ${RagDim - 1}), i -> CAST(size(filter(bs, b -> b = CAST(i AS BIGINT))) AS DOUBLE))")
         .as("v"))
+  }
+
+  /** [[ragChunkVecs]] unit-L2-normalized (the [[IvfKmeans.withUnitV]]
+    * trick): squared L2 then ranks like cosine, so the coarse
+    * quantizer's nearest-centroid probe agrees with the exact-cosine
+    * ranking contract — without this, the count vectors' ~√tokens
+    * norms dominate the centroid distances and the probe loses the
+    * direction signal.
+    * sqrt/division are correctly-rounded IEEE ops on identical inputs,
+    * so both engines produce bit-identical coordinates. */
+  private def ragChunkUnitVecs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    ragChunkVecs(s, d)
+      .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
+      .select($"doc_id", $"chunk_id",
+        expr("CASE WHEN nrm > 0D THEN transform(v, x -> x / nrm) ELSE v END").as("v"))
+  }
+
+  /** Synthetic single-column chunk key for the quantizer fit (the fit
+    * machinery is keyed by one `vec_id`): doc_id·10⁶ + chunk_id —
+    * collision-free while documents stay under 32M tokens. */
+  private val RagKeyMul = 1000000L
+
+  /** The query vectors every RAG op probes with: the FIRST chunk of
+    * documents 0–4, embedded by the SAME embedder as the index
+    * ([[ragChunkUnitVecs]]) — a real RAG system embeds the incoming
+    * text query with the index's model, so query and corpus share one
+    * distribution by construction. (An earlier draft probed with the
+    * unrelated `embeddings` table's vectors; out-of-distribution
+    * queries measured recall@3 ≈ 0.47 however the quantizer was fit —
+    * the meter that caught it is [[docRagRecall]].) qid = the query
+    * document's id; retrieval excludes the query's own document, the
+    * standard passage-retrieval eval. */
+  private def ragQueryVecs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    ragChunkUnitVecs(s, d)
+      .filter($"doc_id" < 5 && $"chunk_id" === 0L)
+      .select($"doc_id".as("vec_id"), $"v")
+  }
+
+  def docRagE2e(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(s)
+    val cvu = ragChunkUnitVecs(s, d)
+      .withColumn("vec_id", $"doc_id" * RagKeyMul + $"chunk_id")
       .cache()
+    val cdf = IvfKmeans.centroidFrame(s,
+      IvfKmeans.centroidsFor(s, d, "ragchunk",
+        cvu.select($"vec_id", $"v"), fpTable = "documents"))
     // index: nearest-centroid list per chunk (broadcast centroids,
     // min_by keeps the aggregate partial — map-side at any scale)
-    val assigned = IvfKmeans.withDists(chunks, cdf)
-      .groupBy($"doc_id", $"chunk_id")
-      .agg(min_by($"list_id", struct($"dist", $"list_id")).as("list_id"))
-      .join(chunks, Seq("doc_id", "chunk_id"))
-    // retrieve: 2-probe per query, exact cosine within probed lists
-    val e = IvfKmeans.withV(s, d)
-    val probes = IvfKmeans.withDists(e.filter($"vec_id" < 5), cdf)
+    val assigned = IvfKmeans.assign(cvu.select($"vec_id", $"v"), cdf)
+      .join(cvu, "vec_id")
+    // retrieve: RagProbeLists-probe per query, exact cosine within
+    // probed lists
+    val probes = IvfKmeans.withDists(ragQueryVecs(s, d), cdf)
       .withColumn("rn", row_number().over(
         Window.partitionBy($"vec_id").orderBy($"dist", $"list_id")))
-      .filter($"rn" <= 2)
+      .filter($"rn" <= RagProbeLists)
       .select($"vec_id".as("qid"), $"v".as("qv"), $"list_id")
     val scored = probes.join(assigned, "list_id")
+      .filter($"doc_id" =!= $"qid") // never retrieve the query's own doc
       .select($"qid", $"doc_id", $"chunk_id",
         expr("cosine_sim(qv, v)").as("cos"))
     val w = Window.partitionBy($"qid")
@@ -958,9 +1021,20 @@ object CurationOps {
       .orderBy($"qid", $"rank")
     out
   }
-  val docRagE2eSql: String =
-    s"""${MlOps.ivfFitCtes},
-       |cwt AS (SELECT doc_id, string_split(text, ' ') AS ws
+  /** Shared oracle CTE chain for the RAG ops: chunking + hashed chunk
+    * embedding + unit normalization, the deterministic quantizer fit
+    * replay ON THE CHUNK VECTORS ([[MlOps.ivfFitCteList]] over `cvu` —
+    * its `af` CTE IS the chunk→list index), unit query vectors,
+    * 2-probe, probed exact-cosine scoring, and the probed result
+    * `ragres`. One definition feeds [[docRagE2eSql]] AND
+    * [[docRagRecallSql]], so the evaluation can never drift from the
+    * pipeline it measures. */
+  private lazy val ragCtesSql: String = {
+    val unitList =
+      "CASE WHEN sqrt(list_sum(list_transform(v, x -> x * x))) > 0 " +
+        "THEN list_transform(v, x -> x / sqrt(list_sum(list_transform(v, x -> x * x)))) " +
+        "ELSE v END"
+    s"""WITH cwt AS (SELECT doc_id, string_split(text, ' ') AS ws
        |        FROM documents WHERE text IS NOT NULL),
        |cix AS (SELECT doc_id, ws,
        |          unnest([i for i in range(0, ((len(ws) - 1) // $ChunkTokens) + 1)]) AS chunk_id
@@ -977,28 +1051,90 @@ object CurationOps {
        |         [CAST(len(list_filter(bs, b -> b = i)) AS DOUBLE)
        |          for i in range(0, $RagDim)] AS v
        |       FROM cbs),
-       |ca AS (
-       |  SELECT doc_id, chunk_id, list_id FROM (
-       |    SELECT cv.doc_id, cv.chunk_id, c.list_id,
-       |      row_number() OVER (PARTITION BY cv.doc_id, cv.chunk_id
-       |        ORDER BY list_sum(list_transform(list_zip(cv.v, c.c),
-       |                          p -> (p[1]-p[2])*(p[1]-p[2]))), c.list_id) AS rn
-       |    FROM cv CROSS JOIN c${IvfKmeans.Rounds} c) z
-       |  WHERE rn <= 1),
+       |cvu AS (SELECT doc_id, chunk_id, $unitList AS v FROM cv),
+       |${MlOps.ivfFitCteList(
+        s"  SELECT doc_id * $RagKeyMul + chunk_id AS vec_id, v FROM cvu")},
+       |qemb AS (
+       |  SELECT doc_id AS vec_id, v FROM cvu
+       |  WHERE doc_id < 5 AND chunk_id = 0),
        |probe AS (
-       |${MlOps.ivfAssignSelect(s"c${IvfKmeans.Rounds}", " WHERE e.vec_id < 5", 2)}),
+       |${MlOps.ivfAssignSelect(s"c${IvfKmeans.Rounds}", "", RagProbeLists, src = "qemb")}),
        |scored AS (
-       |  SELECT p.vec_id AS qid, cv.doc_id, cv.chunk_id,
-       |    list_cosine_similarity(q.v, cv.v) AS cos
+       |  SELECT p.vec_id AS qid,
+       |    CAST(e.vec_id // $RagKeyMul AS BIGINT) AS doc_id,
+       |    CAST(e.vec_id % $RagKeyMul AS BIGINT) AS chunk_id,
+       |    list_cosine_similarity(q.v, e.v) AS cos
        |  FROM probe p
-       |  JOIN ca ON ca.list_id = p.list_id
-       |  JOIN emb q ON q.vec_id = p.vec_id
-       |  JOIN cv ON cv.doc_id = ca.doc_id AND cv.chunk_id = ca.chunk_id)
-       |SELECT qid, rank, doc_id, CAST(chunk_id AS BIGINT) AS chunk_id FROM (
-       |  SELECT qid, doc_id, chunk_id,
-       |    CAST(row_number() OVER (PARTITION BY qid
-       |      ORDER BY cos DESC, doc_id, chunk_id) AS BIGINT) AS rank
-       |  FROM scored) z
-       |WHERE rank <= $RagTopK
+       |  JOIN af ON af.list_id = p.list_id
+       |  JOIN qemb q ON q.vec_id = p.vec_id
+       |  JOIN emb e ON e.vec_id = af.vec_id
+       |  WHERE e.vec_id // $RagKeyMul <> p.vec_id),
+       |ragres AS (
+       |  SELECT qid, rank, doc_id, chunk_id FROM (
+       |    SELECT qid, doc_id, chunk_id,
+       |      CAST(row_number() OVER (PARTITION BY qid
+       |        ORDER BY cos DESC, doc_id, chunk_id) AS BIGINT) AS rank
+       |    FROM scored) z
+       |  WHERE rank <= $RagTopK)""".stripMargin
+  }
+  lazy val docRagE2eSql: String =
+    s"""$ragCtesSql
+       |SELECT qid, rank, doc_id, chunk_id
+       |FROM ragres
        |ORDER BY qid, rank""".stripMargin
+
+  /** Retrieval-quality evaluation for [[docRagE2e]] — recall@
+    * [[RagTopK]] of the IVF-probed retrieval against the BRUTE-FORCE
+    * chunk ground truth, per query, in integer ppm: the measurement
+    * that justifies (or vetoes) the 2-of-16-lists probe before a
+    * 100 TB rollout, exactly as [[MlOps.simAnnRecall]] gates the LSH
+    * index. The brute side scores every chunk per query (labeled
+    * baseline — queries are eval-sized by construction, so cost is
+    * |queries|·|chunks|, corpus-linear); the probed side IS
+    * [[docRagE2e]] reused verbatim on both engines (the Spark
+    * function; `ragres` in the oracle), so the metric can never drift
+    * from what the pipeline actually retrieves. */
+  def docRagRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(s)
+    val rag = docRagE2e(s, d)
+      .select($"qid", $"doc_id", $"chunk_id").withColumn("hit", lit(1L))
+    val q = ragQueryVecs(s, d).select($"vec_id".as("qid"), $"v".as("qv"))
+    // brute ground truth: all chunks scored per query — unhinted cross
+    // (the query side is data-derived; AQE broadcasts it on size)
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"doc_id", $"chunk_id")
+    val truth = ragChunkUnitVecs(s, d).crossJoin(q)
+      .filter($"doc_id" =!= $"qid") // same own-doc exclusion as the pipeline
+      .select($"qid", $"doc_id", $"chunk_id",
+        expr("cosine_sim(qv, v)").as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= RagTopK)
+      .select($"qid", $"doc_id", $"chunk_id")
+    truth.join(rag, Seq("qid", "doc_id", "chunk_id"), "left")
+      .groupBy($"qid")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce($"hit", lit(0L))).as("n_hit"))
+      .select($"qid", $"n_true", $"n_hit",
+        expr("(1000000L * n_hit) div n_true").as("recall_ppm"))
+      .orderBy($"qid")
+  }
+  lazy val docRagRecallSql: String =
+    s"""$ragCtesSql,
+       |truth AS (
+       |  SELECT qid, doc_id, chunk_id FROM (
+       |    SELECT q.vec_id AS qid, cvu.doc_id, cvu.chunk_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(q.v, cvu.v) DESC,
+       |                 cvu.doc_id, cvu.chunk_id) AS rank
+       |    FROM qemb q CROSS JOIN cvu
+       |    WHERE cvu.doc_id <> q.vec_id) z
+       |  WHERE rank <= $RagTopK)
+       |SELECT t.qid, count(*) AS n_true,
+       |  CAST(sum(CASE WHEN r.qid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  CAST((1000000 * sum(CASE WHEN r.qid IS NOT NULL THEN 1 ELSE 0 END))
+       |    // count(*) AS BIGINT) AS recall_ppm
+       |FROM truth t LEFT JOIN ragres r
+       |  ON r.qid = t.qid AND r.doc_id = t.doc_id AND r.chunk_id = t.chunk_id
+       |GROUP BY t.qid ORDER BY t.qid""".stripMargin
 }

@@ -35,6 +35,18 @@ object IvfKmeans {
     cache.computeIfAbsent(d, _ => loadOrFit(s, d, "ivf",
       withV(s, d).select(col("vec_id"), col("v"))))
 
+  /** Fit (or load) the same deterministic quantizer on an ARBITRARY
+    * keyed vector frame — (vec_id, v) — under its own cache tag: the
+    * generic index-build entry point ([[graft.operators.CurationOps]]
+    * fits on unit-normalized CHUNK vectors through here, because an
+    * IVF quantizer only partitions well the distribution it was fit
+    * on). `fpTable` names the source table whose file fingerprint
+    * keys the on-disk artifact (the corpus file the vectors actually
+    * derive from). */
+  def centroidsFor(s: SparkSession, d: String, tag: String,
+      input: DataFrame, fpTable: String): Array[Array[Double]] =
+    cache.computeIfAbsent(s"$d#$tag", _ => loadOrFit(s, d, tag, input, fpTable))
+
   /** PQ codebook for subspace `m` of [[MlOps.simAnnPq]]: the same
     * deterministic fit, run on a `subDim`-wide slice of the unit-
     * normalized vector — an index artifact exactly like the IVF
@@ -66,12 +78,13 @@ object IvfKmeans {
     * at the same path every round — the key changes and the stale
     * artifact is simply never found, instead of silently feeding wrong
     * assignments to every IVF op. */
-  private def centroidPath(s: SparkSession, d: String, tag: String): String = {
+  private def centroidPath(s: SparkSession, d: String, tag: String,
+      fpTable: String = "embeddings"): String = {
     val root = s.conf.getOption("spark.graft.indexRoot")
       .getOrElse(System.getProperty("java.io.tmpdir") + "/graft_ivf")
     val fingerprint =
       try {
-        val p = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+        val p = new org.apache.hadoop.fs.Path(s"$d/$fpTable.parquet")
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.listStatus(p).sortBy(_.getPath.toString)
           .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
@@ -89,8 +102,8 @@ object IvfKmeans {
     * call (new JVM, same corpus). A missing/corrupt/wrong-cardinality
     * artifact falls back to a fresh fit. */
   private def loadOrFit(s: SparkSession, d: String, tag: String,
-      input: DataFrame): Array[Array[Double]] = {
-    val path = centroidPath(s, d, tag)
+      input: DataFrame, fpTable: String = "embeddings"): Array[Array[Double]] = {
+    val path = centroidPath(s, d, tag, fpTable)
     val loaded: Option[Array[Array[Double]]] =
       try {
         val p = new org.apache.hadoop.fs.Path(path)

@@ -318,13 +318,14 @@ object MlOps {
   /** DuckDB assignment subquery against centroid CTE `cfrom` —
     * shared by the fit replay, the probe, and every consumer of the
     * final assignment. */
-  private[operators] def ivfAssignSelect(cfrom: String, where: String, rnBound: Int): String =
+  private[operators] def ivfAssignSelect(cfrom: String, where: String, rnBound: Int,
+      src: String = "emb"): String =
     s"""  SELECT vec_id, list_id FROM (
        |    SELECT e.vec_id, c.list_id,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY list_sum(list_transform(list_zip(e.v, c.c),
        |                          p -> (p[1]-p[2])*(p[1]-p[2]))), c.list_id) AS rn
-       |    FROM emb e CROSS JOIN $cfrom c$where) z
+       |    FROM $src e CROSS JOIN $cfrom c$where) z
        |  WHERE rn <= $rnBound""".stripMargin
 
   /** The full DuckDB replay of the deterministic [[IvfKmeans]] fit:
@@ -333,7 +334,18 @@ object MlOps {
     * and [[clusterSampleSql]] so the two oracles can never drift.
     * `private[operators]` so [[CurationOps.docRagE2eSql]] chains the
     * SAME fit replay (one quantizer definition repo-wide). */
-  private[operators] val ivfFitCtes: String = {
+  private[operators] val ivfFitCtes: String =
+    "WITH " + ivfFitCteList(
+      "  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings")
+
+  /** The fit replay as a bare CTE LIST (no leading WITH), with the
+    * vector source parameterized: `embBody` must select (vec_id, v).
+    * Lets a caller fit the SAME deterministic quantizer on any keyed
+    * vector set — [[CurationOps.docRagE2eSql]] fits on unit-normalized
+    * CHUNK vectors by passing its own source and prepending its chunk
+    * CTEs. Emits `emb` (the input), `c0`..`c<Rounds>` (the Lloyd
+    * iterates) and `af` (final assignment of every input vector). */
+  private[operators] def ivfFitCteList(embBody: String): String = {
     val rounds = (1 to IvfKmeans.Rounds).map { r =>
       s"""a$r AS (
          |${ivfAssignSelect(s"c${r - 1}", "", 1)}),
@@ -348,8 +360,8 @@ object MlOps {
          |    (SELECT list_id, list(cx ORDER BY i) AS c FROM m$r GROUP BY list_id) n
          |  USING (list_id))""".stripMargin
     }.mkString(",\n")
-    s"""WITH emb AS (
-       |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+    s"""emb AS (
+       |$embBody),
        |c0 AS (
        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS list_id,
        |         v AS c

@@ -24,6 +24,21 @@ class Round15OpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("rag recall: probed retrieval recalls most of the brute-force truth") {
+    import spark.implicits._
+    val rec = CurationOps.docRagRecall(spark, sf0001).cache()
+    assert(rec.count() == 5) // one row per query doc
+    // every query reports a full truth set and a sane ppm
+    assert(rec.filter($"n_true" =!= CurationOps.RagTopK).count() == 0)
+    assert(rec.filter($"recall_ppm" < 0L || $"recall_ppm" > 1000000L).count() == 0)
+    // the floor the 4-of-16 probe was tuned to (avg 0.80 measured on
+    // this corpus; ≥ 0.6 guards against an index/probe regression
+    // without overfitting the exact draw)
+    val meanPpm = rec.agg(avg($"recall_ppm")).head.getDouble(0)
+    assert(meanPpm >= 600000.0, s"avg recall_ppm $meanPpm below tuned floor")
+    rec.unpersist()
+  }
+
   test("dedup report: one row per source, flag counts bounded and span column cross-checks") {
     import spark.implicits._
     val out = DedupOps.dedupReport(spark, sf0001).cache()
