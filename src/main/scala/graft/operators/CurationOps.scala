@@ -945,9 +945,11 @@ object CurationOps {
         expr(s"slice(ws, chunk_id * $ChunkTokens + 1, $ChunkTokens)").as("cw"))
       .withColumn("bs", expr(
         s"transform(cw, t -> CAST(conv(substring(md5(t), 1, 2), 16, 10) AS BIGINT) % $RagDim)"))
-      .select($"doc_id", $"chunk_id", expr(
-        s"transform(sequence(0, ${RagDim - 1}), i -> CAST(size(filter(bs, b -> b = CAST(i AS BIGINT))) AS DOUBLE))")
-        .as("v"))
+      // one-pass native histogram (graft.functions.BucketCounts):
+      // counts are exact integers, so it is value-identical to the
+      // oracle's per-bucket list-comprehension replay
+      .select($"doc_id", $"chunk_id",
+        expr(s"bucket_counts(bs, $RagDim)").as("v"))
   }
 
   /** [[ragChunkVecs]] unit-L2-normalized (the [[IvfKmeans.withUnitV]]

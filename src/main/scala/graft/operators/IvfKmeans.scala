@@ -141,10 +141,14 @@ object IvfKmeans {
   /** Squared distance to every centroid: broadcast the k-row centroid
     * table, accumulate (x-y)² in index order — the same sequential
     * double accumulation DuckDB's list_sum performs on the zipped
-    * list, so distances are bit-identical across engines. */
-  def withDists(e: DataFrame, cdf: DataFrame): DataFrame =
-    e.crossJoin(broadcast(cdf)).withColumn("dist",
-      expr("aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), 0D, (acc, z) -> acc + z)"))
+    * list, so distances are bit-identical across engines. The loop is
+    * the native [[graft.functions.SqDist]] kernel (round-15: the
+    * interpreted aggregate(zip_with(…)) lambda dominated the corpus×k
+    * assignment scan once the chunk index grew to sf0.1 size). */
+  def withDists(e: DataFrame, cdf: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(e.sparkSession)
+    e.crossJoin(broadcast(cdf)).withColumn("dist", expr("sq_dist(v, c)"))
+  }
 
   /** (vec_id, list_id): nearest centroid, ties to the lowest list id.
     * min_by keeps the aggregation partial (map-side) — no row blowup
