@@ -195,8 +195,10 @@ object TextOps {
     * and emit the cleaned text (as md5 + counts, the textRedact
     * O(1)-compare trick). A gram window whose gram already occurred
     * earlier in the same doc marks its 3 token positions for removal;
-    * kept tokens preserve order; the first occurrence always survives,
-    * so information is never lost, only its repeats — the
+    * kept tokens preserve order. Disjoint repeats keep their first
+    * occurrence intact; a SELF-overlapping run ("the the the …") has
+    * its later windows cover all but the run's first token, so the run
+    * collapses to one token (EdgeCaseSpec pins both outcomes) — the
     * RefinedWeb/Gopher "remove intra-doc repetition, keep one copy"
     * production step.
     *

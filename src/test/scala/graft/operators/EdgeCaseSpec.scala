@@ -76,6 +76,33 @@ class EdgeCaseSpec extends SparkSpec {
       .filter($"src_a" === "src2" && $"src_b" === "src3").count() == 1)
   }
 
+  test("round-15 ops survive the edge corpus") {
+    import spark.implicits._
+    Seq[(String, org.apache.spark.sql.DataFrame)](
+      "text_repetition_remove" -> TextOps.textRepetitionRemove(spark, dir),
+      "mm_dedup_near" -> MultimodalOps.mmDedupNear(spark, dir),
+      "dedup_report" -> DedupOps.dedupReport(spark, dir),
+      "dedup_stream_incremental" -> DedupOps.dedupStreamIncremental(spark, dir),
+      "doc_rag_e2e" -> CurationOps.docRagE2e(spark, dir),
+      "doc_rag_recall" -> CurationOps.docRagRecall(spark, dir)
+    ).foreach { case (name, df) => assertNoNulls(df, name) }
+    // pure-repetition doc 7 ("the" × 6): grams 1-3 are all repeats of
+    // gram 0, and their overlapping windows cover positions 1-5 — the
+    // run collapses to its single first token (the Gopher-style
+    // outcome for a self-repeating run)
+    val rep = TextOps.textRepetitionRemove(spark, dir)
+      .filter($"doc_id" === 7L).collect()(0)
+    assert(rep.getLong(2) == 5L)
+    assert(rep.getString(3) ==
+      spark.sql("SELECT md5('the')").head.getString(0))
+    // NULL-text doc 8 is excluded everywhere (family-wide guard)
+    assert(TextOps.textRepetitionRemove(spark, dir).filter($"doc_id" === 8L).count() == 0)
+    // the planted exact dup (5, 6) shares every perceptual field →
+    // must surface as a media near-dup pair
+    assert(MultimodalOps.mmDedupNear(spark, dir)
+      .filter($"da" === 5L && $"db" === 6L).count() == 1)
+  }
+
   test("degenerate docs fall out of the admissible sets, never crash them") {
     import spark.implicits._
     // empty + 1-token docs have no bigrams → excluded from LM coverage
