@@ -467,6 +467,137 @@ object TextOps {
       |SELECT pair, count(*) AS n FROM pairs
       |GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin
 
+  /** Merge rounds for [[textBpeTrain]] — enough to exercise chained
+    * merges (later rounds pair earlier MERGED symbols) while keeping
+    * the unrolled oracle replay tractable, the [[IvfKmeans.Rounds]]
+    * discipline applied to tokenizer training. */
+  val BpeMerges = 4
+
+  /** BPE tokenizer TRAINING (Sennrich et al. 2016) — the full
+    * iterative loop [[textBpePairs]] is the inner step of, run to
+    * [[BpeMerges]] merges and emitting the learned merge table (rank,
+    * pair, merged symbol, weighted pair count): THE tokenizer-training
+    * artifact an LLM data pipeline ships alongside the corpus.
+    *
+    * Scale shape: the corpus collapses to the DISTINCT-word dictionary
+    * with counts in ONE aggregation (at 100 TB the dictionary is
+    * catalog-sized — this is exactly how production BPE trainers run,
+    * on word counts, never on raw text); every round then works
+    * dictionary-sized data: pair counting is a map-side explode +
+    * partial-aggregated sum weighted by word counts, the argmax pair
+    * is a 1-row driver artifact (the model parameter itself, the
+    * [[IvfKmeans]] centroid discipline), and the merge applies as a
+    * per-word greedy left-to-right fold — one map-side `aggregate`
+    * expression, no shuffle.
+    *
+    * Cross-engine: the Spark fold (carry/emit state machine) and the
+    * oracle's relational replay (gaps-and-islands parity selection
+    * over match positions) are different formulations of the SAME
+    * greedy non-overlapping rule — overlapping matches chain only in
+    * uniform-symbol runs, where greedy keeps even offsets — so the
+    * learned tables agree exactly; ties rank (count DESC, pair). */
+  def textBpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def esc(x: String) = x.replace("'", "''")
+    var vocab = documents(s, d)
+      .filter($"text".isNotNull)
+      .select(explode(toks($"text")).as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("cnt"))
+      .withColumn("syms", expr("regexp_extract_all(word, '.', 0)"))
+      .cache()
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var r = 0
+    var exhausted = false
+    while (r < BpeMerges && !exhausted) {
+      val best = vocab.filter(size($"syms") >= 2)
+        .select($"cnt", explode(expr(
+          "transform(sequence(0, size(syms) - 2), i -> struct(syms[i] AS a, syms[i+1] AS b))")).as("p"))
+        .groupBy($"p.a".as("a"), $"p.b".as("b")).agg(sum($"cnt").as("n"))
+        .orderBy($"n".desc, $"a", $"b").limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r + 1L, a, b, a + b, n))
+        // greedy left-to-right non-overlapping merge, one fold per word
+        val prev = vocab
+        vocab = vocab.withColumn("syms", expr(
+          s"""aggregate(syms,
+             |  named_struct('out', CAST(array() AS array<string>), 'carry', CAST(NULL AS string)),
+             |  (st, s) -> CASE
+             |    WHEN st.carry IS NULL THEN named_struct('out', st.out, 'carry', s)
+             |    WHEN st.carry = '${esc(a)}' AND s = '${esc(b)}'
+             |      THEN named_struct('out', concat(st.out, array('${esc(a + b)}')), 'carry', CAST(NULL AS string))
+             |    ELSE named_struct('out', concat(st.out, array(st.carry)), 'carry', s) END,
+             |  st -> CASE WHEN st.carry IS NULL THEN st.out
+             |             ELSE concat(st.out, array(st.carry)) END)""".stripMargin))
+          .cache()
+        vocab.count() // materialize before releasing the parent
+        prev.unpersist()
+        r += 1
+      }
+    }
+    val out = merges.result()
+    vocab.unpersist()
+    s.createDataFrame(out).toDF("rank", "sym_a", "sym_b", "merged", "pair_n")
+      .orderBy($"rank")
+  }
+  /** DuckDB replay: same dictionary, same per-round argmax, and the
+    * merge applied via gaps-and-islands parity selection (positions
+    * matching the pair, grouped into consecutive runs, even offsets
+    * kept) — the relational equivalent of Spark's greedy fold. Rounds
+    * unrolled as CTE blocks, the [[graft.operators.MlOps]] Lloyd-fit
+    * pattern. */
+  val textBpeTrainSql: String = {
+    val rounds = (1 to BpeMerges).map { r =>
+      val p = r - 1
+      s"""p$r AS (
+         |  SELECT syms[i] AS a, syms[i+1] AS b, CAST(sum(cnt) AS BIGINT) AS n
+         |  FROM (SELECT cnt, syms, unnest([i for i in range(1, len(syms))]) AS i
+         |        FROM v$p WHERE len(syms) >= 2) z
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT a, b, n FROM p$r ORDER BY n DESC, a, b LIMIT 1),
+         |e$r AS (
+         |  SELECT v.word, v.cnt, generate_subscripts(v.syms, 1) AS i, unnest(v.syms) AS s
+         |  FROM v$p v),
+         |m$r AS (
+         |  SELECT e.*, lead(e.s) OVER (PARTITION BY e.word ORDER BY e.i) AS s2
+         |  FROM e$r e),
+         |mm$r AS (
+         |  SELECT m.*, COALESCE(m.s = b.a AND m.s2 = b.b, FALSE) AS pm
+         |  FROM m$r m CROSS JOIN b$r b),
+         |sel$r AS (
+         |  SELECT word, i FROM (
+         |    SELECT word, i,
+         |      (i - min(i) OVER (PARTITION BY word, grp)) % 2 AS par
+         |    FROM (SELECT word, i,
+         |            i - row_number() OVER (PARTITION BY word ORDER BY i) AS grp
+         |          FROM mm$r WHERE pm) g) z
+         |  WHERE par = 0),
+         |v$r AS (
+         |  SELECT mm.word, mm.cnt,
+         |    list(CASE WHEN sl.i IS NOT NULL THEN mm.s || mm.s2 ELSE mm.s END
+         |         ORDER BY mm.i) AS syms
+         |  FROM mm$r mm
+         |  LEFT JOIN sel$r sl ON sl.word = mm.word AND sl.i = mm.i
+         |  LEFT JOIN sel$r sp ON sp.word = mm.word AND sp.i = mm.i - 1
+         |  WHERE sp.i IS NULL
+         |  GROUP BY mm.word, mm.cnt)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to BpeMerges).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS rank, a AS sym_a, b AS sym_b, a || b AS merged, n AS pair_n FROM b$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH w AS (
+       |  SELECT word, count(*) AS cnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word
+       |    FROM documents WHERE text IS NOT NULL) t
+       |  GROUP BY word),
+       |v0 AS (SELECT word, cnt, regexp_extract_all(word, '.') AS syms FROM w),
+       |$rounds
+       |  $union
+       |ORDER BY rank""".stripMargin
+  }
+
   /** Corpus n-gram LM counts: token bigrams and trigrams, top 25 per
     * order by frequency — the count table a KenLM-style quality or
     * perplexity filter is built from. Same inverted-index shape as the

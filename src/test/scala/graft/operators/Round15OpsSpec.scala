@@ -96,6 +96,25 @@ class Round15OpsSpec extends SparkSpec {
     assert(corpus.filter($"n_removed" >= $"n_tokens").count() == 0)
   }
 
+  test("bpe train: greedy overlap parity, chained merges, early exhaustion") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe").toString
+    // three "aaaa" occurrences + one "ab": round 1 must merge (a,a)
+    // with weight 9 (3 overlapping pairs × 3 occurrences, greedy takes
+    // even offsets), round 2 chains onto the MERGED symbol ((aa,aa) →
+    // aaaa), round 3 takes the leftover (a,b), round 4 finds no pair
+    // and the loop stops early
+    Seq((0L, "aaaa aaaa ab"), (1L, "aaaa"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextOps.textBpeTrain(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(rows.toSeq == Seq(
+      (1L, "a", "a", "aa", 9L),
+      (2L, "aa", "aa", "aaaa", 3L),
+      (3L, "a", "b", "ab", 1L)))
+  }
+
   test("media near-dup pairs share a perceptual key and feed the pipeline's keep-one") {
     import spark.implicits._
     val out = MultimodalOps.mmDedupNear(spark, sf0001).cache()
