@@ -326,6 +326,7 @@ object OpRegistry {
     op("text_repetition", TextOps.textRepetition, TextOps.textRepetitionSql),
     op("text_repetition_remove", TextOps.textRepetitionRemove, TextOps.textRepetitionRemoveSql),
     op("text_bpe_train", TextOps.textBpeTrain, TextOps.textBpeTrainSql),
+    op("text_bpe_encode", TextOps.textBpeEncode, TextOps.textBpeEncodeSql),
     op("text_pii", TextOps.textPii, TextOps.textPiiSql),
     op("text_simhash_by_source", TextOps.textSimhashBySource, TextOps.textSimhashBySourceSql),
     op("text_dup_ratio", TextOps.textDupRatio, TextOps.textDupRatioSql),

@@ -498,6 +498,20 @@ object TextOps {
     * learned tables agree exactly; ties rank (count DESC, pair). */
   def textBpeTrain(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val (merges, vocab) = bpeFit(s, d)
+    vocab.unpersist()
+    s.createDataFrame(merges).toDF("rank", "sym_a", "sym_b", "merged", "pair_n")
+      .orderBy($"rank")
+  }
+
+  /** The shared BPE fit: learned merge list + the final (word → syms)
+    * vocabulary frame (returned CACHED — callers unpersist). One
+    * implementation under [[textBpeTrain]] (emits the merges) and
+    * [[textBpeEncode]] (applies the vocabulary), so trainer and
+    * encoder can never disagree. */
+  private def bpeFit(s: SparkSession, d: String)
+      : (Seq[(Long, String, String, String, Long)], DataFrame) = {
+    import s.implicits._
     def esc(x: String) = x.replace("'", "''")
     var vocab = documents(s, d)
       .filter($"text".isNotNull)
@@ -537,18 +551,68 @@ object TextOps {
         r += 1
       }
     }
-    val out = merges.result()
-    vocab.unpersist()
-    s.createDataFrame(out).toDF("rank", "sym_a", "sym_b", "merged", "pair_n")
-      .orderBy($"rank")
+    (merges.result(), vocab)
   }
+
+  /** BPE ENCODING — the inference side of [[textBpeTrain]]: tokenize
+    * every document with the learned merges and report the per-doc
+    * BPE token count plus an md5 of the full symbol stream (the
+    * textRedact O(1)-compare trick; symbols joined by ' ' within a
+    * word, words by ' | '). At scale the encoder is the same shape
+    * production uses: the corpus re-tokenizes through a JOIN against
+    * the dictionary-sized (word → symbols) table — raw text is never
+    * re-scanned per merge — and the per-doc rollup is one
+    * partial-aggregated groupBy. The oracle replays the identical
+    * fit (shared CTE prefix with [[textBpeTrainSql]]) and encodes by
+    * the same join, so trainer and encoder stay in lockstep. NULL-text
+    * docs are excluded (family-wide guard). */
+  def textBpeEncode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val (_, vocab) = bpeFit(s, d)
+    val words = documents(s, d)
+      .filter($"text".isNotNull)
+      .select($"doc_id", posexplode(toks($"text")).as(Seq("pos", "word")))
+    val enc = words.join(vocab.select($"word", $"syms"), "word")
+      .select($"doc_id", $"pos",
+        size($"syms").cast("long").as("n_syms"),
+        concat_ws(" ", $"syms").as("wenc"))
+    val out = enc.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum($"n_syms").as("n_bpe"),
+        md5(concat_ws(" | ", array_sort(collect_list(struct($"pos", $"wenc")))
+          .getField("wenc"))).as("enc_md5"))
+      .orderBy($"doc_id")
+    vocab.unpersist()
+    out
+  }
+  /** Shares the fit CTEs with [[textBpeTrainSql]] via
+    * [[bpeFitCtesSql]]; encoding joins v[[BpeMerges]]. */
+  lazy val textBpeEncodeSql: String =
+    s"""$bpeFitCtesSql
+       |, wpos AS (
+       |  SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS word
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+       |        FROM documents WHERE text IS NOT NULL) t),
+       |wenc AS (
+       |  SELECT w.doc_id, w.pos,
+       |    CAST(len(v.syms) AS BIGINT) AS n_syms,
+       |    array_to_string(v.syms, ' ') AS wenc
+       |  FROM wpos w JOIN v$BpeMerges v ON v.word = w.word)
+       |SELECT doc_id, count(*) AS n_words,
+       |  CAST(sum(n_syms) AS BIGINT) AS n_bpe,
+       |  md5(string_agg(wenc, ' | ' ORDER BY pos)) AS enc_md5
+       |FROM wenc GROUP BY doc_id ORDER BY doc_id""".stripMargin
   /** DuckDB replay: same dictionary, same per-round argmax, and the
     * merge applied via gaps-and-islands parity selection (positions
     * matching the pair, grouped into consecutive runs, even offsets
     * kept) — the relational equivalent of Spark's greedy fold. Rounds
     * unrolled as CTE blocks, the [[graft.operators.MlOps]] Lloyd-fit
     * pattern. */
-  val textBpeTrainSql: String = {
+  /** Fit prefix shared by [[textBpeTrainSql]] and [[textBpeEncodeSql]]:
+    * word dictionary, the unrolled merge rounds, final vocab
+    * v[[BpeMerges]]. */
+  private lazy val bpeFitCtesSql: String = {
     val rounds = (1 to BpeMerges).map { r =>
       val p = r - 1
       s"""p$r AS (
@@ -584,16 +648,19 @@ object TextOps {
          |  WHERE sp.i IS NULL
          |  GROUP BY mm.word, mm.cnt)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to BpeMerges).map(r =>
-      s"SELECT CAST($r AS BIGINT) AS rank, a AS sym_a, b AS sym_b, a || b AS merged, n AS pair_n FROM b$r")
-      .mkString("\n  UNION ALL ")
     s"""WITH w AS (
        |  SELECT word, count(*) AS cnt FROM (
        |    SELECT unnest(string_split(text, ' ')) AS word
        |    FROM documents WHERE text IS NOT NULL) t
        |  GROUP BY word),
        |v0 AS (SELECT word, cnt, regexp_extract_all(word, '.') AS syms FROM w),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+  lazy val textBpeTrainSql: String = {
+    val union = (1 to BpeMerges).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS rank, a AS sym_a, b AS sym_b, a || b AS merged, n AS pair_n FROM b$r")
+      .mkString("\n  UNION ALL ")
+    s"""$bpeFitCtesSql
        |  $union
        |ORDER BY rank""".stripMargin
   }
