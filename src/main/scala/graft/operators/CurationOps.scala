@@ -1085,6 +1085,63 @@ object CurationOps {
        |FROM ragres
        |ORDER BY qid, rank""".stripMargin
 
+  /** [[docRagE2e]]'s 100 TB shape made literal, the chunk-side sibling
+    * of [[MlOps.simAnnIvfIndex]]: the assigned chunk table is WRITTEN
+    * as list-partitioned parquet (`list_id=<k>/` directories, under
+    * the configurable index root, corpus-keyed overwrite like
+    * [[docPartitionedSink]] so reruns never accumulate trees) and the
+    * probe READS ONLY its probed list partitions — Spark partition
+    * pruning turns the [[RagProbeLists]]-of-16 probe into
+    * 4-of-16ths I/O, which is the entire point of IVF at retrieval
+    * scale. Same ranking contract and the SAME oracle as
+    * [[docRagE2e]]: the on-disk layout must not change the answer.
+    * ScaleSpec pins the PartitionFilters-only read. */
+  def docRagIndex(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(s)
+    val cvu = ragChunkUnitVecs(s, d)
+      .withColumn("vec_id", $"doc_id" * RagKeyMul + $"chunk_id")
+      .cache()
+    val cdf = IvfKmeans.centroidFrame(s,
+      IvfKmeans.centroidsFor(s, d, "ragchunk",
+        cvu.select($"vec_id", $"v"), fpTable = "documents"))
+    val root = s.conf.getOption("spark.graft.indexRoot")
+      .getOrElse(System.getProperty("java.io.tmpdir") + "/graft_ivf")
+    val dir = s"$root/rag_idx_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    IvfKmeans.assign(cvu.select($"vec_id", $"v"), cdf)
+      .join(cvu, "vec_id")
+      .select($"doc_id", $"chunk_id", $"v", $"list_id")
+      .write.mode("overwrite").partitionBy("list_id").parquet(dir)
+    val probes = IvfKmeans.withDists(ragQueryVecs(s, d), cdf)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"dist", $"list_id")))
+      .filter($"rn" <= RagProbeLists)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"list_id")
+      .cache()
+    // probe set resolved driver-side: queries × RagProbeLists rows,
+    // tiny by construction at any scale
+    val probedLists = probes.select("list_id").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val index = s.read.parquet(dir).filter($"list_id".isin(probedLists: _*))
+    val scored = probes.join(index, "list_id")
+      .filter($"doc_id" =!= $"qid")
+      .select($"qid", $"doc_id", $"chunk_id",
+        expr("cosine_sim(qv, v)").as("cos"))
+    val w = Window.partitionBy($"qid")
+      .orderBy($"cos".desc, $"doc_id", $"chunk_id")
+    val out = scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= RagTopK)
+      .select($"qid", $"rank", $"doc_id", $"chunk_id")
+      .orderBy($"qid", $"rank")
+    cvu.unpersist()
+    out
+  }
+  /** The layout must not change the answer. */
+  lazy val docRagIndexSql: String = docRagE2eSql
+
   /** Retrieval-quality evaluation for [[docRagE2e]] — recall@
     * [[RagTopK]] of the IVF-probed retrieval against the BRUTE-FORCE
     * chunk ground truth, per query, in integer ppm: the measurement

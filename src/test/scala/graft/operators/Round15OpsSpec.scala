@@ -42,6 +42,13 @@ class Round15OpsSpec extends SparkSpec {
     rec.unpersist()
   }
 
+  test("rag index: the on-disk list-partitioned layout does not change the answer") {
+    val mem = CurationOps.docRagE2e(spark, sf0001)
+    val disk = CurationOps.docRagIndex(spark, sf0001)
+    assert(disk.count() == mem.count())
+    assert(disk.exceptAll(mem).isEmpty && mem.exceptAll(disk).isEmpty)
+  }
+
   test("dedup report: one row per source, flag counts bounded and span column cross-checks") {
     import spark.implicits._
     val out = DedupOps.dedupReport(spark, sf0001).cache()
