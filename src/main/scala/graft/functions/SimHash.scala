@@ -106,5 +106,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("sq_dist"),
+      new ExpressionInfo(classOf[SqDist].getName, "sq_dist"),
+      (exprs: Seq[Expression]) => SqDist(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("bucket_counts"),
+      new ExpressionInfo(classOf[BucketCounts].getName, "bucket_counts"),
+      (exprs: Seq[Expression]) => BucketCounts(exprs(0), exprs(1))))
   }
 }
