@@ -923,8 +923,8 @@ object CurationOps {
     *
     * At 100 TB the assigned-chunk table is list-partitioned parquet
     * ([[MlOps.simAnnIvfIndex]] is that shape made literal) and a query
-    * touches 2/16ths of the chunk corpus — the IVF bargain applied to
-    * retrieval. The oracle chains [[MlOps.ivfFitCtes]] (the identical
+    * touches [[RagProbeLists]]/16ths (4-of-16) of the chunk corpus —
+    * the IVF bargain applied to retrieval. The oracle chains [[MlOps.ivfFitCtes]] (the identical
     * quantizer replay) + [[docChunkSql]]'s chunk CTEs, so neither the
     * chunker nor the index definition can drift from the standalone
     * ops. Output is integer-only (qid, rank, doc_id, chunk_id). */
@@ -1021,13 +1021,18 @@ object CurationOps {
       .filter($"rank" <= RagTopK)
       .select($"qid", $"rank", $"doc_id", $"chunk_id")
       .orderBy($"qid", $"rank")
-    out
+    // materialize (queries × RagTopK — tiny by construction) so cvu
+    // can be released before returning (the simAnnIvfIndex pattern)
+    import scala.jdk.CollectionConverters._
+    val rows = out.collect().toSeq
+    cvu.unpersist()
+    s.createDataFrame(rows.asJava, out.schema)
   }
   /** Shared oracle CTE chain for the RAG ops: chunking + hashed chunk
     * embedding + unit normalization, the deterministic quantizer fit
     * replay ON THE CHUNK VECTORS ([[MlOps.ivfFitCteList]] over `cvu` —
     * its `af` CTE IS the chunk→list index), unit query vectors,
-    * 2-probe, probed exact-cosine scoring, and the probed result
+    * [[RagProbeLists]]-probe, probed exact-cosine scoring, and the probed result
     * `ragres`. One definition feeds [[docRagE2eSql]] AND
     * [[docRagRecallSql]], so the evaluation can never drift from the
     * pipeline it measures. */
@@ -1095,7 +1100,8 @@ object CurationOps {
     * 4-of-16ths I/O, which is the entire point of IVF at retrieval
     * scale. Same ranking contract and the SAME oracle as
     * [[docRagE2e]]: the on-disk layout must not change the answer.
-    * ScaleSpec pins the PartitionFilters-only read. */
+    * ScaleSpec pins the PartitionFilters-only read
+    * (via [[ragProbedIndexRead]], the exact read path this op uses). */
   def docRagIndex(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -1106,11 +1112,7 @@ object CurationOps {
     val cdf = IvfKmeans.centroidFrame(s,
       IvfKmeans.centroidsFor(s, d, "ragchunk",
         cvu.select($"vec_id", $"v"), fpTable = "documents"))
-    val root = s.conf.getOption("spark.graft.indexRoot")
-      .getOrElse(System.getProperty("java.io.tmpdir") + "/graft_ivf")
-    val dir = s"$root/rag_idx_" +
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val dir = ragIndexDir(s, d)
     IvfKmeans.assign(cvu.select($"vec_id", $"v"), cdf)
       .join(cvu, "vec_id")
       .select($"doc_id", $"chunk_id", $"v", $"list_id")
@@ -1125,7 +1127,7 @@ object CurationOps {
     // tiny by construction at any scale
     val probedLists = probes.select("list_id").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val index = s.read.parquet(dir).filter($"list_id".isin(probedLists: _*))
+    val index = ragProbedIndexRead(s, dir, probedLists)
     val scored = probes.join(index, "list_id")
       .filter($"doc_id" =!= $"qid")
       .select($"qid", $"doc_id", $"chunk_id",
@@ -1136,16 +1138,45 @@ object CurationOps {
       .filter($"rank" <= RagTopK)
       .select($"qid", $"rank", $"doc_id", $"chunk_id")
       .orderBy($"qid", $"rank")
-    cvu.unpersist()
-    out
+    // materialize the tiny result so BOTH caches release here (probes
+    // previously stayed pinned for the session — ADVICE r15); the
+    // on-disk index deliberately survives for the append lifecycle
+    import scala.jdk.CollectionConverters._
+    val rows = out.collect().toSeq
+    cvu.unpersist(); probes.unpersist()
+    s.createDataFrame(rows.asJava, out.schema)
   }
   /** The layout must not change the answer. */
   lazy val docRagIndexSql: String = docRagE2eSql
 
+  /** Deterministic corpus-keyed location of the on-disk RAG index —
+    * md5 of the corpus dir under the configurable index root, so
+    * reruns overwrite instead of accumulating trees and the APPEND
+    * lifecycle ([[docRagIndexAppend]]) can find the index
+    * [[docRagIndex]] wrote. */
+  private[graft] def ragIndexDir(s: SparkSession, d: String): String = {
+    val root = s.conf.getOption("spark.graft.indexRoot")
+      .getOrElse(System.getProperty("java.io.tmpdir") + "/graft_ivf")
+    s"$root/rag_idx_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** THE probed read of the on-disk RAG index: an `isin` over the
+    * partition column, which Spark turns into `PartitionFilters` —
+    * only the probed `list_id=` directories are listed or read
+    * (4-of-16ths I/O). Package-private so ScaleSpec pins the scan
+    * shape of the exact code path [[docRagIndex]] executes. */
+  private[graft] def ragProbedIndexRead(
+      s: SparkSession, dir: String, lists: Seq[Int]): DataFrame = {
+    import s.implicits._
+    s.read.parquet(dir).filter($"list_id".isin(lists: _*))
+  }
+
   /** Retrieval-quality evaluation for [[docRagE2e]] — recall@
     * [[RagTopK]] of the IVF-probed retrieval against the BRUTE-FORCE
     * chunk ground truth, per query, in integer ppm: the measurement
-    * that justifies (or vetoes) the 2-of-16-lists probe before a
+    * that justifies (or vetoes) the [[RagProbeLists]]-of-16-lists probe before a
     * 100 TB rollout, exactly as [[MlOps.simAnnRecall]] gates the LSH
     * index. The brute side scores every chunk per query (labeled
     * baseline — queries are eval-sized by construction, so cost is

@@ -512,10 +512,18 @@ object TextOps {
   private def bpeFit(s: SparkSession, d: String)
       : (Seq[(Long, String, String, String, Long)], DataFrame) = {
     import s.implicits._
-    def esc(x: String) = x.replace("'", "''")
+    // backslashes must be doubled BEFORE quote-doubling: the merge
+    // symbols are spliced into Spark SQL string literals, where '\'
+    // is the escape character (ADVICE r15)
+    def esc(x: String) = x.replace("\\", "\\\\").replace("'", "''")
     var vocab = documents(s, d)
       .filter($"text".isNotNull)
       .select(explode(toks($"text")).as("word"))
+      // zero-length words (consecutive/leading spaces) carry an empty
+      // symbol list; the oracle's unnest(syms) replay would silently
+      // drop them mid-fit while Spark kept them — exclude them from
+      // the dictionary on BOTH engines (ADVICE r15)
+      .filter(length($"word") >= 1)
       .groupBy($"word").agg(count(lit(1)).as("cnt"))
       .withColumn("syms", expr("regexp_extract_all(word, '.', 0)"))
       .cache()
@@ -629,7 +637,7 @@ object TextOps {
          |  FROM e$r e),
          |mm$r AS (
          |  SELECT m.*, COALESCE(m.s = b.a AND m.s2 = b.b, FALSE) AS pm
-         |  FROM m$r m CROSS JOIN b$r b),
+         |  FROM m$r m LEFT JOIN b$r b ON TRUE),
          |sel$r AS (
          |  SELECT word, i FROM (
          |    SELECT word, i,
@@ -652,6 +660,7 @@ object TextOps {
        |  SELECT word, count(*) AS cnt FROM (
        |    SELECT unnest(string_split(text, ' ')) AS word
        |    FROM documents WHERE text IS NOT NULL) t
+       |  WHERE length(word) >= 1
        |  GROUP BY word),
        |v0 AS (SELECT word, cnt, regexp_extract_all(word, '.') AS syms FROM w),
        |$rounds""".stripMargin

@@ -599,4 +599,25 @@ class ScaleSpec extends SparkSpec {
         s"mutation-chain plan grew to $tn nodes — lost the lineage cut?")
     } finally spark.conf.set("spark.graft.lineageCutEvery", "0")
   }
+
+  test("doc_rag_index probe read is PartitionFilters-only (4-of-16ths I/O)") {
+    import spark.implicits._
+    // docRagIndex writes the list-partitioned index to a deterministic
+    // corpus-keyed dir, then probes through ragProbedIndexRead — pin
+    // the scan shape of that EXACT read path: the probed isin() must
+    // become a partition filter (directory pruning), never a full scan
+    val root = java.nio.file.Files.createTempDirectory("rag_idx_pin").toString
+    spark.conf.set("spark.graft.indexRoot", root)
+    try {
+      operators.CurationOps.docRagIndex(spark, sf0001).collect()
+      val dir = operators.CurationOps.ragIndexDir(spark, sf0001)
+      val probed = operators.CurationOps.ragProbedIndexRead(spark, dir, Seq(3, 7))
+      val physical = probed.queryExecution.executedPlan.toString
+      assert(physical.contains("PartitionFilters: [list_id"), physical)
+      // and the on-disk layout really is one directory per list
+      val parts = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("list_id="))
+      assert(parts.nonEmpty, s"no list_id= partitions under $dir")
+    } finally spark.conf.unset("spark.graft.indexRoot")
+  }
 }

@@ -175,6 +175,50 @@ class FunctionsSpec extends SparkSpec {
     assert(grouped == concat)
   }
 
+  test("sq_dist and bucket_counts generate code bit-identical to interpreted eval") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType}
+    // no longer CodegenFallback: the projection stays in whole-stage codegen
+    assert(!SqDist(Literal(1), Literal(1)).isInstanceOf[CodegenFallback])
+    assert(!BucketCounts(Literal(1), Literal(1)).isInstanceOf[CodegenFallback])
+    // awkward doubles (non-representable decimals) — any operation or
+    // order difference between the generated and interpreted loops
+    // would surface in the raw bits
+    val a = Array(0.1, 0.2, -0.3, 1e-17, 7.7)
+    val b = Array(0.3, -0.2, 0.125, 2e-17, -7.7)
+    val viaDf = Seq((a, b)).toDF("a", "b")
+      .select(expr("sq_dist(a, b)")).head().getDouble(0)
+    val interp = SqDist(
+      Literal.create(ArrayData.toArrayData(a), ArrayType(DoubleType)),
+      Literal.create(ArrayData.toArrayData(b), ArrayType(DoubleType)))
+      .eval(null).asInstanceOf[Double]
+    assert(java.lang.Double.doubleToRawLongBits(viaDf)
+      == java.lang.Double.doubleToRawLongBits(interp))
+    // float/double mixed-width path
+    val af = a.map(_.toFloat)
+    val viaDfF = Seq((af, b)).toDF("a", "b")
+      .select(expr("sq_dist(a, b)")).head().getDouble(0)
+    val interpF = SqDist(
+      Literal.create(ArrayData.toArrayData(af), ArrayType(FloatType)),
+      Literal.create(ArrayData.toArrayData(b), ArrayType(DoubleType)))
+      .eval(null).asInstanceOf[Double]
+    assert(java.lang.Double.doubleToRawLongBits(viaDfF)
+      == java.lang.Double.doubleToRawLongBits(interpF))
+    // bucket_counts: out-of-range buckets ignored, exact integer counts
+    val bs = Array(0L, 3L, 3L, 7L, -1L, 99L, 3L)
+    val viaDfB = Seq(Tuple1(bs)).toDF("bs")
+      .select(expr("bucket_counts(bs, 8)")).head().getSeq[Double](0)
+    val interpB = BucketCounts(
+      Literal.create(ArrayData.toArrayData(bs), ArrayType(LongType)), Literal(8))
+      .eval(null).asInstanceOf[ArrayData].toDoubleArray.toSeq
+    assert(viaDfB == interpB)
+    assert(viaDfB == Seq(1d, 0d, 0d, 3d, 0d, 0d, 0d, 1d))
+  }
+
   test("dict ids are dense, deterministic, sorted") {
     import spark.implicits._
     val df = Seq("c", "a", "b", "a", "c").toDF("term")

@@ -1,0 +1,30 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-16 additions: BPE edge-case parity fixes,
+  * the RAG index append/stream lifecycle, and sink compaction. */
+class Round16OpsSpec extends SparkSpec {
+
+  test("bpe encode: early exhaustion and double-space words keep the vocab sound") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe_enc").toString
+    // merges exhaust after round 2 ((a,b) then (c,d) leave only
+    // 1-symbol words, rounds 3-4 find nothing); doc 2 carries a double
+    // space whose empty "word" must be excluded from the dictionary
+    // (it has no symbols to merge and the oracle's unnest(syms) replay
+    // would drop it mid-fit)
+    Seq((0L, "ab ab c"), (1L, "ab c c"), (2L, "ab  ab"), (3L, "cd ab"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val train = TextOps.textBpeTrain(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(3), r.getLong(4)))
+    assert(train.toSeq == Seq((1L, "ab", 6L), (2L, "cd", 1L)))
+    val enc = TextOps.textBpeEncode(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // every word a single post-merge symbol; doc 2's empty word dropped
+    assert(enc == Map(0L -> ((3L, 3L)), 1L -> ((3L, 3L)),
+      2L -> ((2L, 2L)), 3L -> ((2L, 2L))))
+  }
+}
