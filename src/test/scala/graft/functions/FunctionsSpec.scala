@@ -187,11 +187,26 @@ class FunctionsSpec extends SparkSpec {
     assert(!BucketCounts(Literal(1), Literal(1)).isInstanceOf[CodegenFallback])
     // awkward doubles (non-representable decimals) — any operation or
     // order difference between the generated and interpreted loops
-    // would surface in the raw bits
+    // would surface in the raw bits. The DataFrame side MUST go
+    // through a real scan: over a Seq-literal LocalRelation the
+    // optimizer's ConvertToLocalRelation folds the projection with
+    // INTERPRETED eval and codegen never runs
+    val dir = java.nio.file.Files.createTempDirectory("kernels").toString
+    def viaScan(write: String => Unit, sel: String): org.apache.spark.sql.Row = {
+      write(dir)
+      val df = spark.read.parquet(dir).selectExpr(sel)
+      // pin: the kernel projection is INSIDE a whole-stage-codegen span
+      val gen = org.apache.spark.sql.execution.debug
+        .codegenString(df.queryExecution.executedPlan)
+      assert(gen.contains("numElements"),
+        s"kernel fell out of whole-stage codegen:\n${gen.linesIterator.take(6).mkString("\n")}")
+      df.head()
+    }
     val a = Array(0.1, 0.2, -0.3, 1e-17, 7.7)
     val b = Array(0.3, -0.2, 0.125, 2e-17, -7.7)
-    val viaDf = Seq((a, b)).toDF("a", "b")
-      .select(expr("sq_dist(a, b)")).head().getDouble(0)
+    val viaDf = viaScan(
+      p => Seq((a, b)).toDF("a", "b").write.mode("overwrite").parquet(p),
+      "sq_dist(a, b)").getDouble(0)
     val interp = SqDist(
       Literal.create(ArrayData.toArrayData(a), ArrayType(DoubleType)),
       Literal.create(ArrayData.toArrayData(b), ArrayType(DoubleType)))
@@ -200,8 +215,9 @@ class FunctionsSpec extends SparkSpec {
       == java.lang.Double.doubleToRawLongBits(interp))
     // float/double mixed-width path
     val af = a.map(_.toFloat)
-    val viaDfF = Seq((af, b)).toDF("a", "b")
-      .select(expr("sq_dist(a, b)")).head().getDouble(0)
+    val viaDfF = viaScan(
+      p => Seq((af, b)).toDF("a", "b").write.mode("overwrite").parquet(p),
+      "sq_dist(a, b)").getDouble(0)
     val interpF = SqDist(
       Literal.create(ArrayData.toArrayData(af), ArrayType(FloatType)),
       Literal.create(ArrayData.toArrayData(b), ArrayType(DoubleType)))
@@ -210,8 +226,9 @@ class FunctionsSpec extends SparkSpec {
       == java.lang.Double.doubleToRawLongBits(interpF))
     // bucket_counts: out-of-range buckets ignored, exact integer counts
     val bs = Array(0L, 3L, 3L, 7L, -1L, 99L, 3L)
-    val viaDfB = Seq(Tuple1(bs)).toDF("bs")
-      .select(expr("bucket_counts(bs, 8)")).head().getSeq[Double](0)
+    val viaDfB = viaScan(
+      p => Seq(Tuple1(bs)).toDF("bs").write.mode("overwrite").parquet(p),
+      "bucket_counts(bs, 8)").getSeq[Double](0)
     val interpB = BucketCounts(
       Literal.create(ArrayData.toArrayData(bs), ArrayType(LongType)), Literal(8))
       .eval(null).asInstanceOf[ArrayData].toDoubleArray.toSeq
