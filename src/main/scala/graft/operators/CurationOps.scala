@@ -934,9 +934,15 @@ object CurationOps {
     * ground-truth evaluation). Pure map-side: docChunk's
     * explode/slice, one bucket pass per token, one RagDim-long count
     * fold per chunk. */
-  private def ragChunkVecs(s: SparkSession, d: String): DataFrame = {
+  private def ragChunkVecs(s: SparkSession, d: String): DataFrame =
+    ragChunkVecsOf(s, documents(s, d))
+
+  /** [[ragChunkVecs]] over an arbitrary documents frame — the append
+    * lifecycle ([[docRagIndexAppend]]) chunks the base corpus and the
+    * arriving batch separately through the SAME embedder. */
+  private def ragChunkVecsOf(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    documents(s, d)
+    docs
       .filter($"text".isNotNull) // family-wide NULL-text guard
       .select($"doc_id", split($"text", " ").as("ws"))
       .select($"doc_id", $"ws",
@@ -960,10 +966,12 @@ object CurationOps {
     * direction signal.
     * sqrt/division are correctly-rounded IEEE ops on identical inputs,
     * so both engines produce bit-identical coordinates. */
-  private def ragChunkUnitVecs(s: SparkSession, d: String): DataFrame = {
+  private def ragChunkUnitVecs(s: SparkSession, d: String): DataFrame =
+    unitNorm(s, ragChunkVecs(s, d))
+
+  private def unitNorm(s: SparkSession, cv: DataFrame): DataFrame = {
     import s.implicits._
-    ragChunkVecs(s, d)
-      .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
+    cv.withColumn("nrm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
       .select($"doc_id", $"chunk_id",
         expr("CASE WHEN nrm > 0D THEN transform(v, x -> x / nrm) ELSE v END").as("v"))
   }
@@ -1036,12 +1044,16 @@ object CurationOps {
     * `ragres`. One definition feeds [[docRagE2eSql]] AND
     * [[docRagRecallSql]], so the evaluation can never drift from the
     * pipeline it measures. */
-  private lazy val ragCtesSql: String = {
+  /** The chunk + hashed-embedding + unit-normalization CTE prefix
+    * (`cwt` … `cvu`), shared by [[ragCtesSql]] and the append
+    * lifecycle's oracle ([[docRagIndexAppendSql]]) so the embedder
+    * definition exists exactly once. */
+  private lazy val ragChunkCtesSql: String = {
     val unitList =
       "CASE WHEN sqrt(list_sum(list_transform(v, x -> x * x))) > 0 " +
         "THEN list_transform(v, x -> x / sqrt(list_sum(list_transform(v, x -> x * x)))) " +
         "ELSE v END"
-    s"""WITH cwt AS (SELECT doc_id, string_split(text, ' ') AS ws
+    s"""cwt AS (SELECT doc_id, string_split(text, ' ') AS ws
        |        FROM documents WHERE text IS NOT NULL),
        |cix AS (SELECT doc_id, ws,
        |          unnest([i for i in range(0, ((len(ws) - 1) // $ChunkTokens) + 1)]) AS chunk_id
@@ -1058,7 +1070,11 @@ object CurationOps {
        |         [CAST(len(list_filter(bs, b -> b = i)) AS DOUBLE)
        |          for i in range(0, $RagDim)] AS v
        |       FROM cbs),
-       |cvu AS (SELECT doc_id, chunk_id, $unitList AS v FROM cv),
+       |cvu AS (SELECT doc_id, chunk_id, $unitList AS v FROM cv)""".stripMargin
+  }
+
+  private lazy val ragCtesSql: String = {
+    s"""WITH $ragChunkCtesSql,
        |${MlOps.ivfFitCteList(
         s"  SELECT doc_id * $RagKeyMul + chunk_id AS vec_id, v FROM cvu")},
        |qemb AS (
@@ -1171,6 +1187,111 @@ object CurationOps {
       s: SparkSession, dir: String, lists: Seq[Int]): DataFrame = {
     import s.implicits._
     s.read.parquet(dir).filter($"list_id".isin(lists: _*))
+  }
+
+  /** Incremental maintenance of the on-disk RAG index — the missing
+    * half of the lifecycle after round-15's ingest-side
+    * [[DedupOps.dedupStreamIncremental]]: production RAG does NOT
+    * refit + rewrite the whole index per crawl drop
+    * ([[docRagIndex]]'s shape); it assigns the ARRIVING chunks with
+    * the FROZEN day-0 quantizer (the persisted
+    * [[IvfKmeans.centroidsFor]] artifact — an IVF quantizer is a
+    * versioned model, refit on a schedule, not per batch) and appends
+    * them to the list-partitioned layout, touching ONLY the
+    * `list_id=` directories the new chunks land in.
+    *
+    * Lifecycle here: the base corpus (every source outside
+    * [[DedupOps.IncrementalBatchSources]] — the same batch-vs-corpus
+    * split every `*_incremental` op uses) is chunked, embedded, and
+    * written as the day-0 index with centroids fit ON THE BASE
+    * distribution; the arriving batch is then chunked + embedded by
+    * the same embedder, assigned with those frozen centroids, and
+    * APPENDED — parquet `append` under `partitionBy` writes new files
+    * only under the touched list directories, never rewriting a base
+    * file (ScaleSpec pins exactly that: base files byte-stable, new
+    * files only under touched `list_id=` dirs).
+    *
+    * Correctness contract (full-rebuild parity): per-chunk nearest-
+    * centroid assignment is independent of every other chunk, so
+    * base-assign ∪ batch-assign ≡ assigning the COMBINED corpus with
+    * the same frozen quantizer. The oracle replays the base-only fit
+    * and assigns ALL chunks — the read-back of the appended index must
+    * equal that full rebuild row-for-row. */
+  def docRagIndexAppend(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (dir, cdf) = ragAppendBase(s, d)
+    ragAppendNew(s, d, dir, cdf)
+    s.read.parquet(dir)
+      .select($"doc_id", $"chunk_id", $"list_id".cast("long").as("list_id"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  /** Day-0 step of [[docRagIndexAppend]]: fit the quantizer on the
+    * BASE corpus chunks (tag `ragbase`, disk-persisted — the frozen
+    * model artifact) and (over)write the base index. Package-private
+    * so ScaleSpec can snapshot the file layout between base and
+    * append. */
+  private[graft] def ragAppendBase(s: SparkSession, d: String): (String, DataFrame) = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    val baseDocs = documents(s, d)
+      .filter(!$"source".isInCollection(DedupOps.IncrementalBatchSources))
+    val cvuBase = unitNorm(s, ragChunkVecsOf(s, baseDocs))
+      .withColumn("vec_id", $"doc_id" * RagKeyMul + $"chunk_id")
+      .cache()
+    val cdf = IvfKmeans.centroidFrame(s,
+      IvfKmeans.centroidsFor(s, d, "ragbase",
+        cvuBase.select($"vec_id", $"v"), fpTable = "documents"))
+    val dir = ragIndexDir(s, d) + "_app"
+    IvfKmeans.assign(cvuBase.select($"vec_id", $"v"), cdf)
+      .join(cvuBase, "vec_id")
+      .select($"doc_id", $"chunk_id", $"v", $"list_id")
+      .write.mode("overwrite").partitionBy("list_id").parquet(dir)
+    cvuBase.unpersist()
+    (dir, cdf)
+  }
+
+  /** Append step of [[docRagIndexAppend]]: assign the arriving batch's
+    * chunks with the frozen centroids and append them to the
+    * partitioned layout. Returns the touched list ids (batch-sized
+    * driver metadata — what a production appender logs/commits). */
+  private[graft] def ragAppendNew(
+      s: SparkSession, d: String, dir: String, cdf: DataFrame): Seq[Int] = {
+    import s.implicits._
+    val newDocs = documents(s, d)
+      .filter($"source".isInCollection(DedupOps.IncrementalBatchSources))
+    val cvuNew = unitNorm(s, ragChunkVecsOf(s, newDocs))
+      .withColumn("vec_id", $"doc_id" * RagKeyMul + $"chunk_id")
+    val assigned = IvfKmeans.assign(cvuNew.select($"vec_id", $"v"), cdf)
+      .join(cvuNew, "vec_id")
+      .select($"doc_id", $"chunk_id", $"v", $"list_id")
+      .cache()
+    assigned.write.mode("append").partitionBy("list_id").parquet(dir)
+    val touched = assigned.select($"list_id").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    assigned.unpersist()
+    touched
+  }
+
+  /** Full-rebuild parity: the frozen quantizer is replayed as a fit on
+    * the BASE chunks only ([[MlOps.ivfFitCteList]] with a filtered
+    * source), then EVERY chunk — base and batch alike — is assigned
+    * with it; the appended on-disk index must match row-for-row. */
+  lazy val docRagIndexAppendSql: String = {
+    val batch = DedupOps.IncrementalBatchSources.map(x => s"'$x'").mkString(", ")
+    s"""WITH $ragChunkCtesSql,
+       |${MlOps.ivfFitCteList(
+        s"""  SELECT doc_id * $RagKeyMul + chunk_id AS vec_id, v FROM cvu
+           |  WHERE doc_id IN (SELECT doc_id FROM documents
+           |                   WHERE source NOT IN ($batch))""".stripMargin)},
+       |emball AS (
+       |  SELECT doc_id * $RagKeyMul + chunk_id AS vec_id, v FROM cvu),
+       |asg AS (
+       |${MlOps.ivfAssignSelect(s"c${IvfKmeans.Rounds}", "", 1, src = "emball")})
+       |SELECT CAST(vec_id // $RagKeyMul AS BIGINT) AS doc_id,
+       |  CAST(vec_id % $RagKeyMul AS BIGINT) AS chunk_id,
+       |  CAST(list_id AS BIGINT) AS list_id
+       |FROM asg ORDER BY doc_id, chunk_id""".stripMargin
   }
 
   /** Retrieval-quality evaluation for [[docRagE2e]] — recall@

@@ -510,7 +510,7 @@ object DedupOps {
   /** The "incoming batch" sources for [[dedupIncremental]] — a
     * pipeline ingesting continuously dedups each new crawl batch
     * against the already-accepted corpus, never corpus-vs-corpus. */
-  private val IncrementalBatchSources = Seq("src0", "src1")
+  private[operators] val IncrementalBatchSources = Seq("src0", "src1")
 
   /** Incremental (batch-vs-corpus) exact dedup: the arriving batch
     * keeps only documents whose content hash is absent from the

@@ -600,6 +600,36 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.graft.lineageCutEvery", "0")
   }
 
+  test("doc_rag_index_append appends only to touched list partitions, base files byte-stable") {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Files.createTempDirectory("rag_app_pin").toString
+    spark.conf.set("spark.graft.indexRoot", root)
+    try {
+      def listing(dir: String): Map[String, Long] = {
+        val base = java.nio.file.Paths.get(dir)
+        java.nio.file.Files.walk(base).iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p)
+            && p.getFileName.toString.endsWith(".parquet"))
+          .map(p => base.relativize(p).toString -> java.nio.file.Files.size(p))
+          .toMap
+      }
+      val (dir, cdf) = operators.CurationOps.ragAppendBase(spark, sf0001)
+      val before = listing(dir)
+      val touched = operators.CurationOps.ragAppendNew(spark, sf0001, dir, cdf)
+      val after = listing(dir)
+      // every base file survives the append byte-identically
+      before.foreach { case (f, sz) =>
+        assert(after.get(f).contains(sz), s"base file $f rewritten by append") }
+      // new files appear ONLY under the touched list_id= directories
+      val fresh = after.keySet -- before.keySet
+      assert(fresh.nonEmpty, "append wrote nothing")
+      val touchedDirs = touched.map(l => s"list_id=$l/").toSet
+      fresh.foreach { f =>
+        assert(touchedDirs.exists(f.startsWith),
+          s"append wrote $f outside the touched partitions $touched") }
+    } finally spark.conf.unset("spark.graft.indexRoot")
+  }
+
   test("doc_rag_index probe read is PartitionFilters-only (4-of-16ths I/O)") {
     import spark.implicits._
     // docRagIndex writes the list-partitioned index to a deterministic

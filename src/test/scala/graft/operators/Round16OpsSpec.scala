@@ -27,4 +27,24 @@ class Round16OpsSpec extends SparkSpec {
     assert(enc == Map(0L -> ((3L, 3L)), 1L -> ((3L, 3L)),
       2L -> ((2L, 2L)), 3L -> ((2L, 2L))))
   }
+
+  test("rag index append: appended index covers every chunk exactly once") {
+    import spark.implicits._
+    val out = CurationOps.docRagIndexAppend(spark, sf0001).cache()
+    val chunks = CurationOps.docChunk(spark, sf0001)
+      .select($"doc_id", $"chunk_id")
+    // exact cover: same key set as the chunker, no dup rows from the
+    // append (a rerun that appended twice would double the batch side)
+    assert(out.count() == chunks.count())
+    assert(out.select($"doc_id", $"chunk_id")
+      .exceptAll(chunks).isEmpty)
+    // both the base corpus and the arriving batch are present
+    val srcs = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"source")
+    val bySide = out.join(srcs, "doc_id")
+      .groupBy($"source".isin("src0", "src1").as("batch"))
+      .count().collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(bySide.getOrElse(true, 0L) > 0 && bySide.getOrElse(false, 0L) > 0)
+    out.unpersist()
+  }
 }
