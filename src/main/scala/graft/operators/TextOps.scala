@@ -1123,12 +1123,22 @@ object TextOps {
     * [[DedupOps.dedupWinnow]] so the two can never drift. */
   private[operators] def winnowFps(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    winnowFpsOf(s, documents(s, d)
+      .select($"doc_id", split($"text", " ").as("ws")))
+  }
+
+  /** [[winnowFps]] over a pre-tokenized (doc_id, ws) frame — lets
+    * [[graft.operators.DedupOps.dedupReport]] feed its shared cached
+    * token base instead of re-splitting raw text. */
+  private[operators] def winnowFpsOf(s: SparkSession, toks: DataFrame): DataFrame = {
+    import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy($"doc_id").orderBy($"pos")
       .rowsBetween(Window.currentRow, WinnowW - 1)
-    documents(s, d)
-      .filter($"text".isNotNull)
-      .select($"doc_id", split($"text", " ").as("ws"))
+    toks
+      // size(NULL) is NULL (or legacy -1) — either way the predicate
+      // excludes NULL-text docs, the same set as the previous
+      // text IS NOT NULL + len filter pair
       .filter(size($"ws") >= 3)
       .select($"doc_id", size($"ws").cast("long").as("n_toks"),
         posexplode(expr(
