@@ -380,6 +380,7 @@ object OpRegistry {
     op("doc_rag_recall", CurationOps.docRagRecall, CurationOps.docRagRecallSql),
     op("doc_rag_index", CurationOps.docRagIndex, CurationOps.docRagIndexSql),
     op("doc_rag_index_append", CurationOps.docRagIndexAppend, CurationOps.docRagIndexAppendSql),
+    op("doc_rag_stream", CurationOps.docRagStream, CurationOps.docRagStreamSql),
     op("doc_train_feed_e2e", CurationOps.docTrainFeed, CurationOps.docTrainFeedSql),
     op("doc_pipeline_e2e", CurationOps.docPipelineE2e, CurationOps.docPipelineE2eSql),
     op("doc_ccnet_e2e", CurationOps.docCcnetE2e, CurationOps.docCcnetE2eSql),

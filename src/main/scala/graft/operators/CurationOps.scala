@@ -1118,9 +1118,13 @@ object CurationOps {
     * [[docRagE2e]]: the on-disk layout must not change the answer.
     * ScaleSpec pins the PartitionFilters-only read
     * (via [[ragProbedIndexRead]], the exact read path this op uses). */
-  def docRagIndex(s: SparkSession, d: String): DataFrame = {
+  /** Fit the frozen chunk quantizer and (over)write the
+    * list-partitioned on-disk index — the serve-time artifacts shared
+    * by [[docRagIndex]] (index + probed retrieval in one op) and
+    * [[docRagStream]] (streaming serve against the same artifacts).
+    * Returns (index dir, centroid frame). */
+  private def ragBuildIndex(s: SparkSession, d: String): (String, DataFrame) = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(s)
     val cvu = ragChunkUnitVecs(s, d)
       .withColumn("vec_id", $"doc_id" * RagKeyMul + $"chunk_id")
@@ -1133,7 +1137,25 @@ object CurationOps {
       .join(cvu, "vec_id")
       .select($"doc_id", $"chunk_id", $"v", $"list_id")
       .write.mode("overwrite").partitionBy("list_id").parquet(dir)
-    val probes = IvfKmeans.withDists(ragQueryVecs(s, d), cdf)
+    cvu.unpersist() // the write materialized it
+    (dir, cdf)
+  }
+
+  /** The probed-retrieval step against the ON-DISK index, shared by
+    * [[docRagIndex]] (one query set, batch) and [[docRagStream]] (one
+    * call per micro-batch): rank each query's [[RagProbeLists]]
+    * nearest lists driver-side (queries × probes rows — tiny at any
+    * scale), read ONLY those `list_id=` partitions
+    * ([[ragProbedIndexRead]], PartitionFilters-pruned), exact-cosine
+    * rank, top-[[RagTopK]]. Returns a MATERIALIZED local frame
+    * (queries × [[RagTopK]] rows) so every cache is released before
+    * returning. */
+  private def ragProbeRetrieve(
+      s: SparkSession, qvecs: DataFrame, dir: String, cdf: DataFrame): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(s)
+    val probes = IvfKmeans.withDists(qvecs, cdf)
       .withColumn("rn", row_number().over(
         Window.partitionBy($"vec_id").orderBy($"dist", $"list_id")))
       .filter($"rn" <= RagProbeLists)
@@ -1154,13 +1176,20 @@ object CurationOps {
       .filter($"rank" <= RagTopK)
       .select($"qid", $"rank", $"doc_id", $"chunk_id")
       .orderBy($"qid", $"rank")
-    // materialize the tiny result so BOTH caches release here (probes
-    // previously stayed pinned for the session — ADVICE r15); the
+    // materialize the tiny result so the probe cache releases here
+    // (it previously stayed pinned for the session — ADVICE r15); the
     // on-disk index deliberately survives for the append lifecycle
     import scala.jdk.CollectionConverters._
     val rows = out.collect().toSeq
-    cvu.unpersist(); probes.unpersist()
+    probes.unpersist()
     s.createDataFrame(rows.asJava, out.schema)
+  }
+
+  def docRagIndex(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (dir, cdf) = ragBuildIndex(s, d)
+    ragProbeRetrieve(s, ragQueryVecs(s, d), dir, cdf)
+      .orderBy($"qid", $"rank")
   }
   /** The layout must not change the answer. */
   lazy val docRagIndexSql: String = docRagE2eSql
@@ -1293,6 +1322,58 @@ object CurationOps {
        |  CAST(list_id AS BIGINT) AS list_id
        |FROM asg ORDER BY doc_id, chunk_id""".stripMargin
   }
+
+  /** Streaming retrieval SERVE — the last leg of the index lifecycle
+    * after [[docRagIndex]] (build) and [[docRagIndexAppend]]
+    * (maintain): queries arrive as a STREAM and are answered against
+    * the STATIC on-disk list-partitioned index with the frozen
+    * quantizer. The streaming plan embeds each arriving query
+    * map-side (the SAME chunk embedder as the index, via
+    * [[ragChunkVecsOf]]/[[unitNorm]] — stateless, so the stream needs
+    * no watermark or shuffle); each micro-batch then runs
+    * [[ragProbeRetrieve]] exactly as the batch op does: probe lists
+    * resolved driver-side (queries × [[RagProbeLists]] rows), index
+    * read partition-pruned to the probed `list_id=` directories, exact
+    * cosine, top-[[RagTopK]] — and appends the answers to a parquet
+    * serve log.
+    *
+    * foreachBatch rather than a stream-static join on `list_id`:
+    * micro-batch plans don't get AQE, so the join would shuffle the
+    * CORPUS-sized index once per batch to meet ~20 probe rows — while
+    * the per-batch probed read touches [[RagProbeLists]]/16ths of the
+    * index files and nothing else, the same I/O bound ScaleSpec pins
+    * for [[docRagIndex]]. This is the standard production shape:
+    * stream drives, model is a frozen driver-side artifact, storage is
+    * partition-pruned per request batch.
+    *
+    * Oracle: batch parity — the serve log for the streamed query set
+    * must equal [[docRagE2e]]'s answer rows exactly. */
+  def docRagStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (dir, cdf) = ragBuildIndex(s, d)
+    val resDir = dir + "_serve"
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val qstream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+      .filter($"doc_id" < 5) // the ragQueryVecs query set, streamed
+    val qv = unitNorm(s, ragChunkVecsOf(s, qstream))
+      .filter($"chunk_id" === 0L)
+      .select($"doc_id".as("vec_id"), $"v")
+    val q = qv.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        val res = ragProbeRetrieve(s, batch, dir, cdf)
+        // batch 0 overwrites: a rerun replaces the previous serve log
+        // instead of accumulating duplicate answers
+        res.write.mode(if (bid == 0L) "overwrite" else "append")
+          .parquet(resDir)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(resDir).orderBy($"qid", $"rank")
+  }
+  /** Batch parity: the streamed serve path must produce exactly the
+    * batch retrieval's rows. */
+  lazy val docRagStreamSql: String = docRagE2eSql
 
   /** Retrieval-quality evaluation for [[docRagE2e]] — recall@
     * [[RagTopK]] of the IVF-probed retrieval against the BRUTE-FORCE

@@ -28,6 +28,21 @@ class Round16OpsSpec extends SparkSpec {
       2L -> ((2L, 2L)), 3L -> ((2L, 2L))))
   }
 
+  test("rag streaming serve: serve log equals the batch retrieval exactly") {
+    import spark.implicits._
+    val streamed = CurationOps.docRagStream(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val batch = CurationOps.docRagE2e(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+    // a rerun must REPLACE the serve log (batch-0 overwrite), not
+    // append duplicate answers
+    val rerun = CurationOps.docRagStream(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rerun.toSeq == batch.toSeq)
+  }
+
   test("rag index append: appended index covers every chunk exactly once") {
     import spark.implicits._
     val out = CurationOps.docRagIndexAppend(spark, sf0001).cache()
