@@ -382,6 +382,9 @@ object OpRegistry {
     op("doc_rag_index_append", CurationOps.docRagIndexAppend, CurationOps.docRagIndexAppendSql),
     op("doc_rag_stream", CurationOps.docRagStream, CurationOps.docRagStreamSql),
     op("doc_train_feed_e2e", CurationOps.docTrainFeed, CurationOps.docTrainFeedSql),
+    op("doc_train_feed_bpe", CurationOps.docTrainFeedBpe, CurationOps.docTrainFeedBpeSql),
+    op("doc_token_budget_bpe", CurationOps.docTokenBudgetBpe, CurationOps.docTokenBudgetBpeSql),
+    op("doc_mix_weights_bpe", CurationOps.docMixWeightsBpe, CurationOps.docMixWeightsBpeSql),
     op("doc_pipeline_e2e", CurationOps.docPipelineE2e, CurationOps.docPipelineE2eSql),
     op("doc_ccnet_e2e", CurationOps.docCcnetE2e, CurationOps.docCcnetE2eSql),
     op("doc_partitioned_sink",

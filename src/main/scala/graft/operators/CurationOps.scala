@@ -264,12 +264,40 @@ object CurationOps {
     * pack per domain, weight the read order. */
   def docTrainFeed(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val docs = documents(s, d).filter($"text".isNotNull)
     // 1. quality gate (same predicate as doc_quality_filter)
     val gated = docs.join(
       qualityGate(docs).select($"doc_id", $"n_tokens"), "doc_id")
       .select($"doc_id", $"source", $"text", $"n_tokens")
+    trainFeedPack(s, gated)
+  }
+
+  /** [[docTrainFeed]] packing by REAL tokenizer length: the gate
+    * predicate is unchanged, but sequence packing (the 128-token
+    * concatenate-then-chunk) measures each document in BPE tokens
+    * ([[TextOps.bpeDocCounts]], the shared [[TextOps.textBpeTrain]]
+    * fit) instead of whitespace words — what an actual pretraining
+    * feed does, since the model's context window is denominated in
+    * tokenizer tokens, not words. One dictionary-sized join replaces
+    * the whitespace count; everything downstream (dedup, offsets,
+    * spans, interleave) is the shared [[trainFeedPack]] tail, so the
+    * two feeds cannot drift. */
+  def docTrainFeedBpe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d).filter($"text".isNotNull)
+    val gated = docs.join(qualityGate(docs).select($"doc_id"), "doc_id")
+      .join(TextOps.bpeDocCounts(s, d)
+        .select($"doc_id", $"n_bpe".as("n_tokens")), "doc_id")
+      .select($"doc_id", $"source", $"text", $"n_tokens")
+    trainFeedPack(s, gated)
+  }
+
+  /** Steps 2–4 of [[docTrainFeed]] over any gated
+    * (doc_id, source, text, n_tokens) frame — shared with
+    * [[docTrainFeedBpe]], whose n_tokens is the BPE length. */
+  private def trainFeedPack(s: SparkSession, gated: DataFrame): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
     // 2. exact dedup: keep the smallest doc_id per identical text
     val deduped = gated
       .withColumn("keep", min($"doc_id").over(Window.partitionBy($"text")) === $"doc_id")
@@ -299,13 +327,32 @@ object CurationOps {
       .select($"position", $"source", $"seq_id", $"n_docs", $"n_tokens", $"weight")
       .orderBy($"position")
   }
-  val docTrainFeedSql: String =
+  // lazy: embeds trainFeedTailSql, defined BELOW in this object body —
+  // an eager val would capture null at initialization
+  lazy val docTrainFeedSql: String =
     s"""WITH gated AS (
        |  SELECT doc_id, source, text,
        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
        |  FROM documents
        |  WHERE text IS NOT NULL AND $qualityGateWhereSql),
-       |dedup AS (
+       |$trainFeedTailSql""".stripMargin
+
+  /** Same packing replay over the BPE-length `gated` head — shares
+    * [[TextOps.bpeDocCountsCtesSql]] (the fit + per-doc rollup) and
+    * [[trainFeedTailSql]]. */
+  lazy val docTrainFeedBpeSql: String =
+    s"""${TextOps.bpeDocCountsCtesSql},
+       |gated AS (
+       |  SELECT d.doc_id, d.source, d.text, b.n_bpe AS n_tokens
+       |  FROM documents d JOIN bpe b ON b.doc_id = d.doc_id
+       |  WHERE d.text IS NOT NULL AND $qualityGateWhereSql),
+       |$trainFeedTailSql""".stripMargin
+
+  /** The post-gate packing CTE chain (dedup → offsets → spans → seqs →
+    * weighted interleave) shared by [[docTrainFeedSql]] and
+    * [[docTrainFeedBpeSql]]; reads the preceding `gated` CTE. */
+  private val trainFeedTailSql: String =
+    s"""dedup AS (
        |  SELECT source, doc_id, n_tokens FROM gated
        |  WHERE doc_id IN (SELECT min(doc_id) FROM gated GROUP BY text)),
        |offs AS (
@@ -647,6 +694,49 @@ object CurationOps {
        |FROM c WHERE cum_tokens <= $TokenBudgetPerSource
        |ORDER BY doc_id""".stripMargin
 
+  /** Per-source budget in BPE tokens for [[docTokenBudgetBpe]] —
+    * [[TokenBudgetPerSource]]'s REAL-tokenizer sibling. With only
+    * [[TextOps.BpeMerges]] merges learned, the BPE length sits near
+    * the character count (~4–5× the word count on this corpus), so the
+    * budget scales accordingly to carve a comparable slice. */
+  val BpeTokenBudgetPerSource = 2000L
+
+  /** [[docTokenBudget]] denominated in REAL tokenizer tokens: the
+    * per-source cumulative cut runs on each document's BPE length
+    * ([[TextOps.bpeDocCounts]] — the shared [[TextOps.textBpeTrain]]
+    * fit) instead of the whitespace count. "Give me N tokens per
+    * domain" is a TOKENIZER-token contract in a real pretraining run —
+    * budgeting by words over- or under-fills the context-window budget
+    * by the tokenization ratio, which varies per source. Shape: the
+    * corpus-sized side is one dictionary join + the same per-source
+    * running-sum window; docs with no non-empty word carry no BPE
+    * length and are excluded by the join on BOTH engines. */
+  def docTokenBudgetBpe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(s, d)
+      .filter($"text".isNotNull)
+      .select($"doc_id", $"source")
+      .join(TextOps.bpeDocCounts(s, d).select($"doc_id", $"n_bpe"), "doc_id")
+      .withColumn("cum_bpe", sum($"n_bpe").over(w))
+      .filter($"cum_bpe" <= BpeTokenBudgetPerSource)
+      .select($"doc_id", $"source", $"n_bpe", $"cum_bpe")
+      .orderBy($"doc_id")
+  }
+  lazy val docTokenBudgetBpeSql: String =
+    s"""${TextOps.bpeDocCountsCtesSql},
+       |c AS (
+       |  SELECT d.doc_id, d.source, b.n_bpe,
+       |    CAST(sum(b.n_bpe) OVER (
+       |      PARTITION BY d.source ORDER BY d.doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_bpe
+       |  FROM documents d JOIN bpe b ON b.doc_id = d.doc_id)
+       |SELECT doc_id, source, n_bpe, cum_bpe
+       |FROM c WHERE cum_bpe <= $BpeTokenBudgetPerSource
+       |ORDER BY doc_id""".stripMargin
+
   /** The curated-corpus SINK made physical: write the gated documents
     * as source-partitioned parquet (the layout a downstream trainer
     * reads: one directory per domain, so per-domain mixing/carving is
@@ -792,6 +882,48 @@ object CurationOps {
        |  SELECT source, count(*) AS n_docs,
        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
        |  FROM documents WHERE text IS NOT NULL GROUP BY source),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |          count(*) AS n_sources FROM per)
+       |SELECT source, n_docs, n_tokens,
+       |  (1000000 * n_tokens) // total_tokens AS share_ppm,
+       |  least((1000000 * (total_tokens // n_sources)) // n_tokens,
+       |        $MixUpsampleCapPpm) AS weight_ppm
+       |FROM per, tot ORDER BY source""".stripMargin
+
+  /** [[docMixWeights]] measured in REAL tokenizer tokens: per-source
+    * share and up-sampling weight computed on summed BPE lengths
+    * ([[TextOps.bpeDocCounts]]) rather than whitespace counts. The
+    * tokens-per-word ratio differs across domains (code, prose,
+    * non-English), so a mixture balanced by words is NOT balanced by
+    * what the model actually consumes — this is the table a run's
+    * sampler should read. Same catalog-sized rollup; n_docs counts the
+    * docs carrying a BPE length (the dictionary join's row set) on
+    * both engines. */
+  def docMixWeightsBpe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val per = documents(s, d)
+      .filter($"text".isNotNull)
+      .select($"doc_id", $"source")
+      .join(TextOps.bpeDocCounts(s, d).select($"doc_id", $"n_bpe"), "doc_id")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_bpe").as("n_tokens"))
+    val tot = per.agg(sum($"n_tokens").as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    per.crossJoin(tot)
+      .select($"source", $"n_docs", $"n_tokens",
+        expr("(1000000L * n_tokens) div total_tokens").as("share_ppm"),
+        least(
+          expr("(1000000L * (total_tokens div n_sources)) div n_tokens"),
+          lit(MixUpsampleCapPpm)).as("weight_ppm"))
+      .orderBy($"source")
+  }
+  lazy val docMixWeightsBpeSql: String =
+    s"""${TextOps.bpeDocCountsCtesSql},
+       |per AS (
+       |  SELECT d.source, count(*) AS n_docs,
+       |    CAST(sum(b.n_bpe) AS BIGINT) AS n_tokens
+       |  FROM documents d JOIN bpe b ON b.doc_id = d.doc_id
+       |  GROUP BY d.source),
        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        |          count(*) AS n_sources FROM per)
        |SELECT source, n_docs, n_tokens,

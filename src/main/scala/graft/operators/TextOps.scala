@@ -473,6 +473,18 @@ object TextOps {
     * discipline applied to tokenizer training. */
   val BpeMerges = 4
 
+  /** Effective merge depth: the library knob `spark.graft.bpeMerges`,
+    * default [[BpeMerges]]. The REGISTERED oracles replay the default
+    * depth (their CTE chains are unrolled at class-init), so the
+    * driver contract always runs at [[BpeMerges]]; the conf is the
+    * library-API dial — a caller training a deeper tokenizer sets it
+    * and gets the same fit loop, spec-tested at non-default depths. */
+  private[operators] def bpeDepth(s: SparkSession): Int = {
+    val n = s.conf.get("spark.graft.bpeMerges", BpeMerges.toString).toInt
+    require(n >= 1, s"spark.graft.bpeMerges must be >= 1, got $n")
+    n
+  }
+
   /** BPE tokenizer TRAINING (Sennrich et al. 2016) — the full
     * iterative loop [[textBpePairs]] is the inner step of, run to
     * [[BpeMerges]] merges and emitting the learned merge table (rank,
@@ -528,9 +540,10 @@ object TextOps {
       .withColumn("syms", expr("regexp_extract_all(word, '.', 0)"))
       .cache()
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    val depth = bpeDepth(s)
     var r = 0
     var exhausted = false
-    while (r < BpeMerges && !exhausted) {
+    while (r < depth && !exhausted) {
       val best = vocab.filter(size($"syms") >= 2)
         .select($"cnt", explode(expr(
           "transform(sequence(0, size(syms) - 2), i -> struct(syms[i] AS a, syms[i+1] AS b))")).as("p"))
@@ -594,9 +607,32 @@ object TextOps {
     vocab.unpersist()
     out
   }
-  /** Shares the fit CTEs with [[textBpeTrainSql]] via
-    * [[bpeFitCtesSql]]; encoding joins v[[BpeMerges]]. */
-  lazy val textBpeEncodeSql: String =
+  /** Per-document REAL-tokenizer length: (doc_id, n_words, n_bpe) from
+    * the shared [[bpeFit]] — the count the BPE-length feed variants
+    * ([[graft.operators.CurationOps]]'s `*_bpe` ops) budget and mix
+    * by. Docs whose text holds no non-empty word (NULL, "", all
+    * spaces) have no dictionary entry and produce NO row — the same
+    * inner-join semantics as the oracle's `bpe` CTE. Encoder shape:
+    * corpus re-tokenizes through a join against the dictionary-sized
+    * vocab; the rollup is one partial-aggregated groupBy. */
+  private[operators] def bpeDocCounts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (_, vocab) = bpeFit(s, d)
+    val words = documents(s, d)
+      .filter($"text".isNotNull)
+      .select($"doc_id", explode(toks($"text")).as("word"))
+    val out = words.join(vocab.select($"word", $"syms"), "word")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(size($"syms").cast("long")).as("n_bpe"))
+    vocab.unpersist()
+    out
+  }
+
+  /** The encode CTE chain shared by [[textBpeEncodeSql]] and the
+    * BPE-length feed oracles: [[bpeFitCtesSql]] plus the word-position
+    * explode and the vocab join (`wpos`, `wenc`). */
+  private[operators] lazy val bpeWencCtesSql: String =
     s"""$bpeFitCtesSql
        |, wpos AS (
        |  SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS word
@@ -606,7 +642,22 @@ object TextOps {
        |  SELECT w.doc_id, w.pos,
        |    CAST(len(v.syms) AS BIGINT) AS n_syms,
        |    array_to_string(v.syms, ' ') AS wenc
-       |  FROM wpos w JOIN v$BpeMerges v ON v.word = w.word)
+       |  FROM wpos w JOIN v$BpeMerges v ON v.word = w.word)""".stripMargin
+
+  /** [[bpeWencCtesSql]] extended with the per-doc rollup `bpe`
+    * (doc_id, n_words, n_bpe) — the oracle twin of
+    * [[bpeDocCounts]]. */
+  private[operators] lazy val bpeDocCountsCtesSql: String =
+    s"""$bpeWencCtesSql,
+       |bpe AS (
+       |  SELECT doc_id, count(*) AS n_words,
+       |    CAST(sum(n_syms) AS BIGINT) AS n_bpe
+       |  FROM wenc GROUP BY doc_id)""".stripMargin
+
+  /** Shares the fit CTEs with [[textBpeTrainSql]] via
+    * [[bpeFitCtesSql]]; encoding joins v[[BpeMerges]]. */
+  lazy val textBpeEncodeSql: String =
+    s"""$bpeWencCtesSql
        |SELECT doc_id, count(*) AS n_words,
        |  CAST(sum(n_syms) AS BIGINT) AS n_bpe,
        |  md5(string_agg(wenc, ' | ' ORDER BY pos)) AS enc_md5

@@ -28,6 +28,32 @@ class Round16OpsSpec extends SparkSpec {
       2L -> ((2L, 2L)), 3L -> ((2L, 2L))))
   }
 
+  test("bpe depth is the spark.graft.bpeMerges conf (default BpeMerges)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe_depth").toString
+    // long uniform words so every depth finds a best pair to merge
+    Seq((0L, "aaaaaaaa bbbbbbbb aaaaaaaa"), (1L, "aaaaaaaa cccc"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def ranks() = TextOps.textBpeTrain(spark, dir).collect().map(_.getLong(0)).toSeq
+    assert(ranks() == (1L to TextOps.BpeMerges)) // default depth
+    spark.conf.set("spark.graft.bpeMerges", "2")
+    try assert(ranks() == Seq(1L, 2L))
+    finally spark.conf.unset("spark.graft.bpeMerges")
+    spark.conf.set("spark.graft.bpeMerges", "6")
+    try {
+      val r6 = ranks()
+      assert(r6 == (1L to 6L))
+      // deeper fit must extend, not alter, the shallower merge list
+      val m6 = TextOps.textBpeTrain(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getString(3)))
+      spark.conf.set("spark.graft.bpeMerges", "2")
+      val m2 = TextOps.textBpeTrain(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getString(3)))
+      assert(m6.take(2).toSeq == m2.toSeq)
+    } finally spark.conf.unset("spark.graft.bpeMerges")
+  }
+
   test("rag streaming serve: serve log equals the batch retrieval exactly") {
     import spark.implicits._
     val streamed = CurationOps.docRagStream(spark, sf0001)
