@@ -389,6 +389,8 @@ object OpRegistry {
     op("doc_ccnet_e2e", CurationOps.docCcnetE2e, CurationOps.docCcnetE2eSql),
     op("doc_partitioned_sink",
       CurationOps.docPartitionedSink, CurationOps.docPartitionedSinkSql),
+    op("doc_compact_sink",
+      CurationOps.docCompactSink, CurationOps.docCompactSinkSql),
     op("sim_topk_brute", SimilarityOps.simTopkBrute, SimilarityOps.simTopkBruteSql),
     op("sim_ann_lsh", SimilarityOps.simAnnLsh, SimilarityOps.simAnnLshSql),
     op("sim_knn_graph", SimilarityOps.simKnnGraph, SimilarityOps.simKnnGraphSql),

@@ -773,6 +773,87 @@ object CurationOps {
        |WHERE source = 'src3' AND $qualityGateWhereSql
        |ORDER BY doc_id""".stripMargin
 
+  /** Default row target per compacted file for [[docCompactSink]] —
+    * the `spark.graft.compactMaxRows` conf overrides (the spec
+    * exercises small targets to pin the ceil(rows/target) file
+    * count). Production sets this from target_bytes / avg_row_bytes,
+    * which is how every table-maintenance compactor (Iceberg/Delta
+    * OPTIMIZE) derives its row target. */
+  val CompactMaxRowsPerFile = 1000000L
+
+  /** Small-file COMPACTION for partitioned sinks — the table
+    * maintenance every append-shaped layout in this repo eventually
+    * needs ([[docRagIndexAppend]] adds files per batch,
+    * [[docStreamQuality]] lands files per micro-batch): at 100 TB an
+    * ingest sink accumulates thousands of KB-sized parquet files per
+    * partition directory, and scan cost becomes file-open-bound
+    * rather than byte-bound.
+    *
+    * The op makes the pathology and its cure physical: (1) FRAGMENT —
+    * the gated corpus lands in the source-partitioned sink as four
+    * append batches, each fanned across several writer tasks, the
+    * exact file pattern a micro-batched ingest produces; (2) COMPACT —
+    * read the fragmented layout back and rewrite it with ONE
+    * sequential writer per partition (`repartition($"source")`), split
+    * at the row target via Spark's own `maxRecordsPerFile`, so each
+    * `source=` directory ends with exactly ceil(rows/target) files —
+    * no small files from task parallelism, bounded file size from the
+    * split knob (both pinned by the spec); (3) PROVE lossless — the
+    * returned per-source fingerprint (count + order-insensitive id
+    * and content digests) of the COMPACTED read-back must equal the
+    * oracle's replay straight from the documents table, so a dropped
+    * or duplicated row anywhere in fragment→compact fails the hash.
+    * Parallelism note: one writer per partition is per-source
+    * sequentialism, not a scale wall — a production compactor runs
+    * partition-granular jobs concurrently, which this shape preserves
+    * (each source's rewrite is independent). */
+  def docCompactSink(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = s.conf.getOption("spark.graft.indexRoot")
+      .getOrElse(System.getProperty("java.io.tmpdir") + "/graft_ivf")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val fragDir = s"$root/docs_frag_$key"
+    val compactDir = s"$root/docs_compact_$key"
+    val gated = documents(s, d)
+      .join(qualityGate(documents(s, d)).select($"doc_id"), Seq("doc_id"), "left_semi")
+      .select($"doc_id", $"source", $"text")
+    (0 until 4).foreach { b =>
+      gated.filter(pmod($"doc_id", lit(4)) === b)
+        .repartition(4) // several writer tasks per batch → small files
+        .write.mode(if (b == 0) "overwrite" else "append")
+        .partitionBy("source").parquet(fragDir)
+    }
+    val maxRows = s.conf
+      .get("spark.graft.compactMaxRows", CompactMaxRowsPerFile.toString).toLong
+    s.read.parquet(fragDir)
+      .repartition($"source")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRows)
+      .partitionBy("source").parquet(compactDir)
+    s.read.parquet(compactDir)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        md5(concat_ws(",",
+          expr("transform(array_sort(collect_list(doc_id)), x -> CAST(x AS STRING))")))
+          .as("ids_md5"),
+        md5(concat_ws(",",
+          expr("array_sort(collect_list(struct(doc_id, md5(text) AS fp))).fp")))
+          .as("content_md5"))
+      .select($"source", $"n_docs", $"ids_md5", $"content_md5")
+      .orderBy($"source")
+  }
+  /** The compacted layout's fingerprints replayed straight from the
+    * source table — layout maintenance must not change content. */
+  val docCompactSinkSql: String =
+    s"""WITH gated AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  WHERE $qualityGateWhereSql)
+       |SELECT source, count(*) AS n_docs,
+       |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5,
+       |  md5(string_agg(md5(text), ',' ORDER BY doc_id)) AS content_md5
+       |FROM gated GROUP BY source ORDER BY source""".stripMargin
+
   /** LM-coverage bucket thresholds for [[docCcnetE2e]] (integer ppm),
     * set at the test corpus's rough terciles so every bucket is
     * populated and the gate actually gates. */

@@ -69,6 +69,50 @@ class Round16OpsSpec extends SparkSpec {
     assert(rerun.toSeq == batch.toSeq)
   }
 
+  test("compact sink: per-partition files drop to ceil(rows/target), content intact") {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Files.createTempDirectory("compact_pin").toString
+    spark.conf.set("spark.graft.indexRoot", root)
+    spark.conf.set("spark.graft.compactMaxRows", "3")
+    try {
+      val out = CurationOps.docCompactSink(spark, sf0001)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      def filesPerSource(dir: String): Map[String, Int] = {
+        val base = java.nio.file.Paths.get(dir)
+        java.nio.file.Files.walk(base).iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p)
+            && p.getFileName.toString.endsWith(".parquet"))
+          .map(p => base.relativize(p).toString.split("/")(0))
+          .toSeq.groupBy(identity).map { case (k, v) => k -> v.size }
+      }
+      def dirOf(prefix: String) =
+        java.nio.file.Files.list(java.nio.file.Paths.get(root)).iterator().asScala
+          .find(_.getFileName.toString.startsWith(prefix)).get.toString
+      val compact = filesPerSource(dirOf("docs_compact_"))
+      assert(out.nonEmpty)
+      // the compacted layout hits the ceil(rows/target) bound exactly
+      out.foreach { case (src, n) =>
+        assert(compact(s"source=$src") == ((n + 2) / 3).toInt,
+          s"$src: ${compact(s"source=$src")} files for $n rows @ target 3")
+      }
+      // at the DEFAULT (production-sized) target every partition
+      // collapses to one file — strictly fewer than the fragmented
+      // append layout, which is the point of the op
+      spark.conf.unset("spark.graft.compactMaxRows")
+      val out1 = CurationOps.docCompactSink(spark, sf0001)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val frag1 = filesPerSource(dirOf("docs_frag_"))
+      val compact1 = filesPerSource(dirOf("docs_compact_"))
+      out1.keys.foreach { src =>
+        assert(compact1(s"source=$src") == 1, s"$src: expected 1 compacted file")
+      }
+      assert(frag1.values.sum > compact1.values.sum, "compaction freed no files")
+    } finally {
+      spark.conf.unset("spark.graft.indexRoot")
+      spark.conf.unset("spark.graft.compactMaxRows")
+    }
+  }
+
   test("rag index append: appended index covers every chunk exactly once") {
     import spark.implicits._
     val out = CurationOps.docRagIndexAppend(spark, sf0001).cache()
