@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables._
 import graft.functions.GraftFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators — the end-to-end passes a training-data
@@ -1207,9 +1207,18 @@ object CurationOps {
   private def ragQueryVecs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     ragChunkUnitVecs(s, d)
-      .filter($"doc_id" < 5 && $"chunk_id" === 0L)
+      .filter(ragQueryPred)
       .select($"doc_id".as("vec_id"), $"v")
   }
+
+  /** The RAG query set, defined ONCE: first chunk of documents
+    * 0–[[RagQueryMaxDocId]]. Both the batch ops (via [[ragQueryVecs]])
+    * and the streamed serve path ([[docRagStream]]) apply this same
+    * predicate, so the two sides cannot drift apart silently — a
+    * divergence would only have surfaced at oracle time. */
+  private[graft] val RagQueryMaxDocId = 5L
+  private[graft] def ragQueryPred: Column =
+    col("doc_id") < RagQueryMaxDocId && col("chunk_id") === 0L
 
   def docRagE2e(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -1292,7 +1301,7 @@ object CurationOps {
         s"  SELECT doc_id * $RagKeyMul + chunk_id AS vec_id, v FROM cvu")},
        |qemb AS (
        |  SELECT doc_id AS vec_id, v FROM cvu
-       |  WHERE doc_id < 5 AND chunk_id = 0),
+       |  WHERE doc_id < $RagQueryMaxDocId AND chunk_id = 0),
        |probe AS (
        |${MlOps.ivfAssignSelect(s"c${IvfKmeans.Rounds}", "", RagProbeLists, src = "qemb")}),
        |scored AS (
@@ -1476,8 +1485,13 @@ object CurationOps {
   private[graft] def ragAppendBase(s: SparkSession, d: String): (String, DataFrame) = {
     import s.implicits._
     GraftFunctions.register(s)
+    // NULL-source docs are BASE corpus (they are not part of the
+    // arriving batch). A bare NOT IN drops NULL on both engines, so
+    // base ∪ batch would silently miss them while the oracle's
+    // assign-everything side keeps them — both sides are explicit.
     val baseDocs = documents(s, d)
-      .filter(!$"source".isInCollection(DedupOps.IncrementalBatchSources))
+      .filter($"source".isNull ||
+        !$"source".isInCollection(DedupOps.IncrementalBatchSources))
     val cvuBase = unitNorm(s, ragChunkVecsOf(s, baseDocs))
       .withColumn("vec_id", $"doc_id" * RagKeyMul + $"chunk_id")
       .cache()
@@ -1525,7 +1539,7 @@ object CurationOps {
        |${MlOps.ivfFitCteList(
         s"""  SELECT doc_id * $RagKeyMul + chunk_id AS vec_id, v FROM cvu
            |  WHERE doc_id IN (SELECT doc_id FROM documents
-           |                   WHERE source NOT IN ($batch))""".stripMargin)},
+           |                   WHERE source IS NULL OR source NOT IN ($batch))""".stripMargin)},
        |emball AS (
        |  SELECT doc_id * $RagKeyMul + chunk_id AS vec_id, v FROM cvu),
        |asg AS (
@@ -1565,15 +1579,31 @@ object CurationOps {
     import s.implicits._
     val (dir, cdf) = ragBuildIndex(s, d)
     val resDir = dir + "_serve"
-    val schema = s.read.parquet(s"$d/documents.parquet").schema
-    val qstream = s.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(d)
-      .filter($"doc_id" < 5) // the ragQueryVecs query set, streamed
+    val docsPath = s"$d/documents.parquet"
+    val schema = s.read.parquet(docsPath).schema
+    // Layout-adaptive streaming source: FileStreamSource requires its
+    // basePath to be a DIRECTORY, so when `documents.parquet` is a
+    // directory of part files (the layout Spark itself writes) stream
+    // it directly; when it is the driver testdata's single FILE,
+    // stream the parent dir filtered to that leaf name. Using only the
+    // glob would match zero part files in the directory layout and the
+    // stream would silently serve nothing (round-16 advice).
+    val hPath = new org.apache.hadoop.fs.Path(docsPath)
+    val isDir = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getFileStatus(hPath).isDirectory
+    val qsrc =
+      if (isDir) s.readStream.schema(schema).parquet(docsPath)
+      else s.readStream.schema(schema)
+        .option("pathGlobFilter", hPath.getName).parquet(d)
+    val qstream = qsrc
+      .filter($"doc_id" < RagQueryMaxDocId) // prune before chunk+embed
     val qv = unitNorm(s, ragChunkVecsOf(s, qstream))
-      .filter($"chunk_id" === 0L)
+      .filter(ragQueryPred) // the ONE query-set definition (ragQueryVecs)
       .select($"doc_id".as("vec_id"), $"v")
+    val served = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = qv.writeStream.outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        served.incrementAndGet()
         val res = ragProbeRetrieve(s, batch, dir, cdf)
         // batch 0 overwrites: a rerun replaces the previous serve log
         // instead of accumulating duplicate answers
@@ -1582,6 +1612,11 @@ object CurationOps {
       }
       .start()
     try q.processAllAvailable() finally q.stop()
+    // Fail fast rather than reading a stale serve log from a prior run
+    // (or a confusing path-not-found) if the source matched no files.
+    require(served.get() > 0L,
+      s"doc_rag_stream: no micro-batch fired — streaming source at " +
+        s"$docsPath matched no files")
     s.read.parquet(resDir).orderBy($"qid", $"rank")
   }
   /** Batch parity: the streamed serve path must produce exactly the

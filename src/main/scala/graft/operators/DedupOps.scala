@@ -132,7 +132,7 @@ object DedupOps {
     // explicit condition (not USING): a using-join hoists the key
     // column to the front even for anti-joins, and the toDF renames
     // below are positional
-    val sh = shAll.join(drop, shAll("g") === drop("g"), "left_anti").cache()
+    val sh = trackCache(shAll.join(drop, shAll("g") === drop("g"), "left_anti"))
     // materialize the capped set, then release the full one: keeping
     // both pinned doubles the persisted shingle footprint on exactly
     // the op whose point is surviving large corpora (round-12 advice)
@@ -228,7 +228,7 @@ object DedupOps {
     val docs = toksIn
       .select($"doc_id", expr("word_shingles(ws)").as("gs"))
       .filter(size($"gs") > 0)
-    val sig = withMinhash(docs).cache()
+    val sig = trackCache(withMinhash(docs))
     // one pass: each row explodes to its 4 (band, bucket) pairs —
     // no 4-way union re-scan of the signature table
     val bands = sig.select($"doc_id", posexplode(array(
@@ -297,7 +297,7 @@ object DedupOps {
     import s.implicits._
     // cache the pair list: GraphX materializes its edge RDD several
     // times during CC, which would re-run the whole jaccard pipeline
-    val pairs = dedupNgramJaccard(s, d).select($"da", $"db").cache()
+    val pairs = trackCache(dedupNgramJaccard(s, d).select($"da", $"db"))
     val ccDf = pairClusterCanonical(s, pairs)
     documents(s, d).select($"doc_id")
       .join(ccDf, Seq("doc_id"), "left_outer")
@@ -381,7 +381,7 @@ object DedupOps {
       // same predicate)
       .filter($"ws".isNotNull)
       .select($"doc_id", expr("simhash_md5(ws)").as("sig"))
-      .cache()
+      .transform(trackCache)
     // single pass over sig: posexplode the 4 chunk values per row
     val bands = sig.select($"doc_id", $"sig", posexplode($"sig"))
       .toDF("doc_id", "sig", "band", "chunk")
@@ -512,8 +512,8 @@ object DedupOps {
     * clusters); same bounded-by-dup-volume Pregel as the text path. */
   def dedupEmbeddingClusters(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val pairs = dedupEmbeddingLsh(s, d)
-      .select($"i".as("da"), $"j".as("db")).cache()
+    val pairs = trackCache(dedupEmbeddingLsh(s, d)
+      .select($"i".as("da"), $"j".as("db")))
     val ccDf = pairClusterCanonical(s, pairs)
     embeddings(s, d).select($"vec_id".as("doc_id"))
       .join(ccDf, Seq("doc_id"), "left_outer")
@@ -640,7 +640,7 @@ object DedupOps {
     val shAll = shingles(s, d).cache()
     val drop = shAll.groupBy($"g").agg(count(lit(1)).as("n_docs"))
       .filter($"n_docs" > NgramDfCap).select($"g")
-    val sh = shAll.join(drop, shAll("g") === drop("g"), "left_anti").cache()
+    val sh = trackCache(shAll.join(drop, shAll("g") === drop("g"), "left_anti"))
     sh.count()
     shAll.unpersist()
     val n = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
@@ -849,14 +849,28 @@ object DedupOps {
     * sets (each corpus-linear, see their docs) + per-family distinct
     * flag sets (bounded by flagged-doc count) + one source-sized
     * rollup; the families run as independent branches of one plan, so
-    * on a cluster they schedule concurrently. */
+    * on a cluster they schedule concurrently.
+    *
+    * ==Cache contract==
+    * The returned plan reads ONE shared cached tokenization (toks is
+    * marked for caching and left registered — materializing it eagerly
+    * inside the op was measured ~7× slower because a cached leaf built
+    * under an action compiles the outer plan with restricted AQE, and
+    * each family's over-cap LeftAnti needs AQE's unhinted broadcast).
+    * After consuming the report, callers MUST release it: the driver
+    * contract (Verify/Bench) does `spark.catalog.clearCache()` between
+    * queries; library callers embedding this op should call
+    * [[releaseCaches]] (scoped — unpersists only DedupOps' registered
+    * caches, not the caller's own cached frames) or clearCache()
+    * themselves, or one corpus-sized InMemoryRelation stays resident
+    * per report call. */
   def dedupReport(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // ONE tokenization feeds all six family branches (the `*Of`
     // generator variants): raw text is scanned + split once per
     // report, where calling the standalone `(s, d)` ops would scan it
     // six times — at 100 TB that is five saved passes over the corpus.
-    val toks = tokens(s, d).cache()
+    val toks = trackCache(tokens(s, d))
     val docs = documents(s, d).select($"doc_id", $"source")
     def flagged(p: DataFrame, c: String) =
       p.select($"da".as("doc_id")).union(p.select($"db".as("doc_id")))
@@ -877,16 +891,41 @@ object DedupOps {
         sum(coalesce($"f_mh", lit(0L))).as("n_minhash_dup"),
         sum(coalesce($"f_win", lit(0L))).as("n_winnow_dup"))
       .orderBy($"source")
-    // Returned LAZY with toks still marked for caching — deliberately.
-    // Materializing the report inside the op (cache+count or an eager
-    // localCheckpoint) was measured at ~7x slower: a cached/checkpointed
-    // plan compiles with restricted AQE, and every family's over-cap
-    // LeftAnti depends on AQE's unhinted broadcast to avoid a
-    // corpus-sized sort-merge join. As a leaf, the toks InMemoryRelation
-    // leaves the outer plan's AQE intact. Lifecycle: the driver contract
-    // (Verify/Bench) clearCache()s after each query; library callers
-    // should do the same after consuming the report.
+    // Returned LAZY with toks still marked for caching — deliberately;
+    // see the scaladoc's cache contract (eager materialization measured
+    // ~7x slower under restricted AQE). The cached frame is registered
+    // in reportCaches so releaseReportCache() can drop it without
+    // clobbering the caller's own cached frames.
     rep
+  }
+
+  /** Lazy leaf caches marked inside returned plans and not yet
+    * released — the report's shared tokenization plus the pair
+    * generators' capped shingle/signature sets. They stay registered
+    * deliberately (see [[dedupReport]]'s cache contract: eager
+    * materialization compiles the outer plan with restricted AQE). */
+  private val trackedCaches =
+    scala.collection.mutable.ListBuffer.empty[DataFrame]
+
+  /** `.cache()` + registration, so [[releaseCaches]] can find it. */
+  private def trackCache(df: DataFrame): DataFrame = {
+    val c = df.cache()
+    trackedCaches.synchronized { trackedCaches += c }
+    c
+  }
+
+  /** Unpersists every lazy cache prior DedupOps calls left registered
+    * (the report's shared tokenization, the generators' capped
+    * shingle/signature sets) — the scoped alternative to
+    * `spark.catalog.clearCache()` for library callers that hold their
+    * own cached frames. Unpersisting a cache a still-unexecuted
+    * returned plan references is safe (the plan just recomputes it),
+    * so this can be called after every batch of DedupOps work. Safe to
+    * call any number of times; blocking so the memory is actually free
+    * on return. */
+  def releaseCaches(): Unit = trackedCaches.synchronized {
+    trackedCaches.foreach(_.unpersist(blocking = true))
+    trackedCaches.clear()
   }
   // lazy: embeds dedupWinnowSql, which is defined LATER in this object
   // body — an eager val here would capture null at initialization
