@@ -407,6 +407,10 @@ object OpRegistry {
     op("sim_ann_ivf", MlOps.simAnnIvf, MlOps.ivfOracleSql),
     op("sim_ann_ivf_index", MlOps.simAnnIvfIndex, MlOps.ivfOracleSql),
     op("sim_ann_pq", MlOps.simAnnPq, MlOps.pqOracleSql),
+    op("sim_ann_ivf_pq", MlOps.simAnnIvfPq, MlOps.ivfPqOracleSql),
+    op("doc_rag_hybrid", CurationOps.docRagHybrid, CurationOps.docRagHybridSql),
+    op("doc_rag_index_compact",
+      CurationOps.docRagIndexCompact, CurationOps.docRagIndexCompactSql),
     op("sim_cluster_sample", MlOps.simClusterSample, MlOps.clusterSampleSql),
     op("sim_ann_recall", MlOps.simAnnRecall, MlOps.simAnnRecallSql),
     op("mm_metadata", MultimodalOps.mmMetadata, MultimodalOps.mmMetadataSql),

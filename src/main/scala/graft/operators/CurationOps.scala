@@ -1529,6 +1529,60 @@ object CurationOps {
     touched
   }
 
+  /** Maintenance leg completing the index lifecycle after
+    * [[docRagIndex]] (build) and [[docRagIndexAppend]] (append):
+    * COMPACTION of the fragmented touched partitions. Every append
+    * drops one small file per task into each touched `list_id=` dir,
+    * so after N crawl drops a probed read opens O(N) small files per
+    * list — the #1 operational issue of partitioned parquet lakes
+    * (the reason Iceberg/Delta ship `rewrite_data_files`/`OPTIMIZE`).
+    * This op runs base build + one append (recreating the fragmented
+    * state), then rewrites ONLY the touched partitions via dynamic
+    * partition overwrite, repartitioned BY the partition key so each
+    * touched list collapses to exactly ONE file; untouched base
+    * partitions keep their files byte-identical (ScaleSpec pins both).
+    * Oracle: full-rebuild parity — [[docRagIndexAppendSql]] verbatim,
+    * because maintenance must never change the answer. */
+  def docRagIndexCompact(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (dir, cdf) = ragAppendBase(s, d)
+    val touched = ragAppendNew(s, d, dir, cdf)
+    ragCompactTouched(s, dir, touched)
+    s.read.parquet(dir)
+      .select($"doc_id", $"chunk_id", $"list_id".cast("long").as("list_id"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+  lazy val docRagIndexCompactSql: String = docRagIndexAppendSql
+
+  /** The compaction step: rewrite the touched `list_id=` partitions in
+    * place — read back, pin in memory with a lineage cut (the rewrite
+    * deletes the very files the plan reads, so the data must be
+    * materialized OFF those files first; a production compactor
+    * instead writes new files and commits an atomic swap, e.g.
+    * Iceberg's rewrite_data_files — same I/O shape, transactional
+    * metadata), then dynamic-partition-overwrite repartitioned by the
+    * partition key, which writes exactly one file per touched list.
+    * Touched rows only: at scale the rewrite cost is proportional to
+    * the data the append actually fragmented, never the whole index. */
+  private[graft] def ragCompactTouched(
+      s: SparkSession, dir: String, touched: Seq[Int]): Unit = {
+    import s.implicits._
+    if (touched.isEmpty) return
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val rows = s.read.parquet(dir)
+        .filter($"list_id".isin(touched: _*))
+        .localCheckpoint(true) // materialize before the files vanish
+      rows.repartition($"list_id") // each list lands whole in one task
+        .write.mode("overwrite").partitionBy("list_id").parquet(dir)
+      rows.unpersist()
+    } finally prev match {
+      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** Full-rebuild parity: the frozen quantizer is replayed as a fit on
     * the BASE chunks only ([[MlOps.ivfFitCteList]] with a filtered
     * source), then EVERY chunk — base and batch alike — is assigned
@@ -1622,6 +1676,117 @@ object CurationOps {
   /** Batch parity: the streamed serve path must produce exactly the
     * batch retrieval's rows. */
   lazy val docRagStreamSql: String = docRagE2eSql
+
+  /** RRF rank constant (Cormack & Clarke 2009's k=60, the standard
+    * choice) and the integer scale that keeps fusion float-free:
+    * each leg contributes ⌊10⁶ / (60 + rank)⌋ — exact int64 on both
+    * engines, monotone in rank, and granular enough that distinct
+    * rank combinations never collide at these depths. */
+  private[graft] val RrfK = 60L
+  private[graft] val RrfScale = 1000000L
+
+  /** Chunk token lists (doc_id, chunk_id, cw) — [[docChunk]]'s split
+    * without the digest projection, shared with [[docRagHybrid]]'s
+    * lexical leg so the hybrid retrieves over the exact chunks the
+    * vector index stores. */
+  private def chunkWords(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .filter($"text".isNotNull)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .select($"doc_id", $"ws",
+        explode(expr(s"sequence(0L, (size(ws) - 1) div $ChunkTokens)")).as("chunk_id"))
+      .select($"doc_id", $"chunk_id",
+        expr(s"slice(ws, chunk_id * $ChunkTokens + 1, $ChunkTokens)").as("cw"))
+  }
+
+  /** HYBRID retrieval — reciprocal-rank fusion of the vector leg
+    * ([[docRagE2e]]'s probed IVF retrieval, verbatim) with a LEXICAL
+    * leg (query-token term-frequency overlap), the standard production
+    * RAG shape: dense retrieval alone misses exact-term matches (IDs,
+    * names, code), lexical alone misses paraphrase — RRF fuses the two
+    * rank lists without score calibration (Cormack & Clarke 2009).
+    *
+    * Lexical leg: each query's DISTINCT first-chunk tokens join the
+    * exploded chunk-token table; score = Σ tf of matched query terms
+    * (pure integer — no IDF log, so the fusion stays float-free and
+    * hash-checkable); top-[[RagTopK]] per query, own-doc excluded like
+    * the vector leg. At scale the query token set is tiny by
+    * construction, so AQE broadcasts it and the scan stays
+    * corpus-linear — the same inverted-index discipline as the dedup
+    * family (a production deployment would additionally DF-cap
+    * stopword-grade terms; the tf-overlap here already bounds output
+    * at |queries|·|chunks| candidate rows pre-top-k).
+    *
+    * Fusion: each leg contributes ⌊[[RrfScale]]/([[RrfK]]+rank)⌋, a
+    * missing leg contributes 0; final rank orders by fused score
+    * descending, ties to the lower (doc_id, chunk_id). Output is
+    * integer-only. */
+  def docRagHybrid(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val vres = docRagE2e(s, d)
+      .select($"qid", $"doc_id", $"chunk_id", $"rank".as("vrank"))
+    val cw = chunkWords(s, d)
+    val qtok = cw.filter(ragQueryPred)
+      .select($"doc_id".as("qid"), explode(array_distinct($"cw")).as("t"))
+    val ctok = cw.select($"doc_id", $"chunk_id", explode($"cw").as("t"))
+    val lexscore = ctok.join(qtok, "t") // query side tiny → AQE broadcast
+      .filter($"doc_id" =!= $"qid")
+      .groupBy($"qid", $"doc_id", $"chunk_id")
+      .agg(count(lit(1)).as("tf"))
+    val wl = Window.partitionBy($"qid").orderBy($"tf".desc, $"doc_id", $"chunk_id")
+    val lres = lexscore
+      .withColumn("lrank", row_number().over(wl).cast("long"))
+      .filter($"lrank" <= RagTopK)
+      .select($"qid", $"doc_id", $"chunk_id", $"lrank")
+    val fused = vres.join(lres, Seq("qid", "doc_id", "chunk_id"), "full_outer")
+      .select($"qid", $"doc_id", $"chunk_id",
+        (coalesce(expr(s"${RrfScale}L div (${RrfK}L + vrank)"), lit(0L)) +
+          coalesce(expr(s"${RrfScale}L div (${RrfK}L + lrank)"), lit(0L))).as("rrf"))
+    val wf = Window.partitionBy($"qid").orderBy($"rrf".desc, $"doc_id", $"chunk_id")
+    fused.withColumn("rank", row_number().over(wf).cast("long"))
+      .filter($"rank" <= RagTopK)
+      .select($"qid", $"rank", $"doc_id", $"chunk_id", $"rrf")
+      .orderBy($"qid", $"rank")
+  }
+
+  /** Both legs replayed: `ragres` is [[docRagE2eSql]]'s retrieval CTE
+    * chain verbatim (shared via [[ragCtesSql]]); the lexical leg reads
+    * the same `cch` chunk-token CTE the embedder derives from. */
+  lazy val docRagHybridSql: String =
+    s"""$ragCtesSql,
+       |qtok AS (
+       |  SELECT doc_id AS qid, unnest(list_distinct(cw)) AS t
+       |  FROM cch WHERE doc_id < $RagQueryMaxDocId AND chunk_id = 0),
+       |ctok AS (SELECT doc_id, chunk_id, unnest(cw) AS t FROM cch),
+       |lexscore AS (
+       |  SELECT q.qid, c.doc_id, CAST(c.chunk_id AS BIGINT) AS chunk_id,
+       |    CAST(count(*) AS BIGINT) AS tf
+       |  FROM ctok c JOIN qtok q ON q.t = c.t
+       |  WHERE c.doc_id <> q.qid
+       |  GROUP BY 1, 2, 3),
+       |lex AS (
+       |  SELECT qid, doc_id, chunk_id, lrank FROM (
+       |    SELECT qid, doc_id, chunk_id,
+       |      row_number() OVER (PARTITION BY qid
+       |        ORDER BY tf DESC, doc_id, chunk_id) AS lrank
+       |    FROM lexscore) z
+       |  WHERE lrank <= $RagTopK),
+       |fused AS (
+       |  SELECT COALESCE(v.qid, l.qid) AS qid,
+       |    COALESCE(v.doc_id, l.doc_id) AS doc_id,
+       |    COALESCE(v.chunk_id, l.chunk_id) AS chunk_id,
+       |    CAST(COALESCE($RrfScale // ($RrfK + v.rank), 0)
+       |       + COALESCE($RrfScale // ($RrfK + l.lrank), 0) AS BIGINT) AS rrf
+       |  FROM ragres v FULL OUTER JOIN lex l
+       |    ON v.qid = l.qid AND v.doc_id = l.doc_id AND v.chunk_id = l.chunk_id)
+       |SELECT qid, rank, doc_id, chunk_id, rrf FROM (
+       |  SELECT qid, doc_id, chunk_id, rrf,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY rrf DESC, doc_id, chunk_id) AS rank
+       |  FROM fused) z
+       |WHERE rank <= $RagTopK ORDER BY qid, rank""".stripMargin
 
   /** Retrieval-quality evaluation for [[docRagE2e]] — recall@
     * [[RagTopK]] of the IVF-probed retrieval against the BRUTE-FORCE

@@ -225,7 +225,14 @@ object MlOps {
     * Lloyd fit as [[ivfOracleSql]] (suffixed CTEs per subspace), code
     * assignment, ADC lookup join with a fixed-order M-term distance
     * sum, top-64 shortlist, exact-cosine rerank, top-3. */
-  val pqOracleSql: String = {
+  /** Per-subspace DuckDB fit replay shared by [[pqOracleSql]] and
+    * [[ivfPqOracleSql]]: for each subspace m, slices `emb` (which the
+    * caller must define as the UNIT-NORMALIZED vectors — both callers
+    * do), replays the deterministic Lloyd fit (suffixed CTEs), and
+    * emits `af_$m` (per-vector code) + `lut_$m` (per-query ADC lookup
+    * table). One codebook definition feeding both oracles, so the
+    * plain-PQ and IVF+PQ replays can never drift. */
+  private lazy val pqSubCtes: String = {
     val M = PqM; val SubDim = PqSubDim; val K = IvfKmeans.K; val R = IvfKmeans.Rounds
     def assignSelect(m: Int, cfrom: String, where: String, rnBound: Int): String =
       s"""  SELECT vec_id, list_id FROM (
@@ -235,7 +242,7 @@ object MlOps {
          |                          p -> (p[1]-p[2])*(p[1]-p[2]))), c.list_id) AS rn
          |    FROM emb_$m e CROSS JOIN $cfrom c$where) z
          |  WHERE rn <= $rnBound""".stripMargin
-    val perSub = (0 until M).map { m =>
+    (0 until M).map { m =>
       val lo = m * SubDim + 1; val hi = (m + 1) * SubDim
       val rounds = (1 to R).map { r =>
         s"""a${r}_$m AS MATERIALIZED (
@@ -267,6 +274,18 @@ object MlOps {
          |             p -> (p[1]-p[2])*(p[1]-p[2]))) AS d$m
          |  FROM emb_$m q CROSS JOIN c${R}_$m c WHERE q.vec_id < 5)""".stripMargin
     }.mkString(",\n")
+  }
+
+  /** The unit-normalization CASE shared by the PQ-family oracles —
+    * identical text to the Spark-side [[IvfKmeans.withUnitV]] math. */
+  private val unitNormCase: String =
+    """CASE WHEN sqrt(list_sum(list_transform(v, x -> x * x))) > 0
+      |      THEN list_transform(v, x -> x / sqrt(list_sum(list_transform(v, x -> x * x))))
+      |      ELSE v END""".stripMargin
+
+  lazy val pqOracleSql: String = {
+    val M = PqM
+    val perSub = pqSubCtes
     val codeCols = (0 until M).map(m => s"a$m.list_id AS code$m").mkString(", ")
     val codeJoins = (1 until M)
       .map(m => s"JOIN af_$m a$m USING (vec_id)").mkString(" ")
@@ -293,6 +312,133 @@ object MlOps {
        |  JOIN lut_0 l0 ON l0.code0 = codes.code0
        |  $lutJoins
        |  WHERE l0.qid <> codes.vec_id),
+       |shortlist AS MATERIALIZED (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS arn
+       |    FROM scored) z
+       |  WHERE arn <= $PqRerank),
+       |reranked AS MATERIALIZED (
+       |  SELECT s.qid, s.nid, list_cosine_similarity(q.v, n.v) AS cos
+       |  FROM shortlist s
+       |  JOIN raw q ON q.vec_id = s.qid
+       |  JOIN raw n ON n.vec_id = s.nid)
+       |SELECT qid, rank, nid FROM (
+       |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |  FROM reranked) z
+       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+  }
+
+  /** Probe depth of [[simAnnIvfPq]]'s coarse quantizer — same
+    * 2-of-16 bargain as [[simAnnIvf]]. */
+  private[operators] val IvfPqProbes = 2
+
+  /** IVF+PQ composed ANN — the production index shape (FAISS
+    * `IndexIVFPQ` with `by_residual=false`; Jégou et al. 2011 §IV):
+    * a COARSE quantizer buckets the vector space so a query touches
+    * only its [[IvfPqProbes]]-of-[[IvfKmeans.K]] probed lists
+    * (I/O pruning — at 100 TB the lists are parquet partitions, see
+    * [[simAnnIvfIndex]]), and within the probed lists candidates are
+    * scored by PQ asymmetric distance over their stored
+    * [[PqM]]-nibble codes (compute + memory pruning — the scan never
+    * touches raw vectors). Both prunings compose multiplicatively:
+    * 2/16ths of the corpus read × 32× smaller per row. The two model
+    * artifacts are both deterministic persisted fits — the coarse
+    * centroids under their own tag (fit on the SAME unit-normalized
+    * vectors PQ encodes, so L2 ranks like cosine end-to-end) and the
+    * SAME [[IvfKmeans.pqCodebook]] subspace codebooks [[simAnnPq]]
+    * uses (one codebook definition repo-wide). Retrieval contract
+    * mirrors the ANN family: ADC shortlist top-[[PqRerank]] within
+    * probed lists, exact-cosine rerank, top-3 per query (vec_id < 5),
+    * ties to the lower neighbor id. */
+  def simAnnIvfPq(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val e = IvfKmeans.withUnitV(s, d).cache()
+    def sub(m: Int) = expr(s"slice(v, ${m * PqSubDim + 1}, $PqSubDim)")
+    // coarse quantizer: persisted deterministic fit on the unit vectors
+    val coarseCdf = IvfKmeans.centroidFrame(s,
+      IvfKmeans.centroidsFor(s, d, "ivfpq",
+        e.select($"vec_id", $"v"), fpTable = "embeddings"))
+    val coarse = IvfKmeans.assign(e.select($"vec_id", $"v"), coarseCdf)
+    // PQ codes: the same per-subspace codebooks as simAnnPq
+    val cbs = (0 until PqM).map(m =>
+      IvfKmeans.centroidFrame(s, IvfKmeans.pqCodebook(s, d, m, PqSubDim)))
+    val codes = (0 until PqM).map { m =>
+      IvfKmeans.assign(e.select($"vec_id", sub(m).as("v")), cbs(m))
+        .withColumnRenamed("list_id", s"code$m")
+    }.reduce(_.join(_, "vec_id")).join(coarse, "vec_id")
+    // probe: IvfPqProbes nearest coarse lists per query — the only
+    // rows that ever leave the index scan are from probed lists
+    val probes = IvfKmeans.withDists(e.filter($"vec_id" < 5), coarseCdf)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"dist", $"list_id")))
+      .filter($"rn" <= IvfPqProbes)
+      .select($"vec_id".as("qid"), $"list_id")
+    // ADC lookup tables (queries × 16 per subspace — broadcast-sized
+    // by construction at any corpus size)
+    val luts = (0 until PqM).map { m =>
+      IvfKmeans.withDists(
+          e.filter($"vec_id" < 5).select($"vec_id".as("qid"), sub(m).as("v")),
+          cbs(m))
+        .select($"qid", col("list_id").as(s"code$m"), $"dist".as(s"d$m"))
+    }
+    // candidates restricted to probed lists, then 8 lookups + 7 adds
+    // per candidate; a candidate appears via exactly one coarse list
+    // (1-NN assignment), so the probe join cannot duplicate rows
+    val cands = probes.join(codes, "list_id").filter($"qid" =!= $"vec_id")
+    val withD = luts.zipWithIndex.foldLeft(cands) { case (acc, (lut, m)) =>
+      acc.join(broadcast(lut), Seq("qid", s"code$m"))
+    }
+    val scored = withD.select($"qid", $"vec_id".as("nid"),
+      (0 until PqM).map(m => col(s"d$m")).reduce(_ + _).as("adc"))
+    val wAdc = Window.partitionBy($"qid").orderBy($"adc", $"nid")
+    val shortlist = scored.withColumn("arn", row_number().over(wAdc))
+      .filter($"arn" <= PqRerank)
+      .select($"qid", $"nid")
+    val reranked = shortlist
+      .join(e.select($"vec_id".as("qid"), $"embedding".as("qe")), "qid")
+      .join(e.select($"vec_id".as("nid"), $"embedding".as("ne")), "nid")
+      .select($"qid", $"nid", expr("cosine_sim(qe, ne)").as("cos"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
+    reranked.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"qid", $"rank", $"nid")
+      .orderBy($"qid", $"rank")
+  }
+
+  /** DuckDB replay of the composed IVF+PQ retrieval: the coarse fit is
+    * [[ivfFitCteList]] on the unit-normalized vectors (emitting
+    * `emb`/`af` — the same CTE names [[pqSubCtes]]'s subspace slices
+    * read, so coarse and PQ quantize the IDENTICAL input), the
+    * subspace codebooks + ADC LUTs are [[pqSubCtes]] verbatim (shared
+    * with [[pqOracleSql]]), and scoring joins candidates to probed
+    * lists before the fixed-order ADC sum, shortlist, and exact
+    * rerank. */
+  lazy val ivfPqOracleSql: String = {
+    val M = PqM; val R = IvfKmeans.Rounds
+    val codeCols = (0 until M).map(m => s"a$m.list_id AS code$m").mkString(", ")
+    val codeJoins = (1 until M)
+      .map(m => s"JOIN af_$m a$m USING (vec_id)").mkString(" ")
+    val lutJoins = (0 until M)
+      .map(m => s"JOIN lut_$m l$m ON l$m.qid = p.vec_id AND l$m.code$m = codes.code$m")
+      .mkString("\n  ")
+    val adcSum = (0 until M).map(m => s"l$m.d$m").mkString(" + ")
+    s"""WITH raw AS MATERIALIZED (
+       |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+       |${ivfFitCteList(s"  SELECT vec_id, $unitNormCase AS v FROM raw")},
+       |$pqSubCtes,
+       |probe AS MATERIALIZED (
+       |${ivfAssignSelect(s"c$R", " WHERE e.vec_id < 5", IvfPqProbes)}),
+       |codes AS MATERIALIZED (
+       |  SELECT a0.vec_id, af.list_id, $codeCols
+       |  FROM af_0 a0 $codeJoins JOIN af USING (vec_id)),
+       |scored AS MATERIALIZED (
+       |  SELECT p.vec_id AS qid, codes.vec_id AS nid,
+       |    $adcSum AS adc
+       |  FROM probe p
+       |  JOIN codes ON codes.list_id = p.list_id
+       |  $lutJoins
+       |  WHERE codes.vec_id <> p.vec_id),
        |shortlist AS MATERIALIZED (
        |  SELECT qid, nid FROM (
        |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS arn

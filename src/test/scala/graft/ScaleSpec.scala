@@ -630,6 +630,49 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.indexRoot")
   }
 
+  test("doc_rag_index_compact rewrites only touched lists, one file each, rows intact") {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("rag_cmp_pin").toString
+    spark.conf.set("spark.graft.indexRoot", root)
+    try {
+      def listing(dir: String): Map[String, Long] = {
+        val base = java.nio.file.Paths.get(dir)
+        java.nio.file.Files.walk(base).iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p)
+            && p.getFileName.toString.endsWith(".parquet"))
+          .map(p => base.relativize(p).toString -> java.nio.file.Files.size(p))
+          .toMap
+      }
+      val (dir, cdf) = operators.CurationOps.ragAppendBase(spark, sf0001)
+      val touched = operators.CurationOps.ragAppendNew(spark, sf0001, dir, cdf)
+      val fragged = listing(dir)
+      val rowsBefore = spark.read.parquet(dir)
+        .select($"doc_id", $"chunk_id", $"list_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+      operators.CurationOps.ragCompactTouched(spark, dir, touched)
+      val compacted = listing(dir)
+      val touchedDirs = touched.map(l => s"list_id=$l/").toSet
+      // untouched base partitions keep their files byte-identically
+      fragged.filterNot { case (f, _) => touchedDirs.exists(f.startsWith) }
+        .foreach { case (f, sz) =>
+          assert(compacted.get(f).contains(sz), s"untouched file $f rewritten") }
+      // every touched partition collapsed to exactly one file
+      touched.foreach { l =>
+        val files = compacted.keySet.filter(_.startsWith(s"list_id=$l/"))
+        assert(files.size == 1, s"list $l has ${files.size} files after compact")
+      }
+      // and compaction was worth doing: strictly fewer files than the
+      // fragmented layout (base write + append write per touched list)
+      assert(compacted.size < fragged.size, "compaction freed no files")
+      // content identical row-for-row
+      val rowsAfter = spark.read.parquet(dir)
+        .select($"doc_id", $"chunk_id", $"list_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+      assert(rowsAfter == rowsBefore)
+    } finally spark.conf.unset("spark.graft.indexRoot")
+  }
+
   test("doc_rag_index probe read is PartitionFilters-only (4-of-16ths I/O)") {
     import spark.implicits._
     // docRagIndex writes the list-partitioned index to a deterministic

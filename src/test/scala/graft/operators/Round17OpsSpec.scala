@@ -58,6 +58,59 @@ class Round17OpsSpec extends SparkSpec {
     assert(out.count() == CurationOps.docChunk(spark, dir).count())
   }
 
+  test("ivf+pq: candidates come only from probed lists; contract shape holds") {
+    import spark.implicits._
+    val out = MlOps.simAnnIvfPq(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 5 queries × top-3, ranks dense from 1
+    assert(out.map(_._1).distinct.sorted.toSeq == (0L to 4L))
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to 3L), s"query $q ranks")
+    }
+    // every returned neighbor's coarse list is one of its query's
+    // probed lists — the pruning contract that makes IVF+PQ an IVF
+    val e = graft.operators.IvfKmeans.withUnitV(spark, sf0001)
+    val cdf = graft.operators.IvfKmeans.centroidFrame(spark,
+      graft.operators.IvfKmeans.centroidsFor(spark, sf0001, "ivfpq",
+        e.select($"vec_id", $"v"), fpTable = "embeddings"))
+    val lists = graft.operators.IvfKmeans.assign(e.select($"vec_id", $"v"), cdf)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val probed = graft.operators.IvfKmeans.withDists(
+        e.filter($"vec_id" < 5), cdf)
+      .select($"vec_id", $"list_id", $"dist")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (q, rows) =>
+        q -> rows.sortBy(r => (r._3, r._2)).take(2).map(_._2).toSet }
+    out.foreach { case (q, _, nid) =>
+      assert(probed(q).contains(lists(nid)),
+        s"neighbor $nid of query $q outside probed lists ${probed(q)}")
+    }
+  }
+
+  test("hybrid rag: every fused row traces to a leg; both legs influence") {
+    import spark.implicits._
+    val fused = CurationOps.docRagHybrid(spark, sf0001).cache()
+    val rows = fused.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).distinct.sorted.toSeq == (0L to 4L))
+    // rrf scores decode to the defining leg combinations: with k=60
+    // and depth 3, each leg contributes one of {16393, 16129, 15873}
+    // (⌊10⁶/61..63⌋) or 0 — every fused score must be a sum of one or
+    // two such terms, i.e. the row came from a real leg rank, not from
+    // arithmetic drift
+    val leg = Set(1000000L / 61, 1000000L / 62, 1000000L / 63)
+    val valid = leg ++ (for (a <- leg; b <- leg) yield a + b)
+    rows.foreach { case (q, rank, doc, _, rrf) =>
+      assert(valid.contains(rrf), s"q$q rank$rank doc$doc rrf=$rrf not a leg sum")
+    }
+    // at least one row fused from BOTH legs (a two-leg sum exceeds any
+    // single-leg score) — a hybrid where no row ever fuses means a
+    // dead leg
+    assert(rows.exists(_._5 > 1000000L / 61), "no row fused from both legs")
+    fused.unpersist()
+  }
+
   test("releaseCaches drops the report's tokenization + generator caches") {
     spark.catalog.clearCache() // isolate from other suites' residue
     val rep = DedupOps.dedupReport(spark, sf0001)
