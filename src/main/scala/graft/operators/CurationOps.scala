@@ -1227,13 +1227,13 @@ object CurationOps {
     val cvu = ragChunkUnitVecs(s, d)
       .withColumn("vec_id", $"doc_id" * RagKeyMul + $"chunk_id")
       .cache()
-    val cdf = IvfKmeans.centroidFrame(s,
-      IvfKmeans.centroidsFor(s, d, "ragchunk",
-        cvu.select($"vec_id", $"v"), fpTable = "documents"))
-    // index: nearest-centroid list per chunk (broadcast centroids,
-    // min_by keeps the aggregate partial — map-side at any scale)
-    val assigned = IvfKmeans.assign(cvu.select($"vec_id", $"v"), cdf)
-      .join(cvu, "vec_id")
+    val cents = IvfKmeans.centroidsFor(s, d, "ragchunk",
+      cvu.select($"vec_id", $"v"), fpTable = "documents")
+    val cdf = IvfKmeans.centroidFrame(s, cents)
+    // index: nearest-centroid list per chunk as ONE map-side
+    // projection (IvfKmeans.assignCol — the quantizer is a driver-side
+    // literal, so no shuffle and no join-back to recover the vector)
+    val assigned = cvu.withColumn("list_id", IvfKmeans.assignCol(s, cents, $"v"))
     // retrieve: RagProbeLists-probe per query, exact cosine within
     // probed lists
     val probes = IvfKmeans.withDists(ragQueryVecs(s, d), cdf)
@@ -1344,19 +1344,19 @@ object CurationOps {
     * list-partitioned on-disk index — the serve-time artifacts shared
     * by [[docRagIndex]] (index + probed retrieval in one op) and
     * [[docRagStream]] (streaming serve against the same artifacts).
-    * Returns (index dir, centroid frame). */
+    * Returns (index dir, centroid frame — the probe side ranks lists
+    * via [[IvfKmeans.withDists]], which wants the frame). */
   private def ragBuildIndex(s: SparkSession, d: String): (String, DataFrame) = {
     import s.implicits._
     GraftFunctions.register(s)
     val cvu = ragChunkUnitVecs(s, d)
       .withColumn("vec_id", $"doc_id" * RagKeyMul + $"chunk_id")
       .cache()
-    val cdf = IvfKmeans.centroidFrame(s,
-      IvfKmeans.centroidsFor(s, d, "ragchunk",
-        cvu.select($"vec_id", $"v"), fpTable = "documents"))
+    val cents = IvfKmeans.centroidsFor(s, d, "ragchunk",
+      cvu.select($"vec_id", $"v"), fpTable = "documents")
+    val cdf = IvfKmeans.centroidFrame(s, cents)
     val dir = ragIndexDir(s, d)
-    IvfKmeans.assign(cvu.select($"vec_id", $"v"), cdf)
-      .join(cvu, "vec_id")
+    cvu.withColumn("list_id", IvfKmeans.assignCol(s, cents, $"v"))
       .select($"doc_id", $"chunk_id", $"v", $"list_id")
       .write.mode("overwrite").partitionBy("list_id").parquet(dir)
     cvu.unpersist() // the write materialized it
@@ -1470,8 +1470,8 @@ object CurationOps {
     * equal that full rebuild row-for-row. */
   def docRagIndexAppend(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val (dir, cdf) = ragAppendBase(s, d)
-    ragAppendNew(s, d, dir, cdf)
+    val (dir, cents) = ragAppendBase(s, d)
+    ragAppendNew(s, d, dir, cents)
     s.read.parquet(dir)
       .select($"doc_id", $"chunk_id", $"list_id".cast("long").as("list_id"))
       .orderBy($"doc_id", $"chunk_id")
@@ -1482,7 +1482,8 @@ object CurationOps {
     * model artifact) and (over)write the base index. Package-private
     * so ScaleSpec can snapshot the file layout between base and
     * append. */
-  private[graft] def ragAppendBase(s: SparkSession, d: String): (String, DataFrame) = {
+  private[graft] def ragAppendBase(
+      s: SparkSession, d: String): (String, Array[Array[Double]]) = {
     import s.implicits._
     GraftFunctions.register(s)
     // NULL-source docs are BASE corpus (they are not part of the
@@ -1495,16 +1496,14 @@ object CurationOps {
     val cvuBase = unitNorm(s, ragChunkVecsOf(s, baseDocs))
       .withColumn("vec_id", $"doc_id" * RagKeyMul + $"chunk_id")
       .cache()
-    val cdf = IvfKmeans.centroidFrame(s,
-      IvfKmeans.centroidsFor(s, d, "ragbase",
-        cvuBase.select($"vec_id", $"v"), fpTable = "documents"))
+    val cents = IvfKmeans.centroidsFor(s, d, "ragbase",
+      cvuBase.select($"vec_id", $"v"), fpTable = "documents")
     val dir = ragIndexDir(s, d) + "_app"
-    IvfKmeans.assign(cvuBase.select($"vec_id", $"v"), cdf)
-      .join(cvuBase, "vec_id")
+    cvuBase.withColumn("list_id", IvfKmeans.assignCol(s, cents, $"v"))
       .select($"doc_id", $"chunk_id", $"v", $"list_id")
       .write.mode("overwrite").partitionBy("list_id").parquet(dir)
     cvuBase.unpersist()
-    (dir, cdf)
+    (dir, cents)
   }
 
   /** Append step of [[docRagIndexAppend]]: assign the arriving batch's
@@ -1512,14 +1511,15 @@ object CurationOps {
     * partitioned layout. Returns the touched list ids (batch-sized
     * driver metadata — what a production appender logs/commits). */
   private[graft] def ragAppendNew(
-      s: SparkSession, d: String, dir: String, cdf: DataFrame): Seq[Int] = {
+      s: SparkSession, d: String, dir: String,
+      cents: Array[Array[Double]]): Seq[Int] = {
     import s.implicits._
     val newDocs = documents(s, d)
       .filter($"source".isInCollection(DedupOps.IncrementalBatchSources))
     val cvuNew = unitNorm(s, ragChunkVecsOf(s, newDocs))
       .withColumn("vec_id", $"doc_id" * RagKeyMul + $"chunk_id")
-    val assigned = IvfKmeans.assign(cvuNew.select($"vec_id", $"v"), cdf)
-      .join(cvuNew, "vec_id")
+    val assigned = cvuNew
+      .withColumn("list_id", IvfKmeans.assignCol(s, cents, $"v"))
       .select($"doc_id", $"chunk_id", $"v", $"list_id")
       .cache()
     assigned.write.mode("append").partitionBy("list_id").parquet(dir)
@@ -1545,8 +1545,8 @@ object CurationOps {
     * because maintenance must never change the answer. */
   def docRagIndexCompact(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val (dir, cdf) = ragAppendBase(s, d)
-    val touched = ragAppendNew(s, d, dir, cdf)
+    val (dir, cents) = ragAppendBase(s, d)
+    val touched = ragAppendNew(s, d, dir, cents)
     ragCompactTouched(s, dir, touched)
     s.read.parquet(dir)
       .select($"doc_id", $"chunk_id", $"list_id".cast("long").as("list_id"))

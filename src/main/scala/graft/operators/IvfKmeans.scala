@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deterministic, cross-engine-reproducible k-means for the IVF ANN
@@ -160,6 +160,28 @@ object IvfKmeans {
       .agg(min_by($"list_id", struct($"dist", $"list_id")).as("list_id"))
   }
 
+  /** Nearest-centroid id as a pure PROJECTION — zero shuffles. The
+    * quantizer is a driver-side model artifact (k×dim doubles), so the
+    * argmin over it is a per-row expression: embed the centroids as an
+    * array literal, compute [[graft.functions.SqDist]] to each, and
+    * take the struct-min of (dist, list_id) — the SAME (dist, list_id)
+    * ordering [[assign]]'s min_by uses and the SAME kernel, so the
+    * result is bit-identical while the 16× crossJoin row inflation,
+    * the partial aggregate, and the shuffle all disappear. Encoding a
+    * vector against M codebooks becomes M such columns in ONE
+    * projection in the scan's stage, where the frame-based formulation
+    * cost M shuffled aggregations + M−1 joins to reassemble. */
+  def assignCol(s: SparkSession, cents: Array[Array[Double]], v: Column): Column = {
+    graft.functions.GraftFunctions.register(s)
+    val mat = typedLit(cents.map(_.toSeq).toSeq)
+    val dists = transform(mat, c => call_function("sq_dist", v, c))
+    // array_position returns the FIRST index holding the min — ties go
+    // to the lowest list id, the same contract as min_by's
+    // (dist, list_id) struct ordering; the min IS an element, so the
+    // double equality is bitwise-exact
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
   /** Centroid literal frame (driver-side Seq → broadcast hint is
     * allowed by the ScaleSpec rule: only data-derived sets must not
     * carry hints). */
@@ -178,12 +200,13 @@ object IvfKmeans {
       .select($"v").collect()
       .map(_.getSeq[Double](0).toArray)
     for (_ <- 1 to Rounds) {
-      val cdf = centroidFrame(s, cents)
       // per-coordinate mean, quantized to 6 decimals (see class doc);
-      // k×dim rows — collected because the quantizer IS driver-sized
-      val means = assign(e, cdf)
-        .join(e, "vec_id")
-        .select($"list_id", posexplode($"v").as(Seq("i", "x")))
+      // k×dim rows — collected because the quantizer IS driver-sized.
+      // assignment is the map-side assignCol projection, so each Lloyd
+      // round is ONE shuffle (the mean aggregate), not three stages
+      val means = e
+        .select(assignCol(s, cents, $"v").as("list_id"),
+          posexplode($"v").as(Seq("i", "x")))
         .groupBy($"list_id", $"i").agg(round(avg($"x"), 6).as("cx"))
         .collect()
       val byList = means.groupBy(_.getInt(0))

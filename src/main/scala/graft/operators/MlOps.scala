@@ -60,11 +60,15 @@ object MlOps {
   def simAnnIvf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
-    val cdf = IvfKmeans.centroidFrame(s, IvfKmeans.centroids(s, d))
-    // cached: scanned by the assignment, the vec_id join-back, and the
-    // probe side — without it the parquet read + cast runs three times
+    val cents = IvfKmeans.centroids(s, d)
+    val cdf = IvfKmeans.centroidFrame(s, cents)
+    // cached: scanned by the assignment and the probe side — without
+    // it the parquet read + cast runs twice
     val e = IvfKmeans.withV(s, d).cache()
-    val assigned = IvfKmeans.assign(e, cdf).join(e, "vec_id")
+    // assignment is a map-side projection (IvfKmeans.assignCol): no
+    // shuffle, no join-back to recover the vector
+    val assigned = e
+      .withColumn("list_id", IvfKmeans.assignCol(s, cents, $"v"))
       .select($"vec_id", $"embedding", $"list_id")
     probeAndScore(e, cdf, assigned)
   }
@@ -103,7 +107,8 @@ object MlOps {
   def simAnnIvfIndex(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
-    val cdf = IvfKmeans.centroidFrame(s, IvfKmeans.centroids(s, d))
+    val cents = IvfKmeans.centroids(s, d)
+    val cdf = IvfKmeans.centroidFrame(s, cents)
     val e = IvfKmeans.withV(s, d).cache()
 
     // Index root comes from config so a cluster deployment points it at
@@ -113,7 +118,7 @@ object MlOps {
     val root = s.conf.getOption("spark.graft.indexRoot")
       .getOrElse(System.getProperty("java.io.tmpdir") + "/graft_ivf")
     val dir = s"$root/ivf_${java.util.UUID.randomUUID}"
-    IvfKmeans.assign(e, cdf).join(e, "vec_id")
+    e.withColumn("list_id", IvfKmeans.assignCol(s, cents, $"v"))
       .select($"vec_id", $"embedding", $"list_id")
       .write.mode("overwrite").partitionBy("list_id").parquet(dir)
 
@@ -178,14 +183,14 @@ object MlOps {
     graft.functions.GraftFunctions.register(s)
     val e = IvfKmeans.withUnitV(s, d).cache()
     def sub(m: Int) = expr(s"slice(v, ${m * PqSubDim + 1}, $PqSubDim)")
-    val cbs = (0 until PqM).map(m =>
-      IvfKmeans.centroidFrame(s, IvfKmeans.pqCodebook(s, d, m, PqSubDim)))
-    // encode: per-subspace nearest codebook id, M narrow assignments
-    // joined on vec_id into one (vec_id, code0..codeM-1) row per vector
-    val codes = (0 until PqM).map { m =>
-      IvfKmeans.assign(e.select($"vec_id", sub(m).as("v")), cbs(m))
-        .withColumnRenamed("list_id", s"code$m")
-    }.reduce(_.join(_, "vec_id"))
+    val cbArrs = (0 until PqM).map(m => IvfKmeans.pqCodebook(s, d, m, PqSubDim))
+    val cbs = cbArrs.map(IvfKmeans.centroidFrame(s, _))
+    // encode: all M per-subspace nearest-codebook ids in ONE map-side
+    // projection (IvfKmeans.assignCol — the codebooks are driver-side
+    // literals, so the argmin is a per-row expression; the previous
+    // M shuffled assignments + M−1 vec_id joins disappear)
+    val codes = e.select($"vec_id" +: (0 until PqM).map(m =>
+      IvfKmeans.assignCol(s, cbArrs(m), sub(m)).as(s"code$m")): _*)
     // ADC lookup tables: (query, code) -> exact partial squared
     // distance; 5 queries x 16 codes per subspace — broadcast-sized
     // by construction at any corpus size
@@ -356,17 +361,18 @@ object MlOps {
     val e = IvfKmeans.withUnitV(s, d).cache()
     def sub(m: Int) = expr(s"slice(v, ${m * PqSubDim + 1}, $PqSubDim)")
     // coarse quantizer: persisted deterministic fit on the unit vectors
-    val coarseCdf = IvfKmeans.centroidFrame(s,
-      IvfKmeans.centroidsFor(s, d, "ivfpq",
-        e.select($"vec_id", $"v"), fpTable = "embeddings"))
-    val coarse = IvfKmeans.assign(e.select($"vec_id", $"v"), coarseCdf)
-    // PQ codes: the same per-subspace codebooks as simAnnPq
-    val cbs = (0 until PqM).map(m =>
-      IvfKmeans.centroidFrame(s, IvfKmeans.pqCodebook(s, d, m, PqSubDim)))
-    val codes = (0 until PqM).map { m =>
-      IvfKmeans.assign(e.select($"vec_id", sub(m).as("v")), cbs(m))
-        .withColumnRenamed("list_id", s"code$m")
-    }.reduce(_.join(_, "vec_id")).join(coarse, "vec_id")
+    val coarseArr = IvfKmeans.centroidsFor(s, d, "ivfpq",
+      e.select($"vec_id", $"v"), fpTable = "embeddings")
+    val coarseCdf = IvfKmeans.centroidFrame(s, coarseArr)
+    // PQ codes: the same per-subspace codebooks as simAnnPq. The
+    // coarse list AND all M codes are ONE map-side projection
+    // (IvfKmeans.assignCol) — the index encode never shuffles
+    val cbArrs = (0 until PqM).map(m => IvfKmeans.pqCodebook(s, d, m, PqSubDim))
+    val cbs = cbArrs.map(IvfKmeans.centroidFrame(s, _))
+    val codes = e.select(
+      ($"vec_id" +: IvfKmeans.assignCol(s, coarseArr, $"v").as("list_id") +:
+        (0 until PqM).map(m =>
+          IvfKmeans.assignCol(s, cbArrs(m), sub(m)).as(s"code$m"))): _*)
     // probe: IvfPqProbes nearest coarse lists per query — the only
     // rows that ever leave the index scan are from probed lists
     val probes = IvfKmeans.withDists(e.filter($"vec_id" < 5), coarseCdf)
@@ -556,11 +562,12 @@ object MlOps {
     * the identical fit via [[ivfFitCtes]]. */
   def simClusterSample(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val cdf = IvfKmeans.centroidFrame(s, IvfKmeans.centroids(s, d))
+    val cents = IvfKmeans.centroids(s, d)
     val e = IvfKmeans.withV(s, d)
     val w = Window.partitionBy($"list_id")
       .orderBy(md5($"vec_id".cast("string")), $"vec_id")
-    IvfKmeans.assign(e, cdf)
+    e.select($"vec_id",
+        IvfKmeans.assignCol(s, cents, $"v").as("list_id"))
       .withColumn("pick", row_number().over(w).cast("long"))
       .filter($"pick" <= ClusterSamplePerList)
       .select($"list_id".cast("long").as("list_id"), $"pick", $"vec_id")

@@ -613,9 +613,9 @@ class ScaleSpec extends SparkSpec {
           .map(p => base.relativize(p).toString -> java.nio.file.Files.size(p))
           .toMap
       }
-      val (dir, cdf) = operators.CurationOps.ragAppendBase(spark, sf0001)
+      val (dir, cents) = operators.CurationOps.ragAppendBase(spark, sf0001)
       val before = listing(dir)
-      val touched = operators.CurationOps.ragAppendNew(spark, sf0001, dir, cdf)
+      val touched = operators.CurationOps.ragAppendNew(spark, sf0001, dir, cents)
       val after = listing(dir)
       // every base file survives the append byte-identically
       before.foreach { case (f, sz) =>
@@ -644,8 +644,8 @@ class ScaleSpec extends SparkSpec {
           .map(p => base.relativize(p).toString -> java.nio.file.Files.size(p))
           .toMap
       }
-      val (dir, cdf) = operators.CurationOps.ragAppendBase(spark, sf0001)
-      val touched = operators.CurationOps.ragAppendNew(spark, sf0001, dir, cdf)
+      val (dir, cents) = operators.CurationOps.ragAppendBase(spark, sf0001)
+      val touched = operators.CurationOps.ragAppendNew(spark, sf0001, dir, cents)
       val fragged = listing(dir)
       val rowsBefore = spark.read.parquet(dir)
         .select($"doc_id", $"chunk_id", $"list_id").collect()
