@@ -411,6 +411,10 @@ object OpRegistry {
     op("doc_rag_hybrid", CurationOps.docRagHybrid, CurationOps.docRagHybridSql),
     op("doc_rag_index_compact",
       CurationOps.docRagIndexCompact, CurationOps.docRagIndexCompactSql),
+    op("dedup_near_incremental",
+      DedupOps.dedupNearIncremental, DedupOps.dedupNearIncrementalSql),
+    op("dedup_stream_near",
+      DedupOps.dedupStreamNear, DedupOps.dedupStreamNearSql),
     op("sim_cluster_sample", MlOps.simClusterSample, MlOps.clusterSampleSql),
     op("sim_ann_recall", MlOps.simAnnRecall, MlOps.simAnnRecallSql),
     op("mm_metadata", MultimodalOps.mmMetadata, MultimodalOps.mmMetadataSql),

@@ -55,4 +55,22 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** THE streaming table reader — layout-adaptive (round-16 advice):
+    * `<dir>/<name>.parquet` is a single FILE in the driver testdata
+    * but a DIRECTORY of part files when Spark wrote it, and
+    * FileStreamSource requires its basePath to be a directory while a
+    * leaf-name pathGlobFilter matches zero part files in the directory
+    * layout. One site decides: stream the directory directly, or the
+    * parent filtered to the leaf name. */
+  def streamTable(s: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = s.read.parquet(path).schema
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val isDir = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getFileStatus(hPath).isDirectory
+    if (isDir) s.readStream.schema(schema).parquet(path)
+    else s.readStream.schema(schema)
+      .option("pathGlobFilter", hPath.getName).parquet(dir)
+  }
 }

@@ -393,11 +393,8 @@ object CurationOps {
     * store needed. */
   def docStreamQuality(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val schema = s.read.parquet(s"$d/documents.parquet").schema
     val tmp = java.nio.file.Files.createTempDirectory("graft_qsink").toString
-    val gated = qualityGate(
-      s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(d))
+    val gated = qualityGate(graft.Tables.streamTable(s, d, "documents"))
     val q = gated.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         batch.write.mode("append").parquet(tmp)
@@ -1633,23 +1630,11 @@ object CurationOps {
     import s.implicits._
     val (dir, cdf) = ragBuildIndex(s, d)
     val resDir = dir + "_serve"
-    val docsPath = s"$d/documents.parquet"
-    val schema = s.read.parquet(docsPath).schema
-    // Layout-adaptive streaming source: FileStreamSource requires its
-    // basePath to be a DIRECTORY, so when `documents.parquet` is a
-    // directory of part files (the layout Spark itself writes) stream
-    // it directly; when it is the driver testdata's single FILE,
-    // stream the parent dir filtered to that leaf name. Using only the
-    // glob would match zero part files in the directory layout and the
-    // stream would silently serve nothing (round-16 advice).
-    val hPath = new org.apache.hadoop.fs.Path(docsPath)
-    val isDir = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-      .getFileStatus(hPath).isDirectory
-    val qsrc =
-      if (isDir) s.readStream.schema(schema).parquet(docsPath)
-      else s.readStream.schema(schema)
-        .option("pathGlobFilter", hPath.getName).parquet(d)
-    val qstream = qsrc
+    // Layout-adaptive streaming source (graft.Tables.streamTable,
+    // round-16 advice): single-file and directory-of-part-files
+    // layouts both stream; the old leaf-name glob matched zero part
+    // files in the directory layout and served nothing.
+    val qstream = graft.Tables.streamTable(s, d, "documents")
       .filter($"doc_id" < RagQueryMaxDocId) // prune before chunk+embed
     val qv = unitNorm(s, ragChunkVecsOf(s, qstream))
       .filter(ragQueryPred) // the ONE query-set definition (ragQueryVecs)
@@ -1670,7 +1655,7 @@ object CurationOps {
     // (or a confusing path-not-found) if the source matched no files.
     require(served.get() > 0L,
       s"doc_rag_stream: no micro-batch fired — streaming source at " +
-        s"$docsPath matched no files")
+        s"$d/documents.parquet matched no files")
     s.read.parquet(resDir).orderBy($"qid", $"rank")
   }
   /** Batch parity: the streamed serve path must produce exactly the

@@ -602,9 +602,7 @@ object DedupOps {
       .filter($"text".isNotNull)
       .filter(!$"source".isInCollection(IncrementalBatchSources))
       .select(md5($"text").as("key")).distinct()
-    val schema = s.read.parquet(s"$d/documents.parquet").schema
-    val incoming = s.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(d)
+    val incoming = graft.Tables.streamTable(s, d, "documents")
       .filter($"text".isNotNull)
       .filter($"source".isInCollection(IncrementalBatchSources))
       .select($"doc_id", md5($"text").as("key"))
@@ -619,6 +617,153 @@ object DedupOps {
   /** Batch parity: the streaming path must produce exactly
     * [[dedupIncrementalSql]]'s rows. */
   val dedupStreamIncrementalSql: String = dedupIncrementalSql
+
+  /** MinHash band keys + shingle sets for one side of the incremental
+    * NEAR-dup screen: (bands: doc_id, band, bucket) and (sets: doc_id,
+    * gs). Same signatures/banding as [[minhashPairsOf]] (one md5
+    * signature family repo-wide); works on batch and streaming frames
+    * alike — everything here is map-side. */
+  private def bandsAndSets(
+      s: SparkSession, docs: DataFrame): (DataFrame, DataFrame) = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    val g = docs
+      .select($"doc_id", expr("word_shingles(split(text, ' '))").as("gs"))
+      .filter(size($"gs") > 0)
+    val sig = withMinhash(g)
+    val bands = sig.select($"doc_id", posexplode(array(
+      (0 until 4).map { b =>
+        md5(concat_ws("|", (4 * b until 4 * b + 4).map(i => col(s"sig_$i")): _*))
+      }: _*))).toDF("doc_id", "band", "bucket")
+    (bands, sig.select($"doc_id", $"gs"))
+  }
+
+  /** Incremental (batch-vs-corpus) NEAR-dup screening — the fuzzy
+    * sibling of [[dedupIncremental]]: every crawl drop is screened
+    * against the accepted corpus for near-duplicates (boilerplate
+    * rewrites, templated mirror pages) that exact hashing misses.
+    * Each arriving doc probes its 4 MinHash band buckets in the
+    * corpus-side inverted index; bucket-mates are verified with exact
+    * Jaccard ≥ 1/2 on the shingle sets; output is one row per FLAGGED
+    * batch doc (first corpus match + match count).
+    *
+    * Scale shape: the [[LshBandCap]] anti-join discipline applies to
+    * the CORPUS index buckets (the side that can be degenerate); the
+    * batch side needs no cap because each batch doc probes exactly 4
+    * buckets, so candidates are bounded by batch_rows·4·cap —
+    * batch-linear, never corpus-quadratic. At 100 TB the corpus band
+    * index is a persisted bucketed table maintained per drop (exactly
+    * like [[dedupIncremental]]'s hash set); only the batch pays
+    * per-ingest cost. */
+  def dedupNearIncremental(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val (cBands0, cSets) = bandsAndSets(s,
+      docs.filter(!$"source".isInCollection(IncrementalBatchSources)))
+    val (bBands, bSets) = bandsAndSets(s,
+      docs.filter($"source".isInCollection(IncrementalBatchSources)))
+    nearScreen(s, bBands, bSets, cBands0, cSets)
+  }
+
+  /** The screening join of [[dedupNearIncremental]], shared with the
+    * streaming twin [[dedupStreamNear]] so the two paths cannot
+    * diverge: corpus bucket cap → band-bucket probe → exact-Jaccard
+    * verify → per-batch-doc rollup. */
+  private def nearScreen(s: SparkSession, bBands: DataFrame,
+      bSets: DataFrame, cBands0: DataFrame, cSets: DataFrame): DataFrame = {
+    import s.implicits._
+    val drop = cBands0.groupBy($"band", $"bucket").agg(count(lit(1)).as("n"))
+      .filter($"n" > LshBandCap)
+      .select($"band".as("xband"), $"bucket".as("xbucket"))
+    val cBands = cBands0.join(drop,
+      $"band" === $"xband" && $"bucket" === $"xbucket", "left_anti")
+    val cand = bBands.toDF("bdoc", "band", "bucket")
+      .join(cBands.toDF("cdoc", "band", "bucket"), Seq("band", "bucket"))
+      .select($"bdoc", $"cdoc").distinct()
+    cand
+      .join(bSets.toDF("bdoc", "gb"), "bdoc")
+      .join(cSets.toDF("cdoc", "gc"), "cdoc")
+      .select($"bdoc", $"cdoc",
+        size(array_intersect($"gb", $"gc")).as("c"),
+        size($"gb").as("nb"), size($"gc").as("nc"))
+      .filter(lit(2) * $"c" >= $"nb" + $"nc" - $"c")
+      .groupBy($"bdoc")
+      .agg(min($"cdoc").as("first_match"), count(lit(1)).as("n_matches"))
+      .select($"bdoc".as("doc_id"), $"first_match", $"n_matches")
+      .orderBy($"doc_id")
+  }
+
+  /** One side's MinHash CTE chain for [[dedupNearIncrementalSql]] —
+    * suffixed so corpus and batch replays coexist in one WITH. Same
+    * md5 signature/banding text as [[minhashPairsCtesSql]]. */
+  private def minhashSideCtes(pfx: String, where: String): String =
+    s"""tok_$pfx AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents WHERE $where),
+       |gsx_$pfx AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+       |          THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)])
+       |          ELSE [] END AS gs FROM tok_$pfx),
+       |gs2_$pfx AS (SELECT doc_id, gs FROM gsx_$pfx WHERE len(gs) > 0),
+       |sig_$pfx AS (SELECT doc_id,
+       |          [list_min([md5(g || '_' || CAST(i AS VARCHAR)) for g in gs]) for i in range(0,16)] AS sigs
+       |        FROM gs2_$pfx),
+       |bands_$pfx AS (SELECT doc_id, b,
+       |            md5(sigs[4*b+1] || '|' || sigs[4*b+2] || '|' || sigs[4*b+3] || '|' || sigs[4*b+4]) AS bucket
+       |          FROM sig_$pfx, range(0,4) t(b))""".stripMargin
+
+  lazy val dedupNearIncrementalSql: String = {
+    val batch = IncrementalBatchSources.map("'" + _ + "'").mkString(", ")
+    s"""WITH ${minhashSideCtes("c", s"source NOT IN ($batch)")},
+       |${minhashSideCtes("b", s"source IN ($batch)")},
+       |keepb AS (SELECT b, bucket FROM (SELECT b, bucket, count(*) AS n_docs
+       |                                 FROM bands_c GROUP BY 1, 2)
+       |          WHERE n_docs <= $LshBandCap),
+       |cbk AS (SELECT c0.* FROM bands_c c0 JOIN keepb k
+       |        ON k.b = c0.b AND k.bucket = c0.bucket),
+       |cand AS (SELECT DISTINCT bb.doc_id AS bdoc, cb.doc_id AS cdoc
+       |         FROM bands_b bb JOIN cbk cb
+       |           ON cb.b = bb.b AND cb.bucket = bb.bucket),
+       |v AS (SELECT bdoc, cdoc,
+       |        len(list_intersect(gb.gs, gc.gs)) AS c,
+       |        len(gb.gs) AS nb, len(gc.gs) AS nc
+       |      FROM cand JOIN gs2_b gb ON gb.doc_id = bdoc
+       |                JOIN gs2_c gc ON gc.doc_id = cdoc)
+       |SELECT bdoc AS doc_id, min(cdoc) AS first_match,
+       |  count(*) AS n_matches
+       |FROM v WHERE 2*c >= nb + nc - c
+       |GROUP BY bdoc ORDER BY doc_id""".stripMargin
+  }
+
+  /** [[dedupNearIncremental]] run as a live ingest STREAM — the
+    * near-dup sibling of [[dedupStreamIncremental]], completing the
+    * streaming ingest screen (exact hash + fuzzy MinHash, the pair
+    * every production intake runs). The corpus band index and shingle
+    * sets are STATIC (cached here; at 100 TB a persisted bucketed
+    * table refreshed between drops); each micro-batch computes its
+    * docs' band keys map-side and runs the same [[nearScreen]] the
+    * batch op runs — screening is per-doc independent, so no state
+    * store is needed at all and results append per batch. Oracle:
+    * batch parity, [[dedupNearIncrementalSql]] verbatim. */
+  def dedupStreamNear(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val (cBands0, cSets) = bandsAndSets(s,
+      docs.filter(!$"source".isInCollection(IncrementalBatchSources)))
+    val cBandsC = trackCache(cBands0)
+    val cSetsC = trackCache(cSets)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_snear").toString
+    val incoming = graft.Tables.streamTable(s, d, "documents")
+      .filter($"source".isInCollection(IncrementalBatchSources))
+    val q = incoming.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        val (bBands, bSets) = bandsAndSets(s, batch)
+        nearScreen(s, bBands, bSets, cBandsC, cSetsC)
+          .write.mode(if (bid == 0L) "overwrite" else "append")
+          .parquet(outDir)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(outDir).orderBy($"doc_id")
+  }
+  lazy val dedupStreamNearSql: String = dedupNearIncrementalSql
 
   /** Containment near-dup pairs: the ASYMMETRIC companion to
     * [[dedupNgramJaccard]]. Jaccard |∩|/|∪| misses the doc-in-doc

@@ -161,12 +161,8 @@ object EventOps {
     * schema/glob/normalizeTs plumbing live in this ONE site, mirroring
     * batch [[graft.Tables.events]]). */
   private def eventsStream(s: SparkSession, d: String) = {
-    import s.implicits._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
-    s.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
+    graft.Tables.streamTable(s, d, "events")
       .transform(graft.Tables.normalizeTs)
   }
 

@@ -111,6 +111,19 @@ class Round17OpsSpec extends SparkSpec {
     fused.unpersist()
   }
 
+  test("streaming near-dup screen equals the batch screen, and flags real dups") {
+    val dir = writeDirLayoutDocs(withNullSource = false)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = rows(DedupOps.dedupNearIncremental(spark, dir))
+    // the synthetic corpus repeats 6 text patterns across sources, so
+    // src0 (batch) docs are near-dups of corpus docs by construction
+    assert(batch.nonEmpty, "screen flagged nothing on a corpus with dups")
+    val streamed = rows(DedupOps.dedupStreamNear(spark, dir))
+    assert(streamed == batch)
+    DedupOps.releaseCaches()
+  }
+
   test("releaseCaches drops the report's tokenization + generator caches") {
     spark.catalog.clearCache() // isolate from other suites' residue
     val rep = DedupOps.dedupReport(spark, sf0001)
