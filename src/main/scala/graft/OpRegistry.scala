@@ -325,6 +325,7 @@ object OpRegistry {
     op("text_tokens_bpe", TextOps.textTokensBpe, TextOps.textTokensBpeSql),
     op("text_repetition", TextOps.textRepetition, TextOps.textRepetitionSql),
     op("text_repetition_remove", TextOps.textRepetitionRemove, TextOps.textRepetitionRemoveSql),
+    op("text_span_scrub", TextOps.textSpanScrub, TextOps.textSpanScrubSql),
     op("text_bpe_train", TextOps.textBpeTrain, TextOps.textBpeTrainSql),
     op("text_bpe_encode", TextOps.textBpeEncode, TextOps.textBpeEncodeSql),
     op("text_pii", TextOps.textPii, TextOps.textPiiSql),
@@ -411,6 +412,8 @@ object OpRegistry {
     op("doc_rag_hybrid", CurationOps.docRagHybrid, CurationOps.docRagHybridSql),
     op("doc_rag_index_compact",
       CurationOps.docRagIndexCompact, CurationOps.docRagIndexCompactSql),
+    op("doc_rag_hybrid_recall",
+      CurationOps.docRagHybridRecall, CurationOps.docRagHybridRecallSql),
     op("dedup_near_incremental",
       DedupOps.dedupNearIncremental, DedupOps.dedupNearIncrementalSql),
     op("dedup_stream_near",

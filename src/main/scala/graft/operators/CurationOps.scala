@@ -1736,12 +1736,12 @@ object CurationOps {
       .orderBy($"qid", $"rank")
   }
 
-  /** Both legs replayed: `ragres` is [[docRagE2eSql]]'s retrieval CTE
-    * chain verbatim (shared via [[ragCtesSql]]); the lexical leg reads
-    * the same `cch` chunk-token CTE the embedder derives from. */
-  lazy val docRagHybridSql: String =
-    s"""$ragCtesSql,
-       |qtok AS (
+  /** The hybrid CTE chain appended after [[ragCtesSql]]: lexical leg
+    * over the same `cch` chunk tokens the embedder derives from, RRF
+    * fusion against `ragres`, ending in `hybres` (the fused top-K) —
+    * shared by [[docRagHybridSql]] and [[docRagHybridRecallSql]]. */
+  private lazy val ragHybridCtesSql: String =
+    s"""qtok AS (
        |  SELECT doc_id AS qid, unnest(list_distinct(cw)) AS t
        |  FROM cch WHERE doc_id < $RagQueryMaxDocId AND chunk_id = 0),
        |ctok AS (SELECT doc_id, chunk_id, unnest(cw) AS t FROM cch),
@@ -1765,13 +1765,23 @@ object CurationOps {
        |    CAST(COALESCE($RrfScale // ($RrfK + v.rank), 0)
        |       + COALESCE($RrfScale // ($RrfK + l.lrank), 0) AS BIGINT) AS rrf
        |  FROM ragres v FULL OUTER JOIN lex l
-       |    ON v.qid = l.qid AND v.doc_id = l.doc_id AND v.chunk_id = l.chunk_id)
-       |SELECT qid, rank, doc_id, chunk_id, rrf FROM (
-       |  SELECT qid, doc_id, chunk_id, rrf,
-       |    row_number() OVER (PARTITION BY qid
-       |      ORDER BY rrf DESC, doc_id, chunk_id) AS rank
-       |  FROM fused) z
-       |WHERE rank <= $RagTopK ORDER BY qid, rank""".stripMargin
+       |    ON v.qid = l.qid AND v.doc_id = l.doc_id AND v.chunk_id = l.chunk_id),
+       |hybres AS (
+       |  SELECT qid, rank, doc_id, chunk_id, rrf FROM (
+       |    SELECT qid, doc_id, chunk_id, rrf,
+       |      row_number() OVER (PARTITION BY qid
+       |        ORDER BY rrf DESC, doc_id, chunk_id) AS rank
+       |    FROM fused) z
+       |  WHERE rank <= $RagTopK)""".stripMargin
+
+  /** Both legs replayed: `ragres` is [[docRagE2eSql]]'s retrieval CTE
+    * chain verbatim (shared via [[ragCtesSql]]); the lexical leg reads
+    * the same `cch` chunk-token CTE the embedder derives from. */
+  lazy val docRagHybridSql: String =
+    s"""$ragCtesSql,
+       |$ragHybridCtesSql
+       |SELECT qid, rank, doc_id, chunk_id, rrf FROM hybres
+       |ORDER BY qid, rank""".stripMargin
 
   /** Retrieval-quality evaluation for [[docRagE2e]] — recall@
     * [[RagTopK]] of the IVF-probed retrieval against the BRUTE-FORCE
@@ -1784,11 +1794,29 @@ object CurationOps {
     * [[docRagE2e]] reused verbatim on both engines (the Spark
     * function; `ragres` in the oracle), so the metric can never drift
     * from what the pipeline actually retrieves. */
-  def docRagRecall(s: SparkSession, d: String): DataFrame = {
+  def docRagRecall(s: SparkSession, d: String): DataFrame =
+    ragRecallOf(s, d, docRagE2e(s, d))
+
+  /** Recall@[[RagTopK]] of the HYBRID retrieval ([[docRagHybrid]])
+    * against the same brute-force chunk ground truth — the rollout
+    * meter completing the hybrid path exactly as [[docRagRecall]]
+    * gates the pure-vector probe: fusion must be justified by the
+    * measurement, not assumed (a lexical leg can DILUTE dense recall
+    * on paraphrase-heavy corpora — this is the meter that would catch
+    * it before a 100 TB rollout). */
+  def docRagHybridRecall(s: SparkSession, d: String): DataFrame =
+    ragRecallOf(s, d, docRagHybrid(s, d))
+
+  /** The recall harness shared by every retrieval variant: brute-force
+    * exact-cosine chunk truth per query (queries are eval-sized, so
+    * the cross is corpus-linear), left-join the candidate's top-K,
+    * integer-ppm rollup. */
+  private def ragRecallOf(
+      s: SparkSession, d: String, retrieved: DataFrame): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(s)
-    val rag = docRagE2e(s, d)
+    val rag = retrieved
       .select($"qid", $"doc_id", $"chunk_id").withColumn("hit", lit(1L))
     val q = ragQueryVecs(s, d).select($"vec_id".as("qid"), $"v".as("qv"))
     // brute ground truth: all chunks scored per query — unhinted cross
@@ -1809,8 +1837,12 @@ object CurationOps {
         expr("(1000000L * n_hit) div n_true").as("recall_ppm"))
       .orderBy($"qid")
   }
-  lazy val docRagRecallSql: String =
-    s"""$ragCtesSql,
+
+  /** Recall rollup against result CTE `res`, with `extraCtes` appended
+    * to the shared retrieval chain — parameterized so every retrieval
+    * variant's recall oracle is ONE definition. */
+  private def ragRecallSqlAgainst(res: String, extraCtes: String): String =
+    s"""$ragCtesSql${if (extraCtes.isEmpty) "" else ",\n" + extraCtes},
        |truth AS (
        |  SELECT qid, doc_id, chunk_id FROM (
        |    SELECT q.vec_id AS qid, cvu.doc_id, cvu.chunk_id,
@@ -1824,7 +1856,11 @@ object CurationOps {
        |  CAST(sum(CASE WHEN r.qid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
        |  CAST((1000000 * sum(CASE WHEN r.qid IS NOT NULL THEN 1 ELSE 0 END))
        |    // count(*) AS BIGINT) AS recall_ppm
-       |FROM truth t LEFT JOIN ragres r
+       |FROM truth t LEFT JOIN $res r
        |  ON r.qid = t.qid AND r.doc_id = t.doc_id AND r.chunk_id = t.chunk_id
        |GROUP BY t.qid ORDER BY t.qid""".stripMargin
+
+  lazy val docRagRecallSql: String = ragRecallSqlAgainst("ragres", "")
+  lazy val docRagHybridRecallSql: String =
+    ragRecallSqlAgainst("hybres", ragHybridCtesSql)
 }

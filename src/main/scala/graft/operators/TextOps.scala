@@ -277,6 +277,88 @@ object TextOps {
       |  md5(array_to_string(kept, ' ')) AS cleaned_md5
       |FROM k ORDER BY doc_id""".stripMargin
 
+  /** Doc-frequency threshold for [[textSpanScrub]]: a verbatim
+    * [[DedupOps.SpanLen]]-token span present in MORE THAN this many
+    * distinct documents is boilerplate (site chrome, license headers,
+    * templated intros) and is excised from every document carrying it.
+    * Low on the synthetic corpus so the op exercises real removals;
+    * production tunes it per corpus (C4 removed any 3-sentence span
+    * occurring more than once). */
+  val SpanScrubDf = 2L
+
+  /** CROSS-document boilerplate removal — the corpus-level sibling of
+    * [[textRepetitionRemove]] (intra-doc) and the CLEANING step the
+    * span pair generator ([[DedupOps.dedupSpan]]) only flags: spans
+    * verbatim-shared by more than [[SpanScrubDf]] docs are excised
+    * from every document, emitting (n_tokens, n_removed, cleaned_md5)
+    * per doc — C4's repeated-span removal, keyed on the same
+    * [[DedupOps.SpanLen]]-token windows as the whole span family.
+    *
+    * Shape: one span-index shuffle to compute doc-frequencies (the
+    * same index every span op builds), the boilerplate set joined back
+    * to position rows (data-derived, unhinted — it is small by
+    * construction: spans in >N docs), covered START positions
+    * collected per doc (bounded by doc length), and the excision
+    * itself pure map-side array ops. Worst case (every doc identical)
+    * the boilerplate join returns every position row — corpus-LINEAR,
+    * never quadratic, because positions join the span SET, not other
+    * docs. */
+  def textSpanScrub(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = DedupOps.SpanLen
+    val gram = (0 until k).map(j => s"ws[i+$j]").mkString(", ")
+    val toks = documents(s, d)
+      .filter($"text".isNotNull) // family-wide NULL-text guard
+      .select($"doc_id", split($"text", " ").as("ws"))
+    val occ = toks.filter(size($"ws") >= k)
+      .select($"doc_id", posexplode(expr(
+        s"transform(sequence(0, size(ws) - $k), i -> md5(concat_ws(' ', $gram)))")))
+      .toDF("doc_id", "i", "g")
+    val boiler = occ.select($"doc_id", $"g").distinct()
+      .groupBy($"g").agg(count(lit(1)).as("n_docs"))
+      .filter($"n_docs" > SpanScrubDf).select($"g")
+    val starts = occ.join(boiler, "g")
+      .groupBy($"doc_id").agg(collect_set($"i").as("starts"))
+    toks.join(starts, Seq("doc_id"), "left")
+      .select($"doc_id", $"ws",
+        coalesce($"starts", expr("array()").cast("array<int>")).as("starts"))
+      .withColumn("clean", expr(
+        s"filter(ws, (w, p) -> NOT exists(starts, st -> p >= st AND p <= st + ${k - 1}))"))
+      .select($"doc_id",
+        size($"ws").cast("long").as("n_tokens"),
+        (size($"ws") - size($"clean")).cast("long").as("n_removed"),
+        md5(concat_ws(" ", $"clean")).as("cleaned_md5"))
+      .orderBy($"doc_id")
+  }
+  lazy val textSpanScrubSql: String = {
+    val k = DedupOps.SpanLen
+    val gram = (0 until k).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+    s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents
+       |            WHERE text IS NOT NULL),
+       |occ AS (SELECT doc_id,
+       |          unnest([i - 1 for i in range(1, len(ws) - ${k - 1} + 1)]) AS i,
+       |          unnest([md5($gram) for i in range(1, len(ws) - ${k - 1} + 1)]) AS g
+       |        FROM tok WHERE len(ws) >= $k),
+       |boiler AS (SELECT g FROM (
+       |             SELECT g, count(DISTINCT doc_id) AS n_docs FROM occ GROUP BY g)
+       |           WHERE n_docs > $SpanScrubDf),
+       |starts AS (SELECT doc_id, list(DISTINCT o.i) AS starts
+       |           FROM occ o JOIN boiler b ON b.g = o.g GROUP BY doc_id),
+       |cl AS (SELECT t.doc_id, t.ws, COALESCE(s.starts, []) AS starts
+       |       FROM tok t LEFT JOIN starts s USING (doc_id)),
+       |fin AS (SELECT doc_id, ws,
+       |          [ws[p] for p in range(1, len(ws) + 1)
+       |           if len(list_filter(starts, st -> p - 1 >= st AND p - 1 <= st + ${k - 1})) = 0] AS clean
+       |        FROM cl)
+       |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+       |  CAST(len(ws) - len(clean) AS BIGINT) AS n_removed,
+       |  -- COALESCE: a fully-scrubbed doc has clean = [], which
+       |  -- array_to_string renders NULL where Spark's concat_ws
+       |  -- renders '' — both engines must hash the empty string
+       |  md5(COALESCE(array_to_string(clean, ' '), '')) AS cleaned_md5
+       |FROM fin ORDER BY doc_id""".stripMargin
+  }
+
   /** Pattern-count filtering signals (emails / URLs) with a shared
     * lookaround-free regex — the PII / boilerplate pre-filter shape. */
   def textPii(s: SparkSession, d: String): DataFrame = {

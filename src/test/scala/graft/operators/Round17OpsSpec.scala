@@ -124,6 +124,31 @@ class Round17OpsSpec extends SparkSpec {
     DedupOps.releaseCaches()
   }
 
+  test("span scrub: shared boilerplate excised; full scrub hashes the empty string") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("scrub").toString
+    val boiler = (1 to 12).map(i => s"b$i").mkString(" ") // one 12-token span
+    // docs 0-2 are the bare span (fully scrubbed once shared by >2
+    // docs); doc 3 embeds it in unique text; doc 4 is clean
+    Seq(
+      (0L, boiler, "s0"), (1L, boiler, "s0"), (2L, boiler, "s1"),
+      (3L, s"unique head $boiler unique tail", "s1"),
+      (4L, "no shared content here at all padded to twelve tokens ok", "s2"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.textSpanScrub(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val emptyMd5 = "d41d8cd98f00b204e9800998ecf8427e" // md5("")
+    assert(out(0L) == ((12L, 12L, emptyMd5)))
+    assert(out(1L) == ((12L, 12L, emptyMd5)))
+    assert(out(2L) == ((12L, 12L, emptyMd5)))
+    // doc 3: the embedded span is excised, the unique text survives —
+    // all 12-token windows overlapping the boilerplate start positions
+    // are NOT boilerplate themselves (df=1), so only the span goes
+    assert(out(3L)._1 == 16L && out(3L)._2 == 12L)
+    assert(out(4L)._2 == 0L)
+  }
+
   test("releaseCaches drops the report's tokenization + generator caches") {
     spark.catalog.clearCache() // isolate from other suites' residue
     val rep = DedupOps.dedupReport(spark, sf0001)
