@@ -414,6 +414,8 @@ object OpRegistry {
       CurationOps.docRagIndexCompact, CurationOps.docRagIndexCompactSql),
     op("doc_rag_hybrid_recall",
       CurationOps.docRagHybridRecall, CurationOps.docRagHybridRecallSql),
+    op("dedup_incremental_bloom",
+      DedupOps.dedupIncrementalBloom, DedupOps.dedupIncrementalBloomSql),
     op("dedup_near_incremental",
       DedupOps.dedupNearIncremental, DedupOps.dedupNearIncrementalSql),
     op("dedup_stream_near",

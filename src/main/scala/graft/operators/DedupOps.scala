@@ -618,6 +618,50 @@ object DedupOps {
     * [[dedupIncrementalSql]]'s rows. */
   val dedupStreamIncrementalSql: String = dedupIncrementalSql
 
+  /** [[dedupIncremental]] with the BLOOM PRE-PASS its scaladoc
+    * promises made literal: the corpus hash set is summarized into a
+    * [[org.apache.spark.util.sketch.BloomFilter]] (built distributed
+    * by `df.stat.bloomFilter`, 1% FPP) and shipped to executors as an
+    * expression literal ([[graft.functions.BloomMightContain]], native
+    * codegen); arriving docs whose key is DEFINITELY absent skip the
+    * anti-join entirely, and only the maybe-present slice (true dups +
+    * ~1% false positives) pays the exact join. At 100 TB this is the
+    * difference between shuffling the whole crawl drop against the
+    * corpus index and shuffling ~the duplicate volume: the sketch is
+    * megabytes for billions of keys, rebuilt (or incrementally
+    * updated — bit-OR is associative) alongside the persisted hash
+    * index between drops.
+    *
+    * Output is IDENTICAL to [[dedupIncremental]] by construction —
+    * false positives are re-checked exactly, false negatives cannot
+    * exist — so the oracle is [[dedupIncrementalSql]] verbatim: the
+    * sketch accelerates, it never decides. */
+  def dedupIncrementalBloom(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    val docs = documents(s, d)
+      .filter($"text".isNotNull)
+      .select($"doc_id", $"source", md5($"text").as("key"))
+    val incoming = docs.filter($"source".isInCollection(IncrementalBatchSources))
+    val corpus = trackCache(docs
+      .filter(!$"source".isInCollection(IncrementalBatchSources))
+      .select($"key").distinct())
+    val bf = corpus.stat.bloomFilter("key",
+      math.max(corpus.count(), 1L), 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val mc = call_function("bloom_might_contain", $"key", lit(bos.toByteArray))
+    val sure = incoming.filter(!mc)
+    val maybe = incoming.filter(mc).join(corpus, Seq("key"), "left_anti")
+    sure.select($"doc_id", $"key")
+      .unionByName(maybe.select($"doc_id", $"key"))
+      .groupBy($"key")
+      .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_batch"))
+      .orderBy($"key")
+  }
+  /** The sketch never decides — exact-parity oracle. */
+  val dedupIncrementalBloomSql: String = dedupIncrementalSql
+
   /** MinHash band keys + shingle sets for one side of the incremental
     * NEAR-dup screen: (bands: doc_id, band, bucket) and (sets: doc_id,
     * gs). Same signatures/banding as [[minhashPairsOf]] (one md5

@@ -630,6 +630,15 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.indexRoot")
   }
 
+  test("bloom pre-pass: definite-absent branch joins nothing; one exact anti-join remains") {
+    val p = plan(operators.DedupOps.dedupIncrementalBloom(spark, sf0001))
+    // the maybe-present slice is the ONLY side that pays a join —
+    // definite-new rows flow scan→filter→union with no join at all
+    assert("LeftAnti".r.findAllIn(p).size == 1, p)
+    assert(p.contains("bloom_might_contain"), p)
+    operators.DedupOps.releaseCaches()
+  }
+
   test("doc_rag_index_compact rewrites only touched lists, one file each, rows intact") {
     import scala.jdk.CollectionConverters._
     import spark.implicits._

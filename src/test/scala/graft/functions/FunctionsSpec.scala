@@ -175,6 +175,32 @@ class FunctionsSpec extends SparkSpec {
     assert(grouped == concat)
   }
 
+  test("bloom_might_contain: no false negatives, codegen path, literal required") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    val keys = (0 until 100).map(i => s"key_$i")
+    val bf = keys.toDF("k").stat.bloomFilter("k", 100, 0.01)
+    val bos = new java.io.ByteArrayOutputStream(); bf.writeTo(bos)
+    val mc = call_function("bloom_might_contain", $"k", lit(bos.toByteArray))
+    val present = keys.toDF("k").select(mc.as("m")).collect().map(_.getBoolean(0))
+    assert(present.forall(identity), "bloom false negative — impossible by contract")
+    // absent keys: almost all definitely-absent at 1% fpp over 1000 probes
+    val absent = (0 until 1000).map(i => s"other_$i").toDF("k")
+      .select(mc.as("m")).collect().count(_.getBoolean(0))
+    assert(absent < 100, s"$absent/1000 false positives — sketch mis-sized")
+    // participates in whole-stage codegen (not a fallback)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    assert(!BloomMightContain(Literal("x"), Literal(bos.toByteArray))
+      .isInstanceOf[CodegenFallback])
+    // non-foldable sketch argument is rejected loudly
+    intercept[Exception] {
+      keys.toDF("k")
+        .select(call_function("bloom_might_contain", $"k", $"k".cast("binary")))
+        .collect()
+    }
+  }
+
   test("sq_dist and bucket_counts generate code bit-identical to interpreted eval") {
     GraftFunctions.register(spark)
     import spark.implicits._
