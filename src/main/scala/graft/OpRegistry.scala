@@ -412,6 +412,8 @@ object OpRegistry {
     op("doc_rag_hybrid", CurationOps.docRagHybrid, CurationOps.docRagHybridSql),
     op("doc_rag_index_compact",
       CurationOps.docRagIndexCompact, CurationOps.docRagIndexCompactSql),
+    op("doc_rag_stream_append",
+      CurationOps.docRagStreamAppend, CurationOps.docRagStreamAppendSql),
     op("doc_rag_hybrid_recall",
       CurationOps.docRagHybridRecall, CurationOps.docRagHybridRecallSql),
     op("dedup_incremental_bloom",
@@ -422,6 +424,8 @@ object OpRegistry {
       DedupOps.dedupStreamNear, DedupOps.dedupStreamNearSql),
     op("sim_cluster_sample", MlOps.simClusterSample, MlOps.clusterSampleSql),
     op("sim_ann_recall", MlOps.simAnnRecall, MlOps.simAnnRecallSql),
+    op("sim_ann_ivf_pq_recall",
+      MlOps.simAnnIvfPqRecall, MlOps.simAnnIvfPqRecallSql),
     op("mm_metadata", MultimodalOps.mmMetadata, MultimodalOps.mmMetadataSql),
     op("mm_frame_sample", MultimodalOps.mmFrameSample, MultimodalOps.mmFrameSampleSql),
     op("mm_feature", MultimodalOps.mmFeature, MultimodalOps.mmFeatureSql),

@@ -1526,6 +1526,42 @@ object CurationOps {
     touched
   }
 
+  /** [[docRagIndexAppend]]'s ingest leg run as a live STREAM — the
+    * write-side sibling of [[docRagStream]] (which streams QUERIES
+    * against a static index; this streams DOCUMENTS into it),
+    * completing the streaming lifecycle matrix: build (batch), append
+    * (batch + stream), compact, serve (batch + stream). Each
+    * micro-batch chunks + embeds its documents map-side, assigns them
+    * with the FROZEN day-0 quantizer ([[IvfKmeans.assignCol]] — a
+    * driver-side literal, so the whole per-batch plan is one
+    * stateless map + partitioned append touching only the lists the
+    * batch lands in), and appends. No state store: chunk assignment
+    * is per-doc independent, the on-disk index IS the state. Oracle:
+    * the same full-rebuild parity as the batch append
+    * ([[docRagIndexAppendSql]] verbatim) — arrival mode must not
+    * change the index. */
+  def docRagStreamAppend(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (dir, cents) = ragAppendBase(s, d)
+    val incoming = graft.Tables.streamTable(s, d, "documents")
+      .filter($"source".isInCollection(DedupOps.IncrementalBatchSources))
+    val q = incoming.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        unitNorm(s, ragChunkVecsOf(s, batch))
+          .withColumn("vec_id", $"doc_id" * RagKeyMul + $"chunk_id")
+          .withColumn("list_id", IvfKmeans.assignCol(s, cents, $"v"))
+          .select($"doc_id", $"chunk_id", $"v", $"list_id")
+          .write.mode("append").partitionBy("list_id").parquet(dir)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(dir)
+      .select($"doc_id", $"chunk_id", $"list_id".cast("long").as("list_id"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+  /** Arrival mode must not change the index — batch-append parity. */
+  lazy val docRagStreamAppendSql: String = docRagIndexAppendSql
+
   /** Maintenance leg completing the index lifecycle after
     * [[docRagIndex]] (build) and [[docRagIndexAppend]] (append):
     * COMPACTION of the fragmented touched partitions. Every append

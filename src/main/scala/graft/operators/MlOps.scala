@@ -595,12 +595,27 @@ object MlOps {
     * metric can never drift from what the index ops actually return.
     * Cost = brute + LSH + a queries×k join: evaluation is always
     * sampled-query-sized, never corpus-sized. */
-  def simAnnRecall(s: SparkSession, d: String): DataFrame = {
+  def simAnnRecall(s: SparkSession, d: String): DataFrame =
+    annRecallOf(s, d, SimilarityOps.simAnnLsh(s, d))
+
+  /** Recall@3 of the composed IVF+PQ index ([[simAnnIvfPq]]) against
+    * the same brute-force truth — the rollout gate for the DOUBLE
+    * approximation (coarse probe misses + PQ quantization error
+    * compound; this is the meter that says whether 2-probe × 8-nibble
+    * codes still retrieve what exact search would, before anyone
+    * trades 32× scan cost for it at 100 TB). Same harness as
+    * [[simAnnRecall]], so every ANN variant carries the same meter. */
+  def simAnnIvfPqRecall(s: SparkSession, d: String): DataFrame =
+    annRecallOf(s, d, simAnnIvfPq(s, d))
+
+  /** Shared ANN-recall harness: brute truth left-joined by the
+    * candidate's (qid, nid) picks, integer-ppm rollup. */
+  private def annRecallOf(
+      s: SparkSession, d: String, candidate: DataFrame): DataFrame = {
     import s.implicits._
     val brute = SimilarityOps.simTopkBrute(s, d).select($"qid", $"nid")
-    val lsh = SimilarityOps.simAnnLsh(s, d).select($"qid", $"nid")
-      .withColumn("hit", lit(1L))
-    brute.join(lsh, Seq("qid", "nid"), "left")
+    val got = candidate.select($"qid", $"nid").withColumn("hit", lit(1L))
+    brute.join(got, Seq("qid", "nid"), "left")
       .groupBy($"qid")
       .agg(count(lit(1)).as("n_true"),
         sum(coalesce($"hit", lit(0L))).as("n_hit"))
@@ -608,17 +623,25 @@ object MlOps {
         expr("(1000000L * n_hit) div n_true").as("recall_ppm"))
       .orderBy($"qid")
   }
-  val simAnnRecallSql: String =
+
+  /** Recall rollup with the candidate's full query nested as a derived
+    * table — one definition for every ANN variant's recall oracle. */
+  private def annRecallSqlAgainst(candidateSql: String): String =
     s"""WITH brute AS (SELECT qid, nid FROM (
        |${SimilarityOps.simTopkBruteSql}
        |) zb),
-       |lsh AS (SELECT qid, nid FROM (
-       |${SimilarityOps.simAnnLshSql}
+       |got AS (SELECT qid, nid FROM (
+       |$candidateSql
        |) zl)
        |SELECT b.qid, count(*) AS n_true,
        |  CAST(sum(CASE WHEN l.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
        |  CAST((1000000 * sum(CASE WHEN l.nid IS NOT NULL THEN 1 ELSE 0 END))
        |    // count(*) AS BIGINT) AS recall_ppm
-       |FROM brute b LEFT JOIN lsh l ON l.qid = b.qid AND l.nid = b.nid
+       |FROM brute b LEFT JOIN got l ON l.qid = b.qid AND l.nid = b.nid
        |GROUP BY b.qid ORDER BY b.qid""".stripMargin
+
+  lazy val simAnnRecallSql: String =
+    annRecallSqlAgainst(SimilarityOps.simAnnLshSql)
+  lazy val simAnnIvfPqRecallSql: String =
+    annRecallSqlAgainst(ivfPqOracleSql)
 }

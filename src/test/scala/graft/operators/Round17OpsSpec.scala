@@ -124,6 +124,15 @@ class Round17OpsSpec extends SparkSpec {
     DedupOps.releaseCaches()
   }
 
+  test("streaming index append equals the batch append row-for-row") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val streamed = rows(CurationOps.docRagStreamAppend(spark, sf0001))
+    val batch = rows(CurationOps.docRagIndexAppend(spark, sf0001))
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("span scrub: shared boilerplate excised; full scrub hashes the empty string") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("scrub").toString
