@@ -414,6 +414,8 @@ object OpRegistry {
       CurationOps.docRagIndexCompact, CurationOps.docRagIndexCompactSql),
     op("doc_rag_stream_append",
       CurationOps.docRagStreamAppend, CurationOps.docRagStreamAppendSql),
+    op("doc_rag_index_delete",
+      CurationOps.docRagIndexDelete, CurationOps.docRagIndexDeleteSql),
     op("doc_rag_hybrid_recall",
       CurationOps.docRagHybridRecall, CurationOps.docRagHybridRecallSql),
     op("dedup_incremental_bloom",
@@ -426,6 +428,9 @@ object OpRegistry {
     op("sim_ann_recall", MlOps.simAnnRecall, MlOps.simAnnRecallSql),
     op("sim_ann_ivf_pq_recall",
       MlOps.simAnnIvfPqRecall, MlOps.simAnnIvfPqRecallSql),
+    op("sim_ann_sq8", MlOps.simAnnSq8, MlOps.sq8OracleSql),
+    op("sim_ann_sq8_recall", MlOps.simAnnSq8Recall, MlOps.simAnnSq8RecallSql),
+    op("sim_ann_report", MlOps.simAnnReport, MlOps.simAnnReportSql),
     op("mm_metadata", MultimodalOps.mmMetadata, MultimodalOps.mmMetadataSql),
     op("mm_frame_sample", MultimodalOps.mmFrameSample, MultimodalOps.mmFrameSampleSql),
     op("mm_feature", MultimodalOps.mmFeature, MultimodalOps.mmFeatureSql),

@@ -1601,18 +1601,83 @@ object CurationOps {
       s: SparkSession, dir: String, touched: Seq[Int]): Unit = {
     import s.implicits._
     if (touched.isEmpty) return
-    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
+    withDynamicPartitionOverwrite(s) {
       val rows = s.read.parquet(dir)
         .filter($"list_id".isin(touched: _*))
         .localCheckpoint(true) // materialize before the files vanish
       rows.repartition($"list_id") // each list lands whole in one task
         .write.mode("overwrite").partitionBy("list_id").parquet(dir)
       rows.unpersist()
-    } finally prev match {
-      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None    => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** Deterministic takedown set for [[docRagIndexDelete]] — stands in
+    * for the external id list a deletion request delivers. */
+  private[graft] val RagTakedownMod = 7
+  private[graft] val RagTakedownRes = 3L
+
+  /** DELETE leg completing the index lifecycle: remove a requested
+    * document set (GDPR takedown / license revocation — the id list
+    * arrives from outside; here a fixed residue class stands in) from
+    * the on-disk list-partitioned index WITHOUT a rebuild. Two-step,
+    * both bounded by the deleted data, never the index:
+    * (1) a membership scan reading ONLY (doc_id, list_id) — the
+    * vector column never leaves the parquet scan — finds which lists
+    * hold victim chunks; (2) those lists alone are rewritten minus the
+    * victims via dynamic partition overwrite (same touched-lists-only
+    * rewrite as [[docRagIndexCompact]]; a transactional format would
+    * commit delete files instead — same I/O shape). A list whose every
+    * chunk is deleted writes no partition under dynamic overwrite, so
+    * its directory is removed explicitly — silently keeping stale
+    * files is the classic compact-and-delete bug. Untouched lists stay
+    * byte-identical. Oracle: full-rebuild-minus-victims parity —
+    * [[docRagIndexAppendSql]] filtered by the takedown predicate,
+    * because deletion must be indistinguishable from never having
+    * indexed the victims. */
+  def docRagIndexDelete(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (dir, cents) = ragAppendBase(s, d)
+    ragAppendNew(s, d, dir, cents)
+    val takedown = $"doc_id" % RagTakedownMod === RagTakedownRes
+    val touched = s.read.parquet(dir).filter(takedown)
+      .select($"list_id").distinct().collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.nonEmpty) withDynamicPartitionOverwrite(s) {
+      // lineage cut before the rewrite deletes the files it reads
+      val rows = s.read.parquet(dir)
+        .filter($"list_id".isin(touched: _*)).filter(!takedown)
+        .localCheckpoint(true)
+      val survivors = rows.select($"list_id").distinct()
+        .collect().map(_.getInt(0)).toSet
+      rows.repartition($"list_id")
+        .write.mode("overwrite").partitionBy("list_id").parquet(dir)
+      rows.unpersist()
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      touched.filterNot(survivors).foreach { lid =>
+        fs.delete(new org.apache.hadoop.fs.Path(dir, s"list_id=$lid"), true)
+      }
+    }
+    s.read.parquet(dir)
+      .select($"doc_id", $"chunk_id", $"list_id".cast("long").as("list_id"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+  /** Deletion ≡ never indexed: the append oracle minus the victims. */
+  lazy val docRagIndexDeleteSql: String =
+    s"""SELECT doc_id, chunk_id, list_id FROM (
+       |$docRagIndexAppendSql
+       |) zdel WHERE doc_id % $RagTakedownMod <> $RagTakedownRes
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Save/restore wrapper for the dynamic partition-overwrite mode the
+    * touched-lists rewrites ([[ragCompactTouched]],
+    * [[docRagIndexDelete]]) flip on. */
+  private def withDynamicPartitionOverwrite[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "dynamic")
+    try body finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
     }
   }
 

@@ -3,7 +3,7 @@ package graft.operators
 import graft.Tables._
 import org.apache.spark.ml.feature.MinHashLSH
 import org.apache.spark.ml.linalg.Vectors
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -541,6 +541,113 @@ object MlOps {
        |  FROM scored) z
        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
+  /** Shortlist depth of [[simAnnSq8]] — same two-stage budget as
+    * [[PqRerank]]. */
+  private[operators] val SqRerank = 64
+
+  /** Scalar-quantization ANN (FAISS `IndexScalarQuantizer` QT_8bit
+    * shape): each dimension is affinely quantized to an 8-bit code
+    * against per-dimension corpus [min,max] — the "model" is 2×d
+    * doubles (one tiny aggregate), vs PQ's 8 trained codebooks. The
+    * scan side then touches 1-byte codes instead of 4-byte floats (4×
+    * less I/O at 100 TB, with none of PQ's training coupling — SQ is
+    * what production systems deploy when the corpus distribution
+    * drifts too fast to keep codebooks fresh). Distance is SYMMETRIC
+    * over the integer codes (query quantized too): every per-dim term
+    * is an exact small integer, so the distance sum is
+    * order-independent and bit-identical across engines — no
+    * fixed-order accumulation contract needed, unlike the float ADC
+    * of [[simAnnPq]]. Two-stage retrieval mirrors the family: top-
+    * [[SqRerank]] shortlist by code distance, exact-cosine rerank,
+    * top-3 per query (vec_id < 5), ties to the lower neighbor id.
+    *
+    * Fit = one min/max aggregate (map-side partials, d rows out);
+    * encode = one map-side projection with the 2×d literals; scan =
+    * broadcast query codes × corpus codes, corpus-LINEAR with no
+    * shuffle before the queries×shortlist window. */
+  def simAnnSq8(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val e = IvfKmeans.withV(s, d).cache()
+    // per-dimension [min,max]: min/max are exact selections (no
+    // accumulation), so the fit is deterministic by construction
+    val stats = e.select(posexplode($"v").as(Seq("i", "x")))
+      .groupBy($"i").agg(min($"x").as("mn"), max($"x").as("mx"))
+      .orderBy($"i").collect()
+    val mnLit = typedLit(stats.map(_.getDouble(1)).toSeq)
+    val mxLit = typedLit(stats.map(_.getDouble(2)).toSeq)
+    // code_i = clamp(floor((x-mn)*256/(mx-mn)), 0..255): floor, not
+    // round — no half-way cross-engine ambiguity. Codes stay DOUBLE
+    // (exact integers ≤255) so sq_dist applies unchanged; the on-disk
+    // form at scale is the same values as 1-byte ints.
+    def codesOf(v: Column): Column = transform(v, (x, i) => {
+      val mn = element_at(mnLit, i + lit(1))
+      val mx = element_at(mxLit, i + lit(1))
+      when(mx > mn,
+        least(lit(255.0), floor((x - mn) * lit(256.0) / (mx - mn))))
+        .otherwise(lit(0.0))
+    })
+    val codes = e.select($"vec_id", codesOf($"v").as("c"))
+    val qcodes = codes.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"c".as("qc"))
+    val scored = codes.crossJoin(broadcast(qcodes))
+      .filter($"qid" =!= $"vec_id")
+      .select($"qid", $"vec_id".as("nid"),
+        expr("sq_dist(qc, c)").as("sd"))
+    val wSd = Window.partitionBy($"qid").orderBy($"sd", $"nid")
+    val shortlist = scored.withColumn("arn", row_number().over(wSd))
+      .filter($"arn" <= SqRerank)
+      .select($"qid", $"nid")
+    val reranked = shortlist
+      .join(e.select($"vec_id".as("qid"), $"embedding".as("qe")), "qid")
+      .join(e.select($"vec_id".as("nid"), $"embedding".as("ne")), "nid")
+      .select($"qid", $"nid", expr("cosine_sim(qe, ne)").as("cos"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
+    reranked.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"qid", $"rank", $"nid")
+      .orderBy($"qid", $"rank")
+  }
+
+  /** DuckDB replay of the SQ8 pipeline: per-dim min/max as two
+    * ordered lists, the identical clamp-floor affine quantizer via a
+    * 3-way list_zip, symmetric integer code distance, top-64
+    * shortlist, exact-cosine rerank, top-3. */
+  lazy val sq8OracleSql: String =
+    s"""WITH raw AS MATERIALIZED (
+       |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+       |stats AS MATERIALIZED (
+       |  SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM (
+       |    SELECT i, min(x) AS mn, max(x) AS mx FROM (
+       |      SELECT generate_subscripts(v, 1) AS i, unnest(v) AS x FROM raw) z
+       |    GROUP BY i) zz),
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(list_zip(v, mns, mxs),
+       |    p -> CASE WHEN p[3] > p[2]
+       |              THEN least(255.0, floor((p[1] - p[2]) * 256.0 / (p[3] - p[2])))
+       |              ELSE 0.0 END) AS c
+       |  FROM raw CROSS JOIN stats),
+       |scored AS MATERIALIZED (
+       |  SELECT q.vec_id AS qid, n.vec_id AS nid,
+       |    list_sum(list_transform(list_zip(q.c, n.c),
+       |             p -> (p[1]-p[2])*(p[1]-p[2]))) AS sd
+       |  FROM codes q JOIN codes n ON n.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 5),
+       |shortlist AS MATERIALIZED (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sd, nid) AS arn
+       |    FROM scored) z
+       |  WHERE arn <= $SqRerank),
+       |reranked AS MATERIALIZED (
+       |  SELECT s.qid, s.nid, list_cosine_similarity(q.v, n.v) AS cos
+       |  FROM shortlist s
+       |  JOIN raw q ON q.vec_id = s.qid
+       |  JOIN raw n ON n.vec_id = s.nid)
+       |SELECT qid, rank, nid FROM (
+       |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |  FROM reranked) z
+       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
   /** Per-list pick budget for [[simClusterSample]]: 4×16 lists = a
     * 64-vector balanced draw on the test corpus; at scale both k and
     * the budget grow with the target sample size. */
@@ -608,6 +715,14 @@ object MlOps {
   def simAnnIvfPqRecall(s: SparkSession, d: String): DataFrame =
     annRecallOf(s, d, simAnnIvfPq(s, d))
 
+  /** Recall@3 of the scalar-quantized index ([[simAnnSq8]]) — the
+    * rollout gate quantifying what 8-bit-per-dim compression alone
+    * costs in retrieval quality (no probe misses here: SQ scans the
+    * full corpus, so any loss is pure quantization error — the
+    * cleanest A/B against [[simAnnIvfPqRecall]]'s compounded loss). */
+  def simAnnSq8Recall(s: SparkSession, d: String): DataFrame =
+    annRecallOf(s, d, simAnnSq8(s, d))
+
   /** Shared ANN-recall harness: brute truth left-joined by the
     * candidate's (qid, nid) picks, integer-ppm rollup. */
   private def annRecallOf(
@@ -644,4 +759,37 @@ object MlOps {
     annRecallSqlAgainst(SimilarityOps.simAnnLshSql)
   lazy val simAnnIvfPqRecallSql: String =
     annRecallSqlAgainst(ivfPqOracleSql)
+  lazy val simAnnSq8RecallSql: String =
+    annRecallSqlAgainst(sq8OracleSql)
+
+  /** The ANN variants [[simAnnReport]] meters, with their op + oracle
+    * — one list so the report can never cover a different set than
+    * the registered recall ops. */
+  private lazy val annVariants: Seq[(String, (SparkSession, String) => DataFrame, () => String)] = Seq(
+    ("ivf_pq", (s, d) => simAnnIvfPq(s, d), () => ivfPqOracleSql),
+    ("lsh", (s, d) => SimilarityOps.simAnnLsh(s, d), () => SimilarityOps.simAnnLshSql),
+    ("sq8", (s, d) => simAnnSq8(s, d), () => sq8OracleSql))
+
+  /** The ANN analogue of [[DedupOps.dedupReport]]: every index
+    * variant's per-query recall@3 against the shared brute truth in
+    * ONE table — the side-by-side a 100 TB index rollout decision
+    * actually reads (LSH's probe misses vs IVF+PQ's compounded
+    * approximation vs SQ8's pure quantization error, same queries,
+    * same truth). Built from [[annRecallOf]] per variant, so the
+    * report cannot drift from the individual recall ops; evaluation
+    * cost stays query-sized per variant. */
+  def simAnnReport(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    annVariants.map { case (name, opf, _) =>
+      annRecallOf(s, d, opf(s, d)).withColumn("variant", lit(name))
+    }.reduce(_ unionAll _)
+      .select($"variant", $"qid", $"n_true", $"n_hit", $"recall_ppm")
+      .orderBy($"variant", $"qid")
+  }
+  lazy val simAnnReportSql: String =
+    annVariants.map { case (name, _, sqlf) =>
+      s"""SELECT '$name' AS variant, qid, n_true, n_hit, recall_ppm FROM (
+         |${annRecallSqlAgainst(sqlf())}
+         |) z_$name""".stripMargin
+    }.mkString("\n", "\nUNION ALL\n", "\nORDER BY variant, qid")
 }

@@ -133,6 +133,26 @@ class Round17OpsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("index delete removes exactly the takedown docs, in place") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val after = rows(CurationOps.docRagIndexDelete(spark, sf0001))
+    val before = rows(CurationOps.docRagIndexAppend(spark, sf0001))
+    val mod = CurationOps.RagTakedownMod; val res = CurationOps.RagTakedownRes
+    assert(before.exists(t => t._1 % mod == res)) // takedown set non-empty
+    assert(after == before.filterNot(t => t._1 % mod == res))
+  }
+
+  test("sq8: symmetric code distance retrieves near-exact top-3") {
+    import spark.implicits._
+    val out = MlOps.simAnnSq8(spark, sf0001).collect()
+    assert(out.length == 15) // 5 queries x top-3
+    val rec = MlOps.simAnnSq8Recall(spark, sf0001)
+      .agg(sum($"n_hit"), sum($"n_true")).head()
+    // pure quantization error (no probe misses): overall recall >= 2/3
+    assert(rec.getLong(0) * 3 >= rec.getLong(1) * 2)
+  }
+
   test("span scrub: shared boilerplate excised; full scrub hashes the empty string") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("scrub").toString
