@@ -431,6 +431,8 @@ object OpRegistry {
     op("sim_ann_sq8", MlOps.simAnnSq8, MlOps.sq8OracleSql),
     op("sim_ann_sq8_recall", MlOps.simAnnSq8Recall, MlOps.simAnnSq8RecallSql),
     op("sim_ann_report", MlOps.simAnnReport, MlOps.simAnnReportSql),
+    op("mm_stream_ingest",
+      MultimodalOps.mmStreamIngest, MultimodalOps.mmStreamIngestSql),
     op("mm_metadata", MultimodalOps.mmMetadata, MultimodalOps.mmMetadataSql),
     op("mm_frame_sample", MultimodalOps.mmFrameSample, MultimodalOps.mmFrameSampleSql),
     op("mm_feature", MultimodalOps.mmFeature, MultimodalOps.mmFeatureSql),
@@ -459,6 +461,7 @@ object OpRegistry {
     op("ev_funnel", EventOps.evFunnel, EventOps.evFunnelSql),
     op("ev_retention", EventOps.evRetention, EventOps.evRetentionSql),
     op("ev_scd2", EventOps.evScd2, EventOps.evScd2Sql),
+    op("ev_stream_scd2", EventOps.evStreamScd2, EventOps.evStreamScd2Sql),
     op("ev_hop_window", EventOps.evHopWindow, EventOps.evHopWindowSql),
     op("ev_stream_hop_window", EventOps.evStreamHopWindow, EventOps.evStreamHopWindowSql),
     op("ev_gap_stats", EventOps.evGapStats, EventOps.evGapStatsSql),

@@ -1638,6 +1638,18 @@ object CurationOps {
     import s.implicits._
     val (dir, cents) = ragAppendBase(s, d)
     ragAppendNew(s, d, dir, cents)
+    ragDeleteFrom(s, dir)
+    s.read.parquet(dir)
+      .select($"doc_id", $"chunk_id", $"list_id".cast("long").as("list_id"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+  /** The delete step itself: membership scan → touched-lists-only
+    * rewrite minus the victims → explicit removal of fully-emptied
+    * list directories. Returns the touched list ids. Package-private
+    * so ScaleSpec can pin the file-level contract around exactly this
+    * step. */
+  private[graft] def ragDeleteFrom(s: SparkSession, dir: String): Seq[Int] = {
+    import s.implicits._
     val takedown = $"doc_id" % RagTakedownMod === RagTakedownRes
     val touched = s.read.parquet(dir).filter(takedown)
       .select($"list_id").distinct().collect().map(_.getInt(0)).toSeq.sorted
@@ -1657,10 +1669,9 @@ object CurationOps {
         fs.delete(new org.apache.hadoop.fs.Path(dir, s"list_id=$lid"), true)
       }
     }
-    s.read.parquet(dir)
-      .select($"doc_id", $"chunk_id", $"list_id".cast("long").as("list_id"))
-      .orderBy($"doc_id", $"chunk_id")
+    touched
   }
+
   /** Deletion ≡ never indexed: the append oracle minus the victims. */
   lazy val docRagIndexDeleteSql: String =
     s"""SELECT doc_id, chunk_id, list_id FROM (

@@ -445,6 +445,103 @@ object EventOps {
       |FROM changes
       |ORDER BY user_id, valid_from, event_id""".stripMargin
 
+  /** [[evScd2]] maintained INCREMENTALLY from a live stream — the
+    * streaming dimension-maintenance op (what a Delta `MERGE` per
+    * micro-batch does in production CDC pipelines). The event history
+    * is replayed as event-time-ordered file slices (5-day groups,
+    * written in ascending order so the file source delivers them as
+    * separate ts-ordered micro-batches — a REAL multi-batch merge, not
+    * single-batch streaming theater), and the dimension lives as two
+    * on-disk sets with very different write disciplines:
+    *
+    *  - `closed/` — APPEND-ONLY: a version row whose valid_to is set
+    *    is immutable forever after; at 100 TB this is a partitioned
+    *    fact-sized append, never rewritten.
+    *  - `open/`  — the real state: ONE row per user (the current
+    *    version), rewritten per batch. User-sized, not history-sized —
+    *    this is exactly what a state store would hold, kept as plain
+    *    parquet so serving reads need no streaming runtime.
+    *
+    * Per batch: the touched users' open rows join the batch slice as
+    * pseudo-events (their TYPE is by construction the type of the last
+    * event seen, so lag-based change detection over [state ∪ batch]
+    * decides identically to lag over the full history); rows whose
+    * lead exists close (append), the rest become the new open set
+    * together with the untouched users' rows (anti-join). Per-batch
+    * cost is batch + touched-state sized, never history-sized.
+    * Oracle: [[evScd2Sql]] verbatim — arrival mode must not change
+    * the dimension. */
+  def evStreamScd2(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = scd2Dir(s, d)
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(rootP, true)
+    val in = s"$root/in"; val closedDir = s"$root/closed"; val openDir = s"$root/open"
+    val ev = events(s, d).select($"user_id", $"event_id", $"event_type", $"ts")
+    // replay slices: absolute-epoch 5-day buckets, one file each,
+    // written in ascending event-time order
+    val sliced = ev.withColumn("g", floor(unix_timestamp($"ts") / (5L * 86400)))
+    val gs = sliced.select($"g").distinct().orderBy($"g").collect().map(_.getLong(0))
+    gs.zipWithIndex.foreach { case (g, i) =>
+      sliced.filter($"g" === g).drop("g").repartition(1)
+        .write.mode("overwrite").parquet(f"$in/g$i%02d")
+    }
+    val emptyOpen = ev.filter(lit(false))
+      .select($"user_id", $"event_id", $"event_type", $"ts".as("valid_from"))
+    emptyOpen.write.mode("overwrite").parquet(openDir)
+    emptyOpen.withColumn("valid_to", lit(null).cast("timestamp"))
+      .write.mode("overwrite").parquet(closedDir)
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).option("pathGlobFilter", "*.parquet")
+      .parquet(s"$in/g*")
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val users = batch.select($"user_id").distinct()
+          // lineage cut: the new open set overwrites the files this read
+          val open = s.read.parquet(openDir).localCheckpoint(true)
+          val slice = open.join(users, Seq("user_id"), "left_semi")
+            .select($"user_id", $"event_id", $"event_type", $"valid_from".as("ts"))
+            .unionAll(batch.select($"user_id", $"event_id", $"event_type", $"ts"))
+          val kept = slice
+            .withColumn("prev_type", lag($"event_type", 1).over(w))
+            .filter($"prev_type".isNull || $"prev_type" =!= $"event_type")
+          val withTo = kept.withColumn("valid_to", lead($"ts", 1).over(w))
+            .localCheckpoint(true) // two sinks, one computation
+          withTo.filter($"valid_to".isNotNull)
+            .select($"user_id", $"event_id", $"event_type",
+              $"ts".as("valid_from"), $"valid_to")
+            .write.mode("append").parquet(closedDir)
+          withTo.filter($"valid_to".isNull)
+            .select($"user_id", $"event_id", $"event_type", $"ts".as("valid_from"))
+            .unionAll(open.join(users, Seq("user_id"), "left_anti"))
+            .write.mode("overwrite").parquet(openDir)
+          withTo.unpersist()
+          ()
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(closedDir).withColumn("is_current", lit(0L))
+      .unionByName(s.read.parquet(openDir)
+        .withColumn("valid_to", lit(null).cast("timestamp"))
+        .withColumn("is_current", lit(1L)))
+      .select($"user_id", $"event_id", $"event_type",
+        $"valid_from", $"valid_to", $"is_current")
+      .orderBy($"user_id", $"valid_from", $"event_id")
+  }
+  /** Arrival mode must not change the dimension — batch parity. */
+  lazy val evStreamScd2Sql: String = evScd2Sql
+
+  private def scd2Dir(s: SparkSession, d: String): String = {
+    val root = s.conf.getOption("spark.graft.indexRoot")
+      .getOrElse(System.getProperty("java.io.tmpdir") + "/graft_ivf")
+    s"$root/scd2_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
   /** Sliding (hopping) 30-minute window, 15-minute hop, via Spark's
     * native `window(ts, size, slide)` — the generator expands each
     * event into its size/slide = 2 windows BEFORE the shuffle, so the

@@ -319,4 +319,57 @@ object MultimodalOps {
       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096
       |    AS BIGINT) AS shard
       |FROM survivors ORDER BY doc_id""".stripMargin
+
+  /** Live media INGEST — the streaming front door of the multimodal
+    * pipeline (every mm_* op above assumes the media already landed;
+    * this is how it lands). Arriving media (the
+    * [[DedupOps.IncrementalBatchSources]] batch-vs-corpus split, same
+    * as every `*_incremental` op) stream in and each is admitted
+    * exactly once: a map-side content digest + byte metadata per
+    * micro-batch, an anti-join against the STATIC already-ingested
+    * corpus digest set (stream-static — nothing corpus-sized enters
+    * streaming state), and a stateful (sha -> keeper) aggregate that
+    * collapses copies arriving in DIFFERENT micro-batches. State is
+    * one row per NOVEL digest — bounded by the admitted volume, not
+    * the arrival volume. Payloads never shuffle: the digest is
+    * computed in the scan projection and only (digest, id, bytes)
+    * rows move. Oracle: batch parity — arrival mode must not change
+    * what gets admitted. */
+  def mmStreamIngest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val corpus = documents(s, d)
+      .filter($"text".isNotNull)
+      .filter(!$"source".isInCollection(DedupOps.IncrementalBatchSources))
+      .select(sha2($"text".cast("binary"), 256).as("content_sha")).distinct()
+    val incoming = graft.Tables.streamTable(s, d, "documents")
+      .filter($"text".isNotNull)
+      .filter($"source".isInCollection(DedupOps.IncrementalBatchSources))
+      .select($"doc_id", sha2($"text".cast("binary"), 256).as("content_sha"),
+        octet_length($"text".cast("binary")).cast("long").as("n_bytes"))
+    val admitted = incoming.join(corpus, Seq("content_sha"), "left_anti")
+      .groupBy($"content_sha")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"),
+        min($"n_bytes").as("n_bytes"))
+    val t = EventOps.runToTable(s, admitted,
+      "graft_mmingest_" + math.abs(d.hashCode), "complete",
+      EventOps.streamParts(s, d, table = "documents"))
+    t.select($"content_sha", $"keep_id", $"n_copies", $"n_bytes")
+      .orderBy($"keep_id")
+  }
+  lazy val mmStreamIngestSql: String = {
+    val batch = DedupOps.IncrementalBatchSources.map("'" + _ + "'").mkString(", ")
+    s"""WITH hashed AS (
+       |  SELECT doc_id, source, sha256(text) AS content_sha,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+       |  FROM documents WHERE text IS NOT NULL),
+       |corpus AS (SELECT DISTINCT content_sha FROM hashed
+       |           WHERE source NOT IN ($batch))
+       |SELECT content_sha, min(doc_id) AS keep_id, count(*) AS n_copies,
+       |  min(n_bytes) AS n_bytes
+       |FROM hashed h
+       |WHERE source IN ($batch)
+       |  AND NOT EXISTS (SELECT 1 FROM corpus c
+       |                  WHERE c.content_sha = h.content_sha)
+       |GROUP BY content_sha ORDER BY keep_id""".stripMargin
+  }
 }

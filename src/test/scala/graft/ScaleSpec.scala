@@ -682,6 +682,48 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.indexRoot")
   }
 
+  test("doc_rag_index_delete rewrites only victim lists; untouched lists byte-stable; victims gone") {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("rag_del_pin").toString
+    spark.conf.set("spark.graft.indexRoot", root)
+    try {
+      def listing(dir: String): Map[String, Long] = {
+        val base = java.nio.file.Paths.get(dir)
+        java.nio.file.Files.walk(base).iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p)
+            && p.getFileName.toString.endsWith(".parquet"))
+          .map(p => base.relativize(p).toString -> java.nio.file.Files.size(p))
+          .toMap
+      }
+      val (dir, cents) = operators.CurationOps.ragAppendBase(spark, sf0001)
+      operators.CurationOps.ragAppendNew(spark, sf0001, dir, cents)
+      val before = listing(dir)
+      val touched = operators.CurationOps.ragDeleteFrom(spark, dir)
+      val after = listing(dir)
+      assert(touched.nonEmpty, "takedown set hit no list")
+      val touchedDirs = touched.map(l => s"list_id=$l/").toSet
+      // lists holding no victims keep their files byte-identically —
+      // delete cost is proportional to the deleted data's spread
+      before.filterNot { case (f, _) => touchedDirs.exists(f.startsWith) }
+        .foreach { case (f, sz) =>
+          assert(after.get(f).contains(sz), s"untouched file $f rewritten by delete") }
+      // and the victims are really gone from the read-back
+      val mod = operators.CurationOps.RagTakedownMod
+      val res = operators.CurationOps.RagTakedownRes
+      assert(spark.read.parquet(dir)
+        .filter($"doc_id" % mod === res).count() == 0)
+    } finally spark.conf.unset("spark.graft.indexRoot")
+  }
+
+  test("sq8 scan joins broadcast query codes and scores with the native kernel") {
+    val p = plan(operators.MlOps.simAnnSq8(spark, sf0001))
+    // the corpus-linear scan side never shuffles to meet the queries:
+    // the query-code side broadcasts, distance is the codegen'd kernel
+    assert(p.contains("sq_dist"), p)
+    assert(p.contains("Broadcast"), p)
+  }
+
   test("doc_rag_index probe read is PartitionFilters-only (4-of-16ths I/O)") {
     import spark.implicits._
     // docRagIndex writes the list-partitioned index to a deterministic

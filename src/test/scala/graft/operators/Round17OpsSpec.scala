@@ -143,6 +143,32 @@ class Round17OpsSpec extends SparkSpec {
     assert(after == before.filterNot(t => t._1 % mod == res))
   }
 
+  test("streaming scd2 merge equals the batch dimension, multi-batch") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    val streamed = EventOps.evStreamScd2(spark, sf0001)
+    // the replay really was multi-batch: >1 five-day slice exists
+    val nSlices = graft.Tables.events(spark, sf0001)
+      .select(floor(unix_timestamp($"ts") / (5L * 86400))).distinct().count()
+    assert(nSlices > 1)
+    assert(rows(streamed) == rows(EventOps.evScd2(spark, sf0001)))
+  }
+
+  test("media stream ingest admits only novel content, one keeper per digest") {
+    import spark.implicits._
+    val admitted = MultimodalOps.mmStreamIngest(spark, sf0001).cache()
+    assert(admitted.count() > 0)
+    // nothing already in the ingested corpus is re-admitted
+    val corpusShas = graft.Tables.documents(spark, sf0001)
+      .filter($"text".isNotNull)
+      .filter(!$"source".isInCollection(DedupOps.IncrementalBatchSources))
+      .select(sha2($"text".cast("binary"), 256).as("content_sha")).distinct()
+    assert(admitted.join(corpusShas, "content_sha").count() == 0)
+    // one row per digest, keeper is the minimum arriving id
+    assert(admitted.groupBy($"content_sha").count().filter($"count" > 1).count() == 0)
+    admitted.unpersist()
+  }
+
   test("sq8: symmetric code distance retrieves near-exact top-3") {
     import spark.implicits._
     val out = MlOps.simAnnSq8(spark, sf0001).collect()
