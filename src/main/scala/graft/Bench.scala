@@ -55,7 +55,12 @@ object Bench {
     // rep 1 of every query runs before rep 2 of any (spaced reps):
     // contention spikes last seconds-to-minutes, so back-to-back reps
     // of one query would both sit inside the same spike
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // optional trailing args: bench only the named queries (per-op
+    // perf iteration); no args = the full registered surface
+    val ordered = {
+      val all = SparkEntry.queries.toSeq.sortBy(_._1)
+      if (args.isEmpty) all else all.filter(q => args.contains(q._1))
+    }
     val loadStart = loadAvg()
     val repTimes: Seq[Seq[(String, Double)]] = (1 to reps).map { _ =>
       ordered.map { case (name, fn) =>

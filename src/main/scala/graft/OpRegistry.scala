@@ -416,6 +416,7 @@ object OpRegistry {
       CurationOps.docRagStreamAppend, CurationOps.docRagStreamAppendSql),
     op("doc_rag_index_delete",
       CurationOps.docRagIndexDelete, CurationOps.docRagIndexDeleteSql),
+    op("doc_rag_refit", CurationOps.docRagRefit, CurationOps.docRagRefitSql),
     op("doc_rag_hybrid_recall",
       CurationOps.docRagHybridRecall, CurationOps.docRagHybridRecallSql),
     op("dedup_incremental_bloom",

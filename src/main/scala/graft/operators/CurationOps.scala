@@ -1679,6 +1679,65 @@ object CurationOps {
        |) zdel WHERE doc_id % $RagTakedownMod <> $RagTakedownRes
        |ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** Quantizer ROTATION planning — the op that decides when the
+    * frozen day-0 quantizer ([[docRagIndexAppend]]'s model) has
+    * drifted enough to justify a blue/green index rebuild. An IVF
+    * quantizer is a versioned model: appends assign with v1 forever,
+    * so as the corpus distribution moves the lists imbalance and the
+    * probe's recall bargain erodes. This computes the v1→v2 MIGRATION
+    * MATRIX: fit v2 on the FULL current corpus (the same persisted
+    * deterministic fit the full-rebuild ops use — one quantizer
+    * definition per tag repo-wide), assign every chunk with BOTH
+    * models in ONE map-side projection (two [[IvfKmeans.assignCol]]
+    * literals, no shuffle, no second scan), and roll up
+    * (from_list, to_list, n_chunks). The diagonal is the stable mass;
+    * off-diagonal row sums are exactly the per-list rewrite cost of
+    * the migration — what an operator reads before committing a 100 TB
+    * index rebuild. Output is k×k-bounded regardless of corpus size;
+    * the only corpus-sized work is one scan. */
+  def docRagRefit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    val baseDocs = documents(s, d)
+      .filter($"source".isNull ||
+        !$"source".isInCollection(DedupOps.IncrementalBatchSources))
+    val cvuBase = unitNorm(s, ragChunkVecsOf(s, baseDocs))
+      .withColumn("vec_id", $"doc_id" * RagKeyMul + $"chunk_id")
+    val all = ragChunkUnitVecs(s, d)
+      .withColumn("vec_id", $"doc_id" * RagKeyMul + $"chunk_id")
+    val v1 = IvfKmeans.centroidsFor(s, d, "ragbase",
+      cvuBase.select($"vec_id", $"v"), fpTable = "documents")
+    val v2 = IvfKmeans.centroidsFor(s, d, "ragchunk",
+      all.select($"vec_id", $"v"), fpTable = "documents")
+    all.select(
+        IvfKmeans.assignCol(s, v1, $"v").cast("long").as("from_list"),
+        IvfKmeans.assignCol(s, v2, $"v").cast("long").as("to_list"))
+      .groupBy($"from_list", $"to_list")
+      .agg(count(lit(1)).as("n_chunks"))
+      .orderBy($"from_list", $"to_list")
+  }
+  /** Both fits replayed side by side (suffixed CTE instances of the
+    * ONE fit definition), every chunk assigned with each, k×k rollup. */
+  lazy val docRagRefitSql: String = {
+    val batch = DedupOps.IncrementalBatchSources.map(x => s"'$x'").mkString(", ")
+    val R = IvfKmeans.Rounds
+    s"""WITH $ragChunkCtesSql,
+       |${MlOps.ivfFitCteList(
+        s"""  SELECT doc_id * $RagKeyMul + chunk_id AS vec_id, v FROM cvu
+           |  WHERE doc_id IN (SELECT doc_id FROM documents
+           |                   WHERE source IS NULL OR source NOT IN ($batch))""".stripMargin,
+        "_v1")},
+       |${MlOps.ivfFitCteList(
+        s"  SELECT doc_id * $RagKeyMul + chunk_id AS vec_id, v FROM cvu", "_v2")},
+       |a1 AS (
+       |${MlOps.ivfAssignSelect(s"c${R}_v1", "", 1, src = "emb_v2")})
+       |SELECT CAST(a1.list_id AS BIGINT) AS from_list,
+       |  CAST(a2.list_id AS BIGINT) AS to_list,
+       |  count(*) AS n_chunks
+       |FROM a1 JOIN af_v2 a2 USING (vec_id)
+       |GROUP BY 1, 2 ORDER BY from_list, to_list""".stripMargin
+  }
+
   /** Save/restore wrapper for the dynamic partition-overwrite mode the
     * touched-lists rewrites ([[ragCompactTouched]],
     * [[docRagIndexDelete]]) flip on. */

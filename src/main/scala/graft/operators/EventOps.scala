@@ -479,14 +479,17 @@ object EventOps {
     fs.delete(rootP, true)
     val in = s"$root/in"; val closedDir = s"$root/closed"; val openDir = s"$root/open"
     val ev = events(s, d).select($"user_id", $"event_id", $"event_type", $"ts")
-    // replay slices: absolute-epoch 5-day buckets, one file each,
-    // written in ascending event-time order
-    val sliced = ev.withColumn("g", floor(unix_timestamp($"ts") / (5L * 86400)))
+    // replay slices: absolute-epoch 10-day buckets, one file each,
+    // written in ascending event-time order (cached: one source scan
+    // feeds all slice writes)
+    val sliced = ev.withColumn("g", floor(unix_timestamp($"ts") / (10L * 86400)))
+      .cache()
     val gs = sliced.select($"g").distinct().orderBy($"g").collect().map(_.getLong(0))
     gs.zipWithIndex.foreach { case (g, i) =>
       sliced.filter($"g" === g).drop("g").repartition(1)
         .write.mode("overwrite").parquet(f"$in/g$i%02d")
     }
+    sliced.unpersist()
     val emptyOpen = ev.filter(lit(false))
       .select($"user_id", $"event_id", $"event_type", $"ts".as("valid_from"))
     emptyOpen.write.mode("overwrite").parquet(openDir)
@@ -496,12 +499,22 @@ object EventOps {
     val stream = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1).option("pathGlobFilter", "*.parquet")
       .parquet(s"$in/g*")
+    // the per-batch merge windows shuffle state-sized frames — size the
+    // shuffle to the input like every other streaming op, not to the
+    // batch default (set before start: batches run from the first
+    // trigger on)
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prevParts = s.conf.get(partsKey)
+    s.conf.set(partsKey, streamParts(s, d).toString)
     val q = stream.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
+        {
           val users = batch.select($"user_id").distinct()
           // lineage cut: the new open set overwrites the files this read
-          val open = s.read.parquet(openDir).localCheckpoint(true)
+          // (schema passed explicitly — no footer-inference job per batch)
+          val open = s.read.schema(
+            "user_id LONG, event_id LONG, event_type STRING, valid_from TIMESTAMP")
+            .parquet(openDir).localCheckpoint(true)
           val slice = open.join(users, Seq("user_id"), "left_semi")
             .select($"user_id", $"event_id", $"event_type", $"valid_from".as("ts"))
             .unionAll(batch.select($"user_id", $"event_id", $"event_type", $"ts"))
@@ -510,20 +523,23 @@ object EventOps {
             .filter($"prev_type".isNull || $"prev_type" =!= $"event_type")
           val withTo = kept.withColumn("valid_to", lead($"ts", 1).over(w))
             .localCheckpoint(true) // two sinks, one computation
+          // single-file writes: both sets are batch/user-sized, and the
+          // next batch re-reads open/ — small-file sprawl is pure cost
           withTo.filter($"valid_to".isNotNull)
             .select($"user_id", $"event_id", $"event_type",
               $"ts".as("valid_from"), $"valid_to")
-            .write.mode("append").parquet(closedDir)
+            .coalesce(1).write.mode("append").parquet(closedDir)
           withTo.filter($"valid_to".isNull)
             .select($"user_id", $"event_id", $"event_type", $"ts".as("valid_from"))
             .unionAll(open.join(users, Seq("user_id"), "left_anti"))
-            .write.mode("overwrite").parquet(openDir)
+            .coalesce(1).write.mode("overwrite").parquet(openDir)
           withTo.unpersist()
           ()
         }
       }
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable()
+    finally { q.stop(); s.conf.set(partsKey, prevParts) }
     s.read.parquet(closedDir).withColumn("is_current", lit(0L))
       .unionByName(s.read.parquet(openDir)
         .withColumn("valid_to", lit(null).cast("timestamp"))

@@ -497,31 +497,31 @@ object MlOps {
     * CHUNK vectors by passing its own source and prepending its chunk
     * CTEs. Emits `emb` (the input), `c0`..`c<Rounds>` (the Lloyd
     * iterates) and `af` (final assignment of every input vector). */
-  private[operators] def ivfFitCteList(embBody: String): String = {
+  private[operators] def ivfFitCteList(embBody: String, sfx: String = ""): String = {
     val rounds = (1 to IvfKmeans.Rounds).map { r =>
-      s"""a$r AS (
-         |${ivfAssignSelect(s"c${r - 1}", "", 1)}),
-         |m$r AS (
+      s"""a$r$sfx AS (
+         |${ivfAssignSelect(s"c${r - 1}$sfx", "", 1, src = s"emb$sfx")}),
+         |m$r$sfx AS (
          |  SELECT list_id, i, round(avg(x), 6) AS cx FROM (
          |    SELECT a.list_id, generate_subscripts(e.v, 1) AS i, unnest(e.v) AS x
-         |    FROM a$r a JOIN emb e USING (vec_id)) z
+         |    FROM a$r$sfx a JOIN emb$sfx e USING (vec_id)) z
          |  GROUP BY list_id, i),
-         |c$r AS (
+         |c$r$sfx AS (
          |  SELECT p.list_id, COALESCE(n.c, p.c) AS c
-         |  FROM c${r - 1} p LEFT JOIN
-         |    (SELECT list_id, list(cx ORDER BY i) AS c FROM m$r GROUP BY list_id) n
+         |  FROM c${r - 1}$sfx p LEFT JOIN
+         |    (SELECT list_id, list(cx ORDER BY i) AS c FROM m$r$sfx GROUP BY list_id) n
          |  USING (list_id))""".stripMargin
     }.mkString(",\n")
-    s"""emb AS (
+    s"""emb$sfx AS (
        |$embBody),
-       |c0 AS (
+       |c0$sfx AS (
        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS list_id,
        |         v AS c
-       |  FROM (SELECT vec_id, v FROM emb
+       |  FROM (SELECT vec_id, v FROM emb$sfx
        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT ${IvfKmeans.K}) s),
        |$rounds,
-       |af AS (
-       |${ivfAssignSelect(s"c${IvfKmeans.Rounds}", "", 1)})""".stripMargin
+       |af$sfx AS (
+       |${ivfAssignSelect(s"c${IvfKmeans.Rounds}$sfx", "", 1, src = s"emb$sfx")})""".stripMargin
   }
 
   val ivfOracleSql: String =

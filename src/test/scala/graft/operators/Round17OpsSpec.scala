@@ -143,13 +143,24 @@ class Round17OpsSpec extends SparkSpec {
     assert(after == before.filterNot(t => t._1 % mod == res))
   }
 
+  test("refit migration matrix conserves chunks and is k-bounded") {
+    import spark.implicits._
+    val m = CurationOps.docRagRefit(spark, sf0001).cache()
+    // every chunk appears exactly once somewhere in the matrix
+    assert(m.agg(sum($"n_chunks")).head.getLong(0)
+      == CurationOps.docChunk(spark, sf0001).count())
+    // k x k bounded regardless of corpus size
+    assert(m.count() <= 16L * 16L)
+    m.unpersist()
+  }
+
   test("streaming scd2 merge equals the batch dimension, multi-batch") {
     import spark.implicits._
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
     val streamed = EventOps.evStreamScd2(spark, sf0001)
-    // the replay really was multi-batch: >1 five-day slice exists
+    // the replay really was multi-batch: >1 ten-day slice exists
     val nSlices = graft.Tables.events(spark, sf0001)
-      .select(floor(unix_timestamp($"ts") / (5L * 86400))).distinct().count()
+      .select(floor(unix_timestamp($"ts") / (10L * 86400))).distinct().count()
     assert(nSlices > 1)
     assert(rows(streamed) == rows(EventOps.evScd2(spark, sf0001)))
   }
