@@ -373,6 +373,10 @@ object OpRegistry {
     op("doc_mix_weights", CurationOps.docMixWeights, CurationOps.docMixWeightsSql),
     op("doc_global_shuffle", CurationOps.docGlobalShuffle, CurationOps.docGlobalShuffleSql),
     op("doc_quality_rank", CurationOps.docQualityRank, CurationOps.docQualityRankSql),
+    op("doc_quality_nb", CurationOps.docQualityNb, CurationOps.docQualityNbSql),
+    op("doc_quality_nb_eval",
+      CurationOps.docQualityNbEval, CurationOps.docQualityNbEvalSql),
+    op("doc_dsir_select", CurationOps.docDsirSelect, CurationOps.docDsirSelectSql),
     op("doc_token_budget", CurationOps.docTokenBudget, CurationOps.docTokenBudgetSql),
     op("doc_length_histogram",
       CurationOps.docLengthHistogram, CurationOps.docLengthHistogramSql),

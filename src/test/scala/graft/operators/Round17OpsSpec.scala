@@ -154,6 +154,43 @@ class Round17OpsSpec extends SparkSpec {
     m.unpersist()
   }
 
+  test("NB quality classifier generalizes to the held-out fold") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf0001)
+      .filter($"text".isNotNull).count()
+    val scored = CurationOps.docQualityNb(spark, sf0001).cache()
+    assert(scored.count() == docs) // every non-NULL-text doc is scored
+    assert(scored.filter($"pred" =!= 0L && $"pred" =!= 1L).isEmpty)
+    scored.unpersist()
+    val m = CurationOps.docQualityNbEval(spark, sf0001).collect()
+    assert(m.length <= 4) // 2x2-bounded regardless of corpus size
+    val total = m.map(_.getLong(2)).sum
+    val agree = m.filter(r => r.getLong(0) == r.getLong(1)).map(_.getLong(2)).sum
+    // the model must actually have learned the gate, not memorized it:
+    // held-out agreement with the gopher pseudo-labels well above chance
+    assert(agree * 5L >= total * 4L, s"held-out agreement $agree/$total < 0.8")
+  }
+
+  test("DSIR selects exactly the per-source top fifth, rank-monotone") {
+    import spark.implicits._
+    val sel = CurationOps.docDsirSelect(spark, sf0001).cache()
+    val perSrc = graft.Tables.documents(spark, sf0001)
+      .filter($"text".isNotNull).groupBy($"source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = sel.groupBy($"source").agg(
+        count(lit(1)).as("n"), max($"rank").as("mx")).collect()
+    got.foreach { r =>
+      val want = (perSrc(r.getString(0)) + 4) / 5 // ceil(n/5)
+      assert(r.getLong(1) == want && r.getLong(2) == want)
+    }
+    // weights non-increasing in rank within each source
+    val bad = sel.as("a").join(sel.as("b"),
+      $"a.source" === $"b.source" && $"a.rank" + 1L === $"b.rank")
+      .filter($"a.dsir_w" < $"b.dsir_w").count()
+    assert(bad == 0L)
+    sel.unpersist()
+  }
+
   test("streaming scd2 merge equals the batch dimension, multi-batch") {
     import spark.implicits._
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
