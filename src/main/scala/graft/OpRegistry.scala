@@ -377,6 +377,8 @@ object OpRegistry {
     op("doc_quality_nb_eval",
       CurationOps.docQualityNbEval, CurationOps.docQualityNbEvalSql),
     op("doc_dsir_select", CurationOps.docDsirSelect, CurationOps.docDsirSelectSql),
+    op("doc_stream_quality_nb",
+      CurationOps.docStreamQualityNb, CurationOps.docStreamQualityNbSql),
     op("doc_token_budget", CurationOps.docTokenBudget, CurationOps.docTokenBudgetSql),
     op("doc_length_histogram",
       CurationOps.docLengthHistogram, CurationOps.docLengthHistogramSql),

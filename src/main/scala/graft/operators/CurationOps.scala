@@ -2074,16 +2074,17 @@ object CurationOps {
     * cannot carry; the `↑` marker is verified absent from every
     * corpus so a feature can never collide with a word token. Pure
     * map-side explode — corpus-linear. */
-  private def nbFeats(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  private def nbFeatsOf(docs: DataFrame): DataFrame = {
     val sw = TextOps.stopwords.map("'" + _ + "'").mkString(", ")
-    documents(s, d).filter($"text".isNotNull)
-      .select($"doc_id", $"source", explode(concat(toks($"text"), array(
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), explode(concat(toks(col("text")), array(
         expr("'↑LEN' || CAST(least(size(split(text,' ')) div 10, 12) AS STRING)"),
         expr(s"'↑STOP' || CAST(least(size(filter(split(text,' '), w -> w IN ($sw))), 5) AS STRING)"),
         expr("'↑UNIQ' || CAST((10 * size(array_distinct(split(text,' ')))) div size(split(text,' ')) AS STRING)")
       ))).as("t"))
   }
+  private def nbFeats(s: SparkSession, d: String): DataFrame =
+    nbFeatsOf(documents(s, d))
   /** DuckDB replay of [[nbFeats]] (CTE `feats`). */
   private lazy val nbFeatsCte: String = {
     val sw = TextOps.stopwords.map("'" + _ + "'").mkString(", ")
@@ -2119,12 +2120,15 @@ object CurationOps {
     * with a BROADCAST join against the weight table + per-doc sum. No
     * shuffle ever carries the corpus except the final doc-sized
     * rollup. */
-  def docQualityNb(s: SparkSession, d: String): DataFrame = {
+  /** The NB FIT — one corpus scan to a vocab-sized weight table plus
+    * the two scalar model parameters (unseen-feature weight, class
+    * prior). Separated from scoring so the batch op and the streaming
+    * scorer share ONE model definition. */
+  private def nbFit(s: SparkSession, d: String): (DataFrame, Long, Long) = {
     import s.implicits._
-    val feats = nbFeats(s, d).select($"doc_id", $"t")
     val tr = TextOps.textGopherRules(s, d)
       .select($"doc_id", $"keep").filter($"doc_id" % NbHoldoutMod =!= 0)
-    val cnt = feats.join(tr, "doc_id")
+    val cnt = nbFeats(s, d).select($"doc_id", $"t").join(tr, "doc_id")
       .groupBy($"t")
       .agg(sum($"keep").as("c_hq"), sum(lit(1L) - $"keep").as("c_lq"))
       .localCheckpoint(true) // vocab-sized; feeds totals AND weights once
@@ -2132,19 +2136,27 @@ object CurationOps {
     val (nHq, nLq, v) = (t0.getLong(0), t0.getLong(1), t0.getLong(2))
     val d0 = tr.agg(sum($"keep"), count(lit(1))).head
     val (dHq, dAll) = (d0.getLong(0), d0.getLong(1))
-    val w0 = padeLong(nLq + v, nHq + v) // unseen-feature (smoothing-only) weight
-    val p0 = padeLong(dHq + 1, dAll - dHq + 1) // class-prior term
     val wtab = cnt
       .withColumn("a", ($"c_hq" + 1L) * lit(nLq + v))
       .withColumn("b", ($"c_lq" + 1L) * lit(nHq + v))
       .select($"t", expr(padeExpr("a", "b", "div")).as("w"))
+    (wtab, padeLong(nLq + v, nHq + v), padeLong(dHq + 1, dAll - dHq + 1))
+  }
+  /** The NB SCORE pass over any featurized frame — broadcast weight
+    * join, per-doc sum, prior + threshold. */
+  private def nbScoreOf(feats: DataFrame, wtab: DataFrame,
+      w0: Long, p0: Long): DataFrame =
     feats.join(broadcast(wtab), Seq("t"), "left")
-      .groupBy($"doc_id")
+      .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_feats"),
-        sum(coalesce($"w", lit(w0))).as("sw"))
-      .select($"doc_id", $"n_feats",
-        ($"sw" + lit(p0)).as("score"),
-        when($"sw" + lit(p0) > 0L, 1L).otherwise(0L).as("pred"))
+        sum(coalesce(col("w"), lit(w0))).as("sw"))
+      .select(col("doc_id"), col("n_feats"),
+        (col("sw") + lit(p0)).as("score"),
+        when(col("sw") + lit(p0) > 0L, 1L).otherwise(0L).as("pred"))
+  def docQualityNb(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (wtab, w0, p0) = nbFit(s, d)
+    nbScoreOf(nbFeats(s, d).select($"doc_id", $"t"), wtab, w0, p0)
       .orderBy($"doc_id")
   }
   /** The full NB fit+score replay up to CTE `nbres` — shared by the
@@ -2203,6 +2215,40 @@ object CurationOps {
        |FROM nbres n JOIN g USING (doc_id)
        |WHERE doc_id % $NbHoldoutMod = 0
        |GROUP BY 1, 2 ORDER BY label, pred""".stripMargin
+
+  /** The trained classifier DEPLOYED on the live ingest stream —
+    * "fit offline on yesterday's corpus, score documents as they
+    * arrive", the serving half of the CCNet/fastText filtering story.
+    * The model ([[nbFit]]: vocab weight table + two scalars) is fit
+    * ONCE as a batch job; each micro-batch then runs the identical
+    * [[nbScoreOf]] pass — featurize, broadcast stream-static weight
+    * join, per-doc rollup — and lands scored rows as parquet. Docs
+    * never span micro-batches, so per-batch grouping is exact and the
+    * stream needs NO state store or watermark; the weight table is the
+    * only cross-batch object and it is model-sized, not corpus-sized.
+    * Oracle: the batch classifier's SQL verbatim — streaming must
+    * admit precisely the batch scores. */
+  def docStreamQualityNb(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (wtab, w0, p0) = nbFit(s, d)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nbsink").toString
+    val q = graft.Tables.streamTable(s, d, "documents").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        nbScoreOf(nbFeatsOf(batch).select(col("doc_id"), col("t")),
+            wtab, w0, p0)
+          .write.mode("append").parquet(tmp)
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // landed files ARE the output at scale — register for JVM-exit
+    // cleanup rather than deleting (same contract as docStreamQuality)
+    val p = new org.apache.hadoop.fs.Path(tmp)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(p)
+    s.read.parquet(tmp).orderBy($"doc_id")
+  }
+  lazy val docStreamQualityNbSql: String = docQualityNbSql
 
   /** DSIR target domain — the sources whose distribution the
     * selection tilts toward (a "books-like domain" stand-in). */

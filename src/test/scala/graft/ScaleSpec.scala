@@ -744,4 +744,21 @@ class ScaleSpec extends SparkSpec {
       assert(parts.nonEmpty, s"no list_id= partitions under $dir")
     } finally spark.conf.unset("spark.graft.indexRoot")
   }
+
+  test("NB scoring joins the model BROADCAST; the corpus never shuffles to meet it") {
+    // the weight table is vocab-sized (model, not data) — if the score
+    // join ever degrades to SortMergeJoin, every scored corpus pays a
+    // corpus-wide shuffle at 100 TB
+    val p = plan(operators.CurationOps.docQualityNb(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("DSIR weight join is broadcast and selection windows are per-source") {
+    val p = plan(operators.CurationOps.docDsirSelect(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // rank runs inside per-source window partitions, never a global sort
+    assert(p.contains("row_number() windowspecdefinition(source#"), p)
+  }
 }

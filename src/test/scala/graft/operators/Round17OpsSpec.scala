@@ -171,6 +171,18 @@ class Round17OpsSpec extends SparkSpec {
     assert(agree * 5L >= total * 4L, s"held-out agreement $agree/$total < 0.8")
   }
 
+  test("streamed NB scoring equals the batch classifier, incl dir layout") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    assert(rows(CurationOps.docStreamQualityNb(spark, sf0001))
+      == rows(CurationOps.docQualityNb(spark, sf0001)))
+    // dir-layout corpus: multiple part files, single-class labels
+    // (every doc fails the gopher wordcount rule) — the degenerate fit
+    // must still score, not divide by zero
+    val dir = writeDirLayoutDocs(withNullSource = false)
+    assert(rows(CurationOps.docStreamQualityNb(spark, dir))
+      == rows(CurationOps.docQualityNb(spark, dir)))
+  }
+
   test("DSIR selects exactly the per-source top fifth, rank-monotone") {
     import spark.implicits._
     val sel = CurationOps.docDsirSelect(spark, sf0001).cache()
