@@ -94,14 +94,20 @@ object Bench {
     // dropped entries were exactly the ops that changed). Persist the
     // full line to a file so the complete per-query numbers always
     // survive, independent of how stdout is captured.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
-    catch {
-      // NonFatal only: a fatal VM error must not be swallowed, and a
-      // failed write needs a signal — otherwise the persisted numbers
-      // go stale silently, defeating the fallback's purpose.
-      case scala.util.control.NonFatal(e) =>
-        System.err.println(s"graft: failed to persist bench line to $out: $e")
+    // A name-filtered run is a per-op iteration probe, not the
+    // canonical surface — persisting it would silently replace the
+    // committed full-run numbers with a partial set.
+    val out = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .orElse(if (args.isEmpty) Some("BENCH_FULL.json") else None)
+    out.foreach { o =>
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(o), line + "\n")
+      catch {
+        // NonFatal only: a fatal VM error must not be swallowed, and a
+        // failed write needs a signal — otherwise the persisted numbers
+        // go stale silently, defeating the fallback's purpose.
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"graft: failed to persist bench line to $o: $e")
+      }
     }
     println(line)
     spark.stop()
