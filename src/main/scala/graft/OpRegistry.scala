@@ -379,6 +379,8 @@ object OpRegistry {
     op("doc_dsir_select", CurationOps.docDsirSelect, CurationOps.docDsirSelectSql),
     op("doc_stream_quality_nb",
       CurationOps.docStreamQualityNb, CurationOps.docStreamQualityNbSql),
+    op("doc_pack_efficiency",
+      CurationOps.docPackEfficiency, CurationOps.docPackEfficiencySql),
     op("doc_token_budget", CurationOps.docTokenBudget, CurationOps.docTokenBudgetSql),
     op("doc_length_histogram",
       CurationOps.docLengthHistogram, CurationOps.docLengthHistogramSql),

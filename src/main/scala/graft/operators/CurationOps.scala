@@ -2250,6 +2250,66 @@ object CurationOps {
   }
   lazy val docStreamQualityNbSql: String = docQualityNbSql
 
+  /** Candidate training sequence lengths for the packing-efficiency
+    * planning table. */
+  private[operators] val PackLens = Seq(64L, 128L, 256L, 512L, 1024L)
+
+  /** Context-length planning table — the padding-economics readout a
+    * team consults before fixing a sequence length: for every source ×
+    * candidate length L, the token waste under the two standard
+    * batching schemes. PACKING (concatenate-then-chunk, what
+    * [[docPackManifest]] materializes): waste = only the final
+    * sequence's padding per source. TRUNCATION (one doc per sequence):
+    * pad = Σ max(L−n, 0) against capacity n_docs·L, clip = Σ max(n−L,
+    * 0) — tokens DISCARDED — against the corpus. All integer ppm,
+    * exact. Shape: one scan to per-doc token counts, a 4-literal
+    * explode (rows are 3 ints wide), and a partially-aggregated
+    * groupBy whose output is sources×4 rows — catalog-sized at any
+    * corpus scale. */
+  def docPackEfficiency(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lens = array(PackLens.map(lit): _*)
+    documents(s, d).filter($"text".isNotNull)
+      .select($"source", size(toks($"text")).cast("long").as("n"))
+      .select($"source", $"n", explode(lens).as("seq_len"))
+      .groupBy($"source", $"seq_len")
+      .agg(count(lit(1)).as("n_docs"), sum($"n").as("total_tokens"),
+        sum(greatest($"seq_len" - $"n", lit(0L))).as("pad"),
+        sum(greatest($"n" - $"seq_len", lit(0L))).as("clip"))
+      .select($"source", $"seq_len", $"n_docs", $"total_tokens",
+        expr("(total_tokens + seq_len - 1) div seq_len").as("pack_seqs"),
+        expr("""(1000000 * (((total_tokens + seq_len - 1) div seq_len) * seq_len
+               | - total_tokens))
+               | div (((total_tokens + seq_len - 1) div seq_len) * seq_len)"""
+          .stripMargin.replace("\n", "")).as("pack_waste_ppm"),
+        expr("(1000000 * pad) div (n_docs * seq_len)").as("trunc_pad_ppm"),
+        expr("(1000000 * clip) div total_tokens").as("trunc_clip_ppm"))
+      .orderBy($"source", $"seq_len")
+  }
+  lazy val docPackEfficiencySql: String = {
+    val lens = PackLens.mkString(", ")
+    s"""WITH n AS (
+       |  SELECT source, CAST(len(string_split(text,' ')) AS BIGINT) AS n
+       |  FROM documents WHERE text IS NOT NULL),
+       |x AS (
+       |  SELECT source, n, unnest([CAST(l AS BIGINT) FOR l IN [$lens]]) AS seq_len
+       |  FROM n),
+       |agg AS (
+       |  SELECT source, seq_len, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n) AS BIGINT) AS total_tokens,
+       |    CAST(sum(greatest(seq_len - n, 0)) AS BIGINT) AS pad,
+       |    CAST(sum(greatest(n - seq_len, 0)) AS BIGINT) AS clip
+       |  FROM x GROUP BY source, seq_len)
+       |SELECT source, seq_len, n_docs, total_tokens,
+       |  (total_tokens + seq_len - 1) // seq_len AS pack_seqs,
+       |  (1000000 * (((total_tokens + seq_len - 1) // seq_len) * seq_len
+       |    - total_tokens))
+       |    // (((total_tokens + seq_len - 1) // seq_len) * seq_len) AS pack_waste_ppm,
+       |  (1000000 * pad) // (n_docs * seq_len) AS trunc_pad_ppm,
+       |  (1000000 * clip) // total_tokens AS trunc_clip_ppm
+       |FROM agg ORDER BY source, seq_len""".stripMargin
+  }
+
   /** DSIR target domain — the sources whose distribution the
     * selection tilts toward (a "books-like domain" stand-in). */
   private[operators] val DsirTargetSources = Seq("src0", "src1", "src2", "src3")

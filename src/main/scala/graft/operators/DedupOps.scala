@@ -1029,12 +1029,14 @@ object DedupOps {
 
   /** The corpus duplication REPORT: per source, how many documents are
     * flagged by each near-dup family — span index, prefix key, shingle
-    * Jaccard, SimHash bands, MinHash LSH, winnowing fingerprints — the
+    * Jaccard, SimHash bands, MinHash LSH, winnowing fingerprints, plus
+    * the SEMANTIC embedding-LSH leg (paraphrase-level duplication no
+    * token family can see; vec_id is doc-aligned) — the
     * health dashboard a data team reads before deciding which dedup
     * pass to run where. Composed from the registered pair generators
     * themselves on BOTH engine sides (the op functions here; their SQL
     * embedded as subqueries in the oracle), so the report can never
-    * drift from what the ops actually flag. Cost: the six capped pair
+    * drift from what the ops actually flag. Cost: the seven capped pair
     * sets (each corpus-linear, see their docs) + per-family distinct
     * flag sets (bounded by flagged-doc count) + one source-sized
     * rollup; the families run as independent branches of one plan, so
@@ -1055,7 +1057,7 @@ object DedupOps {
     * per report call. */
   def dedupReport(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // ONE tokenization feeds all six family branches (the `*Of`
+    // ONE tokenization feeds all six TOKEN family branches (the `*Of`
     // generator variants): raw text is scanned + split once per
     // report, where calling the standalone `(s, d)` ops would scan it
     // six times — at 100 TB that is five saved passes over the corpus.
@@ -1071,6 +1073,11 @@ object DedupOps {
       .join(flagged(dedupSimhashOf(s, toks), "f_sim"), Seq("doc_id"), "left")
       .join(flagged(minhashPairsOf(s, toks), "f_mh"), Seq("doc_id"), "left")
       .join(flagged(dedupWinnowOf(s, toks), "f_win"), Seq("doc_id"), "left")
+      // the SEMANTIC leg: embedding-LSH near-dups (vec_id is doc-aligned
+      // by construction of the embeddings table) — paraphrase-level
+      // duplication none of the token families can see
+      .join(flagged(dedupEmbeddingLsh(s, d)
+        .select($"i".as("da"), $"j".as("db")), "f_emb"), Seq("doc_id"), "left")
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
         sum(coalesce($"f_span", lit(0L))).as("n_span_dup"),
@@ -1078,7 +1085,8 @@ object DedupOps {
         sum(coalesce($"f_jac", lit(0L))).as("n_jaccard_dup"),
         sum(coalesce($"f_sim", lit(0L))).as("n_simhash_dup"),
         sum(coalesce($"f_mh", lit(0L))).as("n_minhash_dup"),
-        sum(coalesce($"f_win", lit(0L))).as("n_winnow_dup"))
+        sum(coalesce($"f_win", lit(0L))).as("n_winnow_dup"),
+        sum(coalesce($"f_emb", lit(0L))).as("n_embed_dup"))
       .orderBy($"source")
     // Returned LAZY with toks still marked for caching — deliberately;
     // see the scaladoc's cache contract (eager materialization measured
@@ -1130,14 +1138,16 @@ object DedupOps {
        |${fam("jc", dedupNgramJaccardSql)},
        |${fam("sh", dedupSimhashSql)},
        |${fam("mh", dedupMinhashLshSql)},
-       |${fam("wn", dedupWinnowSql)}
+       |${fam("wn", dedupWinnowSql)},
+       |${fam("em", s"SELECT i AS da, j AS db FROM (\n$dedupEmbeddingLshSql\n) zemb")}
        |SELECT d.source, count(*) AS n_docs,
        |  CAST(sum(CASE WHEN f_sp.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_span_dup,
        |  CAST(sum(CASE WHEN f_pf.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_prefix_dup,
        |  CAST(sum(CASE WHEN f_jc.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_jaccard_dup,
        |  CAST(sum(CASE WHEN f_sh.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_simhash_dup,
        |  CAST(sum(CASE WHEN f_mh.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_minhash_dup,
-       |  CAST(sum(CASE WHEN f_wn.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_winnow_dup
+       |  CAST(sum(CASE WHEN f_wn.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_winnow_dup,
+       |  CAST(sum(CASE WHEN f_em.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_embed_dup
        |FROM documents d
        |LEFT JOIN f_sp ON f_sp.doc_id = d.doc_id
        |LEFT JOIN f_pf ON f_pf.doc_id = d.doc_id
@@ -1145,6 +1155,7 @@ object DedupOps {
        |LEFT JOIN f_sh ON f_sh.doc_id = d.doc_id
        |LEFT JOIN f_mh ON f_mh.doc_id = d.doc_id
        |LEFT JOIN f_wn ON f_wn.doc_id = d.doc_id
+       |LEFT JOIN f_em ON f_em.doc_id = d.doc_id
        |GROUP BY d.source ORDER BY d.source""".stripMargin
   }
 

@@ -30,6 +30,17 @@ class EdgeCaseSpec extends SparkSpec {
       (8L, null.asInstanceOf[String], "en", "src1", 0L)      // NULL text (r13 ADVICE)
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    // doc-aligned embeddings (dedup_report's semantic leg reads them),
+    // with their own edge rows: an all-zero vector (cosine guard) and
+    // a NULL embedding (signature rows drop, never NPE)
+    (0 to 8).map { i =>
+      val v: Array[Float] =
+        if (i == 4) Array.fill(8)(0f)
+        else if (i == 8) null
+        else Array.tabulate(8)(j => ((i * 7 + j) % 5 - 2).toFloat)
+      (i.toLong, v, i % 2)
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
     d
   }
 

@@ -171,6 +171,24 @@ class Round17OpsSpec extends SparkSpec {
     assert(agree * 5L >= total * 4L, s"held-out agreement $agree/$total < 0.8")
   }
 
+  test("pack-efficiency table: seat counts exact, pad monotone in L") {
+    import spark.implicits._
+    val t = CurationOps.docPackEfficiency(spark, sf0001).cache()
+    // pack_seqs is exactly ceil(total/L)
+    assert(t.filter(
+      $"pack_seqs" * $"seq_len" < $"total_tokens" ||
+      ($"pack_seqs" - 1L) * $"seq_len" >= $"total_tokens").isEmpty)
+    // docs are 20-120 tokens: L=64 must clip somewhere, L>=128 never
+    assert(t.filter($"seq_len" === 64L && $"trunc_clip_ppm" > 0L).count() > 0)
+    assert(t.filter($"seq_len" >= 128L && $"trunc_clip_ppm" > 0L).isEmpty)
+    // truncation padding waste grows with L within every source
+    val inv = t.as("a").join(t.as("b"),
+      $"a.source" === $"b.source" && $"a.seq_len" * 2L === $"b.seq_len")
+      .filter($"a.trunc_pad_ppm" > $"b.trunc_pad_ppm").count()
+    assert(inv == 0L)
+    t.unpersist()
+  }
+
   test("streamed NB scoring equals the batch classifier, incl dir layout") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
     assert(rows(CurationOps.docStreamQualityNb(spark, sf0001))
