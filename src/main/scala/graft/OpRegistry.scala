@@ -427,6 +427,9 @@ object OpRegistry {
     op("doc_rag_refit", CurationOps.docRagRefit, CurationOps.docRagRefitSql),
     op("doc_rag_hybrid_recall",
       CurationOps.docRagHybridRecall, CurationOps.docRagHybridRecallSql),
+    op("doc_rag_prf", CurationOps.docRagPrf, CurationOps.docRagPrfSql),
+    op("doc_rag_prf_recall",
+      CurationOps.docRagPrfRecall, CurationOps.docRagPrfRecallSql),
     op("dedup_incremental_bloom",
       DedupOps.dedupIncrementalBloom, DedupOps.dedupIncrementalBloomSql),
     op("dedup_near_incremental",

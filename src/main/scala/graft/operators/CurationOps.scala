@@ -1954,6 +1954,103 @@ object CurationOps {
        |SELECT qid, rank, doc_id, chunk_id, rrf FROM hybres
        |ORDER BY qid, rank""".stripMargin
 
+  /** Expansion terms added per query by [[docRagPrf]]. */
+  private[operators] val PrfExpand = 3L
+
+  /** Pseudo-relevance-feedback retrieval (Rocchio-style query
+    * expansion) — the classic two-pass IR move a serve stack runs when
+    * queries are short: retrieve lexically, mine the top chunks for
+    * the terms that characterize them, re-retrieve with the expanded
+    * query. Pass 1 = the hybrid op's lexical leg verbatim (tf overlap,
+    * top-[[RagTopK]], own-doc excluded). Expansion = the
+    * [[PrfExpand]] most frequent NOVEL terms across each query's
+    * feedback chunks (ties to the lexicographically lower term —
+    * deterministic, no IDF float). Pass 2 re-scores every chunk with
+    * original terms at weight 2, expansion terms at weight 1 (the
+    * Rocchio α>β shape in exact integers). Shape: three
+    * inverted-index equi-joins against the eval-sized query term set
+    * (AQE broadcasts each), windows partitioned by qid — corpus-linear
+    * at any scale, same discipline as [[docRagHybrid]]'s lexical
+    * leg. */
+  def docRagPrf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cw = chunkWords(s, d)
+    val qtok = cw.filter(ragQueryPred)
+      .select($"doc_id".as("qid"), explode(array_distinct($"cw")).as("t"))
+    val ctok = cw.select($"doc_id", $"chunk_id", explode($"cw").as("t"))
+    val s1 = ctok.join(qtok, "t").filter($"doc_id" =!= $"qid")
+      .groupBy($"qid", $"doc_id", $"chunk_id").agg(count(lit(1)).as("tf"))
+    val w1 = Window.partitionBy($"qid").orderBy($"tf".desc, $"doc_id", $"chunk_id")
+    val fb = s1.withColumn("lrank", row_number().over(w1))
+      .filter($"lrank" <= RagTopK)
+      .select($"qid", $"doc_id", $"chunk_id")
+    val exp = fb.join(ctok, Seq("doc_id", "chunk_id"))
+      .groupBy($"qid", $"t").agg(count(lit(1)).as("ftf"))
+      .join(qtok, Seq("qid", "t"), "left_anti") // novel terms only
+      .withColumn("er", row_number().over(
+        Window.partitionBy($"qid").orderBy($"ftf".desc, $"t")))
+      .filter($"er" <= PrfExpand)
+      .select($"qid", $"t")
+    val terms = qtok.select($"qid", $"t", lit(2L).as("w"))
+      .unionAll(exp.select($"qid", $"t", lit(1L).as("w")))
+    val s3 = ctok.join(terms, Seq("t")).filter($"doc_id" =!= $"qid")
+      .groupBy($"qid", $"doc_id", $"chunk_id").agg(sum($"w").as("score"))
+    val wf = Window.partitionBy($"qid").orderBy($"score".desc, $"doc_id", $"chunk_id")
+    s3.withColumn("rank", row_number().over(wf).cast("long"))
+      .filter($"rank" <= RagTopK)
+      .select($"qid", $"rank", $"doc_id", $"chunk_id", $"score")
+      .orderBy($"qid", $"rank")
+  }
+  /** The PRF replay up to CTE `prfres` — shared by the op oracle and
+    * the recall oracle. */
+  private lazy val ragPrfCtesSql: String =
+    s"""pqtok AS (
+       |  SELECT doc_id AS qid, unnest(list_distinct(cw)) AS t
+       |  FROM cch WHERE doc_id < $RagQueryMaxDocId AND chunk_id = 0),
+       |pctok AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |          unnest(cw) AS t FROM cch),
+       |pls AS (
+       |  SELECT q.qid, c.doc_id, c.chunk_id, CAST(count(*) AS BIGINT) AS tf
+       |  FROM pctok c JOIN pqtok q ON q.t = c.t
+       |  WHERE c.doc_id <> q.qid GROUP BY 1, 2, 3),
+       |pfb AS (
+       |  SELECT qid, doc_id, chunk_id FROM (
+       |    SELECT qid, doc_id, chunk_id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY tf DESC, doc_id, chunk_id) AS r FROM pls) z
+       |  WHERE r <= $RagTopK),
+       |pexpc AS (
+       |  SELECT f.qid, c.t, CAST(count(*) AS BIGINT) AS ftf
+       |  FROM pfb f JOIN pctok c
+       |    ON c.doc_id = f.doc_id AND c.chunk_id = f.chunk_id
+       |  GROUP BY 1, 2),
+       |pexp AS (
+       |  SELECT qid, t FROM (
+       |    SELECT e.qid, e.t, row_number() OVER (PARTITION BY e.qid
+       |      ORDER BY e.ftf DESC, e.t) AS er
+       |    FROM pexpc e
+       |    WHERE NOT EXISTS (SELECT 1 FROM pqtok q
+       |                      WHERE q.qid = e.qid AND q.t = e.t)) z
+       |  WHERE er <= $PrfExpand),
+       |pterms AS (
+       |  SELECT qid, t, CAST(2 AS BIGINT) AS w FROM pqtok
+       |  UNION ALL SELECT qid, t, CAST(1 AS BIGINT) AS w FROM pexp),
+       |ps3 AS (
+       |  SELECT tm.qid, c.doc_id, c.chunk_id, CAST(sum(tm.w) AS BIGINT) AS score
+       |  FROM pctok c JOIN pterms tm ON tm.t = c.t
+       |  WHERE c.doc_id <> tm.qid GROUP BY 1, 2, 3),
+       |prfres AS (
+       |  SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id, chunk_id, score FROM (
+       |    SELECT qid, doc_id, chunk_id, score, row_number() OVER (
+       |      PARTITION BY qid ORDER BY score DESC, doc_id, chunk_id) AS rank
+       |    FROM ps3) z
+       |  WHERE rank <= $RagTopK)""".stripMargin
+  lazy val docRagPrfSql: String =
+    s"""$ragCtesSql,
+       |$ragPrfCtesSql
+       |SELECT qid, rank, doc_id, chunk_id, score FROM prfres
+       |ORDER BY qid, rank""".stripMargin
+
   /** Retrieval-quality evaluation for [[docRagE2e]] — recall@
     * [[RagTopK]] of the IVF-probed retrieval against the BRUTE-FORCE
     * chunk ground truth, per query, in integer ppm: the measurement
@@ -2034,6 +2131,14 @@ object CurationOps {
   lazy val docRagRecallSql: String = ragRecallSqlAgainst("ragres", "")
   lazy val docRagHybridRecallSql: String =
     ragRecallSqlAgainst("hybres", ragHybridCtesSql)
+
+  /** Recall@[[RagTopK]] of the PRF retrieval against the same brute
+    * chunk truth — expansion must EARN its second pass on the meter,
+    * same contract as every retrieval variant here. */
+  def docRagPrfRecall(s: SparkSession, d: String): DataFrame =
+    ragRecallOf(s, d, docRagPrf(s, d))
+  lazy val docRagPrfRecallSql: String =
+    ragRecallSqlAgainst("prfres", ragPrfCtesSql)
 
   // ──────────────────── learned curation (NB / DSIR) ────────────────────
 

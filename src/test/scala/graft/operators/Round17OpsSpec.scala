@@ -171,6 +171,20 @@ class Round17OpsSpec extends SparkSpec {
     assert(agree * 5L >= total * 4L, s"held-out agreement $agree/$total < 0.8")
   }
 
+  test("PRF retrieval: k-bounded per query, score-monotone, own-doc excluded") {
+    import spark.implicits._
+    val r = CurationOps.docRagPrf(spark, sf0001).cache()
+    val per = r.groupBy($"qid").agg(count(lit(1)).as("n"), max($"rank").as("mx"))
+    assert(per.filter($"n" > 3L || $"mx" > 3L).isEmpty)
+    assert(r.filter($"doc_id" === $"qid").isEmpty) // never retrieves the query's own doc
+    // score non-increasing in rank within each query
+    val bad = r.as("a").join(r.as("b"),
+      $"a.qid" === $"b.qid" && $"a.rank" + 1L === $"b.rank")
+      .filter($"a.score" < $"b.score").count()
+    assert(bad == 0L)
+    r.unpersist()
+  }
+
   test("pack-efficiency table: seat counts exact, pad monotone in L") {
     import spark.implicits._
     val t = CurationOps.docPackEfficiency(spark, sf0001).cache()
