@@ -87,6 +87,20 @@ class EdgeCaseSpec extends SparkSpec {
       .filter($"src_a" === "src2" && $"src_b" === "src3").count() == 1)
   }
 
+  test("round-17 ops survive the edge corpus") {
+    // single-class gopher labels, empty-text query doc, unicode
+    // tokens, a 5000-token outlier, NULL text/embedding rows — none
+    // may crash or emit nulls
+    Seq[(String, org.apache.spark.sql.DataFrame)](
+      "doc_quality_nb" -> CurationOps.docQualityNb(spark, dir),
+      "doc_quality_nb_eval" -> CurationOps.docQualityNbEval(spark, dir),
+      "doc_dsir_select" -> CurationOps.docDsirSelect(spark, dir),
+      "doc_pack_efficiency" -> CurationOps.docPackEfficiency(spark, dir),
+      "doc_rag_prf" -> CurationOps.docRagPrf(spark, dir),
+      "doc_rag_refit" -> CurationOps.docRagRefit(spark, dir)
+    ).foreach { case (name, df) => assertNoNulls(df, name) }
+  }
+
   test("round-15 ops survive the edge corpus") {
     import spark.implicits._
     Seq[(String, org.apache.spark.sql.DataFrame)](
