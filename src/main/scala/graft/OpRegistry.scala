@@ -376,6 +376,8 @@ object OpRegistry {
     op("doc_quality_nb", CurationOps.docQualityNb, CurationOps.docQualityNbSql),
     op("doc_quality_nb_eval",
       CurationOps.docQualityNbEval, CurationOps.docQualityNbEvalSql),
+    op("doc_quality_nb_calibration",
+      CurationOps.docQualityNbCalibration, CurationOps.docQualityNbCalibrationSql),
     op("doc_dsir_select", CurationOps.docDsirSelect, CurationOps.docDsirSelectSql),
     op("doc_stream_quality_nb",
       CurationOps.docStreamQualityNb, CurationOps.docStreamQualityNbSql),

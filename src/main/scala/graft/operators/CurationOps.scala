@@ -2415,6 +2415,46 @@ object CurationOps {
        |FROM agg ORDER BY source, seq_len""".stripMargin
   }
 
+  /** Calibration curve of [[docQualityNb]] — per source, gopher-label
+    * agreement and keep-rate by SCORE DECILE: the readout that shows
+    * the score is monotonically informative (low deciles mostly
+    * drop-labeled, high deciles mostly keep-labeled), which is what
+    * justifies using it as a tunable threshold rather than a fixed
+    * binary gate. Deciles are per-source NTILE over (score, doc_id) —
+    * the [[docQualityRank]] discipline: partition-bounded, never a
+    * partitionless global sort. Output is sources×10 rows. */
+  def docQualityNbCalibration(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val lab = TextOps.textGopherRules(s, d)
+      .select($"doc_id", $"keep".as("label"))
+    val w = Window.partitionBy($"source").orderBy($"score", $"doc_id")
+    docQualityNb(s, d).join(lab, "doc_id")
+      .join(documents(s, d).select($"doc_id", $"source"), "doc_id")
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy($"source", $"decile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"label").as("n_label_keep"),
+        sum(when($"pred" === $"label", 1L).otherwise(0L)).as("n_agree"))
+      .select($"source", $"decile", $"n_docs", $"n_label_keep",
+        expr("(1000000 * n_agree) div n_docs").as("agree_ppm"))
+      .orderBy($"source", $"decile")
+  }
+  lazy val docQualityNbCalibrationSql: String =
+    s"""WITH $docQualityNbCtes,
+       |cal AS (
+       |  SELECT d.source, g.keep AS label, n.score, n.pred, n.doc_id,
+       |    CAST(ntile(10) OVER (PARTITION BY d.source
+       |      ORDER BY n.score, n.doc_id) AS BIGINT) AS decile
+       |  FROM nbres n JOIN g ON g.doc_id = n.doc_id
+       |  JOIN documents d ON d.doc_id = n.doc_id)
+       |SELECT source, decile, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(label) AS BIGINT) AS n_label_keep,
+       |  (1000000 * CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT))
+       |    // CAST(count(*) AS BIGINT) AS agree_ppm
+       |FROM cal GROUP BY source, decile
+       |ORDER BY source, decile""".stripMargin
+
   /** DSIR target domain — the sources whose distribution the
     * selection tilts toward (a "books-like domain" stand-in). */
   private[operators] val DsirTargetSources = Seq("src0", "src1", "src2", "src3")

@@ -754,6 +754,15 @@ class ScaleSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("PRF passes join broadcast query-term sets; windows are per-qid") {
+    val p = plan(operators.CurationOps.docRagPrf(spark, sf0001))
+    // all three inverted-index joins meet eval-sized term sets —
+    // none may degrade to a corpus-wide SortMergeJoin
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("row_number() windowspecdefinition(qid#"), p)
+  }
+
   test("DSIR weight join is broadcast and selection windows are per-source") {
     val p = plan(operators.CurationOps.docDsirSelect(spark, sf0001))
     assert(p.contains("BroadcastHashJoin"), p)

@@ -171,6 +171,22 @@ class Round17OpsSpec extends SparkSpec {
     assert(agree * 5L >= total * 4L, s"held-out agreement $agree/$total < 0.8")
   }
 
+  test("NB calibration: low score deciles drop-labeled, high deciles keep-labeled") {
+    import spark.implicits._
+    val cal = CurationOps.docQualityNbCalibration(spark, sf0001)
+      .groupBy($"decile")
+      .agg(sum($"n_docs").as("n"), sum($"n_label_keep").as("k"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def frac(ds: Seq[Long]) = {
+      val (n, k) = ds.flatMap(cal.get).unzip
+      k.sum.toDouble / n.sum
+    }
+    // the score must be monotonically informative: bottom 3 deciles
+    // mostly drop-labeled, top 3 mostly keep-labeled
+    assert(frac(Seq(1L, 2L, 3L)) < 0.3, cal.toString)
+    assert(frac(Seq(8L, 9L, 10L)) > 0.7, cal.toString)
+  }
+
   test("PRF retrieval: k-bounded per query, score-monotone, own-doc excluded") {
     import spark.implicits._
     val r = CurationOps.docRagPrf(spark, sf0001).cache()
