@@ -59,7 +59,15 @@ object Bench {
     // perf iteration); no args = the full registered surface
     val ordered = {
       val all = SparkEntry.queries.toSeq.sortBy(_._1)
-      if (args.isEmpty) all else all.filter(q => args.contains(q._1))
+      if (args.isEmpty) all
+      else {
+        // fail loudly on a typo'd name: a silently-empty filter would
+        // print total 0 and read as a perf win
+        val unknown = args.filterNot(all.map(_._1).toSet)
+        require(unknown.isEmpty,
+          s"unknown queries: ${unknown.mkString(", ")}")
+        all.filter(q => args.contains(q._1))
+      }
     }
     val loadStart = loadAvg()
     val repTimes: Seq[Seq[(String, Double)]] = (1 to reps).map { _ =>

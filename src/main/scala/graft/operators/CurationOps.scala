@@ -1878,11 +1878,16 @@ object CurationOps {
     * missing leg contributes 0; final rank orders by fused score
     * descending, ties to the lower (doc_id, chunk_id). Output is
     * integer-only. */
-  def docRagHybrid(s: SparkSession, d: String): DataFrame = {
+  /** The shared LEXICAL retrieval leg — query-token tf overlap,
+    * top-[[RagTopK]] per query, own-doc excluded. ONE definition used
+    * by [[docRagHybrid]]'s fusion and [[docRagPrf]]'s feedback pass
+    * (its own scaladocs say "the hybrid leg verbatim" — sharing the
+    * code makes that structural, not a hand-kept copy). Returns
+    * (query tokens, chunk tokens, lexical top-k). */
+  private def ragLexTopK(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val vres = docRagE2e(s, d)
-      .select($"qid", $"doc_id", $"chunk_id", $"rank".as("vrank"))
     val cw = chunkWords(s, d)
     val qtok = cw.filter(ragQueryPred)
       .select($"doc_id".as("qid"), explode(array_distinct($"cw")).as("t"))
@@ -1892,10 +1897,19 @@ object CurationOps {
       .groupBy($"qid", $"doc_id", $"chunk_id")
       .agg(count(lit(1)).as("tf"))
     val wl = Window.partitionBy($"qid").orderBy($"tf".desc, $"doc_id", $"chunk_id")
-    val lres = lexscore
+    val lex = lexscore
       .withColumn("lrank", row_number().over(wl).cast("long"))
       .filter($"lrank" <= RagTopK)
       .select($"qid", $"doc_id", $"chunk_id", $"lrank")
+    (qtok, ctok, lex)
+  }
+
+  def docRagHybrid(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val vres = docRagE2e(s, d)
+      .select($"qid", $"doc_id", $"chunk_id", $"rank".as("vrank"))
+    val (_, _, lres) = ragLexTopK(s, d)
     val fused = vres.join(lres, Seq("qid", "doc_id", "chunk_id"), "full_outer")
       .select($"qid", $"doc_id", $"chunk_id",
         (coalesce(expr(s"${RrfScale}L div (${RrfK}L + vrank)"), lit(0L)) +
@@ -1911,7 +1925,10 @@ object CurationOps {
     * over the same `cch` chunk tokens the embedder derives from, RRF
     * fusion against `ragres`, ending in `hybres` (the fused top-K) —
     * shared by [[docRagHybridSql]] and [[docRagHybridRecallSql]]. */
-  private lazy val ragHybridCtesSql: String =
+  /** The shared lexical-leg replay (`qtok`/`ctok`/`lex`) — ONE
+    * definition feeding both the hybrid fusion and the PRF feedback
+    * CTEs, mirroring [[ragLexTopK]]. */
+  private lazy val ragLexCtesSql: String =
     s"""qtok AS (
        |  SELECT doc_id AS qid, unnest(list_distinct(cw)) AS t
        |  FROM cch WHERE doc_id < $RagQueryMaxDocId AND chunk_id = 0),
@@ -1928,7 +1945,9 @@ object CurationOps {
        |      row_number() OVER (PARTITION BY qid
        |        ORDER BY tf DESC, doc_id, chunk_id) AS lrank
        |    FROM lexscore) z
-       |  WHERE lrank <= $RagTopK),
+       |  WHERE lrank <= $RagTopK)""".stripMargin
+  private lazy val ragHybridCtesSql: String =
+    s"""$ragLexCtesSql,
        |fused AS (
        |  SELECT COALESCE(v.qid, l.qid) AS qid,
        |    COALESCE(v.doc_id, l.doc_id) AS doc_id,
@@ -1975,16 +1994,8 @@ object CurationOps {
   def docRagPrf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val cw = chunkWords(s, d)
-    val qtok = cw.filter(ragQueryPred)
-      .select($"doc_id".as("qid"), explode(array_distinct($"cw")).as("t"))
-    val ctok = cw.select($"doc_id", $"chunk_id", explode($"cw").as("t"))
-    val s1 = ctok.join(qtok, "t").filter($"doc_id" =!= $"qid")
-      .groupBy($"qid", $"doc_id", $"chunk_id").agg(count(lit(1)).as("tf"))
-    val w1 = Window.partitionBy($"qid").orderBy($"tf".desc, $"doc_id", $"chunk_id")
-    val fb = s1.withColumn("lrank", row_number().over(w1))
-      .filter($"lrank" <= RagTopK)
-      .select($"qid", $"doc_id", $"chunk_id")
+    val (qtok, ctok, lex) = ragLexTopK(s, d) // pass 1 = the shared leg
+    val fb = lex.select($"qid", $"doc_id", $"chunk_id")
     val exp = fb.join(ctok, Seq("doc_id", "chunk_id"))
       .groupBy($"qid", $"t").agg(count(lit(1)).as("ftf"))
       .join(qtok, Seq("qid", "t"), "left_anti") // novel terms only
@@ -2005,39 +2016,27 @@ object CurationOps {
   /** The PRF replay up to CTE `prfres` — shared by the op oracle and
     * the recall oracle. */
   private lazy val ragPrfCtesSql: String =
-    s"""pqtok AS (
-       |  SELECT doc_id AS qid, unnest(list_distinct(cw)) AS t
-       |  FROM cch WHERE doc_id < $RagQueryMaxDocId AND chunk_id = 0),
-       |pctok AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-       |          unnest(cw) AS t FROM cch),
-       |pls AS (
-       |  SELECT q.qid, c.doc_id, c.chunk_id, CAST(count(*) AS BIGINT) AS tf
-       |  FROM pctok c JOIN pqtok q ON q.t = c.t
-       |  WHERE c.doc_id <> q.qid GROUP BY 1, 2, 3),
-       |pfb AS (
-       |  SELECT qid, doc_id, chunk_id FROM (
-       |    SELECT qid, doc_id, chunk_id, row_number() OVER (PARTITION BY qid
-       |      ORDER BY tf DESC, doc_id, chunk_id) AS r FROM pls) z
-       |  WHERE r <= $RagTopK),
+    s"""$ragLexCtesSql,
        |pexpc AS (
        |  SELECT f.qid, c.t, CAST(count(*) AS BIGINT) AS ftf
-       |  FROM pfb f JOIN pctok c
-       |    ON c.doc_id = f.doc_id AND c.chunk_id = f.chunk_id
+       |  FROM lex f JOIN ctok c
+       |    ON c.doc_id = f.doc_id AND CAST(c.chunk_id AS BIGINT) = f.chunk_id
        |  GROUP BY 1, 2),
        |pexp AS (
        |  SELECT qid, t FROM (
        |    SELECT e.qid, e.t, row_number() OVER (PARTITION BY e.qid
        |      ORDER BY e.ftf DESC, e.t) AS er
        |    FROM pexpc e
-       |    WHERE NOT EXISTS (SELECT 1 FROM pqtok q
+       |    WHERE NOT EXISTS (SELECT 1 FROM qtok q
        |                      WHERE q.qid = e.qid AND q.t = e.t)) z
        |  WHERE er <= $PrfExpand),
        |pterms AS (
-       |  SELECT qid, t, CAST(2 AS BIGINT) AS w FROM pqtok
+       |  SELECT qid, t, CAST(2 AS BIGINT) AS w FROM qtok
        |  UNION ALL SELECT qid, t, CAST(1 AS BIGINT) AS w FROM pexp),
        |ps3 AS (
-       |  SELECT tm.qid, c.doc_id, c.chunk_id, CAST(sum(tm.w) AS BIGINT) AS score
-       |  FROM pctok c JOIN pterms tm ON tm.t = c.t
+       |  SELECT tm.qid, c.doc_id, CAST(c.chunk_id AS BIGINT) AS chunk_id,
+       |    CAST(sum(tm.w) AS BIGINT) AS score
+       |  FROM ctok c JOIN pterms tm ON tm.t = c.t
        |  WHERE c.doc_id <> tm.qid GROUP BY 1, 2, 3),
        |prfres AS (
        |  SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id, chunk_id, score FROM (
@@ -2161,9 +2160,14 @@ object CurationOps {
     * differ on NEGATIVE operands (Spark `div` truncates toward zero,
     * DuckDB `//` floors) — dividing only non-negative values makes
     * the two agree exactly. Overflow bound: needs
-    * Scale·|a−b| < 2⁶³, i.e. max count product below ~9.2e12 —
-    * holds through sf10 here; a 100 TB corpus lifts the weight
-    * arithmetic to DECIMAL(38,0) (int128 in both engines) unchanged. */
+    * Scale·|a−b| < 2⁶³, i.e. max count product below ~9.2e12. The
+    * products grow QUADRATICALLY with corpus size (max count × total
+    * count), so this holds through roughly sf1 here — [[nbFit]] and
+    * [[docDsirSelect]] assert the bound at fit time and fail loudly
+    * rather than let Spark wrap silently where DuckDB would error. A
+    * 100 TB corpus lifts the vocab-sized weight arithmetic (never the
+    * corpus-sized pass) to DECIMAL(38,0) — int128 in both engines —
+    * unchanged in shape. */
   private def padeExpr(a: String, b: String, div: String): String =
     s"CASE WHEN $a >= $b THEN ($NbScale * ($a - $b)) $div ($a + $b) " +
       s"ELSE -(($NbScale * ($b - $a)) $div ($a + $b)) END"
@@ -2237,8 +2241,14 @@ object CurationOps {
       .groupBy($"t")
       .agg(sum($"keep").as("c_hq"), sum(lit(1L) - $"keep").as("c_lq"))
       .localCheckpoint(true) // vocab-sized; feeds totals AND weights once
-    val t0 = cnt.agg(sum($"c_hq"), sum($"c_lq"), count(lit(1))).head
+    val t0 = cnt.agg(sum($"c_hq"), sum($"c_lq"), count(lit(1)),
+      max(greatest($"c_hq", $"c_lq"))).head
     val (nHq, nLq, v) = (t0.getLong(0), t0.getLong(1), t0.getLong(2))
+    // int64 overflow guard on the Padé products (see padeExpr scaladoc):
+    // fail loudly here rather than wrap silently in Spark / error in DuckDB
+    require(t0.getLong(3) + 1 < Long.MaxValue / NbScale / (math.max(nHq, nLq) + v),
+      "NB weight products would overflow int64 at this corpus size — " +
+        "lift the vocab-sized weight arithmetic to DECIMAL(38,0)")
     val d0 = tr.agg(sum($"keep"), count(lit(1))).head
     val (dHq, dAll) = (d0.getLong(0), d0.getLong(1))
     val wtab = cnt
@@ -2337,6 +2347,13 @@ object CurationOps {
     import s.implicits._
     val (wtab, w0, p0) = nbFit(s, d)
     val tmp = java.nio.file.Files.createTempDirectory("graft_nbsink").toString
+    // size the per-batch rollup shuffle to the input, not the batch
+    // default — same posture as evStreamScd2 (set before start: batches
+    // run from the first trigger on)
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prevParts = s.conf.get(partsKey)
+    s.conf.set(partsKey,
+      EventOps.streamParts(s, d, table = "documents").toString)
     val q = graft.Tables.streamTable(s, d, "documents").writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         nbScoreOf(nbFeatsOf(batch).select(col("doc_id"), col("t")),
@@ -2346,7 +2363,7 @@ object CurationOps {
       }
       .start()
     try q.processAllAvailable()
-    finally q.stop()
+    finally { q.stop(); s.conf.set(partsKey, prevParts) }
     // landed files ARE the output at scale — register for JVM-exit
     // cleanup rather than deleting (same contract as docStreamQuality)
     val p = new org.apache.hadoop.fs.Path(tmp)
@@ -2367,9 +2384,9 @@ object CurationOps {
     * sequence's padding per source. TRUNCATION (one doc per sequence):
     * pad = Σ max(L−n, 0) against capacity n_docs·L, clip = Σ max(n−L,
     * 0) — tokens DISCARDED — against the corpus. All integer ppm,
-    * exact. Shape: one scan to per-doc token counts, a 4-literal
+    * exact. Shape: one scan to per-doc token counts, a 5-literal
     * explode (rows are 3 ints wide), and a partially-aggregated
-    * groupBy whose output is sources×4 rows — catalog-sized at any
+    * groupBy whose output is sources×5 rows — catalog-sized at any
     * corpus scale. */
   def docPackEfficiency(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -2486,8 +2503,13 @@ object CurationOps {
           .otherwise(0L)).as("n_tgt"),
         count(lit(1)).as("n_raw"))
       .localCheckpoint(true) // ≤256 rows
-    val t0 = cnt.agg(sum($"n_tgt"), sum($"n_raw")).head
+    val t0 = cnt.agg(sum($"n_tgt"), sum($"n_raw"), max($"n_raw")).head
     val (nT, nR) = (t0.getLong(0), t0.getLong(1))
+    // same int64 overflow guard as nbFit (see padeExpr scaladoc)
+    require(t0.getLong(2) + 1 <
+        Long.MaxValue / NbScale / (math.max(nT, nR) + DsirBuckets),
+      "DSIR weight products would overflow int64 at this corpus size — " +
+        "lift the 256-row weight arithmetic to DECIMAL(38,0)")
     val wtab = cnt
       .withColumn("a", ($"n_tgt" + 1L) * lit(nR + DsirBuckets))
       .withColumn("b", ($"n_raw" + 1L) * lit(nT + DsirBuckets))
