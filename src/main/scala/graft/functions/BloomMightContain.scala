@@ -1,8 +1,9 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -32,6 +33,20 @@ case class BloomMightContain(left: Expression, right: Expression)
   override def prettyName: String = "bloom_might_contain"
 
   require(right.foldable, "bloom_might_contain: sketch must be a literal")
+
+  // The function is SQL-registered (user-reachable): reject bad key /
+  // sketch types at ANALYSIS time rather than surfacing as a runtime
+  // ClassCastException in nullSafeEval or the lazy `bloom` val.
+  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+    case StringType | BinaryType if right.dataType == BinaryType =>
+      TypeCheckResult.TypeCheckSuccess
+    case StringType | BinaryType =>
+      TypeCheckResult.TypeCheckFailure(
+        s"bloom_might_contain: sketch must be BINARY, got ${right.dataType.sql}")
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"bloom_might_contain: key must be STRING or BINARY, got ${other.sql}")
+  }
 
   @transient private lazy val bloom: BloomFilter = {
     val bytes = right.eval().asInstanceOf[Array[Byte]]

@@ -1545,8 +1545,10 @@ object CurationOps {
     val (dir, cents) = ragAppendBase(s, d)
     val incoming = graft.Tables.streamTable(s, d, "documents")
       .filter($"source".isInCollection(DedupOps.IncrementalBatchSources))
+    val served = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = incoming.writeStream.outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        served.incrementAndGet()
         unitNorm(s, ragChunkVecsOf(s, batch))
           .withColumn("vec_id", $"doc_id" * RagKeyMul + $"chunk_id")
           .withColumn("list_id", IvfKmeans.assignCol(s, cents, $"v"))
@@ -1555,6 +1557,12 @@ object CurationOps {
       }
       .start()
     try q.processAllAvailable() finally q.stop()
+    // An index missing its streamed appends would fail the
+    // full-rebuild-parity oracle confusingly far downstream; fail at
+    // the source instead if the stream fired zero micro-batches.
+    require(served.get() > 0L,
+      s"doc_rag_stream_append: no micro-batch fired — streaming source " +
+        s"at $d/documents.parquet matched no files")
     s.read.parquet(dir)
       .select($"doc_id", $"chunk_id", $"list_id".cast("long").as("list_id"))
       .orderBy($"doc_id", $"chunk_id")

@@ -564,7 +564,7 @@ object DedupOps {
       .filter($"text".isNotNull)
       .select($"doc_id", $"source", md5($"text").as("key"))
     val incoming = docs.filter($"source".isInCollection(IncrementalBatchSources))
-    val corpus = docs.filter(!$"source".isInCollection(IncrementalBatchSources))
+    val corpus = docs.filter($"source".isNull || !$"source".isInCollection(IncrementalBatchSources))
       .select($"key").distinct()
     incoming.join(corpus, Seq("key"), "left_anti")
       .groupBy($"key")
@@ -576,7 +576,8 @@ object DedupOps {
     s"""WITH hashed AS (
        |  SELECT doc_id, source, md5(text) AS key FROM documents
        |  WHERE text IS NOT NULL),
-       |corpus AS (SELECT DISTINCT key FROM hashed WHERE source NOT IN ($batch))
+       |corpus AS (SELECT DISTINCT key FROM hashed
+       |           WHERE source IS NULL OR source NOT IN ($batch))
        |SELECT key, min(doc_id) AS keeper, count(*) AS n_batch
        |FROM hashed h
        |WHERE source IN ($batch)
@@ -600,7 +601,7 @@ object DedupOps {
     import s.implicits._
     val corpus = documents(s, d)
       .filter($"text".isNotNull)
-      .filter(!$"source".isInCollection(IncrementalBatchSources))
+      .filter($"source".isNull || !$"source".isInCollection(IncrementalBatchSources))
       .select(md5($"text").as("key")).distinct()
     val incoming = graft.Tables.streamTable(s, d, "documents")
       .filter($"text".isNotNull)
@@ -644,7 +645,7 @@ object DedupOps {
       .select($"doc_id", $"source", md5($"text").as("key"))
     val incoming = docs.filter($"source".isInCollection(IncrementalBatchSources))
     val corpus = trackCache(docs
-      .filter(!$"source".isInCollection(IncrementalBatchSources))
+      .filter($"source".isNull || !$"source".isInCollection(IncrementalBatchSources))
       .select($"key").distinct())
     val bf = corpus.stat.bloomFilter("key",
       math.max(corpus.count(), 1L), 0.01)
@@ -703,7 +704,7 @@ object DedupOps {
     import s.implicits._
     val docs = documents(s, d)
     val (cBands0, cSets) = bandsAndSets(s,
-      docs.filter(!$"source".isInCollection(IncrementalBatchSources)))
+      docs.filter($"source".isNull || !$"source".isInCollection(IncrementalBatchSources)))
     val (bBands, bSets) = bandsAndSets(s,
       docs.filter($"source".isInCollection(IncrementalBatchSources)))
     nearScreen(s, bBands, bSets, cBands0, cSets)
@@ -755,7 +756,7 @@ object DedupOps {
 
   lazy val dedupNearIncrementalSql: String = {
     val batch = IncrementalBatchSources.map("'" + _ + "'").mkString(", ")
-    s"""WITH ${minhashSideCtes("c", s"source NOT IN ($batch)")},
+    s"""WITH ${minhashSideCtes("c", s"(source IS NULL OR source NOT IN ($batch))")},
        |${minhashSideCtes("b", s"source IN ($batch)")},
        |keepb AS (SELECT b, bucket FROM (SELECT b, bucket, count(*) AS n_docs
        |                                 FROM bands_c GROUP BY 1, 2)
@@ -790,14 +791,16 @@ object DedupOps {
     import s.implicits._
     val docs = documents(s, d)
     val (cBands0, cSets) = bandsAndSets(s,
-      docs.filter(!$"source".isInCollection(IncrementalBatchSources)))
+      docs.filter($"source".isNull || !$"source".isInCollection(IncrementalBatchSources)))
     val cBandsC = trackCache(cBands0)
     val cSetsC = trackCache(cSets)
     val outDir = java.nio.file.Files.createTempDirectory("graft_snear").toString
     val incoming = graft.Tables.streamTable(s, d, "documents")
       .filter($"source".isInCollection(IncrementalBatchSources))
+    val served = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = incoming.writeStream.outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        served.incrementAndGet()
         val (bBands, bSets) = bandsAndSets(s, batch)
         nearScreen(s, bBands, bSets, cBandsC, cSetsC)
           .write.mode(if (bid == 0L) "overwrite" else "append")
@@ -805,6 +808,12 @@ object DedupOps {
       }
       .start()
     try q.processAllAvailable() finally q.stop()
+    // Fail fast with a pointed message rather than the opaque
+    // schema-inference error parquet-reading an empty sink dir throws
+    // when the streaming source matched no files.
+    require(served.get() > 0L,
+      s"dedup_stream_near: no micro-batch fired — streaming source at " +
+        s"$d/documents.parquet matched no files")
     s.read.parquet(outDir).orderBy($"doc_id")
   }
   lazy val dedupStreamNearSql: String = dedupNearIncrementalSql
@@ -1113,13 +1122,18 @@ object DedupOps {
 
   /** Unpersists every lazy cache prior DedupOps calls left registered
     * (the report's shared tokenization, the generators' capped
-    * shingle/signature sets) — the scoped alternative to
+    * shingle/signature sets) — narrower than
     * `spark.catalog.clearCache()` for library callers that hold their
-    * own cached frames. Unpersisting a cache a still-unexecuted
-    * returned plan references is safe (the plan just recomputes it),
-    * so this can be called after every batch of DedupOps work. Safe to
-    * call any number of times; blocking so the memory is actually free
-    * on return. */
+    * own cached frames, but NOT session-scoped: the registry is
+    * PROCESS-GLOBAL, so in a multi-session / multi-threaded JVM this
+    * also unpersists caches a concurrently-running DedupOps plan on
+    * another session registered. That is safe (the plan recomputes
+    * the cache) but costs that caller a recompute — serialize
+    * releaseCaches() with other DedupOps work if that matters.
+    * Unpersisting a cache a still-unexecuted returned plan references
+    * is safe for the same reason, so this can be called after every
+    * batch of DedupOps work. Safe to call any number of times;
+    * blocking so the memory is actually free on return. */
   def releaseCaches(): Unit = trackedCaches.synchronized {
     trackedCaches.foreach(_.unpersist(blocking = true))
     trackedCaches.clear()

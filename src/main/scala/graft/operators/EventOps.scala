@@ -448,7 +448,7 @@ object EventOps {
   /** [[evScd2]] maintained INCREMENTALLY from a live stream — the
     * streaming dimension-maintenance op (what a Delta `MERGE` per
     * micro-batch does in production CDC pipelines). The event history
-    * is replayed as event-time-ordered file slices (5-day groups,
+    * is replayed as event-time-ordered file slices (10-day groups,
     * written in ascending order so the file source delivers them as
     * separate ts-ordered micro-batches — a REAL multi-batch merge, not
     * single-batch streaming theater), and the dimension lives as two

@@ -339,7 +339,8 @@ object MultimodalOps {
     import s.implicits._
     val corpus = documents(s, d)
       .filter($"text".isNotNull)
-      .filter(!$"source".isInCollection(DedupOps.IncrementalBatchSources))
+      .filter($"source".isNull ||
+        !$"source".isInCollection(DedupOps.IncrementalBatchSources))
       .select(sha2($"text".cast("binary"), 256).as("content_sha")).distinct()
     val incoming = graft.Tables.streamTable(s, d, "documents")
       .filter($"text".isNotNull)
@@ -363,7 +364,7 @@ object MultimodalOps {
        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
        |  FROM documents WHERE text IS NOT NULL),
        |corpus AS (SELECT DISTINCT content_sha FROM hashed
-       |           WHERE source NOT IN ($batch))
+       |           WHERE source IS NULL OR source NOT IN ($batch))
        |SELECT content_sha, min(doc_id) AS keep_id, count(*) AS n_copies,
        |  min(n_bytes) AS n_bytes
        |FROM hashed h
