@@ -2,7 +2,7 @@ package graft.functions
 
 import java.nio.charset.StandardCharsets
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
@@ -32,7 +32,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   * Accepts array<float> or array<double>; accumulates in double.
   */
 case class HyperplaneSig(child: Expression, nBands: Int, bandBits: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "hyperplane_sig"
@@ -50,8 +50,16 @@ case class HyperplaneSig(child: Expression, nBands: Int, bandBits: Int)
   private def signs(dim: Int): Array[Array[Int]] =
     signCache.computeIfAbsent(dim, _ => Md5Bits.planeSigns(nBands * bandBits, dim))
 
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  /** One banding loop shared by interpreted eval and the generated
+    * code (codegen reference object) — bit-parity by construction,
+    * whole-stage codegen preserved (the dimension-keyed sign-matrix
+    * cache is real state, so the kernel stays a method rather than
+    * inlined Java). */
+  def kernel(input: ArrayData): ArrayData = {
+    val v = input
     val dim = v.numElements()
     val sg = signs(dim)
     val f = isFloat
@@ -88,6 +96,12 @@ case class HyperplaneSig(child: Expression, nBands: Int, bandBits: Int)
     }
     new GenericArrayData(chunks)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val ref = ctx.addReferenceObj("hyperplaneSig", this, classOf[HyperplaneSig].getName)
+      s"${ev.value} = $ref.kernel($arr);"
+    })
 
   override protected def withNewChildInternal(c: Expression): HyperplaneSig =
     copy(child = c)

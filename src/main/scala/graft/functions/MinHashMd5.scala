@@ -2,7 +2,7 @@ package graft.functions
 
 import java.security.MessageDigest
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -33,7 +33,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * (array_min of an empty/all-null array), null elements skipped.
   */
 case class MinHashMd5(child: Expression, k: Int = 16)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "minhash_md5"
@@ -68,8 +68,16 @@ case class MinHashMd5(child: Expression, k: Int = 16)
     new String(cs)
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  /** One signature loop shared by interpreted eval and the generated
+    * code (codegen reference object) — bit-parity by construction,
+    * whole-stage codegen preserved. Returns null for empty / all-null
+    * shingle arrays (array_min semantics); the generated code routes
+    * that through `ev.isNull`. */
+  def kernel(input: ArrayData): ArrayData = {
+    val arr = input
     val n = arr.numElements()
     val mins = new Array[Array[Byte]](k)
     val base = MessageDigest.getInstance("MD5")
@@ -103,6 +111,16 @@ case class MinHashMd5(child: Expression, k: Int = 16)
     while (i < k) { out(i) = UTF8String.fromString(hex(mins(i))); i += 1 }
     new GenericArrayData(out)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val ref = ctx.addReferenceObj("minHashMd5", this, classOf[MinHashMd5].getName)
+      val res = ctx.freshName("mhRes")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $res = $ref.kernel($arr);
+         |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res; }
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(c: Expression): MinHashMd5 = copy(child = c)
 }

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, LongType}
 
@@ -20,13 +20,18 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * `bit_count(a ^ b)` (native, codegen'd).
   */
 case class SimHash(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(kernel(input.asInstanceOf[ArrayData]))
+
+  /** One signature loop shared by interpreted eval and the generated
+    * code (codegen reference object) — bit-parity by construction,
+    * whole-stage codegen preserved. */
+  def kernel(arr: ArrayData): Long = {
     val counts = new Array[Int](64)
     var i = 0
     while (i < arr.numElements()) {
@@ -47,8 +52,14 @@ case class SimHash(child: Expression)
       if (counts(b) > 0) r |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(r)
+    r
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val ref = ctx.addReferenceObj("simHash", this, classOf[SimHash].getName)
+      s"${ev.value} = $ref.kernel($arr);"
+    })
 
   override protected def withNewChildInternal(c: Expression): SimHash = copy(child = c)
 }

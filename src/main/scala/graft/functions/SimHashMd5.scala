@@ -5,7 +5,7 @@ import java.security.MessageDigest
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
@@ -91,13 +91,19 @@ object Md5Bits {
   * chunks. Native Catalyst expression (one pass over the array, no
   * row explosion) — see [[Md5Bits]] for the bit contract. */
 case class SimHashMd5(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "simhash_md5"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  /** One signature loop shared by interpreted eval and the generated
+    * code (codegen reference object) — bit-parity by construction,
+    * whole-stage codegen preserved (MD5 state is a real object, so the
+    * kernel stays a method rather than inlined Java). */
+  def kernel(arr: ArrayData): ArrayData = {
     val counts = new Array[Int](64)
     var i = 0
     while (i < arr.numElements()) {
@@ -108,6 +114,12 @@ case class SimHashMd5(child: Expression)
     }
     Md5Bits.toChunks(counts)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val ref = ctx.addReferenceObj("simHashMd5", this, classOf[SimHashMd5].getName)
+      s"${ev.value} = $ref.kernel($arr);"
+    })
 
   override protected def withNewChildInternal(c: Expression): SimHashMd5 = copy(child = c)
 }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -31,13 +31,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * junk shingles.
   */
 case class WordShingles(child: Expression, n: Int = 3)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  /** The one shingle loop, shared verbatim by the interpreted eval and
+    * the generated code (called through a codegen reference object) —
+    * bit-parity between the two paths by construction, and the
+    * expression no longer breaks whole-stage codegen the way the old
+    * CodegenFallback did (the per-row dedup set needs real data
+    * structures, so the kernel stays a method rather than inlined
+    * Java). */
+  def kernel(arr: ArrayData): ArrayData = {
     val nToks = arr.numElements()
     if (nToks < n) return new GenericArrayData(Array.empty[Any])
     // concat_ws(' ', a, b, c) drops NULL arguments (no separator left
@@ -71,6 +80,12 @@ case class WordShingles(child: Expression, n: Int = 3)
     while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
     new GenericArrayData(out)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val ref = ctx.addReferenceObj("wordShingles", this, classOf[WordShingles].getName)
+      s"${ev.value} = $ref.kernel($arr);"
+    })
 
   override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
 }

@@ -287,6 +287,75 @@ class FunctionsSpec extends SparkSpec {
     assert(graft.query.Bgp.compile(t, q).collect().map(_.getString(0)).toSeq == Seq("a"))
   }
 
+  test("dedup/LSH kernels generate code bit-identical to interpreted eval") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
+    // none of the five per-row dedup kernels breaks whole-stage codegen
+    // any more (the round-17 verdict's remaining CodegenFallback list)
+    assert(!WordShingles(Literal(1)).isInstanceOf[CodegenFallback])
+    assert(!SimHash(Literal(1)).isInstanceOf[CodegenFallback])
+    assert(!SimHashMd5(Literal(1)).isInstanceOf[CodegenFallback])
+    assert(!MinHashMd5(Literal(1)).isInstanceOf[CodegenFallback])
+    assert(!HyperplaneSig(Literal(1), 4, 16).isInstanceOf[CodegenFallback])
+    // through a real parquet scan (ConvertToLocalRelation would fold a
+    // Seq-literal projection with INTERPRETED eval — see the sq_dist
+    // test) so the generated path actually runs, and pinned INSIDE a
+    // whole-stage-codegen span via the kernel call in the generated src
+    val dir = java.nio.file.Files.createTempDirectory("dedup_kernels").toString
+    def viaScan(write: String => Unit, sel: String): org.apache.spark.sql.Row = {
+      write(dir)
+      val df = spark.read.parquet(dir).selectExpr(sel)
+      val gen = org.apache.spark.sql.execution.debug
+        .codegenString(df.queryExecution.executedPlan)
+      assert(gen.contains(".kernel("),
+        s"kernel fell out of whole-stage codegen:\n${gen.linesIterator.take(6).mkString("\n")}")
+      df.head()
+    }
+    val toks: Array[String] = Array("a", "b", "c", "d", "a", "b", "c", "d", "e")
+    def toksLit = Literal.create(
+      ArrayData.toArrayData(toks.map(org.apache.spark.unsafe.types.UTF8String.fromString)),
+      ArrayType(StringType))
+    val wsDf = viaScan(
+      p => Seq(Tuple1(toks)).toDF("ws").write.mode("overwrite").parquet(p),
+      "word_shingles(ws, 3)").getSeq[String](0)
+    val wsIn = WordShingles(toksLit).eval(null).asInstanceOf[ArrayData]
+      .toObjectArray(StringType).map(_.toString).toSeq
+    assert(wsDf == wsIn && wsDf.contains("a b c") && wsDf.size == 5)
+    val shDf = viaScan(
+      p => Seq(Tuple1(toks)).toDF("ws").write.mode("overwrite").parquet(p),
+      "simhash(ws)").getLong(0)
+    assert(shDf == SimHash(toksLit).eval(null).asInstanceOf[Long])
+    val smDf = viaScan(
+      p => Seq(Tuple1(toks)).toDF("ws").write.mode("overwrite").parquet(p),
+      "simhash_md5(ws)").getSeq[Long](0)
+    assert(smDf == SimHashMd5(toksLit).eval(null).asInstanceOf[ArrayData].toLongArray.toSeq)
+    val mhDf = viaScan(
+      p => Seq(Tuple1(toks)).toDF("ws").write.mode("overwrite").parquet(p),
+      "minhash_md5(ws)").getSeq[String](0)
+    val mhIn = MinHashMd5(toksLit).eval(null).asInstanceOf[ArrayData]
+      .toObjectArray(StringType).map(_.toString).toSeq
+    assert(mhDf == mhIn && mhDf.size == 16)
+    // minhash null contract survives the generated path: empty array → null
+    val mhNull = viaScan(
+      p => Seq(Tuple1(Array.empty[String])).toDF("ws").write.mode("overwrite").parquet(p),
+      "minhash_md5(ws)")
+    assert(mhNull.isNullAt(0))
+    // hyperplane_sig: awkward doubles, any accumulation-order difference
+    // between the paths flips a near-zero dot product's sign bit
+    val v = Array(0.1, -0.2, 1e-17, 0.3, -0.1, 0.7, -0.33, 0.125)
+    val hpDf = viaScan(
+      p => Seq(Tuple1(v)).toDF("v").write.mode("overwrite").parquet(p),
+      "hyperplane_sig(v, 4, 16)").getSeq[Long](0)
+    val hpIn = HyperplaneSig(
+      Literal.create(ArrayData.toArrayData(v), ArrayType(DoubleType)), 4, 16)
+      .eval(null).asInstanceOf[ArrayData].toLongArray.toSeq
+    assert(hpDf == hpIn && hpDf.size == 4)
+  }
+
   test("rdf_xml_source fixture parses to the documented VALUES rows") {
     val rows = graft.operators.RdfXmlOps.xmlSource(spark, sf0001).collect()
     assert(rows.length == 5)
