@@ -1748,8 +1748,8 @@ object CurationOps {
 
   /** Save/restore wrapper for the dynamic partition-overwrite mode the
     * touched-lists rewrites ([[ragCompactTouched]],
-    * [[docRagIndexDelete]]) flip on. */
-  private def withDynamicPartitionOverwrite[T](s: SparkSession)(body: => T): T = {
+    * [[docRagIndexDelete]], [[MlOps.ivfSplitHot]]) flip on. */
+  private[graft] def withDynamicPartitionOverwrite[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prev = s.conf.getOption(key)
     s.conf.set(key, "dynamic")

@@ -190,13 +190,22 @@ object IvfKmeans {
     cents.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toDF("list_id", "c")
   }
 
-  private def fit(s: SparkSession, input: DataFrame): Array[Array[Double]] = {
+  private def fit(s: SparkSession, input: DataFrame): Array[Array[Double]] = fitOn(s, input, K)
+
+  /** The same deterministic fit at an ARBITRARY k — the sub-quantizer
+    * entry point for list-split maintenance
+    * ([[MlOps.simAnnIvfBalance]] refits k'=2 inside each oversized
+    * list): md5-ranked seeds, the fixed Lloyd rounds, 6-decimal mean
+    * quantization, empty clusters carrying their previous centroid —
+    * one fit contract repo-wide, so the DuckDB replay of a sub-fit is
+    * the SAME CTE shape as the main quantizer's. */
+  def fitOn(s: SparkSession, input: DataFrame, k: Int): Array[Array[Double]] = {
     import s.implicits._
     val e = input.cache()
     // seeds: the k rows with the smallest md5(vec_id) — a deterministic
     // "random" draw any engine reproduces with its own md5()
     var cents: Array[Array[Double]] = e
-      .orderBy(md5($"vec_id".cast("string")), $"vec_id").limit(K)
+      .orderBy(md5($"vec_id".cast("string")), $"vec_id").limit(k)
       .select($"v").collect()
       .map(_.getSeq[Double](0).toArray)
     for (_ <- 1 to Rounds) {

@@ -541,6 +541,209 @@ object MlOps {
        |  FROM scored) z
        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
+  /** Over-cap rule for [[simAnnIvfBalance]]: a list is HOT iff
+    * n · K · SplitDen > SplitNum · total — i.e. more than 9/8 of the
+    * mean list size, a deliberately tight balance SLO (the synthetic
+    * corpus is near-uniform; real embedding corpora produce far
+    * hotter lists and a production deployment would loosen this to
+    * ~2× mean). Pure integer arithmetic so both engines pick the
+    * identical hot set. */
+  private[operators] val IvfSplitNum = 9L
+  private[operators] val IvfSplitDen = 8L
+
+  /** IVF list-skew maintenance — the actual 100 TB ANN failure mode:
+    * real corpora are clumpy, one hot list grows to many× the mean,
+    * and every query probing it pays the skew (probe cost is
+    * list-sized, so the hottest list IS the tail latency). This op is
+    * the balance METER plus the SPLIT pass that fixes it without a
+    * rebuild:
+    *
+    *  1. build the list-partitioned on-disk index ([[simAnnIvfIndex]]'s
+    *     layout);
+    *  2. per-list size catalog (K rows — driver-sized at any corpus
+    *     scale, the meter an operator alerts on);
+    *  3. every over-cap list (rule: [[IvfSplitNum]]/[[IvfSplitDen]] ×
+    *     mean) is split in place: a deterministic k'=2
+    *     [[IvfKmeans.fitOn]] sub-fit on ONLY that list's vectors
+    *     (partition-pruned scan, list-sized work), children keep id
+    *     `l` / take id `K + l` (collision-free: original ids < K),
+    *     and ONLY the split list's partition is rewritten (dynamic
+    *     partition overwrite — untouched lists stay byte-identical,
+    *     ScaleSpec-pinned like the compact/delete legs).
+    *
+    * One split generation per call (children are not re-examined —
+    * maintenance runs periodically, each run halves the worst lists).
+    * Probing the split list afterwards means probing both children
+    * against their own sub-centroids — recall is preserved because
+    * the union of the children IS the old list.
+    *
+    * Output: the post-split catalog — (list_id, parent_id, n_before,
+    * n_after, was_split) — the before/after balance meter. Oracle:
+    * full replay of fit + counts + sub-fits + reassignment in DuckDB
+    * ([[ivfBalanceSql]]), so the on-disk split state is value-checked
+    * end to end. */
+  def simAnnIvfBalance(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = ivfBalanceBuild(s, d)
+    val beforeRows = s.read.parquet(dir)
+      .groupBy($"list_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(1))).toMap // K rows
+    val hot = ivfSplitHot(s, dir)
+    val parent = when($"list_id" >= IvfKmeans.K, $"list_id" - IvfKmeans.K)
+      .otherwise($"list_id")
+    val split =
+      if (hot.isEmpty) lit(0L)
+      else when(parent.isin(hot.map(_.toLong): _*), 1L).otherwise(0L)
+    val out = s.read.parquet(dir)
+      .groupBy($"list_id".cast("long").as("list_id"))
+      .agg(count(lit(1)).as("n_after"))
+      .select($"list_id", parent.as("parent_id"),
+        coalesce(element_at(typedLit(beforeRows), $"list_id"), lit(0L)).as("n_before"),
+        $"n_after", split.as("was_split"))
+      .orderBy($"list_id")
+    // catalog-sized result: materialize so the index tree can be
+    // removed before returning (same no-leak contract as simAnnIvfIndex)
+    import scala.jdk.CollectionConverters._
+    val rows = out.collect().toSeq
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    s.createDataFrame(rows.asJava, out.schema)
+  }
+
+  /** Build leg of [[simAnnIvfBalance]]: the corpus assigned with the
+    * persisted deterministic quantizer, written list-partitioned —
+    * [[simAnnIvfIndex]]'s on-disk shape, kept (not deleted) so the
+    * split pass and ScaleSpec's file-level pins can operate on it. */
+  private[graft] def ivfBalanceBuild(s: SparkSession, d: String): String = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val cents = IvfKmeans.centroids(s, d)
+    val root = s.conf.getOption("spark.graft.indexRoot")
+      .getOrElse(System.getProperty("java.io.tmpdir") + "/graft_ivf")
+    val dir = s"$root/ivfbal_${java.util.UUID.randomUUID}"
+    IvfKmeans.withV(s, d)
+      .withColumn("list_id", IvfKmeans.assignCol(s, cents, $"v"))
+      .select($"vec_id", $"embedding", $"list_id")
+      .write.mode("overwrite").partitionBy("list_id").parquet(dir)
+    dir
+  }
+
+  /** Split pass of [[simAnnIvfBalance]]: detect over-cap lists from
+    * the per-list catalog (K rows, driver-side — bounded at any
+    * scale), sub-fit k'=2 per hot list on only that list's vectors,
+    * and rewrite ONLY the hot partitions (children `l` and `K + l`)
+    * via dynamic partition overwrite. Returns the hot list ids.
+    * Package-private so ScaleSpec pins the file-level contract —
+    * untouched list dirs byte-stable — around exactly this step. */
+  private[graft] def ivfSplitHot(s: SparkSession, dir: String): Seq[Int] = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val cnts = s.read.parquet(dir)
+      .groupBy($"list_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val total = cnts.map(_._2).sum
+    val hot = cnts
+      .filter { case (_, n) => n * IvfKmeans.K * IvfSplitDen > IvfSplitNum * total }
+      .map(_._1).sorted.toSeq
+    if (hot.isEmpty) return hot
+    val widen = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    // one deterministic 2-means per hot list (bounded by K fits, each
+    // on a single partition-pruned list scan), then ONE combined
+    // touched-partitions rewrite
+    val parts = hot.map { l =>
+      val sub = s.read.parquet(dir).filter($"list_id" === l)
+        .select($"vec_id", $"embedding", widen.as("v"))
+      val sc = IvfKmeans.fitOn(s, sub.select($"vec_id", $"v"), 2)
+      sub.withColumn("sub", IvfKmeans.assignCol(s, sc, $"v"))
+        .select($"vec_id", $"embedding",
+          when($"sub" === 0, lit(l)).otherwise(lit(IvfKmeans.K + l))
+            .cast("int").as("list_id"))
+    }
+    // lineage cut before the rewrite deletes the files the plan reads
+    val rows = parts.reduce(_ unionByName _).localCheckpoint(true)
+    val survivors = rows.select($"list_id").distinct()
+      .collect().map(_.getInt(0)).toSet
+    CurationOps.withDynamicPartitionOverwrite(s) {
+      rows.repartition($"list_id")
+        .write.mode("overwrite").partitionBy("list_id").parquet(dir)
+    }
+    rows.unpersist()
+    // a hot list whose every vector moved to the child writes no
+    // partition under dynamic overwrite — remove the stale dir
+    // explicitly (the compact-and-delete lesson, ragDeleteFrom)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    hot.filterNot(survivors).foreach { lid =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, s"list_id=$lid"), true)
+    }
+    hot
+  }
+
+  /** DuckDB replay of [[simAnnIvfBalance]] end to end: the shared
+    * [[ivfFitCtes]] fit + assignment, the integer over-cap rule, a
+    * per-hot-list 2-means sub-fit (the SAME unrolled-Lloyd CTE shape
+    * as the main quantizer, grouped by (list_id, sub)), deterministic
+    * child ids, and the before/after catalog. */
+  lazy val ivfBalanceSql: String = {
+    val K = IvfKmeans.K; val R = IvfKmeans.Rounds
+    def subAssign(cfrom: String): String =
+      s"""  SELECT list_id, vec_id, sub FROM (
+         |    SELECT e.list_id, e.vec_id, c.sub,
+         |      row_number() OVER (PARTITION BY e.list_id, e.vec_id
+         |        ORDER BY list_sum(list_transform(list_zip(e.v, c.c),
+         |                          p -> (p[1]-p[2])*(p[1]-p[2]))), c.sub) AS rn
+         |    FROM sub_emb e JOIN $cfrom c USING (list_id)) z
+         |  WHERE rn = 1""".stripMargin
+    val rounds = (1 to R).map { r =>
+      s"""sa$r AS (
+         |${subAssign(s"s${r - 1}")}),
+         |sm$r AS (
+         |  SELECT list_id, sub, i, round(avg(x), 6) AS cx FROM (
+         |    SELECT a.list_id, a.sub, generate_subscripts(e.v, 1) AS i, unnest(e.v) AS x
+         |    FROM sa$r a JOIN sub_emb e ON e.list_id = a.list_id AND e.vec_id = a.vec_id) z
+         |  GROUP BY 1, 2, 3),
+         |s$r AS (
+         |  SELECT p.list_id, p.sub, COALESCE(n.c, p.c) AS c
+         |  FROM s${r - 1} p LEFT JOIN
+         |    (SELECT list_id, sub, list(cx ORDER BY i) AS c FROM sm$r GROUP BY 1, 2) n
+         |  USING (list_id, sub))""".stripMargin
+    }.mkString(",\n")
+    s"""$ivfFitCtes,
+       |cnt AS (SELECT list_id, count(*) AS n FROM af GROUP BY 1),
+       |tot AS (SELECT count(*) AS total FROM emb),
+       |hot AS (SELECT list_id FROM cnt, tot
+       |        WHERE n * ${K * IvfSplitDen} > $IvfSplitNum * total),
+       |sub_emb AS (
+       |  SELECT a.list_id, e.vec_id, e.v
+       |  FROM af a JOIN hot USING (list_id) JOIN emb e USING (vec_id)),
+       |s0 AS (
+       |  SELECT list_id, rn - 1 AS sub, c FROM (
+       |    SELECT list_id, v AS c,
+       |      row_number() OVER (PARTITION BY list_id
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |    FROM sub_emb) z
+       |  WHERE rn <= 2),
+       |$rounds,
+       |saf AS (
+       |${subAssign(s"s$R")}),
+       |finalasg AS (
+       |  SELECT a.vec_id,
+       |    COALESCE(CASE WHEN m.sub = 0 THEN m.list_id ELSE m.list_id + $K END,
+       |             a.list_id) AS list_id
+       |  FROM af a LEFT JOIN saf m ON m.vec_id = a.vec_id),
+       |aft AS (SELECT list_id, count(*) AS n_after FROM finalasg GROUP BY 1)
+       |SELECT CAST(f.list_id AS BIGINT) AS list_id,
+       |  CAST(CASE WHEN f.list_id >= $K THEN f.list_id - $K ELSE f.list_id END AS BIGINT) AS parent_id,
+       |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n_before,
+       |  CAST(f.n_after AS BIGINT) AS n_after,
+       |  CAST(CASE WHEN h.list_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS was_split
+       |FROM aft f
+       |LEFT JOIN cnt c ON c.list_id = f.list_id
+       |LEFT JOIN hot h ON h.list_id =
+       |  (CASE WHEN f.list_id >= $K THEN f.list_id - $K ELSE f.list_id END)
+       |ORDER BY list_id""".stripMargin
+  }
+
   /** Shortlist depth of [[simAnnSq8]] — same two-stage budget as
     * [[PqRerank]]. */
   private[operators] val SqRerank = 64

@@ -716,6 +716,50 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.indexRoot")
   }
 
+  test("sim_ann_ivf_balance splits only over-cap lists; untouched list dirs byte-stable") {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ivf_bal_pin").toString
+    spark.conf.set("spark.graft.indexRoot", root)
+    try {
+      def listing(dir: String): Map[String, Long] = {
+        val base = java.nio.file.Paths.get(dir)
+        java.nio.file.Files.walk(base).iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p)
+            && p.getFileName.toString.endsWith(".parquet"))
+          .map(p => base.relativize(p).toString -> java.nio.file.Files.size(p))
+          .toMap
+      }
+      val dir = operators.MlOps.ivfBalanceBuild(spark, sf0001)
+      val before = listing(dir)
+      val rowsBefore = spark.read.parquet(dir)
+        .select($"vec_id").collect().map(_.getLong(0)).sorted.toSeq
+      val hot = operators.MlOps.ivfSplitHot(spark, dir)
+      assert(hot.nonEmpty, "fixture produced no over-cap list — split path unexercised")
+      val after = listing(dir)
+      val hotDirs = hot.flatMap(l =>
+        Seq(s"list_id=$l/", s"list_id=${operators.IvfKmeans.K + l}/")).toSet
+      // cold lists keep their files byte-identically — split cost is
+      // proportional to the hot data, never the index
+      before.filterNot { case (f, _) => hotDirs.exists(f.startsWith) }
+        .foreach { case (f, sz) =>
+          assert(after.get(f).contains(sz), s"untouched file $f rewritten by split") }
+      // every new/rewritten file is confined to hot parents + children
+      val changed = (after.keySet -- before.keySet) ++
+        before.keySet.filter(f => !after.get(f).contains(before(f)))
+      changed.foreach { f =>
+        assert(hotDirs.exists(f.startsWith), s"split touched $f outside hot lists $hot") }
+      // each split produced a real child partition
+      hot.foreach { l =>
+        assert(after.keySet.exists(_.startsWith(s"list_id=${operators.IvfKmeans.K + l}/")),
+          s"no child partition for split list $l") }
+      // split MOVES vectors, never drops or duplicates them
+      val rowsAfter = spark.read.parquet(dir)
+        .select($"vec_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(rowsAfter == rowsBefore)
+    } finally spark.conf.unset("spark.graft.indexRoot")
+  }
+
   test("sq8 scan joins broadcast query codes and scores with the native kernel") {
     val p = plan(operators.MlOps.simAnnSq8(spark, sf0001))
     // the corpus-linear scan side never shuffles to meet the queries:
