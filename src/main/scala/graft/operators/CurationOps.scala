@@ -2167,20 +2167,26 @@ object CurationOps {
     * The |a−b| detour exists because integer division semantics
     * differ on NEGATIVE operands (Spark `div` truncates toward zero,
     * DuckDB `//` floors) — dividing only non-negative values makes
-    * the two agree exactly. Overflow bound: needs
-    * Scale·|a−b| < 2⁶³, i.e. max count product below ~9.2e12. The
-    * products grow QUADRATICALLY with corpus size (max count × total
-    * count), so this holds through roughly sf1 here — [[nbFit]] and
-    * [[docDsirSelect]] assert the bound at fit time and fail loudly
-    * rather than let Spark wrap silently where DuckDB would error. A
-    * 100 TB corpus lifts the vocab-sized weight arithmetic (never the
-    * corpus-sized pass) to DECIMAL(38,0) — int128 in both engines —
-    * unchanged in shape. */
+    * the two agree exactly.
+    *
+    * The weight products grow QUADRATICALLY with corpus size (max
+    * count × total count), so the arithmetic runs in 128-bit integer
+    * space on BOTH engines rather than int64: callers lift the `a`/`b`
+    * operand products to DECIMAL(38,0) on the Spark side (decimal
+    * multiply and `div` are exact — verified against BigInt) and
+    * HUGEINT on the DuckDB side (decimal `//` there silently degrades
+    * to DOUBLE, so HUGEINT is the only exact int128 path), and the
+    * expression casts the quotient — bounded by ±Scale, always
+    * int64-safe — back to BIGINT so downstream sums and the driver
+    * comparator never see a wide type. Headroom: ~1e14-token counts
+    * (a 100 TB corpus) give products ~1e28 and Scale·|a−b| ~1e34,
+    * well inside 38 digits. */
   private def padeExpr(a: String, b: String, div: String): String =
-    s"CASE WHEN $a >= $b THEN ($NbScale * ($a - $b)) $div ($a + $b) " +
-      s"ELSE -(($NbScale * ($b - $a)) $div ($a + $b)) END"
-  private def padeLong(a: Long, b: Long): Long =
-    if (a >= b) NbScale * (a - b) / (a + b) else -(NbScale * (b - a) / (a + b))
+    s"CAST(CASE WHEN $a >= $b THEN ($NbScale * ($a - $b)) $div ($a + $b) " +
+      s"ELSE -(($NbScale * ($b - $a)) $div ($a + $b)) END AS BIGINT)"
+  private def padeLong(a: BigInt, b: BigInt): Long =
+    (if (a >= b) BigInt(NbScale) * (a - b) / (a + b)
+     else -(BigInt(NbScale) * (b - a) / (a + b))).toLong
 
   /** The fastText-style feature bag shared by NB train and score (ONE
     * definition — train/apply drift is impossible): every word token
@@ -2249,19 +2255,15 @@ object CurationOps {
       .groupBy($"t")
       .agg(sum($"keep").as("c_hq"), sum(lit(1L) - $"keep").as("c_lq"))
       .localCheckpoint(true) // vocab-sized; feeds totals AND weights once
-    val t0 = cnt.agg(sum($"c_hq"), sum($"c_lq"), count(lit(1)),
-      max(greatest($"c_hq", $"c_lq"))).head
+    val t0 = cnt.agg(sum($"c_hq"), sum($"c_lq"), count(lit(1))).head
     val (nHq, nLq, v) = (t0.getLong(0), t0.getLong(1), t0.getLong(2))
-    // int64 overflow guard on the Padé products (see padeExpr scaladoc):
-    // fail loudly here rather than wrap silently in Spark / error in DuckDB
-    require(t0.getLong(3) + 1 < Long.MaxValue / NbScale / (math.max(nHq, nLq) + v),
-      "NB weight products would overflow int64 at this corpus size — " +
-        "lift the vocab-sized weight arithmetic to DECIMAL(38,0)")
     val d0 = tr.agg(sum($"keep"), count(lit(1))).head
     val (dHq, dAll) = (d0.getLong(0), d0.getLong(1))
+    // products in DECIMAL(38,0) — int128-exact past the int64 ceiling
+    // the quadratic count growth would otherwise hit near sf1
     val wtab = cnt
-      .withColumn("a", ($"c_hq" + 1L) * lit(nLq + v))
-      .withColumn("b", ($"c_lq" + 1L) * lit(nHq + v))
+      .withColumn("a", ($"c_hq" + 1L).cast("decimal(38,0)") * lit(nLq + v))
+      .withColumn("b", ($"c_lq" + 1L).cast("decimal(38,0)") * lit(nHq + v))
       .select($"t", expr(padeExpr("a", "b", "div")).as("w"))
     (wtab, padeLong(nLq + v, nHq + v), padeLong(dHq + 1, dAll - dHq + 1))
   }
@@ -2301,10 +2303,10 @@ object CurationOps {
        |  SELECT CAST(sum(keep) AS BIGINT) AS d_hq,
        |    CAST(count(*) - sum(keep) AS BIGINT) AS d_lq FROM tr),
        |wtab AS (
-       |  SELECT t, ${p("((c_hq + 1) * (n_lq + v))", "((c_lq + 1) * (n_hq + v))")} AS w
+       |  SELECT t, ${p("(CAST(c_hq + 1 AS HUGEINT) * (n_lq + v))", "(CAST(c_lq + 1 AS HUGEINT) * (n_hq + v))")} AS w
        |  FROM cnt, tot),
-       |w0t AS (SELECT ${p("(n_lq + v)", "(n_hq + v)")} AS w0 FROM tot),
-       |p0t AS (SELECT ${p("(d_hq + 1)", "(d_lq + 1)")} AS p0 FROM dtot),
+       |w0t AS (SELECT ${p("(CAST(n_lq AS HUGEINT) + v)", "(n_hq + v)")} AS w0 FROM tot),
+       |p0t AS (SELECT ${p("(CAST(d_hq AS HUGEINT) + 1)", "(d_lq + 1)")} AS p0 FROM dtot),
        |nbagg AS (
        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
        |    CAST(sum(COALESCE(w, w0)) AS BIGINT) AS sw
@@ -2511,16 +2513,12 @@ object CurationOps {
           .otherwise(0L)).as("n_tgt"),
         count(lit(1)).as("n_raw"))
       .localCheckpoint(true) // ≤256 rows
-    val t0 = cnt.agg(sum($"n_tgt"), sum($"n_raw"), max($"n_raw")).head
+    val t0 = cnt.agg(sum($"n_tgt"), sum($"n_raw")).head
     val (nT, nR) = (t0.getLong(0), t0.getLong(1))
-    // same int64 overflow guard as nbFit (see padeExpr scaladoc)
-    require(t0.getLong(2) + 1 <
-        Long.MaxValue / NbScale / (math.max(nT, nR) + DsirBuckets),
-      "DSIR weight products would overflow int64 at this corpus size — " +
-        "lift the 256-row weight arithmetic to DECIMAL(38,0)")
+    // DECIMAL(38,0) products — same int128 lift as nbFit (padeExpr)
     val wtab = cnt
-      .withColumn("a", ($"n_tgt" + 1L) * lit(nR + DsirBuckets))
-      .withColumn("b", ($"n_raw" + 1L) * lit(nT + DsirBuckets))
+      .withColumn("a", ($"n_tgt" + 1L).cast("decimal(38,0)") * lit(nR + DsirBuckets))
+      .withColumn("b", ($"n_raw" + 1L).cast("decimal(38,0)") * lit(nT + DsirBuckets))
       .select($"bucket", expr(padeExpr("a", "b", "div")).as("w"))
     val dw = tok.join(broadcast(wtab), "bucket") // raw ⊇ every bucket → inner is total
       .groupBy($"doc_id", $"source").agg(sum($"w").as("dsir_w"))
@@ -2549,7 +2547,7 @@ object CurationOps {
        |tot AS (SELECT CAST(sum(n_tgt) AS BIGINT) AS n_t,
        |  CAST(sum(n_raw) AS BIGINT) AS n_r FROM cnt),
        |wtab AS (
-       |  SELECT bucket, ${p("((n_tgt + 1) * (n_r + DSIRB))", "((n_raw + 1) * (n_t + DSIRB))")} AS w
+       |  SELECT bucket, ${p("(CAST(n_tgt + 1 AS HUGEINT) * (n_r + DSIRB))", "(CAST(n_raw + 1 AS HUGEINT) * (n_t + DSIRB))")} AS w
        |  FROM cnt, tot),
        |dw AS (
        |  SELECT doc_id, source, CAST(sum(w) AS BIGINT) AS dsir_w
