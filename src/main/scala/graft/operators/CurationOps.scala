@@ -968,6 +968,91 @@ object CurationOps {
        |        $MixUpsampleCapPpm) AS weight_ppm
        |FROM per, tot ORDER BY source""".stripMargin
 
+  /** Temperature exponents exposed by [[docMixTemperature]], in ppm:
+    * α = 1/2 and α = 1/4 — exactly representable as one and two
+    * integer square roots, so the whole schedule stays float-free. */
+  val MixTempAlphasPpm: Seq[Long] = Seq(500000L, 250000L)
+
+  /** Exact integer √: a float `sqrt` provides only the SEED guess and
+    * a ±1 integer correction pins the result — IEEE-754 requires
+    * sqrt to be correctly rounded, so the seed is within 1 of
+    * ⌊√n⌋ for every n ≤ 1e12 on both engines, and the comparisons
+    * that DECIDE the value are pure int64 (the FLOATS.md contract:
+    * floats may accelerate, never decide). Emitted as two SQL steps
+    * (seed column `g`, corrected result) so the dialects stay
+    * literally identical. */
+  private def isqrtSeedSql(n: String): String =
+    s"CAST(floor(sqrt(CAST(($n) AS DOUBLE))) AS BIGINT)"
+  private def isqrtFixSql(g: String, n: String): String =
+    s"CASE WHEN (($g)+1)*(($g)+1) <= ($n) THEN ($g)+1 " +
+      s"WHEN ($g)*($g) > ($n) THEN ($g)-1 ELSE $g END"
+
+  /** TEMPERATURE-SCHEDULED mixture weights — the p_i ∝ share_i^α
+    * sampling law every multi-domain pretraining mix uses (GPT-3 /
+    * PaLM / Llama style, α typically 0.3–0.7): α = 1 reproduces the
+    * natural shares, α → 0 flattens toward uniform, intermediate α
+    * up-samples small domains without drowning large ones. Exposed at
+    * α ∈ {1/2, 1/4} ([[MixTempAlphasPpm]]) — the two exponents an
+    * integer engine computes EXACTLY: share^(1/2) is one integer
+    * square root, share^(1/4) two nested ones ([[isqrtFixSql]] —
+    * float sqrt seeds, integer comparisons decide, so both engines
+    * agree bit-for-bit where a float pow() never would.
+    *
+    * temp_ppm = isqrt(share_ppm · 1e6) (the ppm-scaled root, so a
+    * full-corpus share of 1e6 ppm maps to 1e6 ppm); p_ppm normalizes
+    * each α row-group to a sampling distribution. Shape: everything
+    * after [[docMixWeights]]'s per-source rollup is arithmetic on a
+    * catalog-sized table — sources × 2 rows at ANY corpus scale; the
+    * window partitions by α over that catalog, never over corpus
+    * rows. */
+  def docMixTemperature(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val Seq(aHalf, aQuarter) = MixTempAlphasPpm
+    val base = docMixWeights(s, d).select($"source", $"share_ppm")
+      .withColumn("n1", $"share_ppm" * 1000000L)
+      .withColumn("g1", expr(isqrtSeedSql("n1")))
+      .withColumn("t_half", expr(isqrtFixSql("g1", "n1")))
+      .withColumn("n2", $"t_half" * 1000000L)
+      .withColumn("g2", expr(isqrtSeedSql("n2")))
+      .withColumn("t_quarter", expr(isqrtFixSql("g2", "n2")))
+    val w = Window.partitionBy($"alpha_ppm")
+    base.select($"source", $"share_ppm",
+        explode(map(lit(aHalf), $"t_half", lit(aQuarter), $"t_quarter"))
+          .as(Seq("alpha_ppm", "temp_ppm")))
+      .withColumn("sum_t", sum($"temp_ppm").over(w))
+      .withColumn("p_ppm", expr("(1000000L * temp_ppm) div sum_t"))
+      .drop("sum_t")
+      .orderBy($"alpha_ppm", $"source")
+  }
+  lazy val docMixTemperatureSql: String = {
+    val Seq(aHalf, aQuarter) = MixTempAlphasPpm
+    s"""WITH per AS (
+       |  SELECT source,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents WHERE text IS NOT NULL GROUP BY source),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM per),
+       |sh AS (SELECT source, (1000000 * n_tokens) // total_tokens AS share_ppm
+       |       FROM per, tot),
+       |h1 AS (SELECT source, share_ppm, share_ppm * 1000000 AS n1,
+       |         ${isqrtSeedSql("share_ppm * 1000000")} AS g1 FROM sh),
+       |th AS (SELECT source, share_ppm,
+       |         ${isqrtFixSql("g1", "n1")} AS t_half FROM h1),
+       |h2 AS (SELECT source, share_ppm, t_half, t_half * 1000000 AS n2,
+       |         ${isqrtSeedSql("t_half * 1000000")} AS g2 FROM th),
+       |tq AS (SELECT source, share_ppm, t_half,
+       |         ${isqrtFixSql("g2", "n2")} AS t_quarter FROM h2),
+       |rows_ AS (
+       |  SELECT source, share_ppm, CAST($aHalf AS BIGINT) AS alpha_ppm,
+       |    t_half AS temp_ppm FROM tq
+       |  UNION ALL
+       |  SELECT source, share_ppm, CAST($aQuarter AS BIGINT), t_quarter FROM tq)
+       |SELECT source, alpha_ppm, share_ppm, temp_ppm,
+       |  CAST((1000000 * temp_ppm) //
+       |    sum(temp_ppm) OVER (PARTITION BY alpha_ppm) AS BIGINT) AS p_ppm
+       |FROM rows_ ORDER BY alpha_ppm, source""".stripMargin
+  }
+
   /** [[docMixWeights]] measured in REAL tokenizer tokens: per-source
     * share and up-sampling weight computed on summed BPE lengths
     * ([[TextOps.bpeDocCounts]]) rather than whitespace counts. The

@@ -343,6 +343,42 @@ class ExtOpsSpec extends SparkSpec {
       "approx median must sit between the exact P40 and P60 values per group")
   }
 
+  test("mix temperature: exact integer roots, monotone in share, flattens as alpha shrinks") {
+    import spark.implicits._
+    val t = CurationOps.docMixTemperature(spark, sf0001).cache()
+    val Seq(aHalf, aQuarter) = CurationOps.MixTempAlphasPpm
+    val half = t.filter($"alpha_ppm" === aHalf)
+      .select($"source", $"share_ppm", $"temp_ppm", $"p_ppm")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val quarter = t.filter($"alpha_ppm" === aQuarter)
+      .select($"source", $"share_ppm", $"temp_ppm", $"p_ppm")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(half.nonEmpty && half.length == quarter.length)
+    // temp is EXACTLY the integer square root (the ±1 correction must
+    // never leave a drifted value)
+    half.foreach { case (_, share, tp, _) =>
+      val n = share * 1000000L
+      assert(tp * tp <= n && (tp + 1) * (tp + 1) > n, s"t_half not isqrt: $tp^2 vs $n")
+    }
+    val halfBySrc = half.map(r => r._1 -> r._3).toMap
+    quarter.foreach { case (src, _, tq, _) =>
+      val n = halfBySrc(src) * 1000000L
+      assert(tq * tq <= n && (tq + 1) * (tq + 1) > n, s"t_quarter not isqrt of t_half")
+    }
+    // monotone: a larger share never gets a smaller sampling weight
+    for (rows <- Seq(half, quarter); a <- rows; b <- rows if a._2 > b._2)
+      assert(a._4 >= b._4, s"p_ppm must be monotone in share: $a vs $b")
+    // flattening: the quarter schedule is closer to uniform than the
+    // half schedule, which is closer than the raw shares
+    def spread(xs: Array[(String, Long, Long, Long)], f: ((String, Long, Long, Long)) => Long) =
+      xs.map(f).max - xs.map(f).min
+    assert(spread(quarter, _._4) <= spread(half, _._4),
+      "alpha=1/4 must be flatter than alpha=1/2")
+    assert(spread(half, _._4) <= spread(half, _._2),
+      "alpha=1/2 must be flatter than the raw share distribution")
+    t.unpersist()
+  }
+
   test("stream anomaly flags exactly the batch anomaly set") {
     // the two-pass threshold stream must reproduce the exact-window
     // batch flag set — one contract, two execution shapes (the same
