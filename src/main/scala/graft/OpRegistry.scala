@@ -391,6 +391,9 @@ object OpRegistry {
     op("doc_chunk", CurationOps.docChunk, CurationOps.docChunkSql),
     op("doc_rag_e2e", CurationOps.docRagE2e, CurationOps.docRagE2eSql),
     op("doc_rag_recall", CurationOps.docRagRecall, CurationOps.docRagRecallSql),
+    op("doc_rag_mmr", CurationOps.docRagMmr, CurationOps.docRagMmrSql),
+    op("doc_rag_mmr_recall",
+      CurationOps.docRagMmrRecall, CurationOps.docRagMmrRecallSql),
     op("doc_rag_index", CurationOps.docRagIndex, CurationOps.docRagIndexSql),
     op("doc_rag_index_append", CurationOps.docRagIndexAppend, CurationOps.docRagIndexAppendSql),
     op("doc_rag_stream", CurationOps.docRagStream, CurationOps.docRagStreamSql),

@@ -1302,7 +1302,14 @@ object CurationOps {
   private[graft] def ragQueryPred: Column =
     col("doc_id") < RagQueryMaxDocId && col("chunk_id") === 0L
 
-  def docRagE2e(s: SparkSession, d: String): DataFrame = {
+  /** The probed, exact-cosine-scored candidate set — chunk/embed/fit/
+    * assign/probe/score through step 4's scoring, WITHOUT the final
+    * top-K cut: (qid, doc_id, chunk_id, v, cos), plus the cached cvu
+    * the caller must unpersist. ONE definition under [[docRagE2e]]
+    * (which cuts top-[[RagTopK]] directly) and [[docRagMmr]] (which
+    * reranks a [[RagMmrPool]]-deep pool for diversity), so the two
+    * serve paths can never disagree about what was retrieved. */
+  private def ragProbedScored(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(s)
@@ -1325,8 +1332,15 @@ object CurationOps {
       .select($"vec_id".as("qid"), $"v".as("qv"), $"list_id")
     val scored = probes.join(assigned, "list_id")
       .filter($"doc_id" =!= $"qid") // never retrieve the query's own doc
-      .select($"qid", $"doc_id", $"chunk_id",
+      .select($"qid", $"doc_id", $"chunk_id", $"v",
         expr("cosine_sim(qv, v)").as("cos"))
+    (cvu, scored)
+  }
+
+  def docRagE2e(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val (cvu, scored) = ragProbedScored(s, d)
     val w = Window.partitionBy($"qid")
       .orderBy($"cos".desc, $"doc_id", $"chunk_id")
     val out = scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -2231,6 +2245,128 @@ object CurationOps {
     ragRecallOf(s, d, docRagPrf(s, d))
   lazy val docRagPrfRecallSql: String =
     ragRecallSqlAgainst("prfres", ragPrfCtesSql)
+
+  /** Candidate pool depth for [[docRagMmr]] — the rerank works on the
+    * probed top-[[RagMmrPool]], so the diversity pass costs
+    * queries × pool² similarity evaluations regardless of corpus
+    * size. */
+  private[operators] val RagMmrPool = 8L
+
+  /** MMR diversity rerank (Carbonell & Goldstein 1998) — the serve-side
+    * pass a production RAG stack runs when the probed top-K collapses
+    * onto near-duplicate chunks: a context window of three copies of
+    * the same boilerplate wastes two slots. Maximal Marginal Relevance
+    * re-picks the top-[[RagTopK]] from the probed top-[[RagMmrPool]]
+    * pool greedily, each round taking the candidate maximizing
+    * λ·cos(q,d) − (1−λ)·max_{s∈selected} cos(d,s) at λ = 1/2 —
+    * equivalently cos(q,d) − max cos(d,s), which keeps the objective a
+    * plain difference of the two exact cosines both engines already
+    * agree on (no new float shapes cross the oracle). Ties go to the
+    * lower (doc_id, chunk_id), rounds are unrolled ([[RagTopK]] is a
+    * compile-time constant), and the first pick is the pure-relevance
+    * argmax, so MMR@1 always equals the base retrieval@1.
+    *
+    * Shape at 100 TB: the pool is the probed retrieval's top-8 per
+    * query — eval-sized by construction — so every selection round is
+    * arithmetic on queries × 8 rows; the corpus is only touched by the
+    * shared probe ([[ragProbedScored]], the same 4-of-16-list scan as
+    * [[docRagE2e]]). The pairwise redundancy term never leaves the
+    * pool, which is what makes diversity affordable at scale. */
+  def docRagMmr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val (cvu, scored) = ragProbedScored(s, d)
+    val wp = Window.partitionBy($"qid").orderBy($"cos".desc, $"doc_id", $"chunk_id")
+    val pool = scored.withColumn("prank", row_number().over(wp))
+      .filter($"prank" <= RagMmrPool)
+      .cache() // queries × RagMmrPool — eval-sized
+    var sel = pool.filter($"prank" === 1)
+      .select($"qid", $"doc_id", $"chunk_id", $"cos", $"v")
+      .withColumn("rank", lit(1L))
+    for (r <- 2 to RagTopK.toInt) {
+      val cand = pool.join(sel.select($"qid", $"doc_id", $"chunk_id"),
+        Seq("qid", "doc_id", "chunk_id"), "left_anti")
+      val pen = cand.select($"qid", $"doc_id", $"chunk_id", $"v")
+        .join(sel.select($"qid", $"v".as("sv")), "qid")
+        .select($"qid", $"doc_id", $"chunk_id",
+          expr("cosine_sim(v, sv)").as("sim"))
+        .groupBy($"qid", $"doc_id", $"chunk_id").agg(max($"sim").as("maxsim"))
+      val wr = Window.partitionBy($"qid")
+        .orderBy($"mmr".desc, $"doc_id", $"chunk_id")
+      val next = cand.join(pen, Seq("qid", "doc_id", "chunk_id"))
+        .withColumn("mmr", $"cos" - $"maxsim")
+        .withColumn("rn", row_number().over(wr))
+        .filter($"rn" === 1)
+        .select($"qid", $"doc_id", $"chunk_id", $"cos", $"v")
+        .withColumn("rank", lit(r.toLong))
+      sel = sel.union(next)
+    }
+    val out = sel.select($"qid", $"rank", $"doc_id", $"chunk_id")
+      .orderBy($"qid", $"rank")
+    // materialize (queries × RagTopK) before releasing the caches
+    import scala.jdk.CollectionConverters._
+    val rows = out.collect().toSeq
+    pool.unpersist()
+    cvu.unpersist()
+    s.createDataFrame(rows.asJava, out.schema)
+  }
+  /** The MMR CTE chain appended after [[ragCtesSql]]: probed pool cut,
+    * vector join-back, and the unrolled greedy selection rounds,
+    * ending in `mmrres` — shared by [[docRagMmrSql]] and
+    * [[docRagMmrRecallSql]]. */
+  private lazy val ragMmrCtesSql: String = {
+    val rounds = (2 to RagTopK.toInt).map { r =>
+      s"""mr$r AS (
+         |  SELECT c.qid, c.doc_id, c.chunk_id, c.cos, c.v,
+         |    c.cos - max(list_cosine_similarity(c.v, s.v)) AS mmr
+         |  FROM mpv c JOIN mall${r - 1} s ON s.qid = c.qid
+         |  WHERE NOT EXISTS (SELECT 1 FROM mall${r - 1} s2
+         |    WHERE s2.qid = c.qid AND s2.doc_id = c.doc_id
+         |      AND s2.chunk_id = c.chunk_id)
+         |  GROUP BY c.qid, c.doc_id, c.chunk_id, c.cos, c.v),
+         |msel$r AS (
+         |  SELECT qid, doc_id, chunk_id, cos, v, CAST($r AS BIGINT) AS rank FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY mmr DESC, doc_id, chunk_id) AS rn FROM mr$r) z
+         |  WHERE rn = 1),
+         |mall$r AS (SELECT * FROM mall${r - 1} UNION ALL SELECT * FROM msel$r)""".stripMargin
+    }.mkString(",\n")
+    s"""mpool AS (
+       |  SELECT qid, doc_id, chunk_id, cos FROM (
+       |    SELECT qid, doc_id, chunk_id, cos,
+       |      row_number() OVER (PARTITION BY qid
+       |        ORDER BY cos DESC, doc_id, chunk_id) AS prank
+       |    FROM scored) z
+       |  WHERE prank <= $RagMmrPool),
+       |mpv AS (
+       |  SELECT p.qid, p.doc_id, p.chunk_id, p.cos, e.v
+       |  FROM mpool p JOIN emb e
+       |    ON e.vec_id = p.doc_id * $RagKeyMul + p.chunk_id),
+       |msel1 AS (
+       |  SELECT qid, doc_id, chunk_id, cos, v, CAST(1 AS BIGINT) AS rank FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, doc_id, chunk_id) AS rn FROM mpv) z
+       |  WHERE rn = 1),
+       |mall1 AS (SELECT * FROM msel1),
+       |$rounds,
+       |mmrres AS (SELECT qid, rank, doc_id, chunk_id FROM mall${RagTopK.toInt})""".stripMargin
+  }
+  lazy val docRagMmrSql: String =
+    s"""$ragCtesSql,
+       |$ragMmrCtesSql
+       |SELECT qid, rank, doc_id, chunk_id FROM mmrres
+       |ORDER BY qid, rank""".stripMargin
+
+  /** Recall@[[RagTopK]] of the MMR-reranked retrieval against the same
+    * brute chunk truth — the diversity-vs-recall meter: MMR trades
+    * redundancy for coverage, and this row is what says whether the
+    * trade lost ground-truth hits on THIS corpus before a rollout
+    * flips the serve path (the same veto-meter contract as
+    * [[docRagHybridRecall]]). */
+  def docRagMmrRecall(s: SparkSession, d: String): DataFrame =
+    ragRecallOf(s, d, docRagMmr(s, d))
+  lazy val docRagMmrRecallSql: String =
+    ragRecallSqlAgainst("mmrres", ragMmrCtesSql)
 
   // ──────────────────── learned curation (NB / DSIR) ────────────────────
 
