@@ -328,6 +328,8 @@ object OpRegistry {
     op("text_span_scrub", TextOps.textSpanScrub, TextOps.textSpanScrubSql),
     op("text_bpe_train", TextOps.textBpeTrain, TextOps.textBpeTrainSql),
     op("text_bpe_encode", TextOps.textBpeEncode, TextOps.textBpeEncodeSql),
+    op("text_unigram_train", TextOps.textUnigramTrain, TextOps.textUnigramTrainSql),
+    op("text_unigram_encode", TextOps.textUnigramEncode, TextOps.textUnigramEncodeSql),
     op("text_pii", TextOps.textPii, TextOps.textPiiSql),
     op("text_simhash_by_source", TextOps.textSimhashBySource, TextOps.textSimhashBySourceSql),
     op("text_dup_ratio", TextOps.textDupRatio, TextOps.textDupRatioSql),

@@ -807,6 +807,272 @@ object TextOps {
        |ORDER BY rank""".stripMargin
   }
 
+  // ──────────────── unigram-LM tokenizer (SentencePiece-style) ────────────────
+
+  /** Max piece length for [[textUnigramTrain]] — substrings up to 4
+    * chars seed the vocabulary and bound the Viterbi DP fan-in. */
+  val UniMaxPiece = 4
+  /** Seed cap: the top multi-char substrings by weighted count (ties
+    * to the lexicographically lower piece) that enter the initial
+    * vocabulary; every single character is kept unconditionally so
+    * segmentation always completes. */
+  val UniSeedMulti = 256
+  /** Hard-EM refinement rounds (Viterbi re-segment → usage re-count →
+    * prune/re-score) — the [[BpeMerges]] discipline applied to the
+    * unigram trainer: enough to exercise pruning and score drift while
+    * keeping the unrolled oracle replay tractable. */
+  val UniRounds = 2
+
+  /** Exact integer surrogate of `1000·log2(x)` for x ≥ 1: the bit
+    * length gives the integer part, a linear interpolation between
+    * neighboring powers of two the fractional part —
+    * `1000·(L−1) + (1000·(x − 2^(L−1))) div 2^(L−1)` with
+    * L = len(bin(x)). Monotone in x, error < 0.09 log2 units, and
+    * pure int64 on both engines (`bin()`/shift exist in Spark AND
+    * DuckDB), so unigram log-probabilities never touch a float —
+    * the Padé-log-odds move ([[graft.operators.CurationOps]]) applied
+    * where probabilities span orders of magnitude and a saturating
+    * rational approximant would tie everything. */
+  private def log2mLong(x: Long): Long = {
+    val bl = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val p = 1L << (bl - 1)
+    1000L * (bl - 1) + (1000L * (x - p)) / p
+  }
+  /** [[log2mLong]] as DuckDB SQL over a BIGINT expression. */
+  private def log2mSqlDuck(x: String): String = {
+    val l = s"(length(bin($x)) - 1)"
+    val p = s"(CAST(1 AS BIGINT) << $l)"
+    s"(1000 * $l + (1000 * (($x) - $p)) // $p)"
+  }
+
+  /** The shared word dictionary (word, cnt) the unigram trainer works
+    * on — identical to the BPE trainer's: the corpus collapses to
+    * distinct words with counts in ONE aggregation, and every
+    * subsequent fit round is dictionary-sized. */
+  private def uniDict(s: SparkSession, d: String): DataFrame =
+    documents(s, d).filter(col("text").isNotNull)
+      .select(explode(toks(col("text"))).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  /** Viterbi segmentation as a MAP-SIDE FOLD over the word: the DP
+    * array grows one position per step; each step tries the up-to-
+    * [[UniMaxPiece]] pieces ending there (vocabulary lookup against
+    * the score-map LITERAL — the model is a driver artifact exactly
+    * like [[graft.operators.IvfKmeans]] centroid literals, so
+    * segmentation is zero-shuffle), and picks the candidate minimizing
+    * (Σ cost, piece count, space-joined path) — cost ties broken
+    * toward fewer pieces, then the lexicographically lower
+    * segmentation, so both engines pick identically. Returns the
+    * final dp cell struct (negs = Σ cost_milli, np, path). */
+  private def uniViterbi(scores: Map[String, Long]): org.apache.spark.sql.Column = {
+    val m = typedlit(scores)
+    val word = col("word")
+    val dp = aggregate(
+      sequence(lit(1), length(word)),
+      array(struct(lit(0L).as("negs"), lit(0L).as("np"), lit("").as("path"))),
+      (st, i) => {
+        val cands = (1 to UniMaxPiece).map { l =>
+          val piece = word.substr(i - lit(l) + lit(1), lit(l))
+          val w = try_element_at(m, piece)
+          val prev = element_at(st, i - lit(l) + lit(1))
+          when(i >= lit(l) && w.isNotNull,
+            struct(
+              (prev.getField("negs") + w).as("negs"),
+              (prev.getField("np") + lit(1L)).as("np"),
+              when(prev.getField("np") === lit(0L), piece)
+                .otherwise(concat(prev.getField("path"), lit(" "), piece))
+                .as("path")))
+        }
+        concat(st, array(element_at(
+          array_sort(filter(array(cands: _*), c => c.isNotNull)), 1)))
+      })
+    element_at(dp, length(word) + lit(1))
+  }
+
+  /** The unigram FIT: seed from capped substring counts, then
+    * [[UniRounds]] hard-EM rounds — Viterbi re-segmentation of the
+    * weighted dictionary, usage re-count, pruning of unused multi-char
+    * pieces (single chars survive with +1 smoothing so coverage never
+    * breaks), score re-estimation. Returns the final model (piece →
+    * cnt), its scores, and the cached dictionary (caller unpersists).
+    * Per-round work is dictionary-sized: one map-side fold pass + one
+    * vocab-sized usage aggregate; the model itself is a driver scalar
+    * artifact, never a join input. */
+  private def uniFit(s: SparkSession, d: String)
+      : (Seq[(String, Long)], Map[String, Long], DataFrame) = {
+    import s.implicits._
+    val dict = uniDict(s, d).cache()
+    val seeds = dict.select($"cnt", explode(expr(
+        s"""flatten(transform(sequence(1, length(word)), st ->
+           |  transform(sequence(st, least(st + ${UniMaxPiece - 1}, length(word))), en ->
+           |    substring(word, st, en - st + 1))))""".stripMargin)).as("piece"))
+      .groupBy($"piece").agg(sum($"cnt").as("cnt"))
+      .cache()
+    val singles = seeds.filter(length($"piece") === 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val multi = seeds.filter(length($"piece") >= 2)
+      .orderBy($"cnt".desc, $"piece").limit(UniSeedMulti)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    seeds.unpersist()
+    var model: Seq[(String, Long)] = (singles ++ multi).toSeq
+    def scoresOf(md: Seq[(String, Long)]): Map[String, Long] = {
+      val t = md.map(_._2).sum
+      md.map { case (p, c) => p -> (log2mLong(t) - log2mLong(c)) }.toMap
+    }
+    var sc = scoresOf(model)
+    for (_ <- 1 to UniRounds) {
+      val usage = dict.withColumn("seg", uniViterbi(sc))
+        .select($"cnt", explode(split($"seg".getField("path"), " ")).as("piece"))
+        .groupBy($"piece").agg(sum($"cnt").as("u"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      model = model.flatMap { case (p, _) =>
+        if (p.length == 1) Some(p -> (usage.getOrElse(p, 0L) + 1L))
+        else usage.get(p).map(p -> _)
+      }
+      sc = scoresOf(model)
+    }
+    (model, sc, dict)
+  }
+
+  /** Unigram-LM tokenizer TRAINING (Kudo 2018, the SentencePiece
+    * sibling of [[textBpeTrain]]): seed vocabulary from capped
+    * substring counts, hard-EM prune rounds over the distinct-word
+    * dictionary, and the final piece table (piece, size, usage count,
+    * integer-milli log2 cost, rank) — the model artifact a pipeline
+    * ships next to the corpus. Scale shape matches [[textBpeTrain]]
+    * exactly: one corpus scan to the dictionary, then every round is
+    * dictionary-sized with the model living on the driver. */
+  def textUnigramTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val (model, sc, dict) = uniFit(s, d)
+    dict.unpersist()
+    val rows = model.map { case (p, c) => (p, p.length.toLong, c, sc(p)) }
+    s.createDataFrame(rows).toDF("piece", "n_chars", "cnt", "cost_milli")
+      .withColumn("rank",
+        row_number().over(Window.orderBy($"cnt".desc, $"piece")).cast("long"))
+      .orderBy($"rank")
+  }
+
+  /** Unigram ENCODING — the inference side of [[textUnigramTrain]]:
+    * Viterbi-segment every document with the final model and report
+    * per-doc word/piece counts plus an md5 of the full segmentation
+    * stream (pieces joined by ' ' within a word, words by ' | ' in
+    * position order — the [[textBpeEncode]] contract). The corpus
+    * re-tokenizes through a join against the dictionary-sized
+    * (word → segmentation) table; raw text is scanned once. */
+  def textUnigramEncode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (_, sc, dict) = uniFit(s, d)
+    val vocab = dict.withColumn("seg", uniViterbi(sc))
+      .select($"word", $"seg".getField("np").as("n_syms"),
+        $"seg".getField("path").as("wenc"))
+    val words = documents(s, d).filter($"text".isNotNull)
+      .select($"doc_id", posexplode(toks($"text")).as(Seq("pos", "word")))
+    val out = words.join(vocab, "word")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum($"n_syms").as("n_pieces"),
+        md5(concat_ws(" | ", array_sort(collect_list(struct($"pos", $"wenc")))
+          .getField("wenc"))).as("enc_md5"))
+      .orderBy($"doc_id")
+    out.cache().count() // materialize before releasing the dictionary
+    dict.unpersist()
+    out
+  }
+
+  /** One Viterbi pass as a DuckDB CTE: the EXACT fold shape of
+    * [[uniViterbi]] replayed with `list_reduce` (the initial dp cell
+    * rides as the list head since DuckDB 1.0's reduce takes no seed;
+    * the position index is recovered as len(acc)), same candidate
+    * guard, same (cost, piece count, path) tie order via struct
+    * list_sort. `scMap` must expose the score map as column `m`. */
+  private def uniViterbiCteSql(out: String, scMap: String, src: String): String = {
+    val ls = (1 to UniMaxPiece).mkString(", ")
+    s"""$out AS (
+       |  SELECT word, cnt, list_reduce(
+       |    [[{'negs': CAST(0 AS BIGINT), 'np': CAST(0 AS BIGINT), 'path': ''}]] ||
+       |      [[{'negs': CAST(0 AS BIGINT), 'np': CAST(0 AS BIGINT), 'path': ''}]
+       |       for i in range(length(word))],
+       |    (acc, x) -> acc || [list_sort(list_filter([
+       |      CASE WHEN len(acc) >= L AND m[substr(word, len(acc)-L+1, L)][1] IS NOT NULL THEN
+       |        {'negs': acc[len(acc)-L+1].negs + m[substr(word, len(acc)-L+1, L)][1],
+       |         'np': acc[len(acc)-L+1].np + 1,
+       |         'path': CASE WHEN acc[len(acc)-L+1].np = 0 THEN substr(word, len(acc)-L+1, L)
+       |                      ELSE acc[len(acc)-L+1].path || ' ' || substr(word, len(acc)-L+1, L) END}
+       |      END for L in [$ls]], c -> c IS NOT NULL))[1]
+       |    ])[length(word)+1] AS seg
+       |  FROM $src, $scMap)""".stripMargin
+  }
+
+  /** The full fit replay shared by [[textUnigramTrainSql]] and
+    * [[textUnigramEncodeSql]]: dictionary, capped seed vocabulary,
+    * and [[UniRounds]] unrolled EM rounds ending in p/w/sc$UniRounds
+    * — one definition, so trainer and encoder cannot drift. */
+  private lazy val uniFitCtesSql: String = {
+    val rounds = (1 to UniRounds).map { r =>
+      val p = r - 1
+      s"""${uniViterbiCteSql(s"v$r", s"sc$p", "w")},
+         |u$r AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS u FROM (
+         |          SELECT cnt, unnest(string_split(seg.path, ' ')) AS piece FROM v$r) z
+         |        GROUP BY piece),
+         |p$r AS (
+         |  SELECT p.piece,
+         |    CAST(CASE WHEN length(p.piece) = 1 THEN COALESCE(u.u, 0) + 1
+         |         ELSE u.u END AS BIGINT) AS cnt
+         |  FROM p$p p LEFT JOIN u$r u USING (piece)
+         |  WHERE length(p.piece) = 1 OR COALESCE(u.u, 0) > 0),
+         |t$r AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM p$r),
+         |w$r AS (SELECT piece, CAST(${log2mSqlDuck("t")} - ${log2mSqlDuck("cnt")} AS BIGINT) AS w
+         |        FROM p$r, t$r),
+         |sc$r AS (SELECT map(list(piece ORDER BY piece), list(w ORDER BY piece)) AS m FROM w$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w AS (
+       |  SELECT word, count(*) AS cnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word
+       |    FROM documents WHERE text IS NOT NULL) t
+       |  WHERE length(word) >= 1
+       |  GROUP BY word),
+       |sst AS (SELECT word, cnt, unnest(range(1, length(word)+1)) AS st FROM w),
+       |sse AS (SELECT cnt, substr(word, st, ln) AS piece FROM (
+       |          SELECT word, cnt, st,
+       |            unnest(range(1, least($UniMaxPiece, length(word)-st+1)+1)) AS ln
+       |          FROM sst) z),
+       |seeds AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt FROM sse GROUP BY piece),
+       |p0 AS (
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+       |    FROM seeds WHERE length(piece) >= 2) z
+       |  WHERE rk <= $UniSeedMulti
+       |  UNION ALL
+       |  SELECT piece, cnt FROM seeds WHERE length(piece) = 1),
+       |t0 AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM p0),
+       |w0 AS (SELECT piece, CAST(${log2mSqlDuck("t")} - ${log2mSqlDuck("cnt")} AS BIGINT) AS w
+       |       FROM p0, t0),
+       |sc0 AS (SELECT map(list(piece ORDER BY piece), list(w ORDER BY piece)) AS m FROM w0),
+       |$rounds""".stripMargin
+  }
+  lazy val textUnigramTrainSql: String =
+    s"""$uniFitCtesSql
+       |SELECT p.piece, CAST(length(p.piece) AS BIGINT) AS n_chars, p.cnt,
+       |  w.w AS cost_milli,
+       |  CAST(row_number() OVER (ORDER BY p.cnt DESC, p.piece) AS BIGINT) AS rank
+       |FROM p$UniRounds p JOIN w$UniRounds w USING (piece)
+       |ORDER BY rank""".stripMargin
+  lazy val textUnigramEncodeSql: String =
+    s"""$uniFitCtesSql,
+       |${uniViterbiCteSql(s"v${UniRounds + 1}", s"sc$UniRounds", "w")},
+       |wpu AS (
+       |  SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS word
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+       |        FROM documents WHERE text IS NOT NULL) t)
+       |SELECT u.doc_id, count(*) AS n_words,
+       |  CAST(sum(v.seg.np) AS BIGINT) AS n_pieces,
+       |  md5(string_agg(v.seg.path, ' | ' ORDER BY u.pos)) AS enc_md5
+       |FROM wpu u JOIN v${UniRounds + 1} v USING (word)
+       |GROUP BY u.doc_id ORDER BY doc_id""".stripMargin
+
   /** Corpus n-gram LM counts: token bigrams and trigrams, top 25 per
     * order by frequency — the count table a KenLM-style quality or
     * perplexity filter is built from. Same inverted-index shape as the
