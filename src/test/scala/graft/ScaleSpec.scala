@@ -814,4 +814,15 @@ class ScaleSpec extends SparkSpec {
     // rank runs inside per-source window partitions, never a global sort
     assert(p.contains("row_number() windowspecdefinition(source#"), p)
   }
+
+  test("mix temperature stays catalog-sized: no sort-merge join, no root-table join") {
+    val p = plan(operators.CurationOps.docMixTemperature(spark, sf0001))
+    // the integer sqrt is a pure projection — a join against a
+    // generated k-range (the naive isqrt formulation) would put a
+    // million-row nested loop behind every mixture refresh
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Range ("), p)
+    // the per-source rollup partially aggregates before its exchange
+    assert(p.contains("HashAggregate"), p)
+  }
 }

@@ -87,6 +87,47 @@ class Round18OpsSpec extends SparkSpec {
     enc.unpersist()
   }
 
+  test("unigram tokenizer survives the adversarial edge corpus") {
+    import spark.implicits._
+    // NULL text, empty text, runs of spaces (empty words), words longer
+    // than any piece, the encode separators themselves ('|'), non-ASCII,
+    // and a single-char corpus slice — the shapes ADVICE rounds keep
+    // finding at family edges
+    val dir = java.nio.file.Files.createTempDirectory("r18uni").toString
+    val docs = Seq(
+      (0L, null.asInstanceOf[String], "src0"),
+      (1L, "", "src0"),
+      (2L, "   ", "src1"),
+      (3L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa", "src1"),
+      (4L, "| || |·|", "src2"),
+      (5L, "héllo wörld héllo", "src2"),
+      (6L, "a b a b a", "src3"),
+      (7L, "mixmixmix mixmix mix", "src3"))
+    docs.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val tr = TextOps.textUnigramTrain(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    assert(tr.nonEmpty && tr.forall(_._2 >= 1))
+    // every corpus char (incl. '|', '·', accented) must stay encodable
+    val pieces = tr.map(_._1).toSet
+    for (c <- Seq("|", "·", "é", "ö", "a", "m"))
+      assert(pieces(c), s"single char '$c' missing from the trained vocabulary")
+    val enc = TextOps.textUnigramEncode(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val encIds = enc.map(_._1).toSet
+    // docs 0–2 carry no non-empty word → no row (the family-wide
+    // inner-join contract); everything else is encoded
+    assert(encIds == Set(3L, 4L, 5L, 6L, 7L), s"got $encIds")
+    val byId = enc.map(e => e._1 -> e).toMap
+    assert(byId(3L)._2 == 1L && byId(3L)._3 >= 10L,
+      "40-char word must segment into >= ceil(40/4) pieces")
+    assert(byId(6L)._2 == 5L, "five single-char words")
+    // determinism: a second fit reproduces the identical piece table
+    val tr2 = TextOps.textUnigramTrain(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    assert(tr2.toSeq == tr.toSeq, "unigram fit must be deterministic")
+  }
+
   test("rag mmr recall meter: ppm-bounded and consistent with its hit counts") {
     import spark.implicits._
     val rec = CurationOps.docRagMmrRecall(spark, sf0001).collect()
