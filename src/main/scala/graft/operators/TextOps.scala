@@ -982,6 +982,79 @@ object TextOps {
     out
   }
 
+  /** Per-document unigram length (doc_id, n_words, n_uni) from the
+    * shared [[uniFit]] — the [[bpeDocCounts]] twin for the unigram
+    * model, feeding the fertility meter. Same inner-join contract:
+    * docs with no non-empty word produce no row. */
+  private[operators] def uniDocCounts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (_, sc, dict) = uniFit(s, d)
+    val vocab = dict.withColumn("seg", uniViterbi(sc))
+      .select($"word", $"seg".getField("np").as("n_syms"))
+    val words = documents(s, d).filter($"text".isNotNull)
+      .select($"doc_id", explode(toks($"text")).as("word"))
+    val out = words.join(vocab, "word")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"), sum($"n_syms").as("n_uni"))
+    out.cache().count() // materialize before releasing the dictionary
+    dict.unpersist()
+    out
+  }
+
+  /** Tokenizer FERTILITY comparison — pieces-per-word for the trained
+    * BPE vs the trained unigram model, per source, in integer ppm: the
+    * table a pipeline reads to pick its tokenizer (fertility is the
+    * standard cross-tokenizer efficiency metric — a domain where one
+    * model needs 40% more pieces pays 40% more context budget for the
+    * same text). Both fits are the library's own trainers via their
+    * shared doc-count rollups ([[bpeDocCounts]] / [[uniDocCounts]]),
+    * so the meter can never drift from what the encoders emit. The
+    * ppm arithmetic runs in int128 (decimal/HUGEINT — the padeExpr
+    * lift) since 1e6·token-count overflows int64 at a ~1e14-token
+    * corpus. Shape: two dictionary-sized fits + two corpus-linear
+    * re-tokenize joins, rolled up to a sources-sized table. */
+  def textTokenizerFertility(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val src = documents(s, d).filter($"text".isNotNull)
+      .select($"doc_id", $"source")
+    val bpe = bpeDocCounts(s, d).select($"doc_id", $"n_words", $"n_bpe")
+    val uni = uniDocCounts(s, d).select($"doc_id", $"n_uni")
+    val out = src.join(bpe, "doc_id").join(uni, "doc_id")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_words").as("n_words"),
+        sum($"n_bpe").as("n_bpe"),
+        sum($"n_uni").as("n_unigram"))
+      .select($"source", $"n_docs", $"n_words", $"n_bpe", $"n_unigram",
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * n_bpe) div n_words AS BIGINT)")
+          .as("bpe_fert_ppm"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * n_unigram) div n_words AS BIGINT)")
+          .as("uni_fert_ppm"))
+      .orderBy($"source")
+    out.cache().count() // both fits' caches release before returning
+    out
+  }
+  lazy val textTokenizerFertilitySql: String =
+    s"""$bpeDocCountsCtesSql,
+       |$uniEncCtesBody,
+       |uenc AS (
+       |  SELECT u.doc_id, count(*) AS n_words,
+       |    CAST(sum(v.seg.np) AS BIGINT) AS n_uni
+       |  FROM uwp u JOIN uv${UniRounds + 1} v USING (word)
+       |  GROUP BY u.doc_id)
+       |SELECT d.source, count(*) AS n_docs,
+       |  CAST(sum(b.n_words) AS BIGINT) AS n_words,
+       |  CAST(sum(b.n_bpe) AS BIGINT) AS n_bpe,
+       |  CAST(sum(u.n_uni) AS BIGINT) AS n_unigram,
+       |  CAST((CAST(1000000 AS HUGEINT) * CAST(sum(b.n_bpe) AS HUGEINT))
+       |    // CAST(sum(b.n_words) AS HUGEINT) AS BIGINT) AS bpe_fert_ppm,
+       |  CAST((CAST(1000000 AS HUGEINT) * CAST(sum(u.n_uni) AS HUGEINT))
+       |    // CAST(sum(b.n_words) AS HUGEINT) AS BIGINT) AS uni_fert_ppm
+       |FROM documents d
+       |JOIN bpe b ON b.doc_id = d.doc_id
+       |JOIN uenc u ON u.doc_id = d.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   /** One Viterbi pass as a DuckDB CTE: the EXACT fold shape of
     * [[uniViterbi]] replayed with `list_reduce` (the initial dp cell
     * rides as the list head since DuckDB 1.0's reduce takes no seed;
@@ -1006,71 +1079,81 @@ object TextOps {
        |  FROM $src, $scMap)""".stripMargin
   }
 
-  /** The full fit replay shared by [[textUnigramTrainSql]] and
-    * [[textUnigramEncodeSql]]: dictionary, capped seed vocabulary,
-    * and [[UniRounds]] unrolled EM rounds ending in p/w/sc$UniRounds
-    * — one definition, so trainer and encoder cannot drift. */
-  private lazy val uniFitCtesSql: String = {
+  /** The full fit replay shared by [[textUnigramTrainSql]],
+    * [[textUnigramEncodeSql]] and the fertility meter: dictionary,
+    * capped seed vocabulary, and [[UniRounds]] unrolled EM rounds
+    * ending in up/uw/usc$UniRounds — one definition, so trainer and
+    * encoder cannot drift. Every CTE is `u`-prefixed so the chain
+    * composes with the BPE fit CTEs in a single oracle query
+    * (the two share no names). Exposed WITHOUT the leading `WITH` so
+    * callers can prepend other chains. */
+  private lazy val uniFitCtesBody: String = {
     val rounds = (1 to UniRounds).map { r =>
       val p = r - 1
-      s"""${uniViterbiCteSql(s"v$r", s"sc$p", "w")},
-         |u$r AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS u FROM (
-         |          SELECT cnt, unnest(string_split(seg.path, ' ')) AS piece FROM v$r) z
+      s"""${uniViterbiCteSql(s"uv$r", s"usc$p", "udict")},
+         |uu$r AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS u FROM (
+         |          SELECT cnt, unnest(string_split(seg.path, ' ')) AS piece FROM uv$r) z
          |        GROUP BY piece),
-         |p$r AS (
+         |up$r AS (
          |  SELECT p.piece,
          |    CAST(CASE WHEN length(p.piece) = 1 THEN COALESCE(u.u, 0) + 1
          |         ELSE u.u END AS BIGINT) AS cnt
-         |  FROM p$p p LEFT JOIN u$r u USING (piece)
+         |  FROM up$p p LEFT JOIN uu$r u USING (piece)
          |  WHERE length(p.piece) = 1 OR COALESCE(u.u, 0) > 0),
-         |t$r AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM p$r),
-         |w$r AS (SELECT piece, CAST(${log2mSqlDuck("t")} - ${log2mSqlDuck("cnt")} AS BIGINT) AS w
-         |        FROM p$r, t$r),
-         |sc$r AS (SELECT map(list(piece ORDER BY piece), list(w ORDER BY piece)) AS m FROM w$r)""".stripMargin
+         |ut$r AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM up$r),
+         |uw$r AS (SELECT piece, CAST(${log2mSqlDuck("t")} - ${log2mSqlDuck("cnt")} AS BIGINT) AS w
+         |        FROM up$r, ut$r),
+         |usc$r AS (SELECT map(list(piece ORDER BY piece), list(w ORDER BY piece)) AS m FROM uw$r)""".stripMargin
     }.mkString(",\n")
-    s"""WITH w AS (
+    s"""udict AS (
        |  SELECT word, count(*) AS cnt FROM (
        |    SELECT unnest(string_split(text, ' ')) AS word
        |    FROM documents WHERE text IS NOT NULL) t
        |  WHERE length(word) >= 1
        |  GROUP BY word),
-       |sst AS (SELECT word, cnt, unnest(range(1, length(word)+1)) AS st FROM w),
-       |sse AS (SELECT cnt, substr(word, st, ln) AS piece FROM (
+       |usst AS (SELECT word, cnt, unnest(range(1, length(word)+1)) AS st FROM udict),
+       |usse AS (SELECT cnt, substr(word, st, ln) AS piece FROM (
        |          SELECT word, cnt, st,
        |            unnest(range(1, least($UniMaxPiece, length(word)-st+1)+1)) AS ln
-       |          FROM sst) z),
-       |seeds AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt FROM sse GROUP BY piece),
-       |p0 AS (
+       |          FROM usst) z),
+       |useeds AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt FROM usse GROUP BY piece),
+       |up0 AS (
        |  SELECT piece, cnt FROM (
        |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rk
-       |    FROM seeds WHERE length(piece) >= 2) z
+       |    FROM useeds WHERE length(piece) >= 2) z
        |  WHERE rk <= $UniSeedMulti
        |  UNION ALL
-       |  SELECT piece, cnt FROM seeds WHERE length(piece) = 1),
-       |t0 AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM p0),
-       |w0 AS (SELECT piece, CAST(${log2mSqlDuck("t")} - ${log2mSqlDuck("cnt")} AS BIGINT) AS w
-       |       FROM p0, t0),
-       |sc0 AS (SELECT map(list(piece ORDER BY piece), list(w ORDER BY piece)) AS m FROM w0),
+       |  SELECT piece, cnt FROM useeds WHERE length(piece) = 1),
+       |ut0 AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM up0),
+       |uw0 AS (SELECT piece, CAST(${log2mSqlDuck("t")} - ${log2mSqlDuck("cnt")} AS BIGINT) AS w
+       |       FROM up0, ut0),
+       |usc0 AS (SELECT map(list(piece ORDER BY piece), list(w ORDER BY piece)) AS m FROM uw0),
        |$rounds""".stripMargin
   }
+  /** [[uniFitCtesBody]] plus the FINAL Viterbi pass (`uv${UniRounds+1}`
+    * with the round-[[UniRounds]] scores) and the per-word-position
+    * explode (`uwp`) — the encode prefix, also shared with the
+    * fertility meter. */
+  private lazy val uniEncCtesBody: String =
+    s"""$uniFitCtesBody,
+       |${uniViterbiCteSql(s"uv${UniRounds + 1}", s"usc$UniRounds", "udict")},
+       |uwp AS (
+       |  SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS word
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+       |        FROM documents WHERE text IS NOT NULL) t)""".stripMargin
   lazy val textUnigramTrainSql: String =
-    s"""$uniFitCtesSql
+    s"""WITH $uniFitCtesBody
        |SELECT p.piece, CAST(length(p.piece) AS BIGINT) AS n_chars, p.cnt,
        |  w.w AS cost_milli,
        |  CAST(row_number() OVER (ORDER BY p.cnt DESC, p.piece) AS BIGINT) AS rank
-       |FROM p$UniRounds p JOIN w$UniRounds w USING (piece)
+       |FROM up$UniRounds p JOIN uw$UniRounds w USING (piece)
        |ORDER BY rank""".stripMargin
   lazy val textUnigramEncodeSql: String =
-    s"""$uniFitCtesSql,
-       |${uniViterbiCteSql(s"v${UniRounds + 1}", s"sc$UniRounds", "w")},
-       |wpu AS (
-       |  SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS word
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
-       |        FROM documents WHERE text IS NOT NULL) t)
+    s"""WITH $uniEncCtesBody
        |SELECT u.doc_id, count(*) AS n_words,
        |  CAST(sum(v.seg.np) AS BIGINT) AS n_pieces,
        |  md5(string_agg(v.seg.path, ' | ' ORDER BY u.pos)) AS enc_md5
-       |FROM wpu u JOIN v${UniRounds + 1} v USING (word)
+       |FROM uwp u JOIN uv${UniRounds + 1} v USING (word)
        |GROUP BY u.doc_id ORDER BY doc_id""".stripMargin
 
   /** Corpus n-gram LM counts: token bigrams and trigrams, top 25 per

@@ -128,6 +128,23 @@ class Round18OpsSpec extends SparkSpec {
     assert(tr2.toSeq == tr.toSeq, "unigram fit must be deterministic")
   }
 
+  test("tokenizer fertility: bounded per source and consistent with its own counts") {
+    import spark.implicits._
+    val f = TextOps.textTokenizerFertility(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(f.nonEmpty)
+    f.foreach { case (src, nd, nw, nb, nu, bf, uf) =>
+      assert(nd > 0 && nw >= nd, s"$src: words < docs")
+      // every word is at least one piece under both tokenizers
+      assert(nb >= nw && nu >= nw, s"$src: pieces < words")
+      // fertility is the ppm ratio of its own numerator columns
+      assert(bf == 1000000L * nb / nw, s"$src: bpe fertility drifted")
+      assert(uf == 1000000L * nu / nw, s"$src: unigram fertility drifted")
+      assert(bf >= 1000000L && uf >= 1000000L, s"$src: fertility below 1.0")
+    }
+  }
+
   test("rag mmr recall meter: ppm-bounded and consistent with its hit counts") {
     import spark.implicits._
     val rec = CurationOps.docRagMmrRecall(spark, sf0001).collect()
