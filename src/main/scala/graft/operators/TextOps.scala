@@ -823,6 +823,18 @@ object TextOps {
     * keeping the unrolled oracle replay tractable. */
   val UniRounds = 2
 
+  /** Effective EM depth: the library knob `spark.graft.uniRounds`,
+    * default [[UniRounds]] — the [[bpeDepth]] contract applied to the
+    * unigram trainer. The REGISTERED oracles replay the default depth
+    * (their CTE chains unroll at class-init), so the driver contract
+    * always runs at [[UniRounds]]; the conf is the library-API dial
+    * for deeper fits, spec-tested at non-default depths. */
+  private[operators] def uniDepth(s: SparkSession): Int = {
+    val n = s.conf.get("spark.graft.uniRounds", UniRounds.toString).toInt
+    require(n >= 1, s"spark.graft.uniRounds must be >= 1, got $n")
+    n
+  }
+
   /** Exact integer surrogate of `1000·log2(x)` for x ≥ 1: the bit
     * length gives the integer part, a linear interpolation between
     * neighboring powers of two the fractional part —
@@ -921,7 +933,7 @@ object TextOps {
       md.map { case (p, c) => p -> (log2mLong(t) - log2mLong(c)) }.toMap
     }
     var sc = scoresOf(model)
-    for (_ <- 1 to UniRounds) {
+    for (_ <- 1 to uniDepth(s)) {
       val usage = dict.withColumn("seg", uniViterbi(sc))
         .select($"cnt", explode(split($"seg".getField("path"), " ")).as("piece"))
         .groupBy($"piece").agg(sum($"cnt").as("u"))

@@ -128,6 +128,35 @@ class Round18OpsSpec extends SparkSpec {
     assert(tr2.toSeq == tr.toSeq, "unigram fit must be deterministic")
   }
 
+  test("unigram EM depth is the spark.graft.uniRounds conf (default UniRounds)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("uni_depth").toString
+    Seq((0L, "abab abab baba"), (1L, "abab cccc abab"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def fit() = TextOps.textUnigramTrain(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    val deflt = fit()
+    assert(deflt.nonEmpty)
+    for (depth <- Seq("1", "4")) {
+      spark.conf.set("spark.graft.uniRounds", depth)
+      try {
+        val d = fit()
+        // invariants hold at every depth: unique pieces, positive
+        // counts, all single chars covered
+        assert(d.map(_._1).distinct.length == d.length)
+        assert(d.forall(t => t._2 >= 1 && t._3 >= 0))
+        for (c <- Seq("a", "b", "c")) assert(d.exists(_._1 == c), s"lost char $c")
+      } finally spark.conf.unset("spark.graft.uniRounds")
+    }
+    // unset must restore the registered default exactly
+    assert(fit().toSeq == deflt.toSeq)
+    spark.conf.set("spark.graft.uniRounds", "0")
+    try {
+      intercept[IllegalArgumentException](fit())
+    } finally spark.conf.unset("spark.graft.uniRounds")
+  }
+
   test("tokenizer fertility: bounded per source and consistent with its own counts") {
     import spark.implicits._
     val f = TextOps.textTokenizerFertility(spark, sf0001).collect()
