@@ -332,6 +332,8 @@ object OpRegistry {
     op("text_unigram_encode", TextOps.textUnigramEncode, TextOps.textUnigramEncodeSql),
     op("text_tokenizer_fertility",
       TextOps.textTokenizerFertility, TextOps.textTokenizerFertilitySql),
+    op("text_stream_unigram",
+      TextOps.textStreamUnigram, TextOps.textUnigramEncodeSql),
     op("text_pii", TextOps.textPii, TextOps.textPiiSql),
     op("text_simhash_by_source", TextOps.textSimhashBySource, TextOps.textSimhashBySourceSql),
     op("text_dup_ratio", TextOps.textDupRatio, TextOps.textDupRatioSql),

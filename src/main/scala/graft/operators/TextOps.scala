@@ -835,6 +835,12 @@ object TextOps {
     n
   }
 
+  /** Cost of the unknown-character fallback piece in milli-log2 units:
+    * strictly above any reachable real piece cost (≤ 1000·log2(T) <
+    * 63000 for any int64 total), so the fallback decides a segmentation
+    * only where the vocabulary has no candidate at all. */
+  val UniUnkCostMilli = 1000000L
+
   /** Exact integer surrogate of `1000·log2(x)` for x ≥ 1: the bit
     * length gives the integer part, a linear interpolation between
     * neighboring powers of two the fractional part —
@@ -877,7 +883,7 @@ object TextOps {
     * toward fewer pieces, then the lexicographically lower
     * segmentation, so both engines pick identically. Returns the
     * final dp cell struct (negs = Σ cost_milli, np, path). */
-  private def uniViterbi(scores: Map[String, Long]): org.apache.spark.sql.Column = {
+  private[operators] def uniViterbi(scores: Map[String, Long]): org.apache.spark.sql.Column = {
     val m = typedlit(scores)
     val word = col("word")
     val dp = aggregate(
@@ -896,8 +902,23 @@ object TextOps {
                 .otherwise(concat(prev.getField("path"), lit(" "), piece))
                 .as("path")))
         }
+        // unknown-character fallback: the char itself at a cost no real
+        // piece can reach, so it NEVER displaces a vocabulary candidate
+        // (real costs are ≤ 1000·log2(T) ≪ UniUnkCostMilli) but keeps
+        // the encoder TOTAL — a streamed document with a character the
+        // fit never saw segments instead of failing the batch
+        val unk = {
+          val piece = word.substr(i, lit(1))
+          val prev = element_at(st, i)
+          struct(
+            (prev.getField("negs") + lit(UniUnkCostMilli)).as("negs"),
+            (prev.getField("np") + lit(1L)).as("np"),
+            when(prev.getField("np") === lit(0L), piece)
+              .otherwise(concat(prev.getField("path"), lit(" "), piece))
+              .as("path"))
+        }
         concat(st, array(element_at(
-          array_sort(filter(array(cands: _*), c => c.isNotNull)), 1)))
+          array_sort(filter(array(cands :+ unk: _*), c => c.isNotNull)), 1)))
       })
     element_at(dp, length(word) + lit(1))
   }
@@ -994,6 +1015,61 @@ object TextOps {
     out
   }
 
+  /** The trained unigram tokenizer DEPLOYED on the live ingest stream —
+    * "fit offline on yesterday's corpus, tokenize documents as they
+    * arrive", the serving half of [[textUnigramEncode]] and the
+    * tokenizer sibling of [[graft.operators.CurationOps]]'s NB stream
+    * deploy. The model ([[uniFit]]'s piece scores) is fit ONCE as a
+    * batch job and rides every micro-batch as an expression LITERAL,
+    * so per-batch encoding is a ZERO-SHUFFLE map projection straight
+    * to the per-doc rollup ([[graft.operators.IvfKmeans]]'s assignCol
+    * posture applied to tokenization) — no stream-static join, no
+    * state store, no watermark; docs never span micro-batches so the
+    * rollup is exact. The [[UniUnkCostMilli]] fallback keeps the
+    * encoder TOTAL: a streamed document carrying a character the fit
+    * never saw still segments (char-at-penalty) instead of failing the
+    * batch — the novel-input case a deployed tokenizer MUST survive
+    * that the batch op's corpus-fit coverage never exercises. Output
+    * (and oracle) are [[textUnigramEncode]]'s exactly. */
+  def textStreamUnigram(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (_, sc, dict) = uniFit(s, d)
+    dict.unpersist()
+    val seg = uniViterbi(sc)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_unisink").toString
+    // size the per-batch rollup shuffle to the input, not the batch
+    // default (the docStreamQualityNb posture; set before start)
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prevParts = s.conf.get(partsKey)
+    s.conf.set(partsKey,
+      EventOps.streamParts(s, d, table = "documents").toString)
+    val q = graft.Tables.streamTable(s, d, "documents").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+          .filter(length(col("word")) >= 1)
+          .withColumn("seg", seg)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("seg").getField("np")).as("n_pieces"),
+            md5(concat_ws(" | ",
+              array_sort(collect_list(struct(col("pos"),
+                col("seg").getField("path").as("wenc"))))
+                .getField("wenc"))).as("enc_md5"))
+          .write.mode("append").parquet(tmp)
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally { q.stop(); s.conf.set(partsKey, prevParts) }
+    // landed files ARE the output at scale — register for JVM-exit
+    // cleanup rather than deleting (the docStreamQuality contract)
+    val p = new org.apache.hadoop.fs.Path(tmp)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(p)
+    s.read.parquet(tmp).orderBy($"doc_id")
+  }
+
   /** Per-document unigram length (doc_id, n_words, n_uni) from the
     * shared [[uniFit]] — the [[bpeDocCounts]] twin for the unigram
     * model, feeding the fertility meter. Same inner-join contract:
@@ -1086,7 +1162,12 @@ object TextOps {
        |         'np': acc[len(acc)-L+1].np + 1,
        |         'path': CASE WHEN acc[len(acc)-L+1].np = 0 THEN substr(word, len(acc)-L+1, L)
        |                      ELSE acc[len(acc)-L+1].path || ' ' || substr(word, len(acc)-L+1, L) END}
-       |      END for L in [$ls]], c -> c IS NOT NULL))[1]
+       |      END for L in [$ls]] ||
+       |      [{'negs': acc[len(acc)].negs + $UniUnkCostMilli,
+       |        'np': acc[len(acc)].np + 1,
+       |        'path': CASE WHEN acc[len(acc)].np = 0 THEN substr(word, len(acc), 1)
+       |                     ELSE acc[len(acc)].path || ' ' || substr(word, len(acc), 1) END}],
+       |      c -> c IS NOT NULL))[1]
        |    ])[length(word)+1] AS seg
        |  FROM $src, $scMap)""".stripMargin
   }

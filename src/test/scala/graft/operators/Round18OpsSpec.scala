@@ -157,6 +157,34 @@ class Round18OpsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.uniRounds")
   }
 
+  test("streamed unigram encode equals the batch encoder exactly") {
+    import spark.implicits._
+    val streamed = TextOps.textStreamUnigram(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val batch = TextOps.textUnigramEncode(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq,
+      "stream/batch tokenization disagree — one model, two execution shapes")
+  }
+
+  test("unigram viterbi fallback keeps the encoder total on unknown characters") {
+    import spark.implicits._
+    val scores = Map("a" -> 100L, "b" -> 200L, "ab" -> 150L)
+    val seg = Seq("ab", "abz", "zz").toDF("word")
+      .withColumn("seg", TextOps.uniViterbi(scores))
+      .select($"word", $"seg.negs", $"seg.np", $"seg.path")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // known words segment at real cost — the fallback must never win
+    // where the vocabulary has a candidate
+    assert(seg("ab") == ((150L, 1L, "ab")), seg("ab").toString)
+    // unknown chars segment as single chars at the penalty cost
+    // instead of failing the batch
+    assert(seg("abz") == ((150L + TextOps.UniUnkCostMilli, 2L, "ab z")), seg("abz").toString)
+    assert(seg("zz") == ((2 * TextOps.UniUnkCostMilli, 2L, "z z")), seg("zz").toString)
+  }
+
   test("tokenizer fertility: bounded per source and consistent with its own counts") {
     import spark.implicits._
     val f = TextOps.textTokenizerFertility(spark, sf0001).collect()
