@@ -379,6 +379,8 @@ object OpRegistry {
     op("doc_mix_weights", CurationOps.docMixWeights, CurationOps.docMixWeightsSql),
     op("doc_mix_temperature",
       CurationOps.docMixTemperature, CurationOps.docMixTemperatureSql),
+    op("doc_interleave_temperature",
+      CurationOps.docInterleaveTemperature, CurationOps.docInterleaveTemperatureSql),
     op("doc_global_shuffle", CurationOps.docGlobalShuffle, CurationOps.docGlobalShuffleSql),
     op("doc_quality_rank", CurationOps.docQualityRank, CurationOps.docQualityRankSql),
     op("doc_quality_nb", CurationOps.docQualityNb, CurationOps.docQualityNbSql),

@@ -1025,9 +1025,12 @@ object CurationOps {
       .drop("sum_t")
       .orderBy($"alpha_ppm", $"source")
   }
-  lazy val docMixTemperatureSql: String = {
-    val Seq(aHalf, aQuarter) = MixTempAlphasPpm
-    s"""WITH per AS (
+  /** The schedule-fit CTE chain (per-source shares → integer roots →
+    * `tq` with t_half/t_quarter) shared by [[docMixTemperatureSql]]
+    * and the temperature-interleave oracle — one definition of the
+    * schedule, two consumers. Exposed without the leading `WITH`. */
+  private lazy val mixTempCtesBody: String =
+    s"""per AS (
        |  SELECT source,
        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
        |  FROM documents WHERE text IS NOT NULL GROUP BY source),
@@ -1041,7 +1044,10 @@ object CurationOps {
        |h2 AS (SELECT source, share_ppm, t_half, t_half * 1000000 AS n2,
        |         ${isqrtSeedSql("t_half * 1000000")} AS g2 FROM th),
        |tq AS (SELECT source, share_ppm, t_half,
-       |         ${isqrtFixSql("g2", "n2")} AS t_quarter FROM h2),
+       |         ${isqrtFixSql("g2", "n2")} AS t_quarter FROM h2)""".stripMargin
+  lazy val docMixTemperatureSql: String = {
+    val Seq(aHalf, aQuarter) = MixTempAlphasPpm
+    s"""WITH $mixTempCtesBody,
        |rows_ AS (
        |  SELECT source, share_ppm, CAST($aHalf AS BIGINT) AS alpha_ppm,
        |    t_half AS temp_ppm FROM tq
@@ -1052,6 +1058,53 @@ object CurationOps {
        |    sum(temp_ppm) OVER (PARTITION BY alpha_ppm) AS BIGINT) AS p_ppm
        |FROM rows_ ORDER BY alpha_ppm, source""".stripMargin
   }
+
+  /** The temperature schedule DRIVING a feed — [[docInterleave]]'s
+    * read-order machinery re-weighted by [[docMixTemperature]]'s
+    * α = 1/2 sampling law instead of the capped uniform-target
+    * weights: priority = (per-source rank · 1e6) div p_ppm, so a
+    * source holding sampling probability p surfaces every ~1/p
+    * positions — the composition a real pretraining run performs
+    * (schedule table → reader order), here as ONE query so the two
+    * stages cannot disagree about the weights. Sources with zero
+    * sampling probability (share so small the root rounds to zero) are
+    * never scheduled — the sampler contract, enforced identically on
+    * both engines. Positions come from
+    * [[graft.store.Dict.denseIndex]] (range-sort + zipWithIndex),
+    * NEVER a partitionless window; the schedule join is a broadcast of
+    * a sources-sized table. */
+  def docInterleaveTemperature(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sched = docMixTemperature(s, d)
+      .filter($"alpha_ppm" === MixTempAlphasPpm.head && $"p_ppm" > 0L)
+      .select($"source", $"p_ppm")
+    val rn = row_number().over(
+      Window.partitionBy($"source").orderBy($"doc_id")).cast("long")
+    val base = documents(s, d).filter($"text".isNotNull)
+      .join(broadcast(sched), "source")
+      .withColumn("rn", rn)
+      .withColumn("priority", expr("(rn * 1000000L) div p_ppm"))
+      .select($"source", $"doc_id", $"p_ppm", $"priority")
+    graft.store.Dict
+      .denseIndex(base, Seq("priority", "source", "doc_id"), "position", 1L)
+      .select($"position", $"source", $"doc_id", $"p_ppm")
+      .orderBy($"position")
+  }
+  lazy val docInterleaveTemperatureSql: String =
+    s"""WITH $mixTempCtesBody,
+       |tsum AS (SELECT CAST(sum(t_half) AS BIGINT) AS st FROM tq),
+       |tp AS (SELECT source, CAST((1000000 * t_half) // st AS BIGINT) AS p_ppm
+       |       FROM tq, tsum),
+       |tbase AS (
+       |  SELECT d.source, d.doc_id, p.p_ppm,
+       |    row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id) AS rn
+       |  FROM documents d JOIN tp p USING (source)
+       |  WHERE d.text IS NOT NULL AND p.p_ppm > 0)
+       |SELECT CAST(row_number() OVER (
+       |    ORDER BY (rn * 1000000) // p_ppm, source, doc_id) AS BIGINT) AS position,
+       |  source, doc_id, p_ppm
+       |FROM tbase ORDER BY position""".stripMargin
 
   /** [[docMixWeights]] measured in REAL tokenizer tokens: per-source
     * share and up-sampling weight computed on summed BPE lengths

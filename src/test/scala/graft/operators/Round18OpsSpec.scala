@@ -202,6 +202,35 @@ class Round18OpsSpec extends SparkSpec {
     }
   }
 
+  test("temperature interleave: dense positions, per-source order kept, schedule obeyed") {
+    import spark.implicits._
+    val il = CurationOps.docInterleaveTemperature(spark, sf0001).cache()
+    val rows = il.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).sorted.toSeq == (1L to rows.length).toSeq,
+      "positions must be dense 1..N")
+    // within a source, documents keep their id order in the feed
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      val ids = rs.sortBy(_._1).map(_._3)
+      assert(ids.sorted.toSeq == ids.toSeq, s"$src: doc order shuffled in feed")
+    }
+    // the feed covers exactly the scheduled sources' non-NULL-text docs
+    val sched = CurationOps.docMixTemperature(spark, sf0001)
+      .filter($"alpha_ppm" === CurationOps.MixTempAlphasPpm.head && $"p_ppm" > 0L)
+      .select($"source", $"p_ppm").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_._2).toSet == sched.keySet)
+    // a higher-probability source must appear at least as often in the
+    // first half of the feed as any lower-probability source
+    val half = rows.filter(_._1 <= rows.length / 2).groupBy(_._2)
+      .view.mapValues(_.length).toMap
+    for ((a, pa) <- sched; (b, pb) <- sched if pa > pb)
+      assert(half.getOrElse(a, 0) >= half.getOrElse(b, 0),
+        s"$a (p=$pa) under-served vs $b (p=$pb) in the feed prefix")
+    il.unpersist()
+  }
+
   test("rag mmr recall meter: ppm-bounded and consistent with its hit counts") {
     import spark.implicits._
     val rec = CurationOps.docRagMmrRecall(spark, sf0001).collect()
