@@ -459,6 +459,8 @@ object OpRegistry {
     op("sim_ann_sq8_recall", MlOps.simAnnSq8Recall, MlOps.simAnnSq8RecallSql),
     op("sim_ann_report", MlOps.simAnnReport, MlOps.simAnnReportSql),
     op("sim_ann_ivf_balance", MlOps.simAnnIvfBalance, MlOps.ivfBalanceSql),
+    op("sim_ann_balance_probe",
+      MlOps.simAnnBalanceProbe, MlOps.simAnnBalanceProbeSql),
     op("mm_stream_ingest",
       MultimodalOps.mmStreamIngest, MultimodalOps.mmStreamIngestSql),
     op("mm_metadata", MultimodalOps.mmMetadata, MultimodalOps.mmMetadataSql),

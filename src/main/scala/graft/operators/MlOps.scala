@@ -684,7 +684,12 @@ object MlOps {
     * per-hot-list 2-means sub-fit (the SAME unrolled-Lloyd CTE shape
     * as the main quantizer, grouped by (list_id, sub)), deterministic
     * child ids, and the before/after catalog. */
-  lazy val ivfBalanceSql: String = {
+  /** The balance replay as a bare CTE chain — fit + assignment
+    * ([[ivfFitCtes]]), the integer over-cap rule, per-hot-list 2-means
+    * sub-fits, and the post-split assignment `finalasg` — shared by
+    * [[ivfBalanceSql]] and the balance-probe meter so the split state
+    * has ONE definition. */
+  private lazy val ivfBalanceCtesBody: String = {
     val K = IvfKmeans.K; val R = IvfKmeans.Rounds
     def subAssign(cfrom: String): String =
       s"""  SELECT list_id, vec_id, sub FROM (
@@ -730,7 +735,16 @@ object MlOps {
        |  SELECT a.vec_id,
        |    COALESCE(CASE WHEN m.sub = 0 THEN m.list_id ELSE m.list_id + $K END,
        |             a.list_id) AS list_id
-       |  FROM af a LEFT JOIN saf m ON m.vec_id = a.vec_id),
+       |  FROM af a LEFT JOIN saf m ON m.vec_id = a.vec_id)""".stripMargin
+  }
+  lazy val ivfBalanceSql: String = {
+    val K = IvfKmeans.K
+    // MATERIALIZED: DuckDB inlines CTE references, and this chain is
+    // walked from several consumers (cnt/hot/sub_emb/finalasg all sit
+    // on af; the final select joins cnt and hot again) — evaluate-once
+    // turned a ~475 s replay into sub-second at sf0.01, bit-identical
+    val body = ivfBalanceCtesBody.replace(" AS (", " AS MATERIALIZED (")
+    s"""$body,
        |aft AS (SELECT list_id, count(*) AS n_after FROM finalasg GROUP BY 1)
        |SELECT CAST(f.list_id AS BIGINT) AS list_id,
        |  CAST(CASE WHEN f.list_id >= $K THEN f.list_id - $K ELSE f.list_id END AS BIGINT) AS parent_id,
@@ -742,6 +756,162 @@ object MlOps {
        |LEFT JOIN hot h ON h.list_id =
        |  (CASE WHEN f.list_id >= $K THEN f.list_id - $K ELSE f.list_id END)
        |ORDER BY list_id""".stripMargin
+  }
+
+  /** The meter that JUSTIFIES the split before rollout — per query,
+    * probe cost and recall@3 before vs after [[simAnnIvfBalance]]'s
+    * in-place split, with the same probe budget (2 lists): probe cost
+    * is candidate rows scanned (the hottest list IS the tail latency,
+    * so this is the number the split exists to shrink), recall is
+    * measured against the shared brute-force truth. After the split a
+    * query ranks the ENLARGED centroid set — non-hot parents plus both
+    * children of every hot list — and scans the post-split
+    * assignment; the meter says whether the skew fix bought its probe
+    * savings without losing ground-truth neighbors, exactly as
+    * [[simAnnRecall]] gates the base index. Output is queries×1 rows
+    * (wide: before/after columns) — driver-sized at any corpus scale;
+    * everything corpus-sized is the two probed scans. */
+  def simAnnBalanceProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val cents = IvfKmeans.centroids(s, d)
+    val e = IvfKmeans.withV(s, d).cache()
+    val before = e.withColumn("list_id", IvfKmeans.assignCol(s, cents, $"v"))
+      .select($"vec_id", $"embedding", $"v", $"list_id")
+    val cnts = before.groupBy($"list_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val total = cnts.map(_._2).sum
+    val hot = cnts
+      .filter { case (_, n) => n * IvfKmeans.K * IvfSplitDen > IvfSplitNum * total }
+      .map(_._1).sorted.toSeq
+    // in-memory twin of ivfSplitHot: same deterministic sub-fits, same
+    // child-id rule — this op measures the SPLIT STATE, not the files
+    val subCents = hot.map { l =>
+      l -> IvfKmeans.fitOn(s,
+        before.filter($"list_id" === l).select($"vec_id", $"v"), 2)
+    }.toMap
+    val after =
+      if (hot.isEmpty) before
+      else {
+        val cold = before.filter(!$"list_id".isin(hot.map(l => l): _*))
+        val moved = hot.map { l =>
+          before.filter($"list_id" === l)
+            .withColumn("sub", IvfKmeans.assignCol(s, subCents(l), $"v"))
+            .withColumn("list_id",
+              when($"sub" === 0, lit(l)).otherwise(lit(IvfKmeans.K + l)).cast("int"))
+            .drop("sub")
+        }.reduce(_ unionByName _)
+        cold.unionByName(moved)
+      }
+    val cdfBefore = IvfKmeans.centroidFrame(s, cents)
+    val cdfAfter = {
+      val cold = cents.zipWithIndex.collect {
+        case (c, i) if !hot.contains(i) => (i, c.toSeq)
+      }.toSeq
+      val kids = hot.flatMap(l =>
+        Seq((l, subCents(l)(0).toSeq), (IvfKmeans.K + l, subCents(l)(1).toSeq)))
+      (cold ++ kids).sortBy(_._1).toDF("list_id", "c")
+    }
+    // shared brute truth (top-3 exact cosine over everything)
+    val wq = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
+    val truth = e.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"embedding".as("qe"))
+      .crossJoin(e.select($"vec_id".as("nid"), $"embedding"))
+      .filter($"qid" =!= $"nid")
+      .select($"qid", $"nid", expr("cosine_sim(qe, embedding)").as("cos"))
+      .withColumn("rn", row_number().over(wq)).filter($"rn" <= 3)
+      .select($"qid", $"nid")
+    def phase(cdf: DataFrame, assigned: DataFrame, sfx: String): DataFrame = {
+      val probes = IvfKmeans.withDists(e.filter($"vec_id" < 5), cdf)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"vec_id").orderBy($"dist", $"list_id")))
+        .filter($"rn" <= 2)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"), $"list_id")
+      val cand = probes.join(assigned.select($"vec_id", $"embedding", $"list_id"), "list_id")
+        .filter($"qid" =!= $"vec_id")
+        .select($"qid", $"vec_id".as("nid"),
+          expr("cosine_sim(qe, embedding)").as("cos"))
+      val top3 = cand.withColumn("rn", row_number().over(wq)).filter($"rn" <= 3)
+        .select($"qid", $"nid").withColumn("hit", lit(1L))
+      val nc = cand.groupBy($"qid").agg(count(lit(1)).as(s"n_cand_$sfx"))
+      val nh = truth.join(top3, Seq("qid", "nid"), "left")
+        .groupBy($"qid")
+        .agg(sum(coalesce($"hit", lit(0L))).as(s"n_hit_$sfx"))
+      nc.join(nh, "qid")
+    }
+    val out = phase(cdfBefore, before, "before")
+      .join(phase(cdfAfter, after, "after"), "qid")
+      .select($"qid", $"n_cand_before", $"n_cand_after",
+        $"n_hit_before", $"n_hit_after",
+        expr("(1000000L * n_hit_before) div 3").as("recall_before_ppm"),
+        expr("(1000000L * n_hit_after) div 3").as("recall_after_ppm"))
+      .orderBy($"qid")
+    import scala.jdk.CollectionConverters._
+    val rows = out.collect().toSeq // queries-sized; release the cache
+    e.unpersist()
+    s.createDataFrame(rows.asJava, out.schema)
+  }
+  /** Oracle: the shared balance replay ([[ivfBalanceCtesBody]] —
+    * identical fit, hot rule, sub-fits, post-split assignment), an
+    * enlarged centroid table, both probes at the same budget, and the
+    * same brute truth as [[simAnnRecall]]. */
+  lazy val simAnnBalanceProbeSql: String = {
+    val K = IvfKmeans.K; val R = IvfKmeans.Rounds
+    // DuckDB INLINES each CTE reference; this oracle walks the fit +
+    // sub-fit chains from several consumers, so every chain CTE is
+    // MATERIALIZED (evaluate-once) and each expensive CTE below is
+    // referenced exactly once — without this the replay re-runs the
+    // Lloyd chains per reference and the check stalls
+    val body = ivfBalanceCtesBody.replace(" AS (", " AS MATERIALIZED (")
+    s"""$body,
+       |cafter AS MATERIALIZED (
+       |  SELECT list_id, c FROM c$R
+       |  WHERE list_id NOT IN (SELECT list_id FROM hot)
+       |  UNION ALL
+       |  SELECT CASE WHEN sub = 0 THEN list_id ELSE list_id + $K END AS list_id, c
+       |  FROM s$R),
+       |pb AS (
+       |${ivfAssignSelect(s"c$R", " WHERE e.vec_id < 5", 2)}),
+       |pa AS (
+       |${ivfAssignSelect("cafter", " WHERE e.vec_id < 5", 2)}),
+       |cbr AS MATERIALIZED (
+       |  SELECT qid, nid, row_number() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, nid) AS rn FROM (
+       |    SELECT p.vec_id AS qid, a.vec_id AS nid,
+       |      list_cosine_similarity(q.v, e.v) AS cos
+       |    FROM pb p JOIN af a USING (list_id)
+       |    JOIN emb q ON q.vec_id = p.vec_id JOIN emb e ON e.vec_id = a.vec_id
+       |    WHERE a.vec_id <> p.vec_id) z),
+       |car AS MATERIALIZED (
+       |  SELECT qid, nid, row_number() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, nid) AS rn FROM (
+       |    SELECT p.vec_id AS qid, a.vec_id AS nid,
+       |      list_cosine_similarity(q.v, e.v) AS cos
+       |    FROM pa p JOIN finalasg a USING (list_id)
+       |    JOIN emb q ON q.vec_id = p.vec_id JOIN emb e ON e.vec_id = a.vec_id
+       |    WHERE a.vec_id <> p.vec_id) z),
+       |truth AS MATERIALIZED (SELECT qid, nid FROM (
+       |    SELECT q.vec_id AS qid, e.vec_id AS nid,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(q.v, e.v) DESC, e.vec_id) AS rn
+       |    FROM emb q JOIN emb e ON e.vec_id <> q.vec_id
+       |    WHERE q.vec_id < 5) z WHERE rn <= 3),
+       |resb AS (
+       |  SELECT c.qid, count(*) AS n_cand_before,
+       |    CAST(sum(CASE WHEN c.rn <= 3 AND t.nid IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_hit_before
+       |  FROM cbr c LEFT JOIN truth t ON t.qid = c.qid AND t.nid = c.nid
+       |  GROUP BY c.qid),
+       |resa AS (
+       |  SELECT c.qid, count(*) AS n_cand_after,
+       |    CAST(sum(CASE WHEN c.rn <= 3 AND t.nid IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_hit_after
+       |  FROM car c LEFT JOIN truth t ON t.qid = c.qid AND t.nid = c.nid
+       |  GROUP BY c.qid)
+       |SELECT qid, n_cand_before, n_cand_after, n_hit_before, n_hit_after,
+       |  (1000000 * n_hit_before) // 3 AS recall_before_ppm,
+       |  (1000000 * n_hit_after) // 3 AS recall_after_ppm
+       |FROM resb JOIN resa USING (qid)
+       |ORDER BY qid""".stripMargin
   }
 
   /** Shortlist depth of [[simAnnSq8]] — same two-stage budget as

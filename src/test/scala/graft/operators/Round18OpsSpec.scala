@@ -231,6 +231,26 @@ class Round18OpsSpec extends SparkSpec {
     il.unpersist()
   }
 
+  test("balance probe meter: split shrinks probe cost without losing recall") {
+    import spark.implicits._
+    val m = MlOps.simAnnBalanceProbe(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(m.nonEmpty, "meter must emit one row per query")
+    m.foreach { case (q, cb, ca, hb, ha, rb, ra) =>
+      assert(cb > 0 && ca > 0, s"qid=$q probed nothing")
+      assert(hb >= 0 && hb <= 3 && ha >= 0 && ha <= 3, s"qid=$q hits out of range")
+      assert(rb == 1000000L * hb / 3 && ra == 1000000L * ha / 3,
+        s"qid=$q recall ppm drifted from counts")
+    }
+    // the split exists to shrink the probed candidate volume (tail
+    // latency) — and must not lose ground-truth neighbors doing it
+    assert(m.map(_._3).sum <= m.map(_._2).sum,
+      "split increased total probe cost")
+    assert(m.map(_._5).sum >= m.map(_._4).sum,
+      "split lost ground-truth recall")
+  }
+
   test("rag mmr recall meter: ppm-bounded and consistent with its hit counts") {
     import spark.implicits._
     val rec = CurationOps.docRagMmrRecall(spark, sf0001).collect()
