@@ -15,8 +15,22 @@ final case class Op(
 object OpRegistry {
   import graft.operators._
 
+  /** DuckDB INLINES every CTE reference, so an oracle built from a deep
+    * shared CTE chain (the unrolled Lloyd / BPE / unigram fit replays)
+    * re-evaluates the whole chain once per reference — measured 475 s
+    * on the IVF-balance replay and 360 s on the BPE mix oracle at
+    * sf0.01 before this. Rewriting every plain `name AS (` CTE head to
+    * `AS MATERIALIZED` makes each CTE evaluate once, bit-identically.
+    * Queries carrying a WINDOW clause or a recursive CTE are left
+    * untouched — the same token appears there in positions where
+    * MATERIALIZED is invalid, and none of those oracles are
+    * chain-shaped. */
+  private def materialized(sql: String): String =
+    if (sql.contains("RECURSIVE") || sql.contains("WINDOW ")) sql
+    else sql.replace(" AS (", " AS MATERIALIZED (")
+
   private def op(name: String, fn: (SparkSession, String) => DataFrame, sql: String): Op =
-    Op(name, fn, Some(sql.stripMargin.trim))
+    Op(name, fn, Some(materialized(sql.stripMargin.trim)))
   private def opNoOracle(name: String, fn: (SparkSession, String) => DataFrame): Op =
     Op(name, fn, None)
 

@@ -1010,7 +1010,9 @@ object TextOps {
         md5(concat_ws(" | ", array_sort(collect_list(struct($"pos", $"wenc")))
           .getField("wenc"))).as("enc_md5"))
       .orderBy($"doc_id")
-    out.cache().count() // materialize before releasing the dictionary
+    // release the fit cache now; evaluation recomputes the (determin-
+    // istic) dictionary lineage once — the textBpeEncode contract, and
+    // no cache outlives the call
     dict.unpersist()
     out
   }
@@ -1084,8 +1086,7 @@ object TextOps {
     val out = words.join(vocab, "word")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_words"), sum($"n_syms").as("n_uni"))
-    out.cache().count() // materialize before releasing the dictionary
-    dict.unpersist()
+    dict.unpersist() // recompute-on-evaluation, no cache outlives the call
     out
   }
 
@@ -1107,7 +1108,7 @@ object TextOps {
       .select($"doc_id", $"source")
     val bpe = bpeDocCounts(s, d).select($"doc_id", $"n_words", $"n_bpe")
     val uni = uniDocCounts(s, d).select($"doc_id", $"n_uni")
-    val out = src.join(bpe, "doc_id").join(uni, "doc_id")
+    src.join(bpe, "doc_id").join(uni, "doc_id")
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
         sum($"n_words").as("n_words"),
@@ -1119,8 +1120,6 @@ object TextOps {
         expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * n_unigram) div n_words AS BIGINT)")
           .as("uni_fert_ppm"))
       .orderBy($"source")
-    out.cache().count() // both fits' caches release before returning
-    out
   }
   lazy val textTokenizerFertilitySql: String =
     s"""$bpeDocCountsCtesSql,
