@@ -1022,12 +1022,14 @@ object TextOps {
     * arrive", the serving half of [[textUnigramEncode]] and the
     * tokenizer sibling of [[graft.operators.CurationOps]]'s NB stream
     * deploy. The model ([[uniFit]]'s piece scores) is fit ONCE as a
-    * batch job and rides every micro-batch as an expression LITERAL,
-    * so per-batch encoding is a ZERO-SHUFFLE map projection straight
-    * to the per-doc rollup ([[graft.operators.IvfKmeans]]'s assignCol
-    * posture applied to tokenization) — no stream-static join, no
-    * state store, no watermark; docs never span micro-batches so the
-    * rollup is exact. The [[UniUnkCostMilli]] fallback keeps the
+    * batch job and rides every micro-batch as an expression LITERAL —
+    * no stream-static join against a fitted table, no state store, no
+    * watermark; docs never span micro-batches so the rollup is exact.
+    * Within a batch the DP runs once per DISTINCT word and joins back
+    * to occurrences (the batch encoder's dictionary discipline —
+    * per-occurrence evaluation re-paid the word-length × vocab-scan
+    * DP for every repeat and measured 9× slower at sf0.1). The
+    * [[UniUnkCostMilli]] fallback keeps the
     * encoder TOTAL: a streamed document carrying a character the fit
     * never saw still segments (char-at-penalty) instead of failing the
     * batch — the novel-input case a deployed tokenizer MUST survive
@@ -1047,17 +1049,20 @@ object TextOps {
       EventOps.streamParts(s, d, table = "documents").toString)
     val q = graft.Tables.streamTable(s, d, "documents").writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.filter(col("text").isNotNull)
+        val wds = batch.filter(col("text").isNotNull)
           .select(col("doc_id"),
             posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
           .filter(length(col("word")) >= 1)
+        val vocabB = wds.select(col("word")).distinct()
           .withColumn("seg", seg)
+          .select(col("word"), col("seg").getField("np").as("n_syms"),
+            col("seg").getField("path").as("wenc"))
+        wds.join(vocabB, "word")
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_words"),
-            sum(col("seg").getField("np")).as("n_pieces"),
+            sum(col("n_syms")).as("n_pieces"),
             md5(concat_ws(" | ",
-              array_sort(collect_list(struct(col("pos"),
-                col("seg").getField("path").as("wenc"))))
+              array_sort(collect_list(struct(col("pos"), col("wenc"))))
                 .getField("wenc"))).as("enc_md5"))
           .write.mode("append").parquet(tmp)
         ()
