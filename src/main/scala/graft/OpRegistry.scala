@@ -355,6 +355,7 @@ object OpRegistry {
     op("text_bpe_pairs", TextOps.textBpePairs, TextOps.textBpePairsSql),
     op("doc_tfidf_topk", TextOps.docTfidfTopk, TextOps.docTfidfTopkSql),
     op("text_ngram_lm", TextOps.textNgramLm, TextOps.textNgramLmSql),
+    op("text_ppl_bucket", TextOps.textPplBucket, TextOps.textPplBucketSql),
     op("text_lm_coverage", TextOps.textLmCoverage, TextOps.textLmCoverageSql),
     op("text_encode_ids", TextOps.textEncodeIds, TextOps.textEncodeIdsSql),
     op("text_hash_features", TextOps.textHashFeatures, TextOps.textHashFeaturesSql),
@@ -430,6 +431,8 @@ object OpRegistry {
     op("doc_compact_sink",
       CurationOps.docCompactSink, CurationOps.docCompactSinkSql),
     op("sim_topk_brute", SimilarityOps.simTopkBrute, SimilarityOps.simTopkBruteSql),
+    op("sim_hard_negatives",
+      SimilarityOps.simHardNegatives, SimilarityOps.simHardNegativesSql),
     op("sim_ann_lsh", SimilarityOps.simAnnLsh, SimilarityOps.simAnnLshSql),
     op("sim_knn_graph", SimilarityOps.simKnnGraph, SimilarityOps.simKnnGraphSql),
     op("sim_vector_stats",

@@ -483,8 +483,13 @@ object DedupOps {
       .select($"i", $"j").distinct()
       .orderBy($"i", $"j")
   }
-  val dedupEmbeddingLshSql: String =
-    """WITH pl AS (SELECT i,
+  /** The hyperplane-LSH banding replay (`pl`/`e`/`bits`/`bk`: 16 bands
+    * of 4 sign bits over md5-seeded hyperplanes) — ONE definition
+    * shared by [[dedupEmbeddingLshSql]] and the hard-negative miner's
+    * positive screen, so "near-duplicate bucket" means the same thing
+    * to both. */
+  private[operators] val embLshBandCtes: String =
+    """pl AS (SELECT i,
       |    [CASE WHEN strpos('89abcdef', substr(md5('p_' || CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 1)) > 0
       |          THEN 1 ELSE -1 END for j in range(0,64)] AS sg
       |  FROM range(0,64) t(i)),
@@ -494,7 +499,9 @@ object DedupOps {
       |                THEN (1::BIGINT << (pl.i % 4)) ELSE 0::BIGINT END AS bit
       |         FROM e, pl),
       |bk AS (SELECT vec_id, band, CAST(sum(bit) AS BIGINT) AS key
-      |       FROM bits GROUP BY vec_id, band),
+      |       FROM bits GROUP BY vec_id, band)""".stripMargin
+  lazy val dedupEmbeddingLshSql: String =
+    s"""WITH $embLshBandCtes,
       |cand AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
       |         FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
       |           AND a.vec_id < b.vec_id)

@@ -33,6 +33,69 @@ object SimilarityOps {
       .select($"qid", $"rank", $"nid")
       .orderBy($"qid", $"rank")
   }
+  /** Hard-NEGATIVE mining for contrastive training — the sampling
+    * table a retriever/embedder fine-tune reads: per anchor, the top-3
+    * most-similar vectors that are NOT near-duplicates. The most
+    * informative negatives sit closest to the decision boundary, but
+    * sampling an unflagged DUPLICATE as a negative poisons the loss
+    * (it is secretly a positive) — so the positive screen is the
+    * hyperplane-LSH bucket collision ([[DedupOps.dedupEmbeddingLsh]]'s
+    * banding, ONE shared definition on both engines), applied as a
+    * left-anti join before the ranking. `n_dup_excluded` reports how
+    * many candidates the screen removed per anchor — the liveness
+    * meter for the screen itself. Anchors are eval-sized, so the
+    * brute ranking is corpus-linear (the family's labeled-baseline
+    * shape); at 100 TB the ranking side swaps in the probed IVF scan
+    * exactly as `sim_ann_ivf` does, the screen staying a banded
+    * equi-join. */
+  def simHardNegatives(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val banded = embeddings(s, d)
+      .select($"vec_id",
+        posexplode(expr("hyperplane_sig(embedding, 16, 4)")).as(Seq("band", "key")))
+    val dup = banded.filter($"vec_id" < 5).toDF("qid", "band", "key")
+      .join(banded.toDF("nid", "band", "key"), Seq("band", "key"))
+      .filter($"qid" =!= $"nid")
+      .select($"qid", $"nid").distinct()
+    val nd = dup.groupBy($"qid").agg(count(lit(1)).as("n_dup_excluded"))
+    val e = embeddings(s, d).select($"vec_id", $"embedding")
+    val scored = e.filter($"vec_id" < 5).toDF("qid", "va")
+      .crossJoin(e.toDF("nid", "vb")).filter($"qid" =!= $"nid")
+      .join(dup, Seq("qid", "nid"), "left_anti")
+      .select($"qid", $"nid", expr("cosine_sim(va, vb)").as("cos"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3)
+      .join(nd, Seq("qid"), "left")
+      .select($"qid", $"rank", $"nid",
+        coalesce($"n_dup_excluded", lit(0L)).as("n_dup_excluded"))
+      .orderBy($"qid", $"rank")
+  }
+  lazy val simHardNegativesSql: String =
+    s"""WITH ${DedupOps.embLshBandCtes},
+      |qdup AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+      |         FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+      |           AND a.vec_id <> b.vec_id
+      |         WHERE a.vec_id < 5),
+      |nd AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_dup_excluded
+      |       FROM qdup GROUP BY qid),
+      |scored AS (
+      |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+      |    list_cosine_similarity(a.v, b.v) AS cos
+      |  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+      |  WHERE a.vec_id < 5
+      |    AND NOT EXISTS (SELECT 1 FROM qdup d
+      |                    WHERE d.qid = a.vec_id AND d.nid = b.vec_id)),
+      |ranked AS (
+      |  SELECT qid, nid,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+      |  FROM scored)
+      |SELECT r.qid, CAST(r.rank AS BIGINT) AS rank, r.nid,
+      |  CAST(COALESCE(n.n_dup_excluded, 0) AS BIGINT) AS n_dup_excluded
+      |FROM ranked r LEFT JOIN nd n USING (qid)
+      |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
   val simTopkBruteSql: String =
     """WITH e AS (
       |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),

@@ -1253,6 +1253,102 @@ object TextOps {
        |FROM uwp u JOIN uv${UniRounds + 1} v USING (word)
        |GROUP BY u.doc_id ORDER BY doc_id""".stripMargin
 
+  /** [[log2mLong]] as Spark SQL over a BIGINT expression — the
+    * in-plan twin of [[log2mSqlDuck]] for scores that must be computed
+    * per ROW (corpus-side LM costs) rather than on the driver. */
+  private def log2mSqlSpark(x: String): String = {
+    val l = s"(length(bin($x)) - 1)"
+    val p = s"shiftleft(1L, $l)"
+    s"(1000L * $l + (1000L * (($x) - $p)) div $p)"
+  }
+
+  /** Perplexity BUCKETING (the CCNet head/middle/tail move, Wenzek et
+    * al. 2020): score every document by a corpus bigram LM and cut
+    * per-source fluency tertiles — the standard curation signal a
+    * hand-rule quality gate cannot express (fluency is distributional,
+    * not lexical). The LM cost is EXACT integer milli-log2:
+    * per adjacent token pair, cost = log2m(c(prev)+V) −
+    * log2m(c(prev,w)+1) ≥ 0 (Laplace-smoothed bigram surprisal via
+    * [[log2mLong]]'s bit-length interpolation — no float ln crosses
+    * the oracle); doc score = Σcost div n_bigrams, i.e. milli-bits per
+    * token, a monotone perplexity surrogate. Bucket = ntile(3) per
+    * source ordered by (score, doc_id): 'head' = most fluent.
+    *
+    * Scale shape: bigram/unigram count tables are one
+    * partially-aggregated corpus scan each (vocab-sized out); the
+    * score pass joins doc bigrams to those tables on the gram key —
+    * corpus-linear inverted-index discipline, AQE-broadcast when the
+    * vocab is small, plain shuffle join when it is not; the tertile
+    * window partitions per source, never a global sort. Docs with
+    * fewer than 2 tokens carry no bigram and are excluded on both
+    * engines. */
+  def textPplBucket(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toksOf = documents(s, d).filter($"text".isNotNull)
+      .select($"doc_id", $"source", toks($"text").as("ws"))
+      .filter(size($"ws") >= 2)
+    val big = toksOf.select(explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS pw, ws[i+1] AS w))"))
+        .as("b"))
+      .groupBy($"b.pw".as("pw"), $"b.w".as("w")).agg(count(lit(1)).as("cb"))
+    val uni = documents(s, d).filter($"text".isNotNull)
+      .select(explode(toks($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("cu"))
+    val v = uni.count() // vocab size — the Laplace denominator constant
+    val db = toksOf.select($"doc_id", $"source", explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS pw, ws[i+1] AS w))"))
+        .as("b"))
+      .select($"doc_id", $"source", $"b.pw".as("pw"), $"b.w".as("w"))
+    val scored = db
+      .join(big, Seq("pw", "w"), "left") // every doc bigram IS in the corpus LM; left keeps the claim checkable
+      .join(uni.withColumnRenamed("w", "pw"), Seq("pw"))
+      .withColumn("cost", expr(
+        s"${log2mSqlSpark(s"cu + ${v}L")} - ${log2mSqlSpark("cb + 1L")}"))
+      .groupBy($"doc_id", $"source")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"cost").as("sum_cost"))
+      .withColumn("ppl_milli", expr("sum_cost div n_bigrams"))
+    val w3 = Window.partitionBy($"source").orderBy($"ppl_milli", $"doc_id")
+    scored
+      .withColumn("t", ntile(3).over(w3))
+      .select($"doc_id", $"source", $"n_bigrams", $"ppl_milli",
+        when($"t" === 1, "head").when($"t" === 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy($"doc_id")
+  }
+  lazy val textPplBucketSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS ws
+       |  FROM documents WHERE text IS NOT NULL),
+       |tk2 AS (SELECT doc_id, source, ws FROM tok WHERE len(ws) >= 2),
+       |db AS (
+       |  SELECT doc_id, source,
+       |    unnest([{'pw': ws[i], 'w': ws[i+1]} for i in range(1, len(ws))], recursive := true)
+       |  FROM tk2),
+       |big AS (SELECT pw, w, CAST(count(*) AS BIGINT) AS cb FROM db GROUP BY 1, 2),
+       |uni AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS cu FROM (
+       |    SELECT unnest(ws) AS w FROM tok) z GROUP BY w),
+       |vt AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+       |costs AS (
+       |  SELECT d.doc_id, d.source,
+       |    CAST(${log2mSqlDuck("u.cu + vt.v")} - ${log2mSqlDuck("b.cb + 1")} AS BIGINT) AS cost
+       |  FROM db d
+       |  LEFT JOIN big b ON b.pw = d.pw AND b.w = d.w
+       |  JOIN uni u ON u.w = d.pw
+       |  CROSS JOIN vt),
+       |scored AS (
+       |  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(cost) AS BIGINT) // count(*) AS ppl_milli
+       |  FROM costs GROUP BY 1, 2),
+       |bucketed AS (
+       |  SELECT doc_id, source, n_bigrams, CAST(ppl_milli AS BIGINT) AS ppl_milli,
+       |    ntile(3) OVER (PARTITION BY source ORDER BY ppl_milli, doc_id) AS t
+       |  FROM scored)
+       |SELECT doc_id, source, n_bigrams, ppl_milli,
+       |  CASE WHEN t = 1 THEN 'head' WHEN t = 2 THEN 'middle' ELSE 'tail' END AS bucket
+       |FROM bucketed ORDER BY doc_id""".stripMargin
+
   /** Corpus n-gram LM counts: token bigrams and trigrams, top 25 per
     * order by frequency — the count table a KenLM-style quality or
     * perplexity filter is built from. Same inverted-index shape as the

@@ -251,6 +251,49 @@ class Round18OpsSpec extends SparkSpec {
       "split lost ground-truth recall")
   }
 
+  test("ppl bucket: covers every scoreable doc, tertiles balanced, fluency ordered") {
+    import spark.implicits._
+    val b = TextOps.textPplBucket(spark, sf0001).cache()
+    val eligible = graft.Tables.documents(spark, sf0001)
+      .filter($"text".isNotNull).filter(size(split($"text", " ")) >= 2).count()
+    assert(b.count() == eligible, "every >=2-token doc gets a bucket")
+    val rows = b.collect()
+      .map(r => (r.getString(1), r.getLong(3), r.getString(4)))
+    assert(rows.forall(_._2 >= 0), "surprisal cost cannot be negative")
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val sizes = rs.groupBy(_._3).view.mapValues(_.length)
+      // ntile(3): group sizes differ by at most one
+      assert(sizes.values.max - sizes.values.min <= 1, s"$src: skewed tertiles $sizes")
+      // head must be at least as fluent (cheap) as tail everywhere
+      val headMax = rs.filter(_._3 == "head").map(_._2).max
+      val tailMin = rs.filter(_._3 == "tail").map(_._2).min
+      assert(headMax <= tailMin, s"$src: head/tail fluency inverted")
+    }
+    b.unpersist()
+  }
+
+  test("hard negatives never sample a near-duplicate as a negative") {
+    import spark.implicits._
+    val neg = SimilarityOps.simHardNegatives(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(neg.nonEmpty)
+    neg.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq, s"qid=$q ranks not dense")
+      assert(rs.forall(_._3 != q), s"qid=$q sampled itself")
+      assert(rs.map(_._4).distinct.length == 1, s"qid=$q inconsistent exclusion count")
+    }
+    // the LSH near-dup pair set (the positive screen's strictest
+    // subset) must be disjoint from the mined negatives
+    val dups = DedupOps.dedupEmbeddingLsh(spark, sf0001).collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .toSet
+    val sampled = neg.map(r => (r._1, r._3)).toSet
+    assert(sampled.intersect(dups).isEmpty,
+      s"near-duplicates mined as negatives: ${sampled.intersect(dups).take(5)}")
+    // and the screen must actually be live on this corpus
+    assert(neg.exists(_._4 > 0), "no anchor excluded anything — screen inert")
+  }
+
   test("rag mmr recall meter: ppm-bounded and consistent with its hit counts") {
     import spark.implicits._
     val rec = CurationOps.docRagMmrRecall(spark, sf0001).collect()
