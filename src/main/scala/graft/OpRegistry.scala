@@ -24,7 +24,16 @@ object OpRegistry {
     * Queries carrying a WINDOW clause or a recursive CTE are left
     * untouched — the same token appears there in positions where
     * MATERIALIZED is invalid, and none of those oracles are
-    * chain-shaped. */
+    * chain-shaped.
+    *
+    * Failure-mode notes for a future author: (a) an oracle that adds a
+    * named WINDOW clause silently opts out of the rewrite — a perf
+    * regression only, never a wrong answer; (b) a VARCHAR literal
+    * containing the substring " AS (" would be corrupted — but any
+    * such corruption changes the oracle's RESULT and the hash gate
+    * fails loudly, so it cannot ship silently. Authoring MATERIALIZED
+    * in the SQL directly (the MlOps balance replay does) also works
+    * and is preferred for new deep chains. */
   private def materialized(sql: String): String =
     if (sql.contains("RECURSIVE") || sql.contains("WINDOW ")) sql
     else sql.replace(" AS (", " AS MATERIALIZED (")

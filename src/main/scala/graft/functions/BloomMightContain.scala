@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, StringType}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, NullType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -38,9 +38,11 @@ case class BloomMightContain(left: Expression, right: Expression)
   // sketch types at ANALYSIS time rather than surfacing as a runtime
   // ClassCastException in nullSafeEval or the lazy `bloom` val.
   override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
-    case StringType | BinaryType if right.dataType == BinaryType =>
+    // NullType: a bare NULL literal key analyzed (and returned NULL)
+    // before this check existed — keep that contract
+    case StringType | BinaryType | NullType if right.dataType == BinaryType =>
       TypeCheckResult.TypeCheckSuccess
-    case StringType | BinaryType =>
+    case StringType | BinaryType | NullType =>
       TypeCheckResult.TypeCheckFailure(
         s"bloom_might_contain: sketch must be BINARY, got ${right.dataType.sql}")
     case other =>

@@ -582,13 +582,25 @@ object MlOps {
     * full replay of fit + counts + sub-fits + reassignment in DuckDB
     * ([[ivfBalanceSql]]), so the on-disk split state is value-checked
     * end to end. */
+  /** The over-cap rule on a per-list count catalog — ONE definition
+    * under the maintenance pass ([[ivfSplitHot]]) and the probe meter
+    * ([[simAnnBalanceProbe]]), so the meter can never measure a
+    * different split than the one maintenance performs. */
+  private def hotListsOf(cnts: Seq[(Int, Long)]): Seq[Int] = {
+    val total = cnts.map(_._2).sum
+    cnts.filter { case (_, n) =>
+      n * IvfKmeans.K * IvfSplitDen > IvfSplitNum * total
+    }.map(_._1).sorted
+  }
+
   def simAnnIvfBalance(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val dir = ivfBalanceBuild(s, d)
-    val beforeRows = s.read.parquet(dir)
+    val before = s.read.parquet(dir)
       .groupBy($"list_id").agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getInt(0).toLong, r.getLong(1))).toMap // K rows
-    val hot = ivfSplitHot(s, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq // K rows
+    val beforeRows = before.map { case (l, n) => (l.toLong, n) }.toMap
+    val hot = ivfSplitHot(s, dir, Some(before))
     val parent = when($"list_id" >= IvfKmeans.K, $"list_id" - IvfKmeans.K)
       .otherwise($"list_id")
     val split =
@@ -635,16 +647,18 @@ object MlOps {
     * via dynamic partition overwrite. Returns the hot list ids.
     * Package-private so ScaleSpec pins the file-level contract —
     * untouched list dirs byte-stable — around exactly this step. */
-  private[graft] def ivfSplitHot(s: SparkSession, dir: String): Seq[Int] = {
+  private[graft] def ivfSplitHot(s: SparkSession, dir: String,
+      precounted: Option[Seq[(Int, Long)]] = None): Seq[Int] = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
-    val cnts = s.read.parquet(dir)
-      .groupBy($"list_id").agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getInt(0), r.getLong(1)))
-    val total = cnts.map(_._2).sum
-    val hot = cnts
-      .filter { case (_, n) => n * IvfKmeans.K * IvfSplitDen > IvfSplitNum * total }
-      .map(_._1).sorted.toSeq
+    // a caller that already collected the K-row catalog passes it in
+    // rather than paying a second full-index scan
+    val cnts = precounted.getOrElse {
+      s.read.parquet(dir)
+        .groupBy($"list_id").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    }
+    val hot = hotListsOf(cnts)
     if (hot.isEmpty) return hot
     val widen = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
     // one deterministic 2-means per hot list (bounded by K fits, each
@@ -779,11 +793,8 @@ object MlOps {
     val before = e.withColumn("list_id", IvfKmeans.assignCol(s, cents, $"v"))
       .select($"vec_id", $"embedding", $"v", $"list_id")
     val cnts = before.groupBy($"list_id").agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getInt(0), r.getLong(1)))
-    val total = cnts.map(_._2).sum
-    val hot = cnts
-      .filter { case (_, n) => n * IvfKmeans.K * IvfSplitDen > IvfSplitNum * total }
-      .map(_._1).sorted.toSeq
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val hot = hotListsOf(cnts) // the maintenance pass's own rule
     // in-memory twin of ivfSplitHot: same deterministic sub-fits, same
     // child-id rule — this op measures the SPLIT STATE, not the files
     val subCents = hot.map { l =>

@@ -995,6 +995,18 @@ object TextOps {
     * position order — the [[textBpeEncode]] contract). The corpus
     * re-tokenizes through a join against the dictionary-sized
     * (word → segmentation) table; raw text is scanned once. */
+  /** The per-doc encode rollup — ONE definition of (n_words, n_pieces,
+    * enc_md5) under the batch encoder AND the stream twin, so the
+    * stream==batch contract (and the shared oracle) is structural, not
+    * two hand-synced copies. Input: (doc_id, pos, n_syms, wenc). */
+  private def uniDocRollup(enc: DataFrame): DataFrame =
+    enc.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_syms")).as("n_pieces"),
+        md5(concat_ws(" | ",
+          array_sort(collect_list(struct(col("pos"), col("wenc"))))
+            .getField("wenc"))).as("enc_md5"))
+
   def textUnigramEncode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val (_, sc, dict) = uniFit(s, d)
@@ -1003,13 +1015,7 @@ object TextOps {
         $"seg".getField("path").as("wenc"))
     val words = documents(s, d).filter($"text".isNotNull)
       .select($"doc_id", posexplode(toks($"text")).as(Seq("pos", "word")))
-    val out = words.join(vocab, "word")
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_words"),
-        sum($"n_syms").as("n_pieces"),
-        md5(concat_ws(" | ", array_sort(collect_list(struct($"pos", $"wenc")))
-          .getField("wenc"))).as("enc_md5"))
-      .orderBy($"doc_id")
+    val out = uniDocRollup(words.join(vocab, "word")).orderBy($"doc_id")
     // release the fit cache now; evaluation recomputes the (determin-
     // istic) dictionary lineage once — the textBpeEncode contract, and
     // no cache outlives the call
@@ -1047,8 +1053,10 @@ object TextOps {
     val prevParts = s.conf.get(partsKey)
     s.conf.set(partsKey,
       EventOps.streamParts(s, d, table = "documents").toString)
+    val served = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = graft.Tables.streamTable(s, d, "documents").writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        served.incrementAndGet()
         val wds = batch.filter(col("text").isNotNull)
           .select(col("doc_id"),
             posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
@@ -1057,19 +1065,20 @@ object TextOps {
           .withColumn("seg", seg)
           .select(col("word"), col("seg").getField("np").as("n_syms"),
             col("seg").getField("path").as("wenc"))
-        wds.join(vocabB, "word")
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_words"),
-            sum(col("n_syms")).as("n_pieces"),
-            md5(concat_ws(" | ",
-              array_sort(collect_list(struct(col("pos"), col("wenc"))))
-                .getField("wenc"))).as("enc_md5"))
+        uniDocRollup(wds.join(vocabB, "word"))
           .write.mode("append").parquet(tmp)
         ()
       }
       .start()
     try q.processAllAvailable()
     finally { q.stop(); s.conf.set(partsKey, prevParts) }
+    // fail fast with a pointed message rather than the opaque
+    // schema-inference error parquet-reading an empty sink dir throws
+    // when the streaming source matched no files (the dedup_stream_near
+    // / doc_rag_stream guard)
+    require(served.get() > 0L,
+      s"text_stream_unigram: no micro-batch fired — streaming source at " +
+        s"$d/documents.parquet matched no files")
     // landed files ARE the output at scale — register for JVM-exit
     // cleanup rather than deleting (the docStreamQuality contract)
     val p = new org.apache.hadoop.fs.Path(tmp)
@@ -1288,18 +1297,17 @@ object TextOps {
     val toksOf = documents(s, d).filter($"text".isNotNull)
       .select($"doc_id", $"source", toks($"text").as("ws"))
       .filter(size($"ws") >= 2)
-    val big = toksOf.select(explode(expr(
-        "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS pw, ws[i+1] AS w))"))
-        .as("b"))
-      .groupBy($"b.pw".as("pw"), $"b.w".as("w")).agg(count(lit(1)).as("cb"))
-    val uni = documents(s, d).filter($"text".isNotNull)
-      .select(explode(toks($"text")).as("w"))
-      .groupBy($"w").agg(count(lit(1)).as("cu"))
-    val v = uni.count() // vocab size — the Laplace denominator constant
     val db = toksOf.select($"doc_id", $"source", explode(expr(
         "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS pw, ws[i+1] AS w))"))
         .as("b"))
       .select($"doc_id", $"source", $"b.pw".as("pw"), $"b.w".as("w"))
+    // the LM count table derives FROM the doc-bigram frame (one corpus
+    // explode feeds both, exactly like the oracle's CTE shape)
+    val big = db.groupBy($"pw", $"w").agg(count(lit(1)).as("cb"))
+    val uni = documents(s, d).filter($"text".isNotNull)
+      .select(explode(toks($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("cu"))
+    val v = uni.count() // vocab size — the Laplace denominator constant
     val scored = db
       .join(big, Seq("pw", "w"), "left") // every doc bigram IS in the corpus LM; left keeps the claim checkable
       .join(uni.withColumnRenamed("w", "pw"), Seq("pw"))
