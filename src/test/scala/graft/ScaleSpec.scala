@@ -815,6 +815,16 @@ class ScaleSpec extends SparkSpec {
     assert(p.contains("row_number() windowspecdefinition(source#"), p)
   }
 
+  test("hard negatives screen positives with an anti-join before the ranking") {
+    val p = plan(operators.SimilarityOps.simHardNegatives(spark, sf0001))
+    // the LSH positive screen must be a join-shaped exclusion (an
+    // aggregated blocklist collected to the driver would cap at driver
+    // memory exactly when the dup volume is largest)
+    assert(p.contains("LeftAnti"), p)
+    // ranking windows stay per-anchor, never a global sort
+    assert(p.contains("row_number() windowspecdefinition(qid#"), p)
+  }
+
   test("mix temperature stays catalog-sized: no sort-merge join, no root-table join") {
     val p = plan(operators.CurationOps.docMixTemperature(spark, sf0001))
     // the integer sqrt is a pure projection — a join against a
