@@ -403,6 +403,8 @@ object OpRegistry {
     op("doc_mix_weights", CurationOps.docMixWeights, CurationOps.docMixWeightsSql),
     op("doc_mix_temperature",
       CurationOps.docMixTemperature, CurationOps.docMixTemperatureSql),
+    op("doc_mix_epochs", CurationOps.docMixEpochs, CurationOps.docMixEpochsSql),
+    op("doc_curriculum", CurationOps.docCurriculum, CurationOps.docCurriculumSql),
     op("doc_interleave_temperature",
       CurationOps.docInterleaveTemperature, CurationOps.docInterleaveTemperatureSql),
     op("doc_global_shuffle", CurationOps.docGlobalShuffle, CurationOps.docGlobalShuffleSql),
@@ -471,6 +473,10 @@ object OpRegistry {
     op("doc_rag_prf", CurationOps.docRagPrf, CurationOps.docRagPrfSql),
     op("doc_rag_prf_recall",
       CurationOps.docRagPrfRecall, CurationOps.docRagPrfRecallSql),
+    op("doc_rag_filtered",
+      CurationOps.docRagFiltered, CurationOps.docRagFilteredSql),
+    op("doc_rag_filtered_recall",
+      CurationOps.docRagFilteredRecall, CurationOps.docRagFilteredRecallSql),
     op("dedup_incremental_bloom",
       DedupOps.dedupIncrementalBloom, DedupOps.dedupIncrementalBloomSql),
     op("dedup_near_incremental",
@@ -485,6 +491,7 @@ object OpRegistry {
     op("sim_ann_sq8_recall", MlOps.simAnnSq8Recall, MlOps.simAnnSq8RecallSql),
     op("sim_ann_report", MlOps.simAnnReport, MlOps.simAnnReportSql),
     op("sim_ann_ivf_balance", MlOps.simAnnIvfBalance, MlOps.ivfBalanceSql),
+    op("sim_ann_probe_sweep", MlOps.simAnnProbeSweep, MlOps.simAnnProbeSweepSql),
     op("sim_ann_balance_probe",
       MlOps.simAnnBalanceProbe, MlOps.simAnnBalanceProbeSql),
     op("mm_stream_ingest",

@@ -1059,6 +1059,73 @@ object CurationOps {
        |FROM rows_ ORDER BY alpha_ppm, source""".stripMargin
   }
 
+  /** Token budget multiple and epoch cap for [[docMixEpochs]]: a 2×
+    * data-constrained run with repetition capped at 4 epochs — the
+    * region Muennighoff et al. 2023 ("Scaling Data-Constrained
+    * Language Models") measure as near-free; repeating further buys
+    * rapidly decaying value, so demand beyond the cap is surfaced as
+    * `unmet_tokens` (the "go buy more data" meter) instead of being
+    * silently over-served. */
+  val EpochBudgetMul = 2L
+  val MaxEpochs = 4L
+
+  /** DATA-CONSTRAINED epoch allocation — the table that turns a
+    * sampling schedule into per-source REPEAT counts when the training
+    * budget exceeds the corpus: the run wants
+    * budget = [[EpochBudgetMul]] × corpus tokens distributed by the
+    * α = 1/2 temperature law ([[docMixTemperature]] — the SAME
+    * schedule that drives [[docInterleaveTemperature]], one schedule
+    * definition repo-wide), so a source holding sampling probability p
+    * is demanded budget·p tokens and must repeat
+    * ceil(demand / available) epochs, capped at [[MaxEpochs]].
+    * Output per source: available tokens, p_ppm, demanded / served /
+    * unmet tokens, epochs — catalog-sized at ANY corpus scale (the
+    * corpus is touched once by the per-source token rollup the
+    * schedule already pays). The budget·p product is computed as
+    * q·p + ⌊r·p/10⁶⌋ on the 10⁶-split of the total — exact
+    * ⌊total·p/10⁶⌋ with every intermediate ≤ ~10¹³ at 100 TB, where
+    * the naive total·p_ppm product would overflow int64. */
+  def docMixEpochs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sched = docMixTemperature(s, d)
+      .filter($"alpha_ppm" === MixTempAlphasPpm.head)
+      .select($"source", $"p_ppm")
+    val per = documents(s, d).filter($"text".isNotNull)
+      .groupBy($"source")
+      .agg(sum(size(split($"text", " ")).cast("long")).as("n_tokens"))
+    val tot = per.agg(sum($"n_tokens").as("total_tokens"))
+    per.crossJoin(tot).join(sched, "source")
+      .withColumn("demand_tokens", expr(
+        s"""$EpochBudgetMul * ((total_tokens div 1000000L) * p_ppm
+           | + ((total_tokens % 1000000L) * p_ppm) div 1000000L)""".stripMargin))
+      .withColumn("epochs",
+        least(expr("(demand_tokens + n_tokens - 1) div n_tokens"), lit(MaxEpochs)))
+      .withColumn("served_tokens",
+        least($"demand_tokens", $"n_tokens" * MaxEpochs))
+      .select($"source", $"n_tokens", $"p_ppm", $"demand_tokens", $"epochs",
+        $"served_tokens",
+        ($"demand_tokens" - $"served_tokens").as("unmet_tokens"))
+      .orderBy($"source")
+  }
+  lazy val docMixEpochsSql: String =
+    s"""WITH $mixTempCtesBody,
+       |tsum AS (SELECT CAST(sum(t_half) AS BIGINT) AS st FROM tq),
+       |tp AS (SELECT source, CAST((1000000 * t_half) // st AS BIGINT) AS p_ppm
+       |       FROM tq, tsum),
+       |alloc AS (
+       |  SELECT per.source, per.n_tokens, tp.p_ppm,
+       |    $EpochBudgetMul * ((tot.total_tokens // 1000000) * tp.p_ppm
+       |      + ((tot.total_tokens % 1000000) * tp.p_ppm) // 1000000)
+       |      AS demand_tokens
+       |  FROM per JOIN tp USING (source), tot)
+       |SELECT source, n_tokens, p_ppm, demand_tokens,
+       |  CAST(least((demand_tokens + n_tokens - 1) // n_tokens, $MaxEpochs)
+       |    AS BIGINT) AS epochs,
+       |  least(demand_tokens, n_tokens * $MaxEpochs) AS served_tokens,
+       |  demand_tokens - least(demand_tokens, n_tokens * $MaxEpochs)
+       |    AS unmet_tokens
+       |FROM alloc ORDER BY source""".stripMargin
+
   /** The temperature schedule DRIVING a feed — [[docInterleave]]'s
     * read-order machinery re-weighted by [[docMixTemperature]]'s
     * α = 1/2 sampling law instead of the capped uniform-target
@@ -2298,6 +2365,173 @@ object CurationOps {
     ragRecallOf(s, d, docRagPrf(s, d))
   lazy val docRagPrfRecallSql: String =
     ragRecallSqlAgainst("prfres", ragPrfCtesSql)
+
+  /** CURRICULUM feed order — the easy→hard schedule (Bengio et al.
+    * 2009) over [[TextOps.textPplBucket]]'s per-source fluency
+    * tertiles: all `head` (most fluent / easiest) documents first,
+    * then `middle`, then `tail`, with a fair per-source round-robin
+    * interleave inside each bucket so no bucket phase is dominated by
+    * one domain. Consumes the REGISTERED ppl-bucket op on both engines
+    * (its oracle nests verbatim), so the difficulty signal cannot
+    * drift from the meter that audits it. Positions come from
+    * [[graft.store.Dict.denseIndex]] (range-sort + zipWithIndex, never
+    * a partitionless window); the bucket → rank arithmetic is
+    * catalog-free integer work on the scored corpus, one pass.
+    * Documents too short to carry a bigram score (< 2 tokens) are
+    * outside the schedule, matching the ppl op's domain. */
+  def docCurriculum(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pb = TextOps.textPplBucket(s, d)
+    val base = pb
+      .withColumn("bseq",
+        when($"bucket" === "head", 1L)
+          .when($"bucket" === "middle", 2L).otherwise(3L))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"source", $"bucket").orderBy($"doc_id")).cast("long"))
+    graft.store.Dict
+      .denseIndex(base, Seq("bseq", "rn", "source", "doc_id"), "position", 1L)
+      .select($"position", $"bucket", $"source", $"doc_id", $"ppl_milli")
+      .orderBy($"position")
+  }
+  lazy val docCurriculumSql: String =
+    s"""WITH pb AS (SELECT * FROM (
+       |${TextOps.textPplBucketSql}
+       |) zpb),
+       |cur AS (
+       |  SELECT doc_id, source, ppl_milli, bucket,
+       |    CASE bucket WHEN 'head' THEN 1 WHEN 'middle' THEN 2 ELSE 3 END AS bseq,
+       |    row_number() OVER (PARTITION BY source, bucket ORDER BY doc_id) AS rn
+       |  FROM pb)
+       |SELECT CAST(row_number() OVER (ORDER BY bseq, rn, source, doc_id)
+       |    AS BIGINT) AS position,
+       |  bucket, source, doc_id, ppl_milli
+       |FROM cur ORDER BY position""".stripMargin
+
+  /** The metadata predicate [[docRagFiltered]] serves under — lang
+    * equality, the commonest filterable attribute a multilingual
+    * corpus carries. */
+  private[graft] val RagFilterLang = "en"
+
+  /** FILTERED vector search — retrieval under a metadata predicate
+    * (`lang = '[[RagFilterLang]]'`), the production pattern every
+    * vector store grows next ("answer from English passages only"):
+    * ONE shared index (the same frozen chunk quantizer — filters
+    * change per query, indexes don't), with the predicate applied
+    * PRE-ranking inside the probed lists, never post-cutting the
+    * top-K (post-filtering a K-deep shortlist returns < K rows the
+    * moment the filter bites — the classic filtered-ANN bug). The
+    * filterable attribute is attached at index-build time (one doc_id
+    * equi-join before assignment — at 100 TB the lang column is
+    * WRITTEN INTO the list partitions exactly like the vectors, so
+    * serve-time filtering is a scan predicate on the probed
+    * partitions, zero extra joins). Ranking contract mirrors
+    * [[docRagE2e]]: top-[[RagTopK]] per query, ties to lower
+    * (doc_id, chunk_id). */
+  def docRagFiltered(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(s)
+    val cvu = ragChunkUnitVecs(s, d)
+      .withColumn("vec_id", $"doc_id" * RagKeyMul + $"chunk_id")
+      .cache()
+    val cents = IvfKmeans.centroidsFor(s, d, "ragchunk",
+      cvu.select($"vec_id", $"v"), fpTable = "documents")
+    val cdf = IvfKmeans.centroidFrame(s, cents)
+    val langs = documents(s, d).select($"doc_id", $"lang")
+    val assigned = cvu.join(langs, "doc_id")
+      .withColumn("list_id", IvfKmeans.assignCol(s, cents, $"v"))
+    val probes = IvfKmeans.withDists(ragQueryVecs(s, d), cdf)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"dist", $"list_id")))
+      .filter($"rn" <= RagProbeLists)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"list_id")
+    val scored = probes
+      .join(assigned.filter($"lang" === RagFilterLang), "list_id")
+      .filter($"doc_id" =!= $"qid")
+      .select($"qid", $"doc_id", $"chunk_id",
+        expr("cosine_sim(qv, v)").as("cos"))
+    val w = Window.partitionBy($"qid")
+      .orderBy($"cos".desc, $"doc_id", $"chunk_id")
+    val out = scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= RagTopK)
+      .select($"qid", $"rank", $"doc_id", $"chunk_id")
+      .orderBy($"qid", $"rank")
+    import scala.jdk.CollectionConverters._
+    val rows = out.collect().toSeq
+    cvu.unpersist()
+    s.createDataFrame(rows.asJava, out.schema)
+  }
+  /** The filtered result as oracle CTEs over the shared retrieval
+    * chain: `scored` carries every probed candidate's cosine, so the
+    * pre-filter ranking is the rank among lang-matching candidates. */
+  private lazy val ragFilteredCtesSql: String =
+    s"""fres AS (
+       |  SELECT qid, rank, doc_id, chunk_id FROM (
+       |    SELECT s.qid, s.doc_id, s.chunk_id,
+       |      CAST(row_number() OVER (PARTITION BY s.qid
+       |        ORDER BY s.cos DESC, s.doc_id, s.chunk_id) AS BIGINT) AS rank
+       |    FROM scored s JOIN documents dd ON dd.doc_id = s.doc_id
+       |    WHERE dd.lang = '$RagFilterLang') z
+       |  WHERE rank <= $RagTopK)""".stripMargin
+  lazy val docRagFilteredSql: String =
+    s"""$ragCtesSql,
+       |$ragFilteredCtesSql
+       |SELECT qid, rank, doc_id, chunk_id FROM fres ORDER BY qid, rank""".stripMargin
+
+  /** Recall@[[RagTopK]] of [[docRagFiltered]] against the EXACT
+    * filtered truth (brute cosine over lang-matching chunks only) —
+    * the meter for the known filtered-ANN failure mode: a selective
+    * predicate decimates the probed lists until the true filtered
+    * neighbors live in lists the probe never opens, and the fix
+    * (raise nprobe when filtering — [[MlOps.simAnnProbeSweep]] is the
+    * dial) must be justified by this measurement. */
+  def docRagFilteredRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(s)
+    val rag = docRagFiltered(s, d)
+      .select($"qid", $"doc_id", $"chunk_id").withColumn("hit", lit(1L))
+    val q = ragQueryVecs(s, d).select($"vec_id".as("qid"), $"v".as("qv"))
+    val langs = documents(s, d).select($"doc_id", $"lang")
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"doc_id", $"chunk_id")
+    val truth = ragChunkUnitVecs(s, d).join(langs, "doc_id")
+      .filter($"lang" === RagFilterLang)
+      .crossJoin(q)
+      .filter($"doc_id" =!= $"qid")
+      .select($"qid", $"doc_id", $"chunk_id",
+        expr("cosine_sim(qv, v)").as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= RagTopK)
+      .select($"qid", $"doc_id", $"chunk_id")
+    truth.join(rag, Seq("qid", "doc_id", "chunk_id"), "left")
+      .groupBy($"qid")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce($"hit", lit(0L))).as("n_hit"))
+      .select($"qid", $"n_true", $"n_hit",
+        expr("(1000000L * n_hit) div n_true").as("recall_ppm"))
+      .orderBy($"qid")
+  }
+  lazy val docRagFilteredRecallSql: String =
+    s"""$ragCtesSql,
+       |$ragFilteredCtesSql,
+       |truth AS (
+       |  SELECT qid, doc_id, chunk_id FROM (
+       |    SELECT q.vec_id AS qid, cvu.doc_id, cvu.chunk_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(q.v, cvu.v) DESC,
+       |                 cvu.doc_id, cvu.chunk_id) AS rank
+       |    FROM qemb q CROSS JOIN cvu
+       |    JOIN documents dd ON dd.doc_id = cvu.doc_id
+       |    WHERE cvu.doc_id <> q.vec_id AND dd.lang = '$RagFilterLang') z
+       |  WHERE rank <= $RagTopK)
+       |SELECT t.qid, count(*) AS n_true,
+       |  CAST(sum(CASE WHEN r.qid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  CAST((1000000 * sum(CASE WHEN r.qid IS NOT NULL THEN 1 ELSE 0 END))
+       |    // count(*) AS BIGINT) AS recall_ppm
+       |FROM truth t LEFT JOIN fres r
+       |  ON r.qid = t.qid AND r.doc_id = t.doc_id AND r.chunk_id = t.chunk_id
+       |GROUP BY t.qid ORDER BY t.qid""".stripMargin
 
   /** Candidate pool depth for [[docRagMmr]] — the rerank works on the
     * probed top-[[RagMmrPool]], so the diversity pass costs

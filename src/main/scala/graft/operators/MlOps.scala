@@ -1176,4 +1176,105 @@ object MlOps {
          |${annRecallSqlAgainst(sqlf())}
          |) z_$name""".stripMargin
     }.mkString("\n", "\nUNION ALL\n", "\nORDER BY variant, qid")
+
+  /** Deepest probe depth [[simAnnProbeSweep]] measures (of
+    * [[IvfKmeans.K]] lists) — 4 levels is the knee region for a
+    * 2-probe default. */
+  private[operators] val SweepMaxProbe = 4
+
+  /** The IVF probe-depth TUNING CURVE — the one-table answer to "what
+    * nprobe do we serve at": for every probe depth 1..[[SweepMaxProbe]],
+    * micro recall@3 against the shared brute truth
+    * ([[SimilarityOps.simTopkBrute]]) next to the scan cost that depth
+    * pays (`scanned` = candidate rows exact-scored across the query
+    * set). Recall climbs with nprobe while cost climbs ∝ probed-list
+    * mass; the curve is what turns "recall too low" into "raise nprobe
+    * to 3, pay 1.5× scan" — reference's full-scan evaluator
+    * (`src/datastore/graph.rs:696-821`) has no tuning dial, this is
+    * the rebuild's. Candidates are scored ONCE at the deepest level
+    * and each sweep level filters the cached set by its probe rank —
+    * at 100 TB that is [[SweepMaxProbe]]/16ths of the corpus scanned
+    * once, not once per level. Output is [[SweepMaxProbe]] rows at any
+    * corpus size; everything crossing the oracle is integer (ppm). */
+  def simAnnProbeSweep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val cents = IvfKmeans.centroids(s, d)
+    val cdf = IvfKmeans.centroidFrame(s, cents)
+    val e = IvfKmeans.withV(s, d).cache()
+    val assigned = e
+      .withColumn("list_id", IvfKmeans.assignCol(s, cents, $"v"))
+      .select($"vec_id", $"embedding", $"list_id")
+    val probes = IvfKmeans.withDists(e.filter($"vec_id" < 5), cdf)
+      .withColumn("probe_rn", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"dist", $"list_id")).cast("long"))
+      .filter($"probe_rn" <= SweepMaxProbe)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"), $"list_id", $"probe_rn")
+    val cand = probes.join(assigned, "list_id")
+      .filter($"qid" =!= $"vec_id")
+      .select($"qid", $"probe_rn", $"vec_id".as("nid"),
+        expr("cosine_sim(qe, embedding)").as("cos"))
+      .cache()
+    val brute = SimilarityOps.simTopkBrute(s, d).select($"qid", $"nid").cache()
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
+    val out = (1 to SweepMaxProbe).map { p =>
+      val lvl = cand.filter($"probe_rn" <= p)
+      val got = lvl.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .select($"qid", $"nid", lit(1L).as("hit"))
+      val rec = brute.join(got, Seq("qid", "nid"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce($"hit", lit(0L))).as("n_hit"))
+      lvl.agg(count(lit(1)).as("scanned")).crossJoin(rec)
+        .select(lit(p.toLong).as("nprobe"), $"scanned", $"n_true", $"n_hit",
+          expr("(1000000L * n_hit) div n_true").as("recall_ppm"))
+    }.reduce(_ unionAll _).orderBy($"nprobe")
+    // materialize (SweepMaxProbe rows) so the caches release before return
+    import scala.jdk.CollectionConverters._
+    val rows = out.collect().toSeq
+    e.unpersist(); cand.unpersist(); brute.unpersist()
+    s.createDataFrame(rows.asJava, out.schema)
+  }
+  val simAnnProbeSweepSql: String =
+    s"""$ivfFitCtes,
+       |probe AS (
+       |  SELECT vec_id, list_id, rn FROM (
+       |    SELECT e.vec_id, c.list_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_sum(list_transform(list_zip(e.v, c.c),
+       |                          p -> (p[1]-p[2])*(p[1]-p[2]))), c.list_id) AS rn
+       |    FROM emb e CROSS JOIN c${IvfKmeans.Rounds} c WHERE e.vec_id < 5) z
+       |  WHERE rn <= $SweepMaxProbe),
+       |cand AS (
+       |  SELECT p.vec_id AS qid, p.rn AS probe_rn, af.vec_id AS nid,
+       |    list_cosine_similarity(q.v, n.v) AS cos
+       |  FROM probe p
+       |  JOIN af ON af.list_id = p.list_id
+       |  JOIN emb q ON q.vec_id = p.vec_id
+       |  JOIN emb n ON n.vec_id = af.vec_id
+       |  WHERE af.vec_id <> p.vec_id),
+       |brute AS (SELECT qid, nid FROM (
+       |${SimilarityOps.simTopkBruteSql}
+       |) zb),
+       |levels AS (SELECT unnest([${(1 to SweepMaxProbe).mkString(", ")}]) AS nprobe),
+       |got AS (
+       |  SELECT nprobe, qid, nid FROM (
+       |    SELECT l.nprobe, c.qid, c.nid,
+       |      row_number() OVER (PARTITION BY l.nprobe, c.qid
+       |        ORDER BY c.cos DESC, c.nid) AS rank
+       |    FROM levels l JOIN cand c ON c.probe_rn <= l.nprobe) z
+       |  WHERE rank <= 3),
+       |scan AS (
+       |  SELECT l.nprobe, count(*) AS scanned
+       |  FROM levels l JOIN cand c ON c.probe_rn <= l.nprobe GROUP BY 1),
+       |hits AS (
+       |  SELECT l.nprobe, count(*) AS n_true,
+       |    CAST(sum(CASE WHEN g.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+       |  FROM levels l CROSS JOIN brute b
+       |  LEFT JOIN got g ON g.nprobe = l.nprobe AND g.qid = b.qid AND g.nid = b.nid
+       |  GROUP BY 1)
+       |SELECT CAST(s.nprobe AS BIGINT) AS nprobe, s.scanned, h.n_true, h.n_hit,
+       |  CAST((1000000 * h.n_hit) // h.n_true AS BIGINT) AS recall_ppm
+       |FROM scan s JOIN hits h ON h.nprobe = s.nprobe
+       |ORDER BY nprobe""".stripMargin
 }

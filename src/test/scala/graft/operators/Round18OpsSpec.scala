@@ -304,4 +304,100 @@ class Round18OpsSpec extends SparkSpec {
       assert(ppm == 1000000L * nHit / nTrue, s"qid=$q ppm drifted from counts")
     }
   }
+
+  test("probe sweep: recall and scan cost both monotone in nprobe, counts consistent") {
+    val rows = MlOps.simAnnProbeSweep(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to MlOps.SweepMaxProbe).toSeq,
+      "one row per probe depth")
+    assert(rows.map(_._3).distinct.length == 1, "truth size must not vary with nprobe")
+    rows.foreach { case (p, scanned, nTrue, nHit, ppm) =>
+      assert(nHit >= 0 && nHit <= nTrue, s"nprobe=$p hits out of range")
+      assert(ppm == 1000000L * nHit / nTrue, s"nprobe=$p ppm drifted")
+      assert(scanned > 0, s"nprobe=$p scored nothing — probe inert")
+    }
+    // deeper probes can only ADD candidate lists: recall and cost are
+    // both non-decreasing (a decrease means the sweep isn't a filter
+    // chain over one scored candidate set)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 >= a._2, s"scanned fell ${a._2}→${b._2} at nprobe=${b._1}")
+      assert(b._4 >= a._4, s"hits fell ${a._4}→${b._4} at nprobe=${b._1}")
+    }
+  }
+
+  test("mix epochs: allocation identity, cap honored, schedule mass conserved") {
+    import spark.implicits._
+    val rows = CurationOps.docMixEpochs(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    val totalTokens = rows.map(_._2).sum
+    rows.foreach { case (src, n, p, demand, epochs, served, unmet) =>
+      assert(demand == served + unmet, s"$src: demand ≠ served + unmet")
+      assert(epochs <= CurationOps.MaxEpochs, s"$src: epoch cap breached")
+      val wantEpochs = math.min((demand + n - 1) / n, CurationOps.MaxEpochs)
+      assert(epochs == wantEpochs, s"$src: epochs=$epochs, want $wantEpochs")
+      assert(served <= n * CurationOps.MaxEpochs, s"$src: served beyond cap")
+      if (demand > 0) assert(epochs >= 1, s"$src: demanded but zero epochs")
+    }
+    // floor-rounding only ever loses mass: total demand stays within
+    // the budget, and within #sources rounding units of it
+    val demandSum = rows.map(_._4).sum
+    val budget = CurationOps.EpochBudgetMul * totalTokens
+    assert(demandSum <= budget, s"demand $demandSum exceeds budget $budget")
+    // each source floors twice (p_ppm, then the 10⁶-split product):
+    // ≤ EpochBudgetMul·(total/10⁶ + 1) tokens lost per source
+    val maxLoss = CurationOps.EpochBudgetMul *
+      rows.length * (totalTokens / 1000000L + 1L)
+    assert(demandSum >= budget - maxLoss,
+      s"demand $demandSum lost more than rounding can explain (budget $budget)")
+  }
+
+  test("curriculum: positions dense, bucket phases strictly ordered, domain matches ppl op") {
+    import spark.implicits._
+    val cur = CurationOps.docCurriculum(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(cur.map(_._1).sorted.toSeq == (1L to cur.length).toSeq, "positions not dense")
+    val byBucket = cur.groupBy(_._2).map { case (b, rs) =>
+      b -> (rs.map(_._1).min, rs.map(_._1).max)
+    }
+    for {
+      (early, late) <- Seq(("head", "middle"), ("middle", "tail"))
+      (_, eMax) <- byBucket.get(early)
+      (lMin, _) <- byBucket.get(late)
+    } assert(eMax < lMin, s"$early phase overlaps $late phase")
+    val scoredDocs = TextOps.textPplBucket(spark, sf0001).count()
+    assert(cur.length.toLong == scoredDocs,
+      "curriculum must schedule exactly the scorable documents")
+  }
+
+  test("filtered retrieval: predicate honored pre-ranking, meter consistent") {
+    import spark.implicits._
+    val res = CurationOps.docRagFiltered(spark, sf0001).cache()
+    val langOf = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = res.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty, "filtered retrieval returned nothing")
+    rows.foreach { case (q, rank, doc, _) =>
+      assert(langOf(doc) == CurationOps.RagFilterLang,
+        s"qid=$q retrieved doc $doc with lang ${langOf(doc)}")
+      assert(doc != q, s"qid=$q retrieved its own document")
+      assert(rank >= 1 && rank <= CurationOps.RagTopK, s"qid=$q rank $rank out of range")
+    }
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq,
+        s"qid=$q ranks not dense")
+    }
+    val rec = CurationOps.docRagFilteredRecall(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rec.nonEmpty)
+    rec.foreach { case (q, nTrue, nHit, ppm) =>
+      assert(nTrue > 0 && nHit >= 0 && nHit <= nTrue, s"qid=$q hits out of range")
+      assert(ppm == 1000000L * nHit / nTrue, s"qid=$q ppm drifted from counts")
+    }
+    res.unpersist()
+  }
 }
