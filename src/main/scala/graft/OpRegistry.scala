@@ -388,6 +388,7 @@ object OpRegistry {
     op("dedup_embedding_clusters",
       DedupOps.dedupEmbeddingClusters, DedupOps.dedupEmbeddingClustersSql),
     op("dedup_minhash_lsh", DedupOps.dedupMinhashLsh, DedupOps.dedupMinhashLshSql),
+    op("dedup_lsh_curve", DedupOps.dedupLshCurve, DedupOps.dedupLshCurveSql),
     op("dedup_simhash", DedupOps.dedupSimhash, DedupOps.dedupSimhashSql),
     op("dedup_embedding_cosine", DedupOps.dedupEmbeddingCosine, DedupOps.dedupEmbeddingCosineSql),
     op("dedup_embedding_lsh", DedupOps.dedupEmbeddingLsh, DedupOps.dedupEmbeddingLshSql),

@@ -116,7 +116,12 @@ object DedupOps {
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame =
     dedupNgramJaccardOf(s, tokens(s, d))
 
-  private def dedupNgramJaccardOf(s: SparkSession, toks: DataFrame): DataFrame = {
+  /** The full co-shingle pair set with exact Jaccard ingredients
+    * (da, db, c, na, nb) over the DF-capped working sets — everything
+    * [[dedupNgramJaccardOf]] computes BEFORE its ≥1/2 threshold.
+    * Exposed unthresholded so [[dedupLshCurve]] can bucket the same
+    * pair universe by similarity instead of cutting it. */
+  private def jaccardScoredOf(s: SparkSession, toks: DataFrame): DataFrame = {
     import s.implicits._
     val shAll = shinglesOf(s, toks).cache()
     // apply the cap as an ANTI-join against the DROPPED shingles: the
@@ -146,8 +151,13 @@ object DedupOps {
     common
       .join(n.toDF("da", "na"), "da")
       .join(n.toDF("db", "nb"), "db")
-      .filter(lit(2) * $"c" >= $"na" + $"nb" - $"c")
       .select($"da", $"db", $"c", $"na", $"nb")
+  }
+
+  private def dedupNgramJaccardOf(s: SparkSession, toks: DataFrame): DataFrame = {
+    import s.implicits._
+    jaccardScoredOf(s, toks)
+      .filter(lit(2) * $"c" >= $"na" + $"nb" - $"c")
       .orderBy($"da", $"db")
   }
   val dedupNgramJaccardSql: String =
@@ -224,6 +234,27 @@ object DedupOps {
     * variant [[dedupReport]] feeds from its shared token base. */
   private def minhashPairsOf(s: SparkSession, toksIn: DataFrame): DataFrame = {
     import s.implicits._
+    val (cand, sig) = minhashCandBase(s, toksIn)
+    val sets = sig.select($"doc_id", $"gs")
+    cand
+      .join(sets.toDF("da", "ga"), "da")
+      .join(sets.toDF("db", "gb"), "db")
+      .select($"da", $"db",
+        size(array_intersect($"ga", $"gb")).as("c"),
+        size($"ga").as("na"), size($"gb").as("nb"))
+      .filter(lit(2) * $"c" >= $"na" + $"nb" - $"c")
+      .select($"da", $"db")
+  }
+
+  /** The banding SCREEN itself — (band-bucket-collision candidate
+    * pairs, signature frame) before any Jaccard verification. One
+    * definition under [[minhashPairsOf]] (which verifies) and
+    * [[dedupLshCurve]] (which measures the screen's raw sensitivity),
+    * so the curve can never meter a different screen than the one the
+    * dedup family runs. */
+  private def minhashCandBase(
+      s: SparkSession, toksIn: DataFrame): (DataFrame, DataFrame) = {
+    import s.implicits._
     GraftFunctions.register(s)
     val docs = toksIn
       .select($"doc_id", expr("word_shingles(ws)").as("gs"))
@@ -247,15 +278,7 @@ object DedupOps {
       .join(kept.toDF("db", "band", "bucket"), Seq("band", "bucket"))
       .filter($"da" < $"db")
       .select($"da", $"db").distinct()
-    val sets = sig.select($"doc_id", $"gs")
-    cand
-      .join(sets.toDF("da", "ga"), "da")
-      .join(sets.toDF("db", "gb"), "db")
-      .select($"da", $"db",
-        size(array_intersect($"ga", $"gb")).as("c"),
-        size($"ga").as("na"), size($"gb").as("nb"))
-      .filter(lit(2) * $"c" >= $"na" + $"nb" - $"c")
-      .select($"da", $"db")
+    (cand, sig)
   }
 
   /** DuckDB CTE chain replicating [[minhashPairs]] from relation `src`
@@ -285,6 +308,60 @@ object DedupOps {
        |mp AS (SELECT da, db FROM v WHERE 2*c >= na + nb - c)""".stripMargin
   val dedupMinhashLshSql: String =
     s"WITH ${minhashPairsCtesSql("documents")}\nSELECT da, db FROM mp ORDER BY da, db"
+
+  /** The measured BANDING S-CURVE — detection probability of the
+    * MinHash-LSH screen as a function of actual pair similarity, the
+    * table that answers "is 4 bands × 4 rows the right banding for a
+    * 0.5 threshold" with data instead of the 1-(1-sʳ)ᵇ formula: the
+    * co-shingle pair universe ([[jaccardScoredOf]] — every pair the
+    * DF-capped inverted index can see, NO similarity threshold) is
+    * bucketed by exact-Jaccard decile, and each decile reports what
+    * fraction the banding screen ([[minhashCandBase]] — the exact
+    * candidate generator [[dedupMinhashLsh]] verifies from) caught.
+    * A healthy curve is low in deciles 0–3 (wasted verification) and
+    * near-10⁶ ppm above the threshold decile (missed dups); drift
+    * after a shingle/banding change shows up HERE before it shows up
+    * as silent corpus contamination. Both legs are the family's
+    * capped, corpus-linear generators; the rollup is ≤10 rows at any
+    * corpus size. The token base is scanned ONCE (cached) and feeds
+    * both legs, the [[dedupReport]] sharing pattern. */
+  def dedupLshCurve(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = trackCache(tokens(s, d))
+    val uni = jaccardScoredOf(s, toks)
+      .withColumn("j_ppm", expr("(1000000L * c) div (na + nb - c)"))
+      .withColumn("decile", least(expr("j_ppm div 100000L"), lit(9L)))
+      .select($"da", $"db", $"decile")
+    val (cand, _) = minhashCandBase(s, toks)
+    uni.join(cand.withColumn("hit", lit(1L)), Seq("da", "db"), "left")
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce($"hit", lit(0L))).as("n_detected"))
+      .select($"decile", $"n_pairs", $"n_detected",
+        expr("(1000000L * n_detected) div n_pairs").as("detect_ppm"))
+      .orderBy($"decile")
+  }
+  val dedupLshCurveSql: String =
+    s"""WITH ${minhashPairsCtesSql("documents")},
+       |u0 AS (SELECT doc_id, unnest(list_distinct(
+       |         [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)])) AS g
+       |       FROM tok),
+       |keepg AS (SELECT g FROM (SELECT g, count(*) AS n_docs FROM u0 GROUP BY g)
+       |          WHERE n_docs <= $NgramDfCap),
+       |ush AS (SELECT u0.doc_id, u0.g FROM u0 JOIN keepg ON keepg.g = u0.g),
+       |un AS (SELECT doc_id, count(*) AS n FROM ush GROUP BY doc_id),
+       |upx AS (SELECT a.doc_id da, b.doc_id db, count(*) c
+       |        FROM ush a JOIN ush b ON a.g = b.g AND a.doc_id < b.doc_id
+       |        GROUP BY 1, 2),
+       |uj AS (SELECT da, db,
+       |         least(((1000000 * c) // (na.n + nb.n - c)) // 100000, 9) AS decile
+       |       FROM upx JOIN un na ON na.doc_id = da JOIN un nb ON nb.doc_id = db)
+       |SELECT CAST(uj.decile AS BIGINT) AS decile, count(*) AS n_pairs,
+       |  CAST(sum(CASE WHEN cd.da IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_detected,
+       |  CAST((1000000 * sum(CASE WHEN cd.da IS NOT NULL THEN 1 ELSE 0 END))
+       |    // count(*) AS BIGINT) AS detect_ppm
+       |FROM uj LEFT JOIN cand cd ON cd.da = uj.da AND cd.db = uj.db
+       |GROUP BY uj.decile ORDER BY decile""".stripMargin
 
   /** Dedup CLUSTERING — the production step after pair generation:
     * near-dup pairs become edges, connected components become cluster

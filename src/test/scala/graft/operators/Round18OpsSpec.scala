@@ -372,6 +372,28 @@ class Round18OpsSpec extends SparkSpec {
       "curriculum must schedule exactly the scorable documents")
   }
 
+  test("lsh curve: screen sensitive above the threshold decile, quiet below") {
+    import spark.implicits._
+    val rows = DedupOps.dedupLshCurve(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    DedupOps.releaseCaches()
+    assert(rows.nonEmpty, "curve must emit at least one decile")
+    rows.foreach { case (dec, n, det, ppm) =>
+      assert(dec >= 0 && dec <= 9, s"decile $dec out of range")
+      assert(det >= 0 && det <= n, s"decile $dec detections out of range")
+      assert(ppm == 1000000L * det / n, s"decile $dec ppm drifted from counts")
+    }
+    // every verified near-dup pair (jaccard ≥ 1/2 ⇒ decile ≥ 5) lives
+    // in a decile the screen fully catches on this corpus — the curve
+    // must agree with the registered pair generator end to end
+    val caught = rows.filter(_._1 >= 5).map(r => r._2 - r._3).sum
+    assert(caught == 0, s"screen missed $caught above-threshold pairs")
+    // and the screen must not fire on the dissimilar mass
+    rows.find(_._1 == 0).foreach { case (_, n, det, _) =>
+      assert(det * 10 <= n, s"decile 0 detection too hot: $det of $n")
+    }
+  }
+
   test("filtered retrieval: predicate honored pre-ranking, meter consistent") {
     import spark.implicits._
     val res = CurationOps.docRagFiltered(spark, sf0001).cache()
