@@ -406,6 +406,10 @@ object OpRegistry {
       CurationOps.docMixTemperature, CurationOps.docMixTemperatureSql),
     op("doc_mix_epochs", CurationOps.docMixEpochs, CurationOps.docMixEpochsSql),
     op("doc_curriculum", CurationOps.docCurriculum, CurationOps.docCurriculumSql),
+    op("doc_interleave_epochs",
+      CurationOps.docInterleaveEpochs, CurationOps.docInterleaveEpochsSql),
+    op("ev_lateness_profile",
+      EventOps.evLatenessProfile, EventOps.evLatenessProfileSql),
     op("doc_interleave_temperature",
       CurationOps.docInterleaveTemperature, CurationOps.docInterleaveTemperatureSql),
     op("doc_global_shuffle", CurationOps.docGlobalShuffle, CurationOps.docGlobalShuffleSql),

@@ -1005,17 +1005,24 @@ object CurationOps {
     * catalog-sized table — sources × 2 rows at ANY corpus scale; the
     * window partitions by α over that catalog, never over corpus
     * rows. */
+  /** share_ppm → exact integer-root temperature columns (t_half,
+    * t_quarter) — ONE definition under [[docMixTemperature]] and
+    * [[docMixEpochs]] so the two consumers of the sampling law can
+    * never round differently. */
+  private def withTempRoots(base: DataFrame): DataFrame =
+    base
+      .withColumn("n1", col("share_ppm") * 1000000L)
+      .withColumn("g1", expr(isqrtSeedSql("n1")))
+      .withColumn("t_half", expr(isqrtFixSql("g1", "n1")))
+      .withColumn("n2", col("t_half") * 1000000L)
+      .withColumn("g2", expr(isqrtSeedSql("n2")))
+      .withColumn("t_quarter", expr(isqrtFixSql("g2", "n2")))
+
   def docMixTemperature(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val Seq(aHalf, aQuarter) = MixTempAlphasPpm
-    val base = docMixWeights(s, d).select($"source", $"share_ppm")
-      .withColumn("n1", $"share_ppm" * 1000000L)
-      .withColumn("g1", expr(isqrtSeedSql("n1")))
-      .withColumn("t_half", expr(isqrtFixSql("g1", "n1")))
-      .withColumn("n2", $"t_half" * 1000000L)
-      .withColumn("g2", expr(isqrtSeedSql("n2")))
-      .withColumn("t_quarter", expr(isqrtFixSql("g2", "n2")))
+    val base = withTempRoots(docMixWeights(s, d).select($"source", $"share_ppm"))
     val w = Window.partitionBy($"alpha_ppm")
     base.select($"source", $"share_ppm",
         explode(map(lit(aHalf), $"t_half", lit(aQuarter), $"t_quarter"))
@@ -1087,14 +1094,21 @@ object CurationOps {
     * the naive total·p_ppm product would overflow int64. */
   def docMixEpochs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sched = docMixTemperature(s, d)
-      .filter($"alpha_ppm" === MixTempAlphasPpm.head)
-      .select($"source", $"p_ppm")
+    import org.apache.spark.sql.expressions.Window
+    // ONE corpus scan: the cached catalog-sized rollup feeds the total,
+    // the α=1/2 schedule (shared withTempRoots — the same law
+    // docMixTemperature registers), and the allocation arithmetic
     val per = documents(s, d).filter($"text".isNotNull)
       .groupBy($"source")
       .agg(sum(size(split($"text", " ")).cast("long")).as("n_tokens"))
+      .cache()
     val tot = per.agg(sum($"n_tokens").as("total_tokens"))
-    per.crossJoin(tot).join(sched, "source")
+    // partitionless window over the SOURCES catalog (≤ thousands of
+    // rows at any corpus size), mirroring the oracle's tsum CTE
+    val out = withTempRoots(per.crossJoin(tot)
+        .withColumn("share_ppm", expr("(1000000L * n_tokens) div total_tokens")))
+      .withColumn("sum_t", sum($"t_half").over(Window.partitionBy()))
+      .withColumn("p_ppm", expr("(1000000L * t_half) div sum_t"))
       .withColumn("demand_tokens", expr(
         s"""$EpochBudgetMul * ((total_tokens div 1000000L) * p_ppm
            | + ((total_tokens % 1000000L) * p_ppm) div 1000000L)""".stripMargin))
@@ -1106,6 +1120,10 @@ object CurationOps {
         $"served_tokens",
         ($"demand_tokens" - $"served_tokens").as("unmet_tokens"))
       .orderBy($"source")
+    import scala.jdk.CollectionConverters._
+    val rows = out.collect().toSeq
+    per.unpersist()
+    s.createDataFrame(rows.asJava, out.schema)
   }
   lazy val docMixEpochsSql: String =
     s"""WITH $mixTempCtesBody,
@@ -1125,6 +1143,60 @@ object CurationOps {
        |  demand_tokens - least(demand_tokens, n_tokens * $MaxEpochs)
        |    AS unmet_tokens
        |FROM alloc ORDER BY source""".stripMargin
+
+  /** The epoch allocation DRIVING a feed — [[docMixEpochs]]' repeat
+    * counts materialized as the actual multi-epoch read order: every
+    * document of source i appears epochs_i times, EPOCH-MAJOR (the
+    * full source cycles before any repeat — how training actually
+    * revisits data), and sources interleave by the same α = 1/2
+    * sampling probability, priority = (epoch·n_docs + rank)·10⁶ div
+    * p_ppm — a source holding probability p surfaces every ~1/p
+    * positions across ALL its epochs, so repeats spread through the
+    * feed instead of clumping at the end. Zero-epoch sources
+    * (p_ppm = 0) are excluded BEFORE the explode on both engines
+    * (Spark's `sequence(0, -1)` descends rather than emptying — the
+    * [[docPackManifest]] lesson). Output is feed-sized (Σ epochs_i ·
+    * n_i rows); the allocation table is catalog-sized and joins the
+    * corpus as AQE-broadcast; positions via
+    * [[graft.store.Dict.denseIndex]], never a partitionless window. */
+  def docInterleaveEpochs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sched = docMixEpochs(s, d)
+      .filter($"epochs" > 0L && $"p_ppm" > 0L)
+      .select($"source", $"p_ppm", $"epochs")
+    val wS = Window.partitionBy($"source")
+    val base = documents(s, d).filter($"text".isNotNull)
+      .join(sched, "source")
+      .withColumn("rn", row_number().over(wS.orderBy($"doc_id")).cast("long"))
+      .withColumn("nd", count(lit(1)).over(wS).cast("long"))
+      .withColumn("epoch", explode(expr("sequence(0L, epochs - 1)")))
+      .withColumn("priority",
+        expr("((epoch * nd + rn) * 1000000L) div p_ppm"))
+      .select($"source", $"doc_id", $"epoch", $"priority")
+    graft.store.Dict
+      .denseIndex(base, Seq("priority", "source", "doc_id", "epoch"), "position", 1L)
+      .select($"position", $"source", $"doc_id", $"epoch")
+      .orderBy($"position")
+  }
+  lazy val docInterleaveEpochsSql: String =
+    s"""WITH me AS (SELECT source, p_ppm, epochs FROM (
+       |$docMixEpochsSql
+       |) zme WHERE epochs > 0 AND p_ppm > 0),
+       |db AS (
+       |  SELECT d.source, d.doc_id, m.p_ppm, m.epochs,
+       |    row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY d.source) AS nd
+       |  FROM documents d JOIN me m USING (source)
+       |  WHERE d.text IS NOT NULL),
+       |ex AS (SELECT source, doc_id, p_ppm, rn, nd,
+       |         unnest(range(0, epochs)) AS epoch FROM db),
+       |pr AS (SELECT source, doc_id, epoch,
+       |         ((epoch * nd + rn) * 1000000) // p_ppm AS priority FROM ex)
+       |SELECT CAST(row_number() OVER (
+       |    ORDER BY priority, source, doc_id, epoch) AS BIGINT) AS position,
+       |  source, doc_id, CAST(epoch AS BIGINT) AS epoch
+       |FROM pr ORDER BY position""".stripMargin
 
   /** The temperature schedule DRIVING a feed — [[docInterleave]]'s
     * read-order machinery re-weighted by [[docMixTemperature]]'s

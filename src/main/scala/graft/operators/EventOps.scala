@@ -636,6 +636,86 @@ object EventOps {
       |  CAST(sum(gap_us) AS BIGINT) AS sum_gap_us
       |FROM gaps GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Watermark delays [[evLatenessProfile]] measures, in µs: 0, 1 min,
+    * 5 min, 15 min — the range a streaming deployment actually tunes
+    * over. */
+  val LatenessDelaysUs: Seq[Long] = Seq(0L, 60000000L, 300000000L, 900000000L)
+  /** The profile's arrival model: each client uploads with a
+    * DETERMINISTIC per-user uplink lag of (user_id·7919 mod 600)
+    * seconds — the straggling-device phenomenon that CAUSES late data
+    * (the testdata's event_id order carries zero disorder: measured
+    * max lateness −4.7 s, so a profile on raw ingest order would be
+    * inert). Modular over a prime keeps the lag family
+    * reproducible in ANSI SQL, so the whole replay is oracle-exact. */
+  val LatenessMaxLagS = 600L
+  /** Arrival micro-batch = arrival MINUTE: the watermark advances at
+    * batch boundaries only — Structured Streaming updates it between
+    * micro-batches, never mid-batch — and batch count is time-bounded
+    * (minutes of retention), not corpus-bound. */
+  val LatenessBatchUs = 60000000L
+
+  /** WATERMARK TUNING PROFILE — the one-table answer to "what
+    * withWatermark delay do we deploy": for each candidate delay, how
+    * many events the watermark would have dropped as too-late, under
+    * the deterministic straggler arrival model ([[LatenessMaxLagS]]):
+    * arrival = event time + per-user uplink lag, watermark per arrival
+    * batch = max ARRIVED event time over all PRIOR batches (the exact
+    * Structured Streaming advance rule), an event dropped iff its
+    * event time < watermark − delay. Every `ev_stream_*` op in this
+    * registry carries a watermark; this is the meter that says what
+    * that watermark costs in data loss before the stream is deployed —
+    * drop_ppm at the deployed delay is the standing data-loss SLO, and
+    * the curve's zero point (here: delay ≥ the lag spread) is the
+    * smallest safe setting. Shape: one partial-aggregated scan →
+    * batch-max catalog, a prefix-max window over that catalog, one
+    * unhinted equi-join back (AQE broadcasts the catalog side); the
+    * delay levels multiply only the rollup. Integer µs end to end. */
+  def evLatenessProfile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, d)
+      .select($"event_id", $"user_id", unix_micros($"ts").as("us"))
+      .withColumn("arr_us",
+        $"us" + ($"user_id" * 7919L % LatenessMaxLagS) * 1000000L)
+      .withColumn("b", expr(s"arr_us div $LatenessBatchUs"))
+    val bmax = ev.groupBy($"b").agg(max($"us").as("bm"))
+    val wm = bmax
+      .withColumn("wm_us", max($"bm").over(
+        Window.orderBy($"b").rowsBetween(Window.unboundedPreceding, -1)))
+      .select($"b", $"wm_us")
+    val lv = LatenessDelaysUs.toDF("delay_us")
+    ev.join(wm, "b")
+      .crossJoin(lv)
+      .withColumn("dropped",
+        when($"wm_us".isNotNull && $"us" < $"wm_us" - $"delay_us", 1L)
+          .otherwise(0L))
+      .groupBy($"delay_us")
+      .agg(sum($"dropped").as("n_dropped"), count(lit(1)).as("n_total"))
+      .select($"delay_us", $"n_dropped",
+        ($"n_total" - $"n_dropped").as("n_kept"),
+        expr("(1000000L * n_dropped) div n_total").as("drop_ppm"))
+      .orderBy($"delay_us")
+  }
+  val evLatenessProfileSql: String =
+    s"""WITH ev0 AS (SELECT event_id, epoch_us(ts) AS us,
+       |               epoch_us(ts) + (user_id * 7919 % $LatenessMaxLagS) * 1000000
+       |                 AS arr_us
+       |             FROM events),
+       |ev AS (SELECT event_id, us, arr_us // $LatenessBatchUs AS b FROM ev0),
+       |bmax AS (SELECT b, max(us) AS bm FROM ev GROUP BY b),
+       |wm AS (SELECT b, max(bm) OVER (ORDER BY b
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_us
+       |       FROM bmax),
+       |lv AS (SELECT unnest([${LatenessDelaysUs.mkString(", ")}]) AS delay_us),
+       |j AS (SELECT l.delay_us,
+       |        CASE WHEN w.wm_us IS NOT NULL AND e.us < w.wm_us - l.delay_us
+       |             THEN 1 ELSE 0 END AS dropped
+       |      FROM ev e JOIN wm w USING (b) CROSS JOIN lv l)
+       |SELECT CAST(delay_us AS BIGINT) AS delay_us,
+       |  CAST(sum(dropped) AS BIGINT) AS n_dropped,
+       |  CAST(count(*) - sum(dropped) AS BIGINT) AS n_kept,
+       |  CAST((1000000 * sum(dropped)) // count(*) AS BIGINT) AS drop_ppm
+       |FROM j GROUP BY delay_us ORDER BY delay_us""".stripMargin
+
   /** Rank-based anomaly flagging: the top 1% of events per event_type
     * by value — distribution-free (no mean/stddev float model, so no
     * float crosses the oracle boundary; the repo's float-free

@@ -372,6 +372,54 @@ class Round18OpsSpec extends SparkSpec {
       "curriculum must schedule exactly the scorable documents")
   }
 
+  test("lateness profile: drops monotone in delay, zero at the lag spread, live below it") {
+    val rows = EventOps.evLatenessProfile(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == EventOps.LatenessDelaysUs.sorted,
+      "one row per candidate delay")
+    assert(rows.map(r => r._2 + r._3).distinct.length == 1,
+      "dropped + kept must be the corpus at every delay")
+    rows.foreach { case (w, dropped, kept, ppm) =>
+      assert(ppm == 1000000L * dropped / (dropped + kept), s"delay=$w ppm drifted")
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2, s"drops rose with a LONGER delay at ${b._1}")
+    }
+    // a delay covering the whole lag spread must lose nothing…
+    assert(rows.last._1 >= (EventOps.LatenessMaxLagS - 1) * 1000000L)
+    assert(rows.last._2 == 0L, "max delay still dropping — lag model leaks")
+    // …and the zero-delay point must actually measure disorder
+    assert(rows.head._2 > 0L, "profile inert: no drops at delay 0")
+  }
+
+  test("interleave epochs: dense positions, epoch-major per doc, row count matches allocation") {
+    import spark.implicits._
+    val feed = CurationOps.docInterleaveEpochs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(feed.map(_._1).sorted.toSeq == (1L to feed.length).toSeq,
+      "positions not dense")
+    val alloc = CurationOps.docMixEpochs(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(4))).toMap // source -> epochs
+    val nDocs = graft.Tables.documents(spark, sf0001)
+      .filter($"text".isNotNull).groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = alloc.collect { case (src, e) if e > 0 => nDocs(src) * e }.sum
+    assert(feed.length.toLong == want,
+      s"feed rows ${feed.length} ≠ Σ epochs·n_docs $want")
+    // per doc: epochs dense from 0, and positions strictly epoch-major
+    feed.groupBy(f => (f._2, f._3)).foreach { case ((src, doc), copies) =>
+      val byEpoch = copies.sortBy(_._4)
+      assert(byEpoch.map(_._4).toSeq == (0L until alloc(src)).toSeq,
+        s"$src/$doc epochs not dense")
+      byEpoch.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._1 < b._1, s"$src/$doc repeat surfaced before its earlier epoch")
+        case _ => ()
+      }
+    }
+  }
+
   test("lsh curve: screen sensitive above the threshold decile, quiet below") {
     import spark.implicits._
     val rows = DedupOps.dedupLshCurve(spark, sf0001).collect()
