@@ -1093,6 +1093,18 @@ object CurationOps {
     * ⌊total·p/10⁶⌋ with every intermediate ≤ ~10¹³ at 100 TB, where
     * the naive total·p_ppm product would overflow int64. */
   def docMixEpochs(s: SparkSession, d: String): DataFrame = {
+    val (out, per) = mixEpochsLazy(s, d)
+    import scala.jdk.CollectionConverters._
+    val rows = out.collect().toSeq
+    per.unpersist()
+    s.createDataFrame(rows.asJava, out.schema)
+  }
+
+  /** [[docMixEpochs]]' lazy plan, exposed for ScaleSpec's single-scan
+    * pin — returns (result, the cached per-source rollup the caller
+    * must unpersist). */
+  private[graft] def mixEpochsLazy(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     // ONE corpus scan: the cached catalog-sized rollup feeds the total,
@@ -1120,10 +1132,7 @@ object CurationOps {
         $"served_tokens",
         ($"demand_tokens" - $"served_tokens").as("unmet_tokens"))
       .orderBy($"source")
-    import scala.jdk.CollectionConverters._
-    val rows = out.collect().toSeq
-    per.unpersist()
-    s.createDataFrame(rows.asJava, out.schema)
+    (out, per)
   }
   lazy val docMixEpochsSql: String =
     s"""WITH $mixTempCtesBody,
@@ -2501,6 +2510,18 @@ object CurationOps {
     * [[docRagE2e]]: top-[[RagTopK]] per query, ties to lower
     * (doc_id, chunk_id). */
   def docRagFiltered(s: SparkSession, d: String): DataFrame = {
+    val (out, cvu) = ragFilteredLazy(s, d)
+    import scala.jdk.CollectionConverters._
+    val rows = out.collect().toSeq
+    cvu.unpersist()
+    s.createDataFrame(rows.asJava, out.schema)
+  }
+
+  /** [[docRagFiltered]]'s lazy plan, exposed for ScaleSpec's pins
+    * (pushed lang predicate, pre-window filtering) — returns
+    * (result, the cached chunk frame the caller must unpersist). */
+  private[graft] def ragFilteredLazy(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(s)
@@ -2529,10 +2550,7 @@ object CurationOps {
       .filter($"rank" <= RagTopK)
       .select($"qid", $"rank", $"doc_id", $"chunk_id")
       .orderBy($"qid", $"rank")
-    import scala.jdk.CollectionConverters._
-    val rows = out.collect().toSeq
-    cvu.unpersist()
-    s.createDataFrame(rows.asJava, out.schema)
+    (out, cvu)
   }
   /** The filtered result as oracle CTEs over the shared retrieval
     * chain: `scored` carries every probed candidate's cosine, so the

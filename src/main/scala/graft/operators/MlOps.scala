@@ -1197,6 +1197,20 @@ object MlOps {
     * once, not once per level. Output is [[SweepMaxProbe]] rows at any
     * corpus size; everything crossing the oracle is integer (ppm). */
   def simAnnProbeSweep(s: SparkSession, d: String): DataFrame = {
+    val (out, caches) = probeSweepLazy(s, d)
+    // materialize (SweepMaxProbe rows) so the caches release before return
+    import scala.jdk.CollectionConverters._
+    val rows = out.collect().toSeq
+    caches.foreach(_.unpersist())
+    s.createDataFrame(rows.asJava, out.schema)
+  }
+
+  /** [[simAnnProbeSweep]]'s lazy plan, exposed for ScaleSpec's pin
+    * that every sweep level filters the cached candidate set instead
+    * of re-scanning the corpus — returns (result, the caches the
+    * caller must unpersist). */
+  private[graft] def probeSweepLazy(
+      s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
     val cents = IvfKmeans.centroids(s, d)
@@ -1229,11 +1243,7 @@ object MlOps {
         .select(lit(p.toLong).as("nprobe"), $"scanned", $"n_true", $"n_hit",
           expr("(1000000L * n_hit) div n_true").as("recall_ppm"))
     }.reduce(_ unionAll _).orderBy($"nprobe")
-    // materialize (SweepMaxProbe rows) so the caches release before return
-    import scala.jdk.CollectionConverters._
-    val rows = out.collect().toSeq
-    e.unpersist(); cand.unpersist(); brute.unpersist()
-    s.createDataFrame(rows.asJava, out.schema)
+    (out, Seq(e, cand, brute))
   }
   val simAnnProbeSweepSql: String =
     s"""$ivfFitCtes,

@@ -835,4 +835,64 @@ class ScaleSpec extends SparkSpec {
     // the per-source rollup partially aggregates before its exchange
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("mix epochs: one corpus scan — everything downstream reads the cached rollup") {
+    spark.catalog.clearCache()
+    val (out, per) = operators.CurationOps.mixEpochsLazy(spark, sf0001)
+    try {
+      // inspect the cache-substituted LOGICAL plan: collect() does not
+      // descend into InMemoryRelation.cachedPlan, so a zero raw-scan
+      // count proves every leaf reads the catalog-sized cache — the
+      // string form can't distinguish (InMemoryRelation prints its
+      // cached FileScan)
+      val lp = out.queryExecution.withCachedData
+      val rawScans = lp.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+      }.size
+      val cacheReads = lp.collect {
+        case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
+      }.size
+      assert(rawScans == 0, s"allocation plan re-scans the corpus:\n$lp")
+      assert(cacheReads >= 2, s"expected ≥2 cache reads, got $cacheReads:\n$lp")
+      assert(!out.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+    } finally per.unpersist()
+  }
+
+  test("filtered retrieval pushes the lang predicate into the parquet scan, below the rank window") {
+    spark.catalog.clearCache()
+    val (out, cvu) = operators.CurationOps.ragFilteredLazy(spark, sf0001)
+    try {
+      val p = out.queryExecution.executedPlan.toString
+      // pre-filtering, made literal: the predicate reaches the lang
+      // column's parquet scan (at 100 TB, with lang written into the
+      // list partitions, the same predicate prunes the probed scan) …
+      assert(p.contains("EqualTo(lang,en)"), p)
+      // … so candidates are cut BEFORE the per-query rank window ever
+      // sees them (post-filtering would under-fill top-K): the window
+      // sits above the filter in the plan tree
+      val wIdx = p.indexOf("Window")
+      val fIdx = p.indexOf("EqualTo(lang,en)")
+      assert(wIdx >= 0 && fIdx > wIdx, s"window/filter order broke:\n$p")
+    } finally cvu.unpersist()
+  }
+
+  test("probe sweep levels filter ONE cached candidate set — no per-level corpus re-scan") {
+    spark.catalog.clearCache()
+    val (out, caches) = operators.MlOps.probeSweepLazy(spark, sf0001)
+    try {
+      // every sweep level (got + scanned per depth) and every recall
+      // join reads caches; the embeddings table is scanned only when
+      // the caches fill, never per level (same logical-plan inspection
+      // rationale as the mix-epochs pin)
+      val lp = out.queryExecution.withCachedData
+      val rawScans = lp.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+      }.size
+      val cacheReads = lp.collect {
+        case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
+      }.size
+      assert(rawScans == 0, s"sweep plan re-scans the corpus:\n$lp")
+      assert(cacheReads >= 8, s"expected ≥8 cache reads, got $cacheReads:\n$lp")
+    } finally caches.foreach(_.unpersist())
+  }
 }
