@@ -14,6 +14,21 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The eager-materialization idiom for ops whose RESULT is tiny by
+    * construction but whose plan pins caches (the simAnnIvfIndex
+    * pattern): collect the rows, release every cache, and hand back a
+    * local relation — so the returned frame holds no lineage over
+    * frames the op unpersisted (or files it is about to delete). Only
+    * for provably result-bounded ops: queries×k serves, catalog
+    * rollups, fixed-level sweeps. */
+  private[graft] def materializeAndRelease(
+      out: DataFrame, caches: DataFrame*): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = out.collect().toSeq
+    caches.foreach(_.unpersist())
+    out.sparkSession.createDataFrame(rows.asJava, out.schema)
+  }
+
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")

@@ -1094,10 +1094,7 @@ object CurationOps {
     * the naive total·p_ppm product would overflow int64. */
   def docMixEpochs(s: SparkSession, d: String): DataFrame = {
     val (out, per) = mixEpochsLazy(s, d)
-    import scala.jdk.CollectionConverters._
-    val rows = out.collect().toSeq
-    per.unpersist()
-    s.createDataFrame(rows.asJava, out.schema)
+    graft.Tables.materializeAndRelease(out, per)
   }
 
   /** [[docMixEpochs]]' lazy plan, exposed for ScaleSpec's single-scan
@@ -1510,7 +1507,8 @@ object CurationOps {
     * (which cuts top-[[RagTopK]] directly) and [[docRagMmr]] (which
     * reranks a [[RagMmrPool]]-deep pool for diversity), so the two
     * serve paths can never disagree about what was retrieved. */
-  private def ragProbedScored(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private def ragProbedScored(s: SparkSession, d: String,
+      assignedTransform: DataFrame => DataFrame = identity): (DataFrame, DataFrame) = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(s)
@@ -1522,8 +1520,12 @@ object CurationOps {
     val cdf = IvfKmeans.centroidFrame(s, cents)
     // index: nearest-centroid list per chunk as ONE map-side
     // projection (IvfKmeans.assignCol — the quantizer is a driver-side
-    // literal, so no shuffle and no join-back to recover the vector)
-    val assigned = cvu.withColumn("list_id", IvfKmeans.assignCol(s, cents, $"v"))
+    // literal, so no shuffle and no join-back to recover the vector).
+    // assignedTransform attaches/filters index-side payload columns
+    // (docRagFiltered's lang predicate); it must preserve
+    // (doc_id, chunk_id, v, list_id).
+    val assigned = assignedTransform(
+      cvu.withColumn("list_id", IvfKmeans.assignCol(s, cents, $"v")))
     // retrieve: RagProbeLists-probe per query, exact cosine within
     // probed lists
     val probes = IvfKmeans.withDists(ragQueryVecs(s, d), cdf)
@@ -1549,11 +1551,8 @@ object CurationOps {
       .select($"qid", $"rank", $"doc_id", $"chunk_id")
       .orderBy($"qid", $"rank")
     // materialize (queries × RagTopK — tiny by construction) so cvu
-    // can be released before returning (the simAnnIvfIndex pattern)
-    import scala.jdk.CollectionConverters._
-    val rows = out.collect().toSeq
-    cvu.unpersist()
-    s.createDataFrame(rows.asJava, out.schema)
+    // can be released before returning
+    graft.Tables.materializeAndRelease(out, cvu)
   }
   /** Shared oracle CTE chain for the RAG ops: chunking + hashed chunk
     * embedding + unit normalization, the deterministic quantizer fit
@@ -2387,7 +2386,8 @@ object CurationOps {
     * the cross is corpus-linear), left-join the candidate's top-K,
     * integer-ppm rollup. */
   private def ragRecallOf(
-      s: SparkSession, d: String, retrieved: DataFrame): DataFrame = {
+      s: SparkSession, d: String, retrieved: DataFrame,
+      truthChunks: DataFrame => DataFrame = identity): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(s)
@@ -2395,9 +2395,12 @@ object CurationOps {
       .select($"qid", $"doc_id", $"chunk_id").withColumn("hit", lit(1L))
     val q = ragQueryVecs(s, d).select($"vec_id".as("qid"), $"v".as("qv"))
     // brute ground truth: all chunks scored per query — unhinted cross
-    // (the query side is data-derived; AQE broadcasts it on size)
+    // (the query side is data-derived; AQE broadcasts it on size).
+    // truthChunks narrows the truth universe for predicate-scoped
+    // variants (docRagFilteredRecall); it must preserve
+    // (doc_id, chunk_id, v).
     val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"doc_id", $"chunk_id")
-    val truth = ragChunkUnitVecs(s, d).crossJoin(q)
+    val truth = truthChunks(ragChunkUnitVecs(s, d)).crossJoin(q)
       .filter($"doc_id" =!= $"qid") // same own-doc exclusion as the pipeline
       .select($"qid", $"doc_id", $"chunk_id",
         expr("cosine_sim(qv, v)").as("cos"))
@@ -2511,39 +2514,22 @@ object CurationOps {
     * (doc_id, chunk_id). */
   def docRagFiltered(s: SparkSession, d: String): DataFrame = {
     val (out, cvu) = ragFilteredLazy(s, d)
-    import scala.jdk.CollectionConverters._
-    val rows = out.collect().toSeq
-    cvu.unpersist()
-    s.createDataFrame(rows.asJava, out.schema)
+    graft.Tables.materializeAndRelease(out, cvu)
   }
 
   /** [[docRagFiltered]]'s lazy plan, exposed for ScaleSpec's pins
     * (pushed lang predicate, pre-window filtering) — returns
-    * (result, the cached chunk frame the caller must unpersist). */
+    * (result, the cached chunk frame the caller must unpersist).
+    * The retrieval chain IS [[ragProbedScored]] (the docRagE2e/MMR
+    * contract), with the lang payload attached and filtered on the
+    * index side. */
   private[graft] def ragFilteredLazy(
       s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    GraftFunctions.register(s)
-    val cvu = ragChunkUnitVecs(s, d)
-      .withColumn("vec_id", $"doc_id" * RagKeyMul + $"chunk_id")
-      .cache()
-    val cents = IvfKmeans.centroidsFor(s, d, "ragchunk",
-      cvu.select($"vec_id", $"v"), fpTable = "documents")
-    val cdf = IvfKmeans.centroidFrame(s, cents)
     val langs = documents(s, d).select($"doc_id", $"lang")
-    val assigned = cvu.join(langs, "doc_id")
-      .withColumn("list_id", IvfKmeans.assignCol(s, cents, $"v"))
-    val probes = IvfKmeans.withDists(ragQueryVecs(s, d), cdf)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"vec_id").orderBy($"dist", $"list_id")))
-      .filter($"rn" <= RagProbeLists)
-      .select($"vec_id".as("qid"), $"v".as("qv"), $"list_id")
-    val scored = probes
-      .join(assigned.filter($"lang" === RagFilterLang), "list_id")
-      .filter($"doc_id" =!= $"qid")
-      .select($"qid", $"doc_id", $"chunk_id",
-        expr("cosine_sim(qv, v)").as("cos"))
+    val (cvu, scored) = ragProbedScored(s, d, assignedTransform = a =>
+      a.join(langs, "doc_id").filter($"lang" === RagFilterLang))
     val w = Window.partitionBy($"qid")
       .orderBy($"cos".desc, $"doc_id", $"chunk_id")
     val out = scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -2578,29 +2564,11 @@ object CurationOps {
     * dial) must be justified by this measurement. */
   def docRagFilteredRecall(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    GraftFunctions.register(s)
-    val rag = docRagFiltered(s, d)
-      .select($"qid", $"doc_id", $"chunk_id").withColumn("hit", lit(1L))
-    val q = ragQueryVecs(s, d).select($"vec_id".as("qid"), $"v".as("qv"))
     val langs = documents(s, d).select($"doc_id", $"lang")
-    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"doc_id", $"chunk_id")
-    val truth = ragChunkUnitVecs(s, d).join(langs, "doc_id")
-      .filter($"lang" === RagFilterLang)
-      .crossJoin(q)
-      .filter($"doc_id" =!= $"qid")
-      .select($"qid", $"doc_id", $"chunk_id",
-        expr("cosine_sim(qv, v)").as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= RagTopK)
-      .select($"qid", $"doc_id", $"chunk_id")
-    truth.join(rag, Seq("qid", "doc_id", "chunk_id"), "left")
-      .groupBy($"qid")
-      .agg(count(lit(1)).as("n_true"),
-        sum(coalesce($"hit", lit(0L))).as("n_hit"))
-      .select($"qid", $"n_true", $"n_hit",
-        expr("(1000000L * n_hit) div n_true").as("recall_ppm"))
-      .orderBy($"qid")
+    ragRecallOf(s, d, docRagFiltered(s, d), truthChunks = cv =>
+      cv.join(langs, "doc_id")
+        .filter($"lang" === RagFilterLang)
+        .select($"doc_id", $"chunk_id", $"v"))
   }
   lazy val docRagFilteredRecallSql: String =
     s"""$ragCtesSql,

@@ -160,21 +160,33 @@ object DedupOps {
       .filter(lit(2) * $"c" >= $"na" + $"nb" - $"c")
       .orderBy($"da", $"db")
   }
-  val dedupNgramJaccardSql: String =
-    s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
-      |sh0 AS (SELECT doc_id, unnest(list_distinct(
+  /** DuckDB CTE chain replicating [[jaccardScoredOf]] from an existing
+    * (doc_id, ws) relation `tokRel`: DF-capped shingle inverted index →
+    * UNthresholded co-shingle pair set with exact-Jaccard ingredients,
+    * landing as `jall(da, db, c, na, nb)`. ONE definition under
+    * [[dedupNgramJaccardSql]] (which thresholds) and
+    * [[dedupLshCurveSql]] (which deciles), mirroring the Scala-side
+    * sharing — a shingle/cap change cannot diverge the two oracles. */
+  private def ngramPairsCtesSql(tokRel: String): String =
+    s"""sh0 AS (SELECT doc_id, unnest(list_distinct(
       |         [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)])) AS g
-      |       FROM tok),
+      |       FROM $tokRel),
       |keep AS (SELECT g FROM (SELECT g, count(*) AS n_docs FROM sh0 GROUP BY g)
       |         WHERE n_docs <= $NgramDfCap),
       |sh AS (SELECT sh0.doc_id, sh0.g FROM sh0 JOIN keep ON keep.g = sh0.g),
       |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       |pairs AS (SELECT a.doc_id da, b.doc_id db, count(*) c
       |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-      |          GROUP BY 1, 2)
-      |SELECT da, db, c, na.n AS na, nb.n AS nb
-      |FROM pairs JOIN n na ON na.doc_id = da JOIN n nb ON nb.doc_id = db
-      |WHERE 2*c >= (na.n + nb.n - c)
+      |          GROUP BY 1, 2),
+      |jall AS (SELECT da, db, c, na.n AS na, nb.n AS nb
+      |         FROM pairs JOIN n na ON na.doc_id = da JOIN n nb ON nb.doc_id = db)""".stripMargin
+
+  val dedupNgramJaccardSql: String =
+    s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |${ngramPairsCtesSql("tok")}
+      |SELECT da, db, c, na, nb
+      |FROM jall
+      |WHERE 2*c >= (na + nb - c)
       |ORDER BY da, db""".stripMargin
 
   private val MinhashK = 16 // 4 bands × 4 rows
@@ -343,19 +355,10 @@ object DedupOps {
   }
   val dedupLshCurveSql: String =
     s"""WITH ${minhashPairsCtesSql("documents")},
-       |u0 AS (SELECT doc_id, unnest(list_distinct(
-       |         [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)])) AS g
-       |       FROM tok),
-       |keepg AS (SELECT g FROM (SELECT g, count(*) AS n_docs FROM u0 GROUP BY g)
-       |          WHERE n_docs <= $NgramDfCap),
-       |ush AS (SELECT u0.doc_id, u0.g FROM u0 JOIN keepg ON keepg.g = u0.g),
-       |un AS (SELECT doc_id, count(*) AS n FROM ush GROUP BY doc_id),
-       |upx AS (SELECT a.doc_id da, b.doc_id db, count(*) c
-       |        FROM ush a JOIN ush b ON a.g = b.g AND a.doc_id < b.doc_id
-       |        GROUP BY 1, 2),
+       |${ngramPairsCtesSql("tok")},
        |uj AS (SELECT da, db,
-       |         least(((1000000 * c) // (na.n + nb.n - c)) // 100000, 9) AS decile
-       |       FROM upx JOIN un na ON na.doc_id = da JOIN un nb ON nb.doc_id = db)
+       |         least(((1000000 * c) // (na + nb - c)) // 100000, 9) AS decile
+       |       FROM jall)
        |SELECT CAST(uj.decile AS BIGINT) AS decile, count(*) AS n_pairs,
        |  CAST(sum(CASE WHEN cd.da IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_detected,
        |  CAST((1000000 * sum(CASE WHEN cd.da IS NOT NULL THEN 1 ELSE 0 END))

@@ -682,14 +682,19 @@ object EventOps {
       .withColumn("wm_us", max($"bm").over(
         Window.orderBy($"b").rowsBetween(Window.unboundedPreceding, -1)))
       .select($"b", $"wm_us")
-    val lv = LatenessDelaysUs.toDF("delay_us")
+    // ONE corpus-width pass: each delay level is a conditional
+    // aggregate over the same rows (a cross-join against the level
+    // table would push every event through the aggregation 4×); the
+    // per-level explode runs on the single rolled-up row
+    val aggs = LatenessDelaysUs.map(dl =>
+      sum(when($"wm_us".isNotNull && $"us" < $"wm_us" - dl, 1L)
+        .otherwise(0L)).as(s"d_$dl"))
     ev.join(wm, "b")
-      .crossJoin(lv)
-      .withColumn("dropped",
-        when($"wm_us".isNotNull && $"us" < $"wm_us" - $"delay_us", 1L)
-          .otherwise(0L))
-      .groupBy($"delay_us")
-      .agg(sum($"dropped").as("n_dropped"), count(lit(1)).as("n_total"))
+      .agg(count(lit(1)).as("n_total"), aggs: _*)
+      .select(
+        explode(map(LatenessDelaysUs.flatMap(dl =>
+          Seq(lit(dl), col(s"d_$dl"))): _*)).as(Seq("delay_us", "n_dropped")),
+        $"n_total")
       .select($"delay_us", $"n_dropped",
         ($"n_total" - $"n_dropped").as("n_kept"),
         expr("(1000000L * n_dropped) div n_total").as("drop_ppm"))

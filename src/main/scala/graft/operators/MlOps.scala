@@ -1198,11 +1198,7 @@ object MlOps {
     * corpus size; everything crossing the oracle is integer (ppm). */
   def simAnnProbeSweep(s: SparkSession, d: String): DataFrame = {
     val (out, caches) = probeSweepLazy(s, d)
-    // materialize (SweepMaxProbe rows) so the caches release before return
-    import scala.jdk.CollectionConverters._
-    val rows = out.collect().toSeq
-    caches.foreach(_.unpersist())
-    s.createDataFrame(rows.asJava, out.schema)
+    graft.Tables.materializeAndRelease(out, caches: _*)
   }
 
   /** [[simAnnProbeSweep]]'s lazy plan, exposed for ScaleSpec's pin

@@ -868,11 +868,18 @@ class ScaleSpec extends SparkSpec {
       // list partitions, the same predicate prunes the probed scan) …
       assert(p.contains("EqualTo(lang,en)"), p)
       // … so candidates are cut BEFORE the per-query rank window ever
-      // sees them (post-filtering would under-fill top-K): the window
-      // sits above the filter in the plan tree
-      val wIdx = p.indexOf("Window")
-      val fIdx = p.indexOf("EqualTo(lang,en)")
-      assert(wIdx >= 0 && fIdx > wIdx, s"window/filter order broke:\n$p")
+      // sees them (post-filtering would under-fill top-K). Anchored to
+      // the TREE, not print order: the lang predicate must live in the
+      // rank window's own subtree (string index order can pass for a
+      // regressed plan depending on join-child print order).
+      import org.apache.spark.sql.catalyst.plans.logical
+      val lp = out.queryExecution.optimizedPlan
+      val win = lp.collectFirst { case w: logical.Window => w }
+      assert(win.isDefined, s"no rank window in plan:\n$lp")
+      val langBelowWindow = win.get.collectFirst {
+        case f: logical.Filter if f.condition.toString.contains("lang") => f
+      }.isDefined
+      assert(langBelowWindow, s"lang filter not below the rank window:\n$lp")
     } finally cvu.unpersist()
   }
 
