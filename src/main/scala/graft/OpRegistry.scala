@@ -497,6 +497,9 @@ object OpRegistry {
     op("sim_ann_report", MlOps.simAnnReport, MlOps.simAnnReportSql),
     op("sim_ann_ivf_balance", MlOps.simAnnIvfBalance, MlOps.ivfBalanceSql),
     op("sim_ann_probe_sweep", MlOps.simAnnProbeSweep, MlOps.simAnnProbeSweepSql),
+    op("sim_ann_filtered", MlOps.simAnnFiltered, MlOps.simAnnFilteredSql),
+    op("sim_ann_filtered_recall",
+      MlOps.simAnnFilteredRecall, MlOps.simAnnFilteredRecallSql),
     op("sim_ann_balance_probe",
       MlOps.simAnnBalanceProbe, MlOps.simAnnBalanceProbeSql),
     op("mm_stream_ingest",

@@ -1108,11 +1108,16 @@ object MlOps {
     annRecallOf(s, d, simAnnSq8(s, d))
 
   /** Shared ANN-recall harness: brute truth left-joined by the
-    * candidate's (qid, nid) picks, integer-ppm rollup. */
+    * candidate's (qid, nid) picks, integer-ppm rollup. `truthOpt`
+    * swaps in a narrowed truth for predicate-scoped variants
+    * ([[simAnnFilteredRecall]]); default is the shared full-corpus
+    * brute baseline. */
   private def annRecallOf(
-      s: SparkSession, d: String, candidate: DataFrame): DataFrame = {
+      s: SparkSession, d: String, candidate: DataFrame,
+      truthOpt: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
-    val brute = SimilarityOps.simTopkBrute(s, d).select($"qid", $"nid")
+    val brute = truthOpt.getOrElse(SimilarityOps.simTopkBrute(s, d))
+      .select($"qid", $"nid")
     val got = candidate.select($"qid", $"nid").withColumn("hit", lit(1L))
     brute.join(got, Seq("qid", "nid"), "left")
       .groupBy($"qid")
@@ -1124,10 +1129,12 @@ object MlOps {
   }
 
   /** Recall rollup with the candidate's full query nested as a derived
-    * table — one definition for every ANN variant's recall oracle. */
-  private def annRecallSqlAgainst(candidateSql: String): String =
+    * table — one definition for every ANN variant's recall oracle.
+    * `truthSql` defaults to the shared full-corpus brute baseline. */
+  private def annRecallSqlAgainst(candidateSql: String,
+      truthSql: String = SimilarityOps.simTopkBruteSql): String =
     s"""WITH brute AS (SELECT qid, nid FROM (
-       |${SimilarityOps.simTopkBruteSql}
+       |$truthSql
        |) zb),
        |got AS (SELECT qid, nid FROM (
        |$candidateSql
@@ -1241,6 +1248,96 @@ object MlOps {
     }.reduce(_ unionAll _).orderBy($"nprobe")
     (out, Seq(e, cand, brute))
   }
+  /** The label value [[simAnnFiltered]] serves under — one of the 10
+    * balanced labels, a ~10%-selective predicate. */
+  private[operators] val AnnFilterLabel = 3
+
+  /** FILTERED ANN over the raw embedding corpus — [[simAnnIvf]]'s
+    * retrieval under a metadata predicate (`label = [[AnnFilterLabel]]`),
+    * the vector-store feature every deployment grows next, in its
+    * PUREST 100 TB posture: the filterable attribute already lives IN
+    * the vector table (no join anywhere — the predicate is a scan
+    * filter pushed to parquet, and with a list-partitioned index it
+    * prunes inside the probed partitions), candidates are cut
+    * PRE-ranking (post-cutting a K-deep shortlist under-fills the
+    * moment the filter bites), and the probe side is byte-for-byte
+    * [[probeAndScore]]'s — the docRagE2e/simAnnIvf serve contract.
+    * Sibling of [[CurationOps.docRagFiltered]] (chunk-index side);
+    * this is the raw-vector side. */
+  def simAnnFiltered(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val cents = IvfKmeans.centroids(s, d)
+    val cdf = IvfKmeans.centroidFrame(s, cents)
+    val e = IvfKmeans.withV(s, d)
+    val assigned = embeddings(s, d)
+      .select($"vec_id", $"embedding",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"), $"label")
+      .filter($"label" === AnnFilterLabel)
+      .withColumn("list_id", IvfKmeans.assignCol(s, cents, $"v"))
+      .select($"vec_id", $"embedding", $"list_id")
+    probeAndScore(e, cdf, assigned)
+  }
+  val simAnnFilteredSql: String =
+    s"""$ivfFitCtes,
+       |lbl AS (SELECT vec_id FROM embeddings WHERE label = $AnnFilterLabel),
+       |probe AS (
+       |${ivfAssignSelect(s"c${IvfKmeans.Rounds}", " WHERE e.vec_id < 5", 2)}),
+       |scored AS (
+       |  SELECT p.vec_id AS qid, af.vec_id AS nid,
+       |    list_cosine_similarity(q.v, n.v) AS cos
+       |  FROM probe p
+       |  JOIN af ON af.list_id = p.list_id
+       |  JOIN lbl ON lbl.vec_id = af.vec_id
+       |  JOIN emb q ON q.vec_id = p.vec_id
+       |  JOIN emb n ON n.vec_id = af.vec_id
+       |  WHERE af.vec_id <> p.vec_id)
+       |SELECT qid, rank, nid FROM (
+       |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |  FROM scored) z
+       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
+  /** Recall@3 of [[simAnnFiltered]] against the EXACT filtered truth
+    * (brute cosine over label-matching vectors only) — the raw-vector
+    * twin of [[CurationOps.docRagFilteredRecall]]: a selective
+    * predicate decimates probed lists until the true filtered
+    * neighbors live in unprobed ones, and the fix (probe deeper when
+    * filtering — [[simAnnProbeSweep]] is the dial) must be justified
+    * here before anyone pays it at 100 TB. */
+  def simAnnFilteredRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val e = embeddings(s, d).select($"vec_id", $"embedding", $"label")
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("va"))
+    val c = e.filter($"label" === AnnFilterLabel)
+      .select($"vec_id".as("nid"), $"embedding".as("vb"))
+    val scored = q.crossJoin(c).filter($"qid" =!= $"nid")
+      .select($"qid", $"nid", expr("cosine_sim(va, vb)").as("cos"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
+    val truth = scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"qid", $"rank", $"nid")
+    annRecallOf(s, d, simAnnFiltered(s, d), truthOpt = Some(truth))
+  }
+  private val filteredBruteSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v, label
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+       |    list_cosine_similarity(a.v, b.v) AS cos
+       |  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+       |  WHERE a.vec_id < 5 AND b.label = $AnnFilterLabel),
+       |ranked AS (
+       |  SELECT qid, nid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |  FROM scored)
+       |SELECT qid, rank, nid FROM ranked WHERE rank <= 3
+       |ORDER BY qid, rank""".stripMargin
+  lazy val simAnnFilteredRecallSql: String =
+    annRecallSqlAgainst(simAnnFilteredSql, truthSql = filteredBruteSql)
+
   val simAnnProbeSweepSql: String =
     s"""$ivfFitCtes,
        |probe AS (

@@ -420,6 +420,33 @@ class Round18OpsSpec extends SparkSpec {
     }
   }
 
+  test("filtered ANN: label predicate honored pre-ranking, meter consistent") {
+    import spark.implicits._
+    val labelOf = graft.Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = MlOps.simAnnFiltered(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty, "filtered ANN returned nothing")
+    rows.foreach { case (q, rank, nid) =>
+      assert(labelOf(nid) == MlOps.AnnFilterLabel,
+        s"qid=$q retrieved vec $nid with label ${labelOf(nid)}")
+      assert(nid != q, s"qid=$q retrieved itself")
+      assert(rank >= 1 && rank <= 3, s"qid=$q rank $rank out of range")
+    }
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq,
+        s"qid=$q ranks not dense")
+    }
+    val rec = MlOps.simAnnFilteredRecall(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rec.nonEmpty)
+    rec.foreach { case (q, nTrue, nHit, ppm) =>
+      assert(nTrue > 0 && nHit >= 0 && nHit <= nTrue, s"qid=$q hits out of range")
+      assert(ppm == 1000000L * nHit / nTrue, s"qid=$q ppm drifted from counts")
+    }
+  }
+
   test("lsh curve: screen sensitive above the threshold decile, quiet below") {
     import spark.implicits._
     val rows = DedupOps.dedupLshCurve(spark, sf0001).collect()
