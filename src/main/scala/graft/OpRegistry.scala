@@ -480,6 +480,8 @@ object OpRegistry {
       CurationOps.docRagPrfRecall, CurationOps.docRagPrfRecallSql),
     op("doc_rag_filtered",
       CurationOps.docRagFiltered, CurationOps.docRagFilteredSql),
+    op("doc_rag_index_filtered",
+      CurationOps.docRagIndexFiltered, CurationOps.docRagIndexFilteredSql),
     op("doc_rag_filtered_recall",
       CurationOps.docRagFilteredRecall, CurationOps.docRagFilteredRecallSql),
     op("dedup_incremental_bloom",

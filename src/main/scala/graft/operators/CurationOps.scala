@@ -1669,7 +1669,8 @@ object CurationOps {
     * (queries × [[RagTopK]] rows) so every cache is released before
     * returning. */
   private def ragProbeRetrieve(
-      s: SparkSession, qvecs: DataFrame, dir: String, cdf: DataFrame): DataFrame = {
+      s: SparkSession, qvecs: DataFrame, dir: String, cdf: DataFrame,
+      indexFilter: DataFrame => DataFrame = identity): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(s)
@@ -1683,7 +1684,10 @@ object CurationOps {
     // tiny by construction at any scale
     val probedLists = probes.select("list_id").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val index = ragProbedIndexRead(s, dir, probedLists)
+    // indexFilter narrows the probed scan by co-located payload
+    // columns (docRagIndexFiltered's lang predicate — a pushed data
+    // filter on exactly the partition-pruned read)
+    val index = indexFilter(ragProbedIndexRead(s, dir, probedLists))
     val scored = probes.join(index, "list_id")
       .filter($"doc_id" =!= $"qid")
       .select($"qid", $"doc_id", $"chunk_id",
@@ -1711,6 +1715,49 @@ object CurationOps {
   }
   /** The layout must not change the answer. */
   lazy val docRagIndexSql: String = docRagE2eSql
+
+  /** [[docRagFiltered]]'s 100 TB shape made literal — the claim that
+    * "the lang column is written into the list partitions" as an
+    * actual on-disk index: the chunk table is written list-partitioned
+    * WITH the lang payload column co-located next to each vector
+    * (one doc_id equi-join at build time; every real vector store —
+    * FAISS+metadata sidecars, Vespa, Milvus — stores filterable
+    * attributes with the postings), and the serve path applies the
+    * predicate as a DATA FILTER on the partition-pruned probed scan:
+    * [[RagProbeLists]]-of-16 directories listed, lang pushed to
+    * parquet inside them, zero joins at serve time. Same ranking
+    * contract and the SAME oracle as [[docRagFiltered]]: the on-disk
+    * layout must not change the answer. ScaleSpec pins the read shape
+    * (PartitionFilters on list_id + PushedFilters EqualTo on lang) on
+    * the exact read path this op executes. */
+  def docRagIndexFiltered(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    val cvu = ragChunkUnitVecs(s, d)
+      .withColumn("vec_id", $"doc_id" * RagKeyMul + $"chunk_id")
+      .cache()
+    val cents = IvfKmeans.centroidsFor(s, d, "ragchunk",
+      cvu.select($"vec_id", $"v"), fpTable = "documents")
+    val cdf = IvfKmeans.centroidFrame(s, cents)
+    val dir = ragLangIndexDir(s, d)
+    val langs = documents(s, d).select($"doc_id", $"lang")
+    cvu.join(langs, "doc_id")
+      .withColumn("list_id", IvfKmeans.assignCol(s, cents, $"v"))
+      .select($"doc_id", $"chunk_id", $"v", $"lang", $"list_id")
+      .write.mode("overwrite").partitionBy("list_id").parquet(dir)
+    cvu.unpersist() // the write materialized it
+    ragProbeRetrieve(s, ragQueryVecs(s, d), dir, cdf,
+      indexFilter = _.filter($"lang" === RagFilterLang))
+      .orderBy($"qid", $"rank")
+  }
+  /** The layout must not change the answer. */
+  lazy val docRagIndexFilteredSql: String = docRagFilteredSql
+
+  /** Corpus-keyed location of the payload-carrying (lang) index
+    * [[docRagIndexFiltered]] writes — distinct from [[ragIndexDir]]
+    * so the filtered op never clobbers the append lifecycle's base. */
+  private[graft] def ragLangIndexDir(s: SparkSession, d: String): String =
+    ragIndexDir(s, d) + "_lang"
 
   /** Deterministic corpus-keyed location of the on-disk RAG index —
     * md5 of the corpus dir under the configurable index root, so

@@ -836,6 +836,25 @@ class ScaleSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("filtered index probe read: partition-pruned lists AND lang pushed to parquet") {
+    import org.apache.spark.sql.functions.col
+    // docRagIndexFiltered writes the payload-carrying index, then
+    // serves through ragProbedIndexRead + the lang data filter — pin
+    // BOTH halves of the claimed scan shape on that exact read path:
+    // probed lists prune directories, the predicate reaches parquet
+    val root = java.nio.file.Files.createTempDirectory("rag_lidx_pin").toString
+    spark.conf.set("spark.graft.indexRoot", root)
+    try {
+      operators.CurationOps.docRagIndexFiltered(spark, sf0001).collect()
+      val dir = operators.CurationOps.ragLangIndexDir(spark, sf0001)
+      val probed = operators.CurationOps.ragProbedIndexRead(spark, dir, Seq(3, 7))
+        .filter(col("lang") === operators.CurationOps.RagFilterLang)
+      val physical = probed.queryExecution.executedPlan.toString
+      assert(physical.contains("PartitionFilters: [list_id"), physical)
+      assert(physical.contains("EqualTo(lang,en)"), physical)
+    } finally spark.conf.unset("spark.graft.indexRoot")
+  }
+
   test("mix epochs: one corpus scan — everything downstream reads the cached rollup") {
     spark.catalog.clearCache()
     val (out, per) = operators.CurationOps.mixEpochsLazy(spark, sf0001)
