@@ -502,6 +502,8 @@ object OpRegistry {
     op("sim_ann_filtered", MlOps.simAnnFiltered, MlOps.simAnnFilteredSql),
     op("sim_ann_filtered_recall",
       MlOps.simAnnFilteredRecall, MlOps.simAnnFilteredRecallSql),
+    op("sim_ann_filtered_sweep",
+      MlOps.simAnnFilteredSweep, MlOps.simAnnFilteredSweepSql),
     op("sim_ann_balance_probe",
       MlOps.simAnnBalanceProbe, MlOps.simAnnBalanceProbeSql),
     op("mm_stream_ingest",

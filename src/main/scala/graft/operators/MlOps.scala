@@ -1211,17 +1211,22 @@ object MlOps {
   /** [[simAnnProbeSweep]]'s lazy plan, exposed for ScaleSpec's pin
     * that every sweep level filters the cached candidate set instead
     * of re-scanning the corpus — returns (result, the caches the
-    * caller must unpersist). */
+    * caller must unpersist). `assignedTransform`/`truthOpt` scope the
+    * candidate set and the truth for predicate-scoped sweeps
+    * ([[simAnnFilteredSweep]]); defaults are the unfiltered corpus
+    * and the shared brute baseline. */
   private[graft] def probeSweepLazy(
-      s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+      s: SparkSession, d: String,
+      assignedTransform: DataFrame => DataFrame = identity,
+      truthOpt: Option[DataFrame] = None): (DataFrame, Seq[DataFrame]) = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
     val cents = IvfKmeans.centroids(s, d)
     val cdf = IvfKmeans.centroidFrame(s, cents)
     val e = IvfKmeans.withV(s, d).cache()
-    val assigned = e
+    val assigned = assignedTransform(e
       .withColumn("list_id", IvfKmeans.assignCol(s, cents, $"v"))
-      .select($"vec_id", $"embedding", $"list_id")
+      .select($"vec_id", $"embedding", $"list_id"))
     val probes = IvfKmeans.withDists(e.filter($"vec_id" < 5), cdf)
       .withColumn("probe_rn", row_number().over(
         Window.partitionBy($"vec_id").orderBy($"dist", $"list_id")).cast("long"))
@@ -1232,7 +1237,8 @@ object MlOps {
       .select($"qid", $"probe_rn", $"vec_id".as("nid"),
         expr("cosine_sim(qe, embedding)").as("cos"))
       .cache()
-    val brute = SimilarityOps.simTopkBrute(s, d).select($"qid", $"nid").cache()
+    val brute = truthOpt.getOrElse(SimilarityOps.simTopkBrute(s, d))
+      .select($"qid", $"nid").cache()
     val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
     val out = (1 to SweepMaxProbe).map { p =>
       val lvl = cand.filter($"probe_rn" <= p)
@@ -1304,7 +1310,14 @@ object MlOps {
     * neighbors live in unprobed ones, and the fix (probe deeper when
     * filtering — [[simAnnProbeSweep]] is the dial) must be justified
     * here before anyone pays it at 100 TB. */
-  def simAnnFilteredRecall(s: SparkSession, d: String): DataFrame = {
+  def simAnnFilteredRecall(s: SparkSession, d: String): DataFrame =
+    annRecallOf(s, d, simAnnFiltered(s, d),
+      truthOpt = Some(filteredBruteTruth(s, d)))
+
+  /** Exact top-3 among label-matching vectors — the truth both
+    * [[simAnnFilteredRecall]] and [[simAnnFilteredSweep]] score
+    * against (one definition, two meters). */
+  private def filteredBruteTruth(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
     val e = embeddings(s, d).select($"vec_id", $"embedding", $"label")
@@ -1315,11 +1328,34 @@ object MlOps {
     val scored = q.crossJoin(c).filter($"qid" =!= $"nid")
       .select($"qid", $"nid", expr("cosine_sim(va, vb)").as("cos"))
     val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
-    val truth = scored.withColumn("rank", row_number().over(w).cast("long"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= 3)
       .select($"qid", $"rank", $"nid")
-    annRecallOf(s, d, simAnnFiltered(s, d), truthOpt = Some(truth))
   }
+
+  /** The probe-depth dial UNDER THE FILTER — the measurement the
+    * filtered-retrieval family's scaladocs defer to ("probe deeper
+    * when filtering"): [[simAnnProbeSweep]]'s recall-vs-scan-cost
+    * curve with candidates label-screened and recall scored against
+    * the EXACT filtered truth. A selective predicate thins each
+    * probed list ~10×, so filtered recall at the default depth sits
+    * below the unfiltered curve — this table says what nprobe buys it
+    * back and what the probed-scan cost of that is, per deployment
+    * decision. Same single-scored-cached-candidate-set shape as the
+    * unfiltered sweep (the ScaleSpec pin covers both paths). */
+  def simAnnFilteredSweep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lbl = embeddings(s, d)
+      .filter($"label" === AnnFilterLabel).select($"vec_id")
+    val (out, caches) = probeSweepLazy(s, d,
+      assignedTransform = a => a.join(lbl, Seq("vec_id"), "left_semi"),
+      truthOpt = Some(filteredBruteTruth(s, d)))
+    graft.Tables.materializeAndRelease(out, caches: _*)
+  }
+  lazy val simAnnFilteredSweepSql: String = probeSweepSqlWith(
+    lblCte = s"\nlbl AS (SELECT vec_id FROM embeddings WHERE label = $AnnFilterLabel),",
+    lblJoin = "\n  JOIN lbl ON lbl.vec_id = af.vec_id",
+    truthSql = filteredBruteSql)
   private val filteredBruteSql: String =
     s"""WITH e AS (
        |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v, label
@@ -1338,8 +1374,12 @@ object MlOps {
   lazy val simAnnFilteredRecallSql: String =
     annRecallSqlAgainst(simAnnFilteredSql, truthSql = filteredBruteSql)
 
-  val simAnnProbeSweepSql: String =
-    s"""$ivfFitCtes,
+  /** The sweep oracle as a builder: `lblCte`/`lblJoin` insert the
+    * candidate label screen, `truthSql` swaps the truth — one
+    * definition under the unfiltered and filtered sweeps. */
+  private def probeSweepSqlWith(
+      lblCte: String, lblJoin: String, truthSql: String): String =
+    s"""$ivfFitCtes,$lblCte
        |probe AS (
        |  SELECT vec_id, list_id, rn FROM (
        |    SELECT e.vec_id, c.list_id,
@@ -1352,12 +1392,12 @@ object MlOps {
        |  SELECT p.vec_id AS qid, p.rn AS probe_rn, af.vec_id AS nid,
        |    list_cosine_similarity(q.v, n.v) AS cos
        |  FROM probe p
-       |  JOIN af ON af.list_id = p.list_id
+       |  JOIN af ON af.list_id = p.list_id$lblJoin
        |  JOIN emb q ON q.vec_id = p.vec_id
        |  JOIN emb n ON n.vec_id = af.vec_id
        |  WHERE af.vec_id <> p.vec_id),
        |brute AS (SELECT qid, nid FROM (
-       |${SimilarityOps.simTopkBruteSql}
+       |$truthSql
        |) zb),
        |levels AS (SELECT unnest([${(1 to SweepMaxProbe).mkString(", ")}]) AS nprobe),
        |got AS (
@@ -1380,4 +1420,8 @@ object MlOps {
        |  CAST((1000000 * h.n_hit) // h.n_true AS BIGINT) AS recall_ppm
        |FROM scan s JOIN hits h ON h.nprobe = s.nprobe
        |ORDER BY nprobe""".stripMargin
+
+  lazy val simAnnProbeSweepSql: String =
+    probeSweepSqlWith(lblCte = "", lblJoin = "",
+      truthSql = SimilarityOps.simTopkBruteSql)
 }

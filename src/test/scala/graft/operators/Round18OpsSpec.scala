@@ -447,6 +447,25 @@ class Round18OpsSpec extends SparkSpec {
     }
   }
 
+  test("filtered sweep agrees with the filtered serve at its probe depth; monotone in nprobe") {
+    val sweep = MlOps.simAnnFilteredSweep(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(sweep.map(_._1).toSeq == (1L to MlOps.SweepMaxProbe).toSeq)
+    sweep.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 >= a._2 && b._4 >= a._4,
+        s"filtered sweep not monotone at nprobe=${b._1}")
+    }
+    // cross-pin: the sweep's nprobe=2 level IS sim_ann_filtered's
+    // serve (same probe depth, same filter, same truth) — their hit
+    // totals must agree exactly
+    val servedHits = MlOps.simAnnFilteredRecall(spark, sf0001).collect()
+      .map(_.getLong(2)).sum
+    val sweepAt2 = sweep.find(_._1 == 2L).get._4
+    assert(sweepAt2 == servedHits,
+      s"sweep@2 hits $sweepAt2 ≠ filtered serve hits $servedHits")
+  }
+
   test("lsh curve: screen sensitive above the threshold decile, quiet below") {
     import spark.implicits._
     val rows = DedupOps.dedupLshCurve(spark, sf0001).collect()
