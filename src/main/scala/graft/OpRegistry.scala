@@ -389,6 +389,8 @@ object OpRegistry {
       DedupOps.dedupEmbeddingClusters, DedupOps.dedupEmbeddingClustersSql),
     op("dedup_minhash_lsh", DedupOps.dedupMinhashLsh, DedupOps.dedupMinhashLshSql),
     op("dedup_lsh_curve", DedupOps.dedupLshCurve, DedupOps.dedupLshCurveSql),
+    op("dedup_simhash_curve",
+      DedupOps.dedupSimhashCurve, DedupOps.dedupSimhashCurveSql),
     op("dedup_simhash", DedupOps.dedupSimhash, DedupOps.dedupSimhashSql),
     op("dedup_embedding_cosine", DedupOps.dedupEmbeddingCosine, DedupOps.dedupEmbeddingCosineSql),
     op("dedup_embedding_lsh", DedupOps.dedupEmbeddingLsh, DedupOps.dedupEmbeddingLshSql),

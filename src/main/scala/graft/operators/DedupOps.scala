@@ -340,12 +340,24 @@ object DedupOps {
   def dedupLshCurve(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val toks = trackCache(tokens(s, d))
+    screenCurveOf(s, toks, minhashCandBase(s, toks)._1)
+  }
+
+  /** The screen-vs-similarity CURVE harness shared by
+    * [[dedupLshCurve]] and [[dedupSimhashCurve]]: bucket the full
+    * co-shingle pair universe ([[jaccardScoredOf]], no threshold) by
+    * exact-Jaccard decile and report what fraction of each decile the
+    * given screen's candidate set caught — ≤10 rows at any corpus
+    * size, every leg a capped corpus-linear generator. */
+  private def screenCurveOf(
+      s: SparkSession, toks: DataFrame, screen: DataFrame): DataFrame = {
+    import s.implicits._
     val uni = jaccardScoredOf(s, toks)
       .withColumn("j_ppm", expr("(1000000L * c) div (na + nb - c)"))
       .withColumn("decile", least(expr("j_ppm div 100000L"), lit(9L)))
       .select($"da", $"db", $"decile")
-    val (cand, _) = minhashCandBase(s, toks)
-    uni.join(cand.withColumn("hit", lit(1L)), Seq("da", "db"), "left")
+    val det = screen.select($"da", $"db").withColumn("hit", lit(1L))
+    uni.join(det, Seq("da", "db"), "left")
       .groupBy($"decile")
       .agg(count(lit(1)).as("n_pairs"),
         sum(coalesce($"hit", lit(0L))).as("n_detected"))
@@ -353,9 +365,11 @@ object DedupOps {
         expr("(1000000L * n_detected) div n_pairs").as("detect_ppm"))
       .orderBy($"decile")
   }
-  val dedupLshCurveSql: String =
-    s"""WITH ${minhashPairsCtesSql("documents")},
-       |${ngramPairsCtesSql("tok")},
+  /** The curve rollup against screen relation `candRel`, prefixed by
+    * the screen's own CTE chain — one rollup definition for every
+    * screen's curve oracle. */
+  private def screenCurveSql(prefixCtes: String, candRel: String): String =
+    s"""WITH $prefixCtes,
        |uj AS (SELECT da, db,
        |         least(((1000000 * c) // (na + nb - c)) // 100000, 9) AS decile
        |       FROM jall)
@@ -363,8 +377,31 @@ object DedupOps {
        |  CAST(sum(CASE WHEN cd.da IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_detected,
        |  CAST((1000000 * sum(CASE WHEN cd.da IS NOT NULL THEN 1 ELSE 0 END))
        |    // count(*) AS BIGINT) AS detect_ppm
-       |FROM uj LEFT JOIN cand cd ON cd.da = uj.da AND cd.db = uj.db
+       |FROM uj LEFT JOIN $candRel cd ON cd.da = uj.da AND cd.db = uj.db
        |GROUP BY uj.decile ORDER BY decile""".stripMargin
+  lazy val dedupLshCurveSql: String = screenCurveSql(
+    s"""${minhashPairsCtesSql("documents")},
+       |${ngramPairsCtesSql("tok")}""".stripMargin, "cand")
+
+  /** [[dedupLshCurve]]'s twin for the OTHER screen physics — the
+    * SimHash band screen ([[simhashCandBase]], chunk-equality over a
+    * 64-bit locality-preserving signature) metered against the same
+    * exact-Jaccard deciles: SimHash collision probability tracks
+    * cosine-of-token-histograms rather than set Jaccard, so its curve
+    * rises earlier and less steeply than MinHash banding's — this
+    * side-by-side (same universe, same buckets) is how an operator
+    * picks WHICH screen guards a 100 TB dedup pass, or layers both.
+    * Same shared harness; detection = band-chunk collision, BEFORE
+    * the Hamming≤8 verification. */
+  def dedupSimhashCurve(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = trackCache(tokens(s, d))
+    screenCurveOf(s, toks, simhashCandBase(s, toks))
+  }
+  lazy val dedupSimhashCurveSql: String = screenCurveSql(
+    s"""${simhashCandCtesSql("documents")},
+       |tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+       |${ngramPairsCtesSql("tok")}""".stripMargin, "scand")
 
   /** Dedup CLUSTERING — the production step after pair generation:
     * near-dup pairs become edges, connected components become cluster
@@ -451,6 +488,17 @@ object DedupOps {
 
   private def dedupSimhashOf(s: SparkSession, toks: DataFrame): DataFrame = {
     import s.implicits._
+    simhashCandBase(s, toks).filter($"hamming" <= 8).orderBy($"da", $"db")
+  }
+
+  /** The SimHash banding SCREEN itself — band-chunk-collision
+    * candidate pairs with their Hamming distance, BEFORE the ≤8
+    * threshold. One definition under [[dedupSimhashOf]] (which
+    * thresholds) and [[dedupSimhashCurve]] (which meters the screen's
+    * raw sensitivity), the same sharing contract as
+    * [[minhashCandBase]]. */
+  private def simhashCandBase(s: SparkSession, toks: DataFrame): DataFrame = {
+    import s.implicits._
     GraftFunctions.register(s)
     val sig = toks
       // NULL-text guard: Spark's simhash_md5 yields a NULL sig (doc
@@ -473,7 +521,7 @@ object DedupOps {
       .select($"band".as("xband"), $"chunk".as("xchunk"))
     val kept = bands.join(drop,
       $"band" === $"xband" && $"chunk" === $"xchunk", "left_anti")
-    val cand = kept.toDF("da", "siga", "band", "chunk")
+    kept.toDF("da", "siga", "band", "chunk")
       .join(kept.toDF("db", "sigb", "band", "chunk"), Seq("band", "chunk"))
       .filter($"da" < $"db")
       .select($"da", $"db", expr(
@@ -481,33 +529,38 @@ object DedupOps {
           |   + bit_count(siga[2] ^ sigb[2]) + bit_count(siga[3] ^ sigb[3]) AS BIGINT)""".stripMargin)
         .as("hamming"))
       .distinct()
-    cand.filter($"hamming" <= 8).orderBy($"da", $"db")
   }
-  /** DuckDB replica: same md5 nibble-bit SimHash, banding, and Hamming
-    * verification (see [[graft.functions.Md5Bits]] for the contract). */
-  val dedupSimhashSql: String =
-    s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents
+  /** DuckDB replica of [[simhashCandBase]] from relation `src`: same
+    * md5 nibble-bit SimHash, banding, and Hamming computation (see
+    * [[graft.functions.Md5Bits]] for the contract); the screen's pair
+    * set lands as `scand(da, db, hamming)`. CTE names are s-prefixed
+    * so the chain composes with the ngram/minhash chains in
+    * [[dedupSimhashCurveSql]] without collisions. */
+  private def simhashCandCtesSql(src: String): String =
+    s"""stok AS (SELECT doc_id, string_split(text,' ') AS ws FROM $src
       |            WHERE text IS NOT NULL),
-      |hs AS (SELECT doc_id, [md5(t) for t in ws] AS hs FROM tok),
-      |bits AS (SELECT doc_id,
+      |shs AS (SELECT doc_id, [md5(t) for t in ws] AS hs FROM stok),
+      |sbits AS (SELECT doc_id,
       |           [CASE WHEN list_sum([CASE WHEN ((strpos('0123456789abcdef', substr(h, j//4+1, 1))-1) >> (j%4)) & 1 = 1
       |                                     THEN 1 ELSE -1 END for h in hs]) > 0
       |                 THEN 1 ELSE 0 END for j in range(0,64)] AS bits
-      |         FROM hs),
-      |sig AS (SELECT doc_id,
+      |         FROM shs),
+      |ssig AS (SELECT doc_id,
       |          [CAST(list_sum([bits[16*b+k+1] * (1::BIGINT << k) for k in range(0,16)]) AS BIGINT) for b in range(0,4)] AS sig
-      |        FROM bits),
-      |bands0 AS (SELECT doc_id, sig, b AS band, sig[b+1] AS chunk FROM sig, range(0,4) t(b)),
-      |keepb AS (SELECT band, chunk FROM (SELECT band, chunk, count(*) AS n_docs
-      |                                   FROM bands0 GROUP BY 1, 2)
+      |        FROM sbits),
+      |sbands0 AS (SELECT doc_id, sig, b AS band, sig[b+1] AS chunk FROM ssig, range(0,4) t(b)),
+      |skeepb AS (SELECT band, chunk FROM (SELECT band, chunk, count(*) AS n_docs
+      |                                   FROM sbands0 GROUP BY 1, 2)
       |          WHERE n_docs <= $SimhashBandCap),
-      |bands AS (SELECT b.* FROM bands0 b JOIN keepb k
+      |sbands AS (SELECT b.* FROM sbands0 b JOIN skeepb k
       |          ON k.band = b.band AND k.chunk = b.chunk),
-      |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+      |scand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
       |           CAST(bit_count(xor(a.sig[1], b.sig[1])) + bit_count(xor(a.sig[2], b.sig[2]))
       |              + bit_count(xor(a.sig[3], b.sig[3])) + bit_count(xor(a.sig[4], b.sig[4])) AS BIGINT) AS hamming
-      |         FROM bands a JOIN bands b ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
-      |SELECT da, db, hamming FROM cand WHERE hamming <= 8 ORDER BY da, db""".stripMargin
+      |         FROM sbands a JOIN sbands b ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)""".stripMargin
+  val dedupSimhashSql: String =
+    s"""WITH ${simhashCandCtesSql("documents")}
+      |SELECT da, db, hamming FROM scand WHERE hamming <= 8 ORDER BY da, db""".stripMargin
 
   /** Embedding cosine near-dup pairs, brute force n² via the native
     * [[graft.functions.CosineSim]] kernel (double accumulation in

@@ -488,6 +488,30 @@ class Round18OpsSpec extends SparkSpec {
     }
   }
 
+  test("simhash curve: discriminates similar from dissimilar mass, counts consistent") {
+    val rows = DedupOps.dedupSimhashCurve(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    DedupOps.releaseCaches()
+    assert(rows.nonEmpty)
+    rows.foreach { case (dec, n, det, ppm) =>
+      assert(dec >= 0 && dec <= 9, s"decile $dec out of range")
+      assert(det >= 0 && det <= n, s"decile $dec detections out of range")
+      assert(ppm == 1000000L * det / n, s"decile $dec ppm drifted from counts")
+    }
+    // the screen must DISCRIMINATE: far hotter on the most-similar
+    // decile present than on the dissimilar mass (unlike minhash
+    // banding it tracks histogram cosine, so it is allowed to fire on
+    // some set-dissimilar pairs and to miss some mid-decile ones —
+    // that difference is exactly what the side-by-side is for)
+    val low = rows.find(_._1 == 0)
+    val high = rows.maxBy(_._1)
+    low.foreach { l =>
+      assert(high._4 > 2 * l._4,
+        s"screen does not discriminate: top ${high._4} vs low ${l._4} ppm")
+    }
+  }
+
   test("filtered retrieval: predicate honored pre-ranking, meter consistent") {
     import spark.implicits._
     val res = CurationOps.docRagFiltered(spark, sf0001).cache()
