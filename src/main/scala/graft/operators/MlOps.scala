@@ -1157,6 +1157,7 @@ object MlOps {
     * — one list so the report can never cover a different set than
     * the registered recall ops. */
   private lazy val annVariants: Seq[(String, (SparkSession, String) => DataFrame, () => String)] = Seq(
+    ("ivf", (s, d) => simAnnIvf(s, d), () => ivfOracleSql),
     ("ivf_pq", (s, d) => simAnnIvfPq(s, d), () => ivfPqOracleSql),
     ("lsh", (s, d) => SimilarityOps.simAnnLsh(s, d), () => SimilarityOps.simAnnLshSql),
     ("sq8", (s, d) => simAnnSq8(s, d), () => sq8OracleSql))
