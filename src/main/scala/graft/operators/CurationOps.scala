@@ -1541,18 +1541,26 @@ object CurationOps {
   }
 
   def docRagE2e(s: SparkSession, d: String): DataFrame = {
+    val (cvu, scored) = ragProbedScored(s, d)
+    // materialize (queries × RagTopK — tiny by construction) so cvu
+    // can be released before returning
+    graft.Tables.materializeAndRelease(ragTopKOf(scored), cvu)
+  }
+
+  /** The exact-cosine top-[[RagTopK]] cut over a probed-scored
+    * candidate frame — [[docRagE2e]]'s serve step as a lazy plan,
+    * shared with [[docRagRecall]] so the meter can score the serve
+    * without paying the chunk embedding twice. */
+  private def ragTopKOf(scored: DataFrame): DataFrame = {
+    val s = scored.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val (cvu, scored) = ragProbedScored(s, d)
     val w = Window.partitionBy($"qid")
       .orderBy($"cos".desc, $"doc_id", $"chunk_id")
-    val out = scored.withColumn("rank", row_number().over(w).cast("long"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= RagTopK)
       .select($"qid", $"rank", $"doc_id", $"chunk_id")
       .orderBy($"qid", $"rank")
-    // materialize (queries × RagTopK — tiny by construction) so cvu
-    // can be released before returning
-    graft.Tables.materializeAndRelease(out, cvu)
   }
   /** Shared oracle CTE chain for the RAG ops: chunking + hashed chunk
     * embedding + unit normalization, the deterministic quantizer fit
@@ -2415,8 +2423,12 @@ object CurationOps {
     * [[docRagE2e]] reused verbatim on both engines (the Spark
     * function; `ragres` in the oracle), so the metric can never drift
     * from what the pipeline actually retrieves. */
-  def docRagRecall(s: SparkSession, d: String): DataFrame =
-    ragRecallOf(s, d, docRagE2e(s, d))
+  def docRagRecall(s: SparkSession, d: String): DataFrame = {
+    // one chunk embedding feeds both the serve it scores and the truth
+    val (cvu, scored) = ragProbedScored(s, d)
+    val rollup = ragRecallOf(s, d, ragTopKOf(scored), chunksOpt = Some(cvu))
+    graft.Tables.materializeAndRelease(rollup, cvu)
+  }
 
   /** Recall@[[RagTopK]] of the HYBRID retrieval ([[docRagHybrid]])
     * against the same brute-force chunk ground truth — the rollout
@@ -2434,20 +2446,28 @@ object CurationOps {
     * integer-ppm rollup. */
   private def ragRecallOf(
       s: SparkSession, d: String, retrieved: DataFrame,
-      truthChunks: DataFrame => DataFrame = identity): DataFrame = {
+      truthChunks: DataFrame => DataFrame = identity,
+      chunksOpt: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(s)
     val rag = retrieved
       .select($"qid", $"doc_id", $"chunk_id").withColumn("hit", lit(1L))
-    val q = ragQueryVecs(s, d).select($"vec_id".as("qid"), $"v".as("qv"))
+    // chunksOpt lets a caller that already holds the (cached) unit
+    // chunk frame share it with the truth pass — without it the meter
+    // pays the corpus embedding twice (once in the serve it scores,
+    // once here). Query vectors derive from the same frame
+    // (ragQueryVecs IS this filter+projection).
+    val chunks = chunksOpt.getOrElse(ragChunkUnitVecs(s, d))
+    val q = chunks.filter(ragQueryPred)
+      .select($"doc_id".as("qid"), $"v".as("qv"))
     // brute ground truth: all chunks scored per query — unhinted cross
     // (the query side is data-derived; AQE broadcasts it on size).
     // truthChunks narrows the truth universe for predicate-scoped
     // variants (docRagFilteredRecall); it must preserve
     // (doc_id, chunk_id, v).
     val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"doc_id", $"chunk_id")
-    val truth = truthChunks(ragChunkUnitVecs(s, d)).crossJoin(q)
+    val truth = truthChunks(chunks).crossJoin(q)
       .filter($"doc_id" =!= $"qid") // same own-doc exclusion as the pipeline
       .select($"qid", $"doc_id", $"chunk_id",
         expr("cosine_sim(qv, v)").as("cos"))
@@ -2612,10 +2632,13 @@ object CurationOps {
   def docRagFilteredRecall(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val langs = documents(s, d).select($"doc_id", $"lang")
-    ragRecallOf(s, d, docRagFiltered(s, d), truthChunks = cv =>
-      cv.join(langs, "doc_id")
+    val (out, cvu) = ragFilteredLazy(s, d)
+    val rollup = ragRecallOf(s, d, out,
+      truthChunks = cv => cv.join(langs, "doc_id")
         .filter($"lang" === RagFilterLang)
-        .select($"doc_id", $"chunk_id", $"v"))
+        .select($"doc_id", $"chunk_id", $"v"),
+      chunksOpt = Some(cvu))
+    graft.Tables.materializeAndRelease(rollup, cvu)
   }
   lazy val docRagFilteredRecallSql: String =
     s"""$ragCtesSql,
@@ -2665,9 +2688,20 @@ object CurationOps {
     * [[docRagE2e]]). The pairwise redundancy term never leaves the
     * pool, which is what makes diversity affordable at scale. */
   def docRagMmr(s: SparkSession, d: String): DataFrame = {
+    val (cvu, scored) = ragProbedScored(s, d)
+    val (out, pool) = mmrSelLazy(s, scored)
+    graft.Tables.materializeAndRelease(out, pool, cvu)
+  }
+
+  /** The greedy MMR selection over a probed-scored candidate frame as
+    * a LAZY plan — returns (result, the cached pool the caller must
+    * unpersist). Shared by [[docRagMmr]] and [[docRagMmrRecall]], so
+    * the meter scores the exact serve plan without re-embedding the
+    * corpus for a second pass. */
+  private def mmrSelLazy(
+      s: SparkSession, scored: DataFrame): (DataFrame, DataFrame) = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val (cvu, scored) = ragProbedScored(s, d)
     val wp = Window.partitionBy($"qid").orderBy($"cos".desc, $"doc_id", $"chunk_id")
     val pool = scored.withColumn("prank", row_number().over(wp))
       .filter($"prank" <= RagMmrPool)
@@ -2695,12 +2729,7 @@ object CurationOps {
     }
     val out = sel.select($"qid", $"rank", $"doc_id", $"chunk_id")
       .orderBy($"qid", $"rank")
-    // materialize (queries × RagTopK) before releasing the caches
-    import scala.jdk.CollectionConverters._
-    val rows = out.collect().toSeq
-    pool.unpersist()
-    cvu.unpersist()
-    s.createDataFrame(rows.asJava, out.schema)
+    (out, pool)
   }
   /** The MMR CTE chain appended after [[ragCtesSql]]: probed pool cut,
     * vector join-back, and the unrolled greedy selection rounds,
@@ -2755,8 +2784,13 @@ object CurationOps {
     * trade lost ground-truth hits on THIS corpus before a rollout
     * flips the serve path (the same veto-meter contract as
     * [[docRagHybridRecall]]). */
-  def docRagMmrRecall(s: SparkSession, d: String): DataFrame =
-    ragRecallOf(s, d, docRagMmr(s, d))
+  def docRagMmrRecall(s: SparkSession, d: String): DataFrame = {
+    // one chunk embedding feeds the MMR serve AND the truth pass
+    val (cvu, scored) = ragProbedScored(s, d)
+    val (mmrOut, pool) = mmrSelLazy(s, scored)
+    val rollup = ragRecallOf(s, d, mmrOut, chunksOpt = Some(cvu))
+    graft.Tables.materializeAndRelease(rollup, pool, cvu)
+  }
   lazy val docRagMmrRecallSql: String =
     ragRecallSqlAgainst("mmrres", ragMmrCtesSql)
 
