@@ -402,6 +402,8 @@ object OpRegistry {
     op("doc_shard_pack", CurationOps.docShardPack, CurationOps.docShardPackSql),
     op("doc_pack_manifest",
       CurationOps.docPackManifest, CurationOps.docPackManifestSql),
+    op("doc_pack_manifest_bpe",
+      CurationOps.docPackManifestBpe, CurationOps.docPackManifestBpeSql),
     op("doc_interleave", CurationOps.docInterleave, CurationOps.docInterleaveSql),
     op("doc_mix_weights", CurationOps.docMixWeights, CurationOps.docMixWeightsSql),
     op("doc_mix_temperature",

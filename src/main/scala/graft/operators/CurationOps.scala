@@ -708,6 +708,62 @@ object CurationOps {
     * corpus-sized side is one dictionary join + the same per-source
     * running-sum window; docs with no non-empty word carry no BPE
     * length and are excluded by the join on BOTH engines. */
+  /** [[docPackManifest]] in REAL tokenizer units — the
+    * concatenate-then-chunk manifest with offsets measured in BPE
+    * tokens ([[TextOps.bpeDocCounts]], the shared trained-tokenizer
+    * count CTEs) instead of whitespace words: the row set a trainer
+    * actually materializes 128-TOKEN sequences from, completing the
+    * BPE twin family (budget / mix weights / train feed already have
+    * one). Whitespace packing misallocates boundaries the moment
+    * tokenization diverges from words (CJK, code, long identifiers);
+    * this manifest places every boundary in the units the model
+    * consumes. Zero-token docs are excluded BEFORE the offset window
+    * on both engines (they carry no span; Spark's `sequence(s, s-1)`
+    * would descend) — their exclusion leaves every offset unchanged.
+    * Same shape as the whitespace manifest: one per-source window +
+    * map-side explode over integer offsets, fit cost is the shared
+    * dictionary-sized BPE fit. */
+  def docPackManifestBpe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val L = 128L
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents(s, d)
+      .filter($"text".isNotNull)
+      .select($"doc_id", $"source")
+      .join(TextOps.bpeDocCounts(s, d).select($"doc_id", $"n_bpe"), "doc_id")
+      .filter($"n_bpe" > 0L)
+      .withColumn("start_off", coalesce(sum($"n_bpe").over(w), lit(0L)))
+      .withColumn("end_off", $"start_off" + $"n_bpe")
+      .withColumn("seq_id",
+        explode(sequence(expr(s"start_off div $L"), expr(s"(end_off - 1) div $L"))))
+      .withColumn("doc_from", greatest($"start_off", $"seq_id" * L) - $"start_off")
+      .withColumn("doc_to", least($"end_off", ($"seq_id" + 1) * L) - $"start_off")
+      .select($"source", $"doc_id", $"seq_id", $"doc_from", $"doc_to")
+      .orderBy($"source", $"doc_id", $"seq_id")
+  }
+  lazy val docPackManifestBpeSql: String =
+    s"""${TextOps.bpeDocCountsCtesSql},
+       |mbase AS (
+       |  SELECT d.source, d.doc_id, b.n_bpe,
+       |    CAST(COALESCE(sum(b.n_bpe) OVER (
+       |      PARTITION BY d.source ORDER BY d.doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS start_off
+       |  FROM documents d JOIN bpe b ON b.doc_id = d.doc_id
+       |  WHERE b.n_bpe > 0),
+       |mspans AS (
+       |  SELECT source, doc_id, n_bpe, start_off,
+       |    start_off + n_bpe AS end_off,
+       |    unnest(generate_series(start_off // 128,
+       |                           (start_off + n_bpe - 1) // 128)) AS seq_id
+       |  FROM mbase)
+       |SELECT source, doc_id, seq_id,
+       |  greatest(start_off, seq_id * 128) - start_off AS doc_from,
+       |  least(end_off, (seq_id + 1) * 128) - start_off AS doc_to
+       |FROM mspans ORDER BY source, doc_id, seq_id""".stripMargin
+
   def docTokenBudgetBpe(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window

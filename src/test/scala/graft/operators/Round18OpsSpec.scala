@@ -420,6 +420,38 @@ class Round18OpsSpec extends SparkSpec {
     }
   }
 
+  test("bpe pack manifest: spans tile each doc exactly, mass equals the bpe counts") {
+    import spark.implicits._
+    val rows = CurationOps.docPackManifestBpe(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val nBpe = TextOps.bpeDocCounts(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap // (doc_id, n_words, n_bpe)
+    // per doc: spans are contiguous, start at 0, end at n_bpe — the
+    // manifest tiles every token exactly once
+    rows.groupBy(r => (r._1, r._2)).foreach { case ((_, doc), spans) =>
+      val sorted = spans.sortBy(_._3)
+      assert(sorted.head._4 == 0L, s"doc $doc first span not at 0")
+      assert(sorted.last._5 == nBpe(doc), s"doc $doc last span ≠ n_bpe")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5 == b._4, s"doc $doc spans not contiguous")
+          assert(b._3 == a._3 + 1, s"doc $doc skips a sequence")
+        case _ => ()
+      }
+    }
+    // global mass conservation: manifest token-span mass = Σ n_bpe of
+    // every packed (non-empty) doc
+    val mass = rows.map(r => r._5 - r._4).sum
+    val packedDocs = rows.map(_._2).toSet
+    assert(mass == packedDocs.toSeq.map(nBpe).sum, "span mass ≠ token mass")
+    // and only zero-token docs are outside the manifest
+    nBpe.foreach { case (doc, n) =>
+      assert((n > 0) == packedDocs.contains(doc),
+        s"doc $doc packed=${packedDocs.contains(doc)} with n_bpe=$n")
+    }
+  }
+
   test("filtered ANN: label predicate honored pre-ranking, meter consistent") {
     import spark.implicits._
     val labelOf = graft.Tables.embeddings(spark, sf0001)
