@@ -729,8 +729,11 @@ object CurationOps {
     val L = 128L
     val w = Window.partitionBy($"source").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
+    // no text.isNotNull filter: the inner join against bpeDocCounts
+    // already excludes every NULL-/empty-text doc (its rows exist only
+    // for docs with ≥1 vocab word), and adding one would drag the text
+    // column into this side's scan for nothing
     documents(s, d)
-      .filter($"text".isNotNull)
       .select($"doc_id", $"source")
       .join(TextOps.bpeDocCounts(s, d).select($"doc_id", $"n_bpe"), "doc_id")
       .filter($"n_bpe" > 0L)
@@ -1706,7 +1709,16 @@ object CurationOps {
     * [[docRagStream]] (streaming serve against the same artifacts).
     * Returns (index dir, centroid frame — the probe side ranks lists
     * via [[IvfKmeans.withDists]], which wants the frame). */
-  private def ragBuildIndex(s: SparkSession, d: String): (String, DataFrame) = {
+  private def ragBuildIndex(s: SparkSession, d: String): (String, DataFrame) =
+    ragBuildIndexAt(s, d, ragIndexDir(s, d))
+
+  /** ONE index-build definition (chunk + key + frozen fit + assigned
+    * list-partitioned overwrite) for every on-disk index variant:
+    * `attach` co-locates payload columns in the written rows
+    * ([[docRagIndexFiltered]]'s lang) — it sees the assigned frame and
+    * must preserve (doc_id, chunk_id, v, list_id). */
+  private def ragBuildIndexAt(s: SparkSession, d: String, dir: String,
+      attach: DataFrame => DataFrame = identity): (String, DataFrame) = {
     import s.implicits._
     GraftFunctions.register(s)
     val cvu = ragChunkUnitVecs(s, d)
@@ -1715,9 +1727,8 @@ object CurationOps {
     val cents = IvfKmeans.centroidsFor(s, d, "ragchunk",
       cvu.select($"vec_id", $"v"), fpTable = "documents")
     val cdf = IvfKmeans.centroidFrame(s, cents)
-    val dir = ragIndexDir(s, d)
-    cvu.withColumn("list_id", IvfKmeans.assignCol(s, cents, $"v"))
-      .select($"doc_id", $"chunk_id", $"v", $"list_id")
+    attach(cvu.withColumn("list_id", IvfKmeans.assignCol(s, cents, $"v")))
+      .drop("vec_id")
       .write.mode("overwrite").partitionBy("list_id").parquet(dir)
     cvu.unpersist() // the write materialized it
     (dir, cdf)
@@ -1796,20 +1807,9 @@ object CurationOps {
     * the exact read path this op executes. */
   def docRagIndexFiltered(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    GraftFunctions.register(s)
-    val cvu = ragChunkUnitVecs(s, d)
-      .withColumn("vec_id", $"doc_id" * RagKeyMul + $"chunk_id")
-      .cache()
-    val cents = IvfKmeans.centroidsFor(s, d, "ragchunk",
-      cvu.select($"vec_id", $"v"), fpTable = "documents")
-    val cdf = IvfKmeans.centroidFrame(s, cents)
-    val dir = ragLangIndexDir(s, d)
     val langs = documents(s, d).select($"doc_id", $"lang")
-    cvu.join(langs, "doc_id")
-      .withColumn("list_id", IvfKmeans.assignCol(s, cents, $"v"))
-      .select($"doc_id", $"chunk_id", $"v", $"lang", $"list_id")
-      .write.mode("overwrite").partitionBy("list_id").parquet(dir)
-    cvu.unpersist() // the write materialized it
+    val (dir, cdf) = ragBuildIndexAt(s, d, ragLangIndexDir(s, d),
+      attach = _.join(langs, "doc_id"))
     ragProbeRetrieve(s, ragQueryVecs(s, d), dir, cdf,
       indexFilter = _.filter($"lang" === RagFilterLang))
       .orderBy($"qid", $"rank")

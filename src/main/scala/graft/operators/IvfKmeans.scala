@@ -134,9 +134,15 @@ object IvfKmeans {
     * identical doubles). */
   def withV(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    embeddings(s, d).select($"vec_id", $"embedding",
-      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    withVOf(embeddings(s, d).select($"vec_id", $"embedding"))
   }
+
+  /** Append the exactly-widened double vector `v` to any frame
+    * carrying an `embedding` column — ONE definition of the widening
+    * (a drift here changes every list assignment), so payload-carrying
+    * variants ([[graft.operators.MlOps.simAnnFiltered]]) share it. */
+  def withVOf(e: DataFrame): DataFrame =
+    e.withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
 
   /** Squared distance to every centroid: broadcast the k-row centroid
     * table, accumulate (x-y)² in index order — the same sequential

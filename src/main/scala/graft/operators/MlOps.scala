@@ -1277,9 +1277,12 @@ object MlOps {
     val cents = IvfKmeans.centroids(s, d)
     val cdf = IvfKmeans.centroidFrame(s, cents)
     val e = IvfKmeans.withV(s, d)
-    val assigned = embeddings(s, d)
-      .select($"vec_id", $"embedding",
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"), $"label")
+    // deliberately a SECOND scan, not a shared one: the query side
+    // reads 5 vectors (vec_id pushdown), the index side reads only the
+    // label partition's row groups — one shared scan would read the
+    // union with neither predicate pushed
+    val assigned = IvfKmeans
+      .withVOf(embeddings(s, d).select($"vec_id", $"embedding", $"label"))
       .filter($"label" === AnnFilterLabel)
       .withColumn("list_id", IvfKmeans.assignCol(s, cents, $"v"))
       .select($"vec_id", $"embedding", $"list_id")
@@ -1317,21 +1320,13 @@ object MlOps {
 
   /** Exact top-3 among label-matching vectors — the truth both
     * [[simAnnFilteredRecall]] and [[simAnnFilteredSweep]] score
-    * against (one definition, two meters). */
+    * against: the SHARED brute harness
+    * ([[SimilarityOps.simTopkBruteWhere]]) with the label screen, so a
+    * tie-break or query-set change to the baseline reaches the
+    * filtered truth automatically. */
   private def filteredBruteTruth(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    graft.functions.GraftFunctions.register(s)
-    val e = embeddings(s, d).select($"vec_id", $"embedding", $"label")
-    val q = e.filter($"vec_id" < 5)
-      .select($"vec_id".as("qid"), $"embedding".as("va"))
-    val c = e.filter($"label" === AnnFilterLabel)
-      .select($"vec_id".as("nid"), $"embedding".as("vb"))
-    val scored = q.crossJoin(c).filter($"qid" =!= $"nid")
-      .select($"qid", $"nid", expr("cosine_sim(va, vb)").as("cos"))
-    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= 3)
-      .select($"qid", $"rank", $"nid")
+    SimilarityOps.simTopkBruteWhere(s, d, _.filter($"label" === AnnFilterLabel))
   }
 
   /** The probe-depth dial UNDER THE FILTER — the measurement the
@@ -1358,20 +1353,7 @@ object MlOps {
     lblJoin = "\n  JOIN lbl ON lbl.vec_id = af.vec_id",
     truthSql = filteredBruteSql)
   private val filteredBruteSql: String =
-    s"""WITH e AS (
-       |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v, label
-       |  FROM embeddings),
-       |scored AS (
-       |  SELECT a.vec_id AS qid, b.vec_id AS nid,
-       |    list_cosine_similarity(a.v, b.v) AS cos
-       |  FROM e a JOIN e b ON a.vec_id <> b.vec_id
-       |  WHERE a.vec_id < 5 AND b.label = $AnnFilterLabel),
-       |ranked AS (
-       |  SELECT qid, nid,
-       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
-       |  FROM scored)
-       |SELECT qid, rank, nid FROM ranked WHERE rank <= 3
-       |ORDER BY qid, rank""".stripMargin
+    SimilarityOps.simTopkBruteSqlWhere(s" AND b.label = $AnnFilterLabel")
   lazy val simAnnFilteredRecallSql: String =
     annRecallSqlAgainst(simAnnFilteredSql, truthSql = filteredBruteSql)
 
@@ -1409,8 +1391,12 @@ object MlOps {
        |    FROM levels l JOIN cand c ON c.probe_rn <= l.nprobe) z
        |  WHERE rank <= 3),
        |scan AS (
-       |  SELECT l.nprobe, count(*) AS scanned
-       |  FROM levels l JOIN cand c ON c.probe_rn <= l.nprobe GROUP BY 1),
+       |  -- LEFT join + count(c.qid): a level whose probed lists hold
+       |  -- ZERO candidates (reachable under the filtered sweep's label
+       |  -- screen) must still emit its row with scanned = 0, exactly
+       |  -- as the Spark side's unconditional per-level aggregate does
+       |  SELECT l.nprobe, CAST(count(c.qid) AS BIGINT) AS scanned
+       |  FROM levels l LEFT JOIN cand c ON c.probe_rn <= l.nprobe GROUP BY 1),
        |hits AS (
        |  SELECT l.nprobe, count(*) AS n_true,
        |    CAST(sum(CASE WHEN g.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit

@@ -19,12 +19,24 @@ object SimilarityOps {
 
   /** Brute-force cosine top-3 for query vectors vec_id < 5 (native
     * [[graft.functions.CosineSim]] kernel in the inner loop). */
-  def simTopkBrute(s: SparkSession, d: String): DataFrame = {
+  def simTopkBrute(s: SparkSession, d: String): DataFrame =
+    simTopkBruteWhere(s, d)
+
+  /** The brute top-3 harness with the CANDIDATE side narrowable — one
+    * definition of the truth contract (query cut vec_id < 5,
+    * self-exclusion, cosine, rank ≤ 3 with ties to the lower nid) for
+    * both the full-corpus baseline and predicate-scoped truths
+    * ([[MlOps]]' filtered-ANN meters). `candFilter` sees the full
+    * embeddings frame (so label-style payload columns are available)
+    * and must preserve vec_id + embedding. */
+  private[operators] def simTopkBruteWhere(s: SparkSession, d: String,
+      candFilter: DataFrame => DataFrame = identity): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
-    val e = embeddings(s, d).select($"vec_id", $"embedding")
-    val q = e.filter($"vec_id" < 5).toDF("qid", "va")
-    val c = e.toDF("nid", "vb")
+    val e = embeddings(s, d)
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("va"))
+    val c = candFilter(e).select($"vec_id".as("nid"), $"embedding".as("vb"))
     val scored = q.crossJoin(c).filter($"qid" =!= $"nid")
       .select($"qid", $"nid", expr("cosine_sim(va, vb)").as("cos"))
     val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
@@ -96,9 +108,12 @@ object SimilarityOps {
       |FROM ranked r LEFT JOIN nd n USING (qid)
       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
-  val simTopkBruteSql: String =
-    """WITH e AS (
-      |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+  /** [[simTopkBruteWhere]]'s oracle as a builder: `candWhere` (an
+    * `AND …` clause over alias `b`) narrows the candidate side. */
+  private[operators] def simTopkBruteSqlWhere(candWhere: String): String =
+    s"""WITH e AS (
+      |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v, label
+      |  FROM embeddings),
       |scored AS (
       |  -- cosine on DOUBLE lists mirrors Spark's double accumulation
       |  -- over exactly-widened floats; FLOAT[] cosine can rank
@@ -106,13 +121,14 @@ object SimilarityOps {
       |  SELECT a.vec_id AS qid, b.vec_id AS nid,
       |    list_cosine_similarity(a.v, b.v) AS cos
       |  FROM e a JOIN e b ON a.vec_id <> b.vec_id
-      |  WHERE a.vec_id < 5),
+      |  WHERE a.vec_id < 5$candWhere),
       |ranked AS (
       |  SELECT qid, nid,
       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
       |  FROM scored)
       |SELECT qid, rank, nid FROM ranked WHERE rank <= 3
       |ORDER BY qid, rank""".stripMargin
+  val simTopkBruteSql: String = simTopkBruteSqlWhere("")
 
   /** Deterministic ±1 hyperplanes, md5-derived so any engine can
     * recompute them (round-2 verdict #1) — the shared
