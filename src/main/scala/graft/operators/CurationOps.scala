@@ -994,9 +994,12 @@ object CurationOps {
     * catalog-scale from the first shuffle on; nothing downstream
     * touches corpus rows. Pure int64 arithmetic end-to-end (the
     * repo's float-free oracle contract). */
-  def docMixWeights(s: SparkSession, d: String): DataFrame = {
+  /** Per-source (n_docs, n_tokens) rollup — the ONE corpus scan every
+    * mixture op starts from. Callers that need a single-scan plan
+    * cache this and build the rest from the cached frame. */
+  private def mixPerSource(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val per = documents(s, d)
+    documents(s, d)
       // NULL-text guard, both sides: size(split(NULL,' ')) = -1 enters
       // Spark's sum while DuckDB's NULL is skipped — divergent token
       // totals (and n_docs counts NULL-text docs only on Spark).
@@ -1004,16 +1007,27 @@ object CurationOps {
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split($"text", " ")).cast("long")).as("n_tokens"))
-    val tot = per.agg(sum($"n_tokens").as("total_tokens"),
+  }
+
+  /** The share/weight arithmetic over a per-source rollup — ONE
+    * share_ppm definition on the Spark side, shared by
+    * [[docMixWeights]] and [[mixEpochsLazy]] exactly as the SQL side
+    * shares the per/tot/sh CTE prefix (ADVICE r18: an inline re-derive
+    * in the epochs op could silently diverge from a future change to
+    * the share law here). */
+  private def mixWeightsOf(per: DataFrame): DataFrame = {
+    val tot = per.agg(sum(col("n_tokens")).as("total_tokens"),
       count(lit(1)).as("n_sources"))
     per.crossJoin(tot)
-      .select($"source", $"n_docs", $"n_tokens",
+      .select(col("source"), col("n_docs"), col("n_tokens"),
         expr("(1000000L * n_tokens) div total_tokens").as("share_ppm"),
         least(
           expr("(1000000L * (total_tokens div n_sources)) div n_tokens"),
           lit(MixUpsampleCapPpm)).as("weight_ppm"))
-      .orderBy($"source")
   }
+
+  def docMixWeights(s: SparkSession, d: String): DataFrame =
+    mixWeightsOf(mixPerSource(s, d)).orderBy(col("source"))
   val docMixWeightsSql: String =
     s"""WITH per AS (
        |  SELECT source, count(*) AS n_docs,
@@ -1164,17 +1178,16 @@ object CurationOps {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     // ONE corpus scan: the cached catalog-sized rollup feeds the total,
-    // the α=1/2 schedule (shared withTempRoots — the same law
-    // docMixTemperature registers), and the allocation arithmetic
-    val per = documents(s, d).filter($"text".isNotNull)
-      .groupBy($"source")
-      .agg(sum(size(split($"text", " ")).cast("long")).as("n_tokens"))
-      .cache()
+    // the α=1/2 schedule (shared withTempRoots over the shared
+    // mixWeightsOf share law — the same definitions docMixTemperature
+    // runs through), and the allocation arithmetic
+    val per = mixPerSource(s, d).cache()
     val tot = per.agg(sum($"n_tokens").as("total_tokens"))
     // partitionless window over the SOURCES catalog (≤ thousands of
     // rows at any corpus size), mirroring the oracle's tsum CTE
-    val out = withTempRoots(per.crossJoin(tot)
-        .withColumn("share_ppm", expr("(1000000L * n_tokens) div total_tokens")))
+    val out = withTempRoots(mixWeightsOf(per)
+        .select($"source", $"n_tokens", $"share_ppm")
+        .crossJoin(tot))
       .withColumn("sum_t", sum($"t_half").over(Window.partitionBy()))
       .withColumn("p_ppm", expr("(1000000L * t_half) div sum_t"))
       .withColumn("demand_tokens", expr(
@@ -2745,47 +2758,72 @@ object CurationOps {
     * pool, which is what makes diversity affordable at scale. */
   def docRagMmr(s: SparkSession, d: String): DataFrame = {
     val (cvu, scored) = ragProbedScored(s, d)
-    val (out, pool) = mmrSelLazy(s, scored)
-    graft.Tables.materializeAndRelease(out, pool, cvu)
+    graft.Tables.materializeAndRelease(mmrSelLazy(s, scored), cvu)
   }
 
   /** The greedy MMR selection over a probed-scored candidate frame as
-    * a LAZY plan — returns (result, the cached pool the caller must
-    * unpersist). Shared by [[docRagMmr]] and [[docRagMmrRecall]], so
+    * a LAZY plan. Shared by [[docRagMmr]] and [[docRagMmrRecall]], so
     * the meter scores the exact serve plan without re-embedding the
-    * corpus for a second pass. */
-  private def mmrSelLazy(
-      s: SparkSession, scored: DataFrame): (DataFrame, DataFrame) = {
+    * corpus for a second pass.
+    *
+    * The pool is queries × [[RagMmrPool]] rows BY CONSTRUCTION, so the
+    * greedy rounds run as ONE map-side projection over a per-query
+    * candidate ARRAY (collected right off the prank window — the
+    * groupBy reuses the window's qid partitioning, no second
+    * exchange) instead of the former per-round anti-join + penalty
+    * join + aggregate + rank-window chain, which cost ~4 exchanges
+    * per unrolled round on an eval-sized frame (guide §2.4: remove
+    * shuffles outright; the per-element work is the SAME cos/max
+    * arithmetic, just inside array lambdas). Selection rule is
+    * unchanged: round 1 takes the pure-relevance argmax (prank 1),
+    * each later round takes the candidate maximizing
+    * cos(q,c) − max_{s∈sel} cos(c,s), ties to the lower
+    * (doc_id, chunk_id) — the exact row_number() tie order the joined
+    * formulation used, replayed by the same fold both engines agree
+    * on via the oracle. */
+  private def mmrSelLazy(s: SparkSession, scored: DataFrame): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val wp = Window.partitionBy($"qid").orderBy($"cos".desc, $"doc_id", $"chunk_id")
-    val pool = scored.withColumn("prank", row_number().over(wp))
+    // cands sorts by leading prank field, so cands[0] is the
+    // relevance argmax with the window's own tie order
+    var df = scored.withColumn("prank", row_number().over(wp))
       .filter($"prank" <= RagMmrPool)
-      .cache() // queries × RagMmrPool — eval-sized
-    var sel = pool.filter($"prank" === 1)
-      .select($"qid", $"doc_id", $"chunk_id", $"cos", $"v")
-      .withColumn("rank", lit(1L))
-    for (r <- 2 to RagTopK.toInt) {
-      val cand = pool.join(sel.select($"qid", $"doc_id", $"chunk_id"),
-        Seq("qid", "doc_id", "chunk_id"), "left_anti")
-      val pen = cand.select($"qid", $"doc_id", $"chunk_id", $"v")
-        .join(sel.select($"qid", $"v".as("sv")), "qid")
-        .select($"qid", $"doc_id", $"chunk_id",
-          expr("cosine_sim(v, sv)").as("sim"))
-        .groupBy($"qid", $"doc_id", $"chunk_id").agg(max($"sim").as("maxsim"))
-      val wr = Window.partitionBy($"qid")
-        .orderBy($"mmr".desc, $"doc_id", $"chunk_id")
-      val next = cand.join(pen, Seq("qid", "doc_id", "chunk_id"))
-        .withColumn("mmr", $"cos" - $"maxsim")
-        .withColumn("rn", row_number().over(wr))
-        .filter($"rn" === 1)
-        .select($"qid", $"doc_id", $"chunk_id", $"cos", $"v")
-        .withColumn("rank", lit(r.toLong))
-      sel = sel.union(next)
+      .groupBy($"qid")
+      .agg(array_sort(collect_list(
+        struct($"prank", $"doc_id", $"chunk_id", $"cos", $"v"))).as("cands"))
+      .withColumn("sel", expr(
+        """array(named_struct(
+          |  'doc_id', cands[0].doc_id, 'chunk_id', cands[0].chunk_id,
+          |  'v', cands[0].v))""".stripMargin))
+    for (_ <- 2 to RagTopK.toInt) {
+      // pick = argmax over the not-yet-selected candidates of
+      // (mmr DESC, doc_id, chunk_id): a left fold with the exact
+      // comparison chain row_number() ordered by — on ≤ RagMmrPool
+      // elements. NULL pick (pool exhausted) appends nothing, the
+      // empty-cand behaviour of the join formulation.
+      df = df.withColumn("pick", expr(
+        """aggregate(
+          |  transform(
+          |    filter(cands, c -> NOT exists(sel,
+          |      t -> t.doc_id = c.doc_id AND t.chunk_id = c.chunk_id)),
+          |    c -> named_struct(
+          |      'mmr', c.cos - array_max(transform(sel, t -> cosine_sim(c.v, t.v))),
+          |      'doc_id', c.doc_id, 'chunk_id', c.chunk_id, 'v', c.v)),
+          |  CAST(NULL AS STRUCT<mmr: DOUBLE, doc_id: BIGINT, chunk_id: BIGINT, v: ARRAY<DOUBLE>>),
+          |  (b, c) -> CASE WHEN b IS NULL THEN c
+          |    WHEN c.mmr > b.mmr THEN c WHEN c.mmr < b.mmr THEN b
+          |    WHEN c.doc_id < b.doc_id THEN c WHEN c.doc_id > b.doc_id THEN b
+          |    WHEN c.chunk_id < b.chunk_id THEN c ELSE b END)""".stripMargin))
+        .withColumn("sel", expr(
+          """CASE WHEN pick IS NULL THEN sel ELSE concat(sel, array(named_struct(
+            |  'doc_id', pick.doc_id, 'chunk_id', pick.chunk_id, 'v', pick.v))) END""".stripMargin))
+        .drop("pick")
     }
-    val out = sel.select($"qid", $"rank", $"doc_id", $"chunk_id")
+    df.select($"qid", posexplode($"sel").as(Seq("idx", "c")))
+      .select($"qid", ($"idx" + 1).cast("long").as("rank"),
+        $"c.doc_id".as("doc_id"), $"c.chunk_id".as("chunk_id"))
       .orderBy($"qid", $"rank")
-    (out, pool)
   }
   /** The MMR CTE chain appended after [[ragCtesSql]]: probed pool cut,
     * vector join-back, and the unrolled greedy selection rounds,
@@ -2843,9 +2881,8 @@ object CurationOps {
   def docRagMmrRecall(s: SparkSession, d: String): DataFrame = {
     // one chunk embedding feeds the MMR serve AND the truth pass
     val (cvu, scored) = ragProbedScored(s, d)
-    val (mmrOut, pool) = mmrSelLazy(s, scored)
-    val rollup = ragRecallOf(s, d, mmrOut, chunksOpt = Some(cvu))
-    graft.Tables.materializeAndRelease(rollup, pool, cvu)
+    val rollup = ragRecallOf(s, d, mmrSelLazy(s, scored), chunksOpt = Some(cvu))
+    graft.Tables.materializeAndRelease(rollup, cvu)
   }
   lazy val docRagMmrRecallSql: String =
     ragRecallSqlAgainst("mmrres", ragMmrCtesSql)

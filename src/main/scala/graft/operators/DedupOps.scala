@@ -123,7 +123,13 @@ object DedupOps {
     * pair universe by similarity instead of cutting it. */
   private def jaccardScoredOf(s: SparkSession, toks: DataFrame): DataFrame = {
     import s.implicits._
-    val shAll = shinglesOf(s, toks).cache()
+    // the raw shingle set is a cheap map-side kernel over the token
+    // base — recompute it for the cap aggregate and the anti-join
+    // rather than pinning a CORPUS-sized frame in executor memory
+    // (round-12 advice said cache only the capped set; guide §5 says
+    // cache only when recompute beats the memory pressure, and a
+    // zero-shuffle projection does not)
+    val shAll = shinglesOf(s, toks)
     // apply the cap as an ANTI-join against the DROPPED shingles: the
     // over-cap set is the small side by construction (at most
     // total_shingle_rows / cap distinct values, a handful of
@@ -135,19 +141,26 @@ object DedupOps {
     val drop = shAll.groupBy($"g").agg(count(lit(1)).as("n_docs"))
       .filter($"n_docs" > NgramDfCap).select($"g")
     // explicit condition (not USING): a using-join hoists the key
-    // column to the front even for anti-joins, and the toDF renames
-    // below are positional
+    // column to the front even for anti-joins
     val sh = trackCache(shAll.join(drop, shAll("g") === drop("g"), "left_anti"))
-    // materialize the capped set, then release the full one: keeping
-    // both pinned doubles the persisted shingle footprint on exactly
-    // the op whose point is surviving large corpora (round-12 advice)
-    sh.count()
-    shAll.unpersist()
     val n = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.toDF("da", "g")
-    val b = sh.toDF("db", "g")
-    val common = a.join(b, "g").filter($"da" < $"db")
-      .groupBy($"da", $"db").agg(count(lit(1)).as("c"))
+    // co-shingle pair counts WITHOUT the inverted-index self-join: one
+    // groupBy(g) collects each shingle's (CAP-BOUNDED, ≤ NgramDfCap)
+    // doc list, pairs explode map-side from the sorted array, and the
+    // (da, db) rollup is the only other exchange — two exchanges
+    // where the a⋈b formulation paid two cache scans, a string-keyed
+    // join shuffle AND the pair rollup (guide §2.3/§2.4: aggregate
+    // before you shuffle, share the g partitioning). The aggregation
+    // buffer is capped at NgramDfCap ids per group BY THE PRE-APPLIED
+    // anti-join — this is NOT the unbounded collect-the-corpus buffer
+    // the class doc warns about, because over-cap shingles are gone
+    // before the aggregate sees them.
+    val common = sh.groupBy($"g")
+      .agg(array_sort(collect_list($"doc_id")).as("ids"))
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), b -> struct(a AS da, b AS db))))""".stripMargin)).as("p"))
+      .groupBy($"p.da".as("da"), $"p.db".as("db")).agg(count(lit(1)).as("c"))
     common
       .join(n.toDF("da", "na"), "da")
       .join(n.toDF("db", "nb"), "db")
@@ -286,10 +299,17 @@ object DedupOps {
       .select($"band".as("xband"), $"bucket".as("xbucket"))
     val kept = bands.join(drop,
       $"band" === $"xband" && $"bucket" === $"xbucket", "left_anti")
-    val cand = kept.toDF("da", "band", "bucket")
-      .join(kept.toDF("db", "band", "bucket"), Seq("band", "bucket"))
-      .filter($"da" < $"db")
-      .select($"da", $"db").distinct()
+    // pairs from each (band, bucket)'s CAP-BOUNDED (≤ LshBandCap)
+    // sorted member array instead of the band self-join — one
+    // exchange on the band key replaces the join's two scans + shuffle,
+    // and the buffer is bounded by the pre-applied bucket cap (the
+    // jaccardScoredOf move; guide §2.4)
+    val cand = kept.groupBy($"band", $"bucket")
+      .agg(array_sort(collect_list($"doc_id")).as("ids"))
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), b -> struct(a AS da, b AS db))))""".stripMargin)).as("p"))
+      .select($"p.da".as("da"), $"p.db".as("db")).distinct()
     (cand, sig)
   }
 

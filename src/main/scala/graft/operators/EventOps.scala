@@ -490,11 +490,6 @@ object EventOps {
         .write.mode("overwrite").parquet(f"$in/g$i%02d")
     }
     sliced.unpersist()
-    val emptyOpen = ev.filter(lit(false))
-      .select($"user_id", $"event_id", $"event_type", $"ts".as("valid_from"))
-    emptyOpen.write.mode("overwrite").parquet(openDir)
-    emptyOpen.withColumn("valid_to", lit(null).cast("timestamp"))
-      .write.mode("overwrite").parquet(closedDir)
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     val stream = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1).option("pathGlobFilter", "*.parquet")
@@ -506,15 +501,24 @@ object EventOps {
     val partsKey = "spark.sql.shuffle.partitions"
     val prevParts = s.conf.get(partsKey)
     s.conf.set(partsKey, streamParts(s, d).toString)
+    // the open set PING-PONGS between two directories: batch i reads
+    // open_(i%2) and overwrites open_((i+1)%2), so no batch ever
+    // overwrites the files it is reading — which is the only thing the
+    // former per-batch open localCheckpoint (one eager job per batch)
+    // existed to make safe. Batch 0 starts from an in-plan empty
+    // relation, so the two setup writes of empty open/closed dirs are
+    // gone too (guide §1.2: the empty-state jobs carried no data).
+    val emptyOpen = ev.filter(lit(false))
+      .select($"user_id", $"event_id", $"event_type", $"ts".as("valid_from"))
+    val openRef = new java.util.concurrent.atomic.AtomicReference[String](null)
     val q = stream.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         {
           val users = batch.select($"user_id").distinct()
-          // lineage cut: the new open set overwrites the files this read
-          // (schema passed explicitly — no footer-inference job per batch)
-          val open = s.read.schema(
+          // schema passed explicitly — no footer-inference job per batch
+          val open = Option(openRef.get()).map(p => s.read.schema(
             "user_id LONG, event_id LONG, event_type STRING, valid_from TIMESTAMP")
-            .parquet(openDir).localCheckpoint(true)
+            .parquet(p)).getOrElse(emptyOpen)
           val slice = open.join(users, Seq("user_id"), "left_semi")
             .select($"user_id", $"event_id", $"event_type", $"valid_from".as("ts"))
             .unionAll(batch.select($"user_id", $"event_id", $"event_type", $"ts"))
@@ -523,16 +527,23 @@ object EventOps {
             .filter($"prev_type".isNull || $"prev_type" =!= $"event_type")
           val withTo = kept.withColumn("valid_to", lead($"ts", 1).over(w))
             .localCheckpoint(true) // two sinks, one computation
-          // single-file writes: both sets are batch/user-sized, and the
-          // next batch re-reads open/ — small-file sprawl is pure cost
+          // closed is append-only and immutable: write it at the plan's
+          // own partitioning (streamParts-sized) — at 100 TB this is a
+          // partitioned fact append, and a burst batch closing many
+          // users must not serialize through one task (r18 verdict)
           withTo.filter($"valid_to".isNotNull)
             .select($"user_id", $"event_id", $"event_type",
               $"ts".as("valid_from"), $"valid_to")
-            .coalesce(1).write.mode("append").parquet(closedDir)
+            .write.mode("append").parquet(closedDir)
+          // the open STATE stays single-file: user-sized, re-read and
+          // rewritten every batch — small-file sprawl is pure cost
+          val nextOpen =
+            if (openRef.get() == s"$openDir/v0") s"$openDir/v1" else s"$openDir/v0"
           withTo.filter($"valid_to".isNull)
             .select($"user_id", $"event_id", $"event_type", $"ts".as("valid_from"))
             .unionAll(open.join(users, Seq("user_id"), "left_anti"))
-            .coalesce(1).write.mode("overwrite").parquet(openDir)
+            .coalesce(1).write.mode("overwrite").parquet(nextOpen)
+          openRef.set(nextOpen)
           withTo.unpersist()
           ()
         }
@@ -540,8 +551,19 @@ object EventOps {
       .start()
     try q.processAllAvailable()
     finally { q.stop(); s.conf.set(partsKey, prevParts) }
-    s.read.parquet(closedDir).withColumn("is_current", lit(0L))
-      .unionByName(s.read.parquet(openDir)
+    // no batch fired → both state sets are empty; land the empty open
+    // so the final read has a directory (closed/ is created by the
+    // first batch's append otherwise)
+    if (openRef.get() == null) {
+      emptyOpen.coalesce(1).write.mode("overwrite").parquet(s"$openDir/v0")
+      openRef.set(s"$openDir/v0")
+    }
+    val closed =
+      if (fs.exists(new org.apache.hadoop.fs.Path(closedDir)))
+        s.read.parquet(closedDir)
+      else emptyOpen.withColumn("valid_to", lit(null).cast("timestamp"))
+    closed.withColumn("is_current", lit(0L))
+      .unionByName(s.read.parquet(openRef.get())
         .withColumn("valid_to", lit(null).cast("timestamp"))
         .withColumn("is_current", lit(1L)))
       .select($"user_id", $"event_id", $"event_type",

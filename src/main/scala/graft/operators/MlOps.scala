@@ -1247,11 +1247,16 @@ object MlOps {
         .filter($"rank" <= 3)
         .select($"qid", $"nid", lit(1L).as("hit"))
       val rec = brute.join(got, Seq("qid", "nid"), "left")
+        // n_hit coalesced to 0 over an EMPTY truth set so the row
+        // matches the oracle's levels-LEFT JOIN-brute shape (n_true=0,
+        // n_hit=0, recall NULL — ADVICE r18); div by n_true=0 is NULL
+        // natively on both engines' guarded forms
         .agg(count(lit(1)).as("n_true"),
-          sum(coalesce($"hit", lit(0L))).as("n_hit"))
+          coalesce(sum(coalesce($"hit", lit(0L))), lit(0L)).as("n_hit"))
       lvl.agg(count(lit(1)).as("scanned")).crossJoin(rec)
         .select(lit(p.toLong).as("nprobe"), $"scanned", $"n_true", $"n_hit",
-          expr("(1000000L * n_hit) div n_true").as("recall_ppm"))
+          expr("CASE WHEN n_true = 0 THEN CAST(NULL AS BIGINT) " +
+            "ELSE (1000000L * n_hit) div n_true END").as("recall_ppm"))
     }.reduce(_ unionAll _).orderBy($"nprobe")
     (out, Seq(e, cand, brute))
   }
@@ -1398,13 +1403,19 @@ object MlOps {
        |  SELECT l.nprobe, CAST(count(c.qid) AS BIGINT) AS scanned
        |  FROM levels l LEFT JOIN cand c ON c.probe_rn <= l.nprobe GROUP BY 1),
        |hits AS (
-       |  SELECT l.nprobe, count(*) AS n_true,
+       |  -- levels LEFT JOIN brute (not CROSS JOIN): an EMPTY filtered
+       |  -- truth (a corpus with no label-matching vectors) must still
+       |  -- emit one row per nprobe with n_true = 0, exactly as the
+       |  -- Spark side's ungrouped aggregate does (ADVICE r18); the
+       |  -- ppm division is guarded on both engines for that case
+       |  SELECT l.nprobe, count(b.qid) AS n_true,
        |    CAST(sum(CASE WHEN g.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
-       |  FROM levels l CROSS JOIN brute b
+       |  FROM levels l LEFT JOIN brute b ON 1 = 1
        |  LEFT JOIN got g ON g.nprobe = l.nprobe AND g.qid = b.qid AND g.nid = b.nid
        |  GROUP BY 1)
        |SELECT CAST(s.nprobe AS BIGINT) AS nprobe, s.scanned, h.n_true, h.n_hit,
-       |  CAST((1000000 * h.n_hit) // h.n_true AS BIGINT) AS recall_ppm
+       |  CASE WHEN h.n_true = 0 THEN NULL
+       |       ELSE CAST((1000000 * h.n_hit) // h.n_true AS BIGINT) END AS recall_ppm
        |FROM scan s JOIN hits h ON h.nprobe = s.nprobe
        |ORDER BY nprobe""".stripMargin
 

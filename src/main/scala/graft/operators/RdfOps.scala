@@ -3,7 +3,7 @@ package graft.operators
 import graft.Tables._
 import graft.query.{Bgp, Sparql}
 import graft.store.Dict
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The reference's query surface (SURVEY §2.1-2.3) exercised against a
@@ -23,6 +23,37 @@ import org.apache.spark.sql.functions._
   * pushdown subsumes the reference's 8-way access-path dispatch.
   */
 object RdfOps {
+
+  /** A string column as a named-term struct with EXACTLY the
+    * [[graft.rdf.RdfTerm]] product-encoder schema, so `.as[Triple]` /
+    * `.as[Quad]` over a [[namedTriples]]/[[namedQuads]] projection is
+    * an analysis-time view — no deserialize-to-object/serialize
+    * boundary in the plan. The former row-by-row typed map
+    * (`.map(Triple(RdfTerm.named(_), …))`) paid an object round-trip
+    * per row AND split whole-stage codegen at both ends (guide §4:
+    * prefer codegen-friendly expressions over Scala closures). */
+  private[graft] def namedTermStruct(c: Column): Column =
+    struct(lit(graft.rdf.RdfTerm.Named).as("kind"), c.as("value"),
+      lit(null).cast("string").as("lang"), lit(null).cast("string").as("datatype"))
+
+  /** (s, p, o) string columns → `Dataset[Triple]` of named terms as a
+    * pure codegen projection — see [[namedTermStruct]]. */
+  private[graft] def namedTriples(df: DataFrame): Dataset[graft.rdf.Triple] = {
+    val sp = df.sparkSession
+    import sp.implicits._
+    df.select(namedTermStruct(df("s")).as("s"), namedTermStruct(df("p")).as("p"),
+      namedTermStruct(df("o")).as("o")).as[graft.rdf.Triple]
+  }
+
+  /** (g, s, p, o) string columns → `Dataset[Quad]` of named terms as a
+    * pure codegen projection — see [[namedTermStruct]]. */
+  private[graft] def namedQuads(df: DataFrame): Dataset[graft.rdf.Quad] = {
+    val sp = df.sparkSession
+    import sp.implicits._
+    df.select(namedTermStruct(df("g")).as("g"), namedTermStruct(df("s")).as("s"),
+      namedTermStruct(df("p")).as("p"), namedTermStruct(df("o")).as("o"))
+      .as[graft.rdf.Quad]
+  }
 
   /** The shared triple view. Dimension joins are broadcast. */
   def tripleView(s: SparkSession, d: String): DataFrame = {
@@ -1576,10 +1607,7 @@ object RdfOps {
     * Output = the final store's term values. */
   def updateOps(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import graft.rdf.{RdfTerm, Triple}
-    val base = tripleView(s, d).as[(String, String, String)].map { case (sv, pv, ov) =>
-      Triple(RdfTerm.named(sv), RdfTerm.named(pv), RdfTerm.named(ov))
-    }
+    val base = namedTriples(tripleView(s, d))
     val updated = graft.store.TripleStore.fromDataset(base)
       .update("insert data { GABE likes RIPPLE . NATION_2 in_region ASIA }")
       .update("insert { $r contains $n } where { $n in_region $r }")
@@ -1617,11 +1645,8 @@ object RdfOps {
     * archive after being added into reg. */
   def updateGraphs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import graft.rdf.{RdfTerm, Triple}
     import graft.store.QuadStore
-    def terms(df: DataFrame) = df.as[(String, String, String)].map { case (a, b, c) =>
-      Triple(RdfTerm.named(a), RdfTerm.named(b), RdfTerm.named(c))
-    }
+    def terms(df: DataFrame) = namedTriples(df)
     val view = tripleView(s, d)
     val base = QuadStore.fromGraphs(s, Seq(
       None -> terms(view.filter($"p" === "in_nation")),

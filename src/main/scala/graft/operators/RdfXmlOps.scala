@@ -75,13 +75,7 @@ object RdfXmlOps {
   def nqRoundtrip(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val view = RdfOps.quadView(s, d)
-    val ds = view.as[(String, String, String, String)].map { case (gv, sv, pv, ov) =>
-      graft.rdf.Quad(
-        Some(graft.rdf.RdfTerm.named(gv)),
-        graft.rdf.RdfTerm.named(sv),
-        graft.rdf.RdfTerm.named(pv),
-        graft.rdf.RdfTerm.named(ov))
-    }
+    val ds = RdfOps.namedQuads(view)
     val tmp = java.nio.file.Files.createTempDirectory("graft_nq").toString
     graft.rdf.NQuads.write(ds, tmp)
     graft.rdf.NQuads.read(s, tmp).toDF()
@@ -100,13 +94,7 @@ object RdfXmlOps {
   def trigRoundtrip(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val view = RdfOps.quadView(s, d)
-    val ds = view.as[(String, String, String, String)].map { case (gv, sv, pv, ov) =>
-      graft.rdf.Quad(
-        Some(graft.rdf.RdfTerm.named(gv)),
-        graft.rdf.RdfTerm.named(sv),
-        graft.rdf.RdfTerm.named(pv),
-        graft.rdf.RdfTerm.named(ov))
-    }
+    val ds = RdfOps.namedQuads(view)
     val tmp = java.nio.file.Files.createTempDirectory("graft_trig").toString
     graft.rdf.Turtle.writeTriG(ds, tmp)
     graft.rdf.Turtle.readTriG(s, tmp, exts = Seq(".txt")).toDF()
@@ -121,12 +109,7 @@ object RdfXmlOps {
   def ttlRoundtrip(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val view = RdfOps.tripleView(s, d)
-    val ds = view.as[(String, String, String)].map { case (sv, pv, ov) =>
-      graft.rdf.Triple(
-        graft.rdf.RdfTerm.named(sv),
-        graft.rdf.RdfTerm.named(pv),
-        graft.rdf.RdfTerm.named(ov))
-    }
+    val ds = RdfOps.namedTriples(view)
     val tmp = java.nio.file.Files.createTempDirectory("graft_ttl").toString
     graft.rdf.Turtle.write(ds, tmp)
     graft.rdf.Turtle.read(s, tmp).toDF()
@@ -137,12 +120,7 @@ object RdfXmlOps {
   def ntRoundtrip(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val view = RdfOps.tripleView(s, d)
-    val ds = view.as[(String, String, String)].map { case (sv, pv, ov) =>
-      graft.rdf.Triple(
-        graft.rdf.RdfTerm.named(sv),
-        graft.rdf.RdfTerm.named(pv),
-        graft.rdf.RdfTerm.named(ov))
-    }
+    val ds = RdfOps.namedTriples(view)
     val tmp = java.nio.file.Files.createTempDirectory("graft_nt").toString
     graft.rdf.NTriples.write(ds, tmp)
     graft.rdf.NTriples.read(s, tmp).toDF()

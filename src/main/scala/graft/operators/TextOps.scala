@@ -625,6 +625,13 @@ object TextOps {
     val depth = bpeDepth(s)
     var r = 0
     var exhausted = false
+    // the cached parent of the CURRENT vocab, released only after the
+    // next action has materialized the child's cache — each round's
+    // argmax job doubles as the previous round's materializer, so the
+    // loop pays ONE job per round instead of the former
+    // argmax + count() pair (guide §1.2: don't compute things you
+    // throw away — the count existed only to sequence the unpersist)
+    var pending: Option[DataFrame] = None
     while (r < depth && !exhausted) {
       val best = vocab.filter(size($"syms") >= 2)
         .select($"cnt", explode(expr(
@@ -632,12 +639,15 @@ object TextOps {
         .groupBy($"p.a".as("a"), $"p.b".as("b")).agg(sum($"cnt").as("n"))
         .orderBy($"n".desc, $"a", $"b").limit(1)
         .collect()
+      // this action computed through (and filled) vocab's cache, so
+      // the parent's cache can go now
+      pending.foreach(_.unpersist()); pending = None
       if (best.isEmpty) exhausted = true
       else {
         val (a, b, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((r + 1L, a, b, a + b, n))
         // greedy left-to-right non-overlapping merge, one fold per word
-        val prev = vocab
+        pending = Some(vocab)
         vocab = vocab.withColumn("syms", expr(
           s"""aggregate(syms,
              |  named_struct('out', CAST(array() AS array<string>), 'carry', CAST(NULL AS string)),
@@ -649,11 +659,13 @@ object TextOps {
              |  st -> CASE WHEN st.carry IS NULL THEN st.out
              |             ELSE concat(st.out, array(st.carry)) END)""".stripMargin))
           .cache()
-        vocab.count() // materialize before releasing the parent
-        prev.unpersist()
         r += 1
       }
     }
+    // the last round's vocab is cached but not yet materialized;
+    // settle it so the parent cache can be released before returning
+    // (callers expect exactly one live cached frame)
+    pending.foreach { p => vocab.count(); p.unpersist() }
     (merges.result(), vocab)
   }
 
@@ -942,13 +954,17 @@ object TextOps {
            |    substring(word, st, en - st + 1))))""".stripMargin)).as("piece"))
       .groupBy($"piece").agg(sum($"cnt").as("cnt"))
       .cache()
-    val singles = seeds.filter(length($"piece") === 1)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    val multi = seeds.filter(length($"piece") >= 2)
-      .orderBy($"cnt".desc, $"piece").limit(UniSeedMulti)
+    // ONE collect for both model halves (the singles slice and the
+    // TakeOrdered top-multi slice both read the seeds cache inside the
+    // same job) instead of a job each — the fit's fixed job count is
+    // what its four consumers pay (guide §1.2)
+    val seedRows = seeds.filter(length($"piece") === 1)
+      .unionByName(seeds.filter(length($"piece") >= 2)
+        .orderBy($"cnt".desc, $"piece").limit(UniSeedMulti))
       .collect().map(r => (r.getString(0), r.getLong(1)))
     seeds.unpersist()
-    var model: Seq[(String, Long)] = (singles ++ multi).toSeq
+    // (singles ++ multi) order preserved by the union's branch order
+    var model: Seq[(String, Long)] = seedRows.toSeq
     def scoresOf(md: Seq[(String, Long)]): Map[String, Long] = {
       val t = md.map(_._2).sum
       md.map { case (p, c) => p -> (log2mLong(t) - log2mLong(c)) }.toMap

@@ -1638,10 +1638,14 @@ object Bgp {
           var width = 1L
           var widening = hopRows > 0
           while (widening && width < 64) {
+            // LAZY checkpoint + count: the count is the materializing
+            // action, so each squaring pays ONE job, not an eager-
+            // checkpoint job plus a count job (guide §1.2); the SQL
+            // plan is cut at wrap time either way
             val wider = hop.toDF("_a", "_m")
               .join(hop.toDF("_m", "_b"), "_m")
               .select(col("_a"), col("_b"))
-              .union(hop).distinct().localCheckpoint()
+              .union(hop).distinct().localCheckpoint(false)
             val n = wider.count()
             // accept the already-materialized relation either way; the
             // budget only stops FURTHER squaring. n == hopRows means
@@ -1652,15 +1656,17 @@ object Bgp {
             width *= 2
           }
         }
+        // frontier checkpoints are LAZY with the emptiness probe as the
+        // materializing count — one job per BFS round instead of two
         var frontier = hop.filter(col("_a") === lit(seed))
-          .select(col("_b").as("_n")).distinct().localCheckpoint()
+          .select(col("_b").as("_n")).distinct().localCheckpoint(false)
         val frontiers = scala.collection.mutable.Buffer(frontier)
-        var grew = transitive && !frontier.isEmpty
+        var grew = transitive && frontier.count() > 0
         while (grew) {
           val next = frontier.select(col("_n").as("_a"))
             .join(hop, "_a").select(col("_b").as("_n"))
-            .except(frontiers.reduce(_ union _)).localCheckpoint()
-          grew = !next.isEmpty
+            .except(frontiers.reduce(_ union _)).localCheckpoint(false)
+          grew = next.count() > 0
           if (grew) { frontiers += next; frontier = next }
         }
         frontiers.reduce(_ union _)
@@ -1671,11 +1677,12 @@ object Bgp {
         var delta = edges
         var grew = transitive
         while (grew) {
+          // lazy checkpoint + count — the seededReach discipline
           val next = reach.toDF("_a", "_m")
             .join(delta.toDF("_m", "_b"), "_m")
             .select(col("_a"), col("_b"))
-            .except(reach).localCheckpoint()
-          grew = !next.isEmpty
+            .except(reach).localCheckpoint(false)
+          grew = next.count() > 0
           // next is EXCEPT-distinct and disjoint from reach, so the
           // union stays duplicate-free without another shuffle
           if (grew) { reach = reach.union(next).localCheckpoint(); delta = next }
@@ -1783,13 +1790,17 @@ object Bgp {
 
       // exactly-k-hop frontiers from a seed over e (cols _a → _b),
       // k = 1..nMax, kept per-k so the n..m slice unions directly
+      // all checkpoints here are LAZY: m is a fixed query literal (no
+      // data-dependent termination probe), so the terminal action
+      // materializes the whole k-hop chain in ONE job while each
+      // round's SQL plan stays cut — m jobs become none (guide §1.2)
       def seededKHops(e: DataFrame, seed: String): Seq[DataFrame] = {
         var f = e.filter(col("_a") === lit(seed))
-          .select(col("_b").as("_n")).distinct().localCheckpoint()
+          .select(col("_b").as("_n")).distinct().localCheckpoint(false)
         val fs = scala.collection.mutable.Buffer(f)
         for (_ <- 2 to nMax) {
           f = f.select(col("_n").as("_a")).join(e, "_a")
-            .select(col("_b").as("_n")).distinct().localCheckpoint()
+            .select(col("_b").as("_n")).distinct().localCheckpoint(false)
           fs += f
         }
         fs.toSeq
@@ -1814,8 +1825,9 @@ object Bgp {
             var hop = edges
             val hops = scala.collection.mutable.Buffer(hop)
             for (_ <- 2 to nMax) {
+              // lazy like seededKHops — fixed m, no per-round probe
               hop = hop.toDF("_a", "_m").join(edges.toDF("_m", "_b"), "_m")
-                .select(col("_a"), col("_b")).distinct().localCheckpoint()
+                .select(col("_a"), col("_b")).distinct().localCheckpoint(false)
               hops += hop
             }
             hops.slice(kLo - 1, nMax).reduce(_ union _).distinct()

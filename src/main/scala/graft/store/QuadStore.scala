@@ -212,8 +212,12 @@ object QuadStore {
       graphs: Seq[(Option[String], Dataset[Triple])]): QuadStore = {
     import spark.implicits._
     require(graphs.nonEmpty, "fromGraphs needs at least one graph slice")
+    // attach the graph label as a literal PROJECTION, not a typed map:
+    // the row never leaves Tungsten format (guide §4)
     val qs = graphs.map { case (g, ts) =>
-      ts.map(t => Quad(g, t.s, t.p, t.o))
+      ts.select(
+        g.map(lit).getOrElse(lit(null)).cast("string").as("g"),
+        col("s"), col("p"), col("o")).as[Quad]
     }.reduce(_ union _)
     new QuadStore(spark, qs, graphs.flatMap(_._1).toSet)
   }

@@ -482,12 +482,18 @@ class ScaleSpec extends SparkSpec {
       s"prefix keys over ${operators.DedupOps.PrefixDfCap} docs must not generate candidates")
   }
 
-  test("all three dedup caps apply as anti-joins, never as a pre-join aggregate-list") {
+  test("all dedup caps apply as anti-joins, and any doc-list aggregate sits above one") {
     // the cap's scale property depends on its SHAPE: an anti-join
     // against the small over-cap set keeps every aggregation buffer
-    // constant-size, where a collect_list-then-filter formulation
-    // materializes a corpus-sized array in one reducer before the cap
-    // can drop it (the classic skew OOM, documented on dedupNgramJaccard)
+    // constant-size. Since r19, the jaccard/LSH pair generators DO
+    // collect a per-key doc list — but only AFTER the anti-join has
+    // removed every over-cap key, so the buffer is ≤ NgramDfCap /
+    // LshBandCap ids by construction (the semantic guarantee is the
+    // over-cap-corpus zero-candidate tests above). What must never
+    // appear is a collect_list whose input is NOT anti-join-capped —
+    // that is the corpus-sized-array-in-one-reducer OOM. In the plan
+    // tree text, children print BELOW their parent, so the capping
+    // join must appear after the aggregate that consumes it.
     Seq(operators.DedupOps.dedupNgramJaccard(spark, sf0001),
         operators.DedupOps.dedupSimhash(spark, sf0001),
         operators.DedupOps.dedupMinhashLsh(spark, sf0001),
@@ -498,7 +504,11 @@ class ScaleSpec extends SparkSpec {
         operators.MultimodalOps.mmDedupNear(spark, sf0001)).foreach { df =>
       val p = plan(df)
       assert(p.contains("LeftAnti"), s"cap must be an anti-join:\n${p.take(800)}")
-      assert(!p.contains("collect_list"), s"no aggregate-list cap:\n${p.take(800)}")
+      val firstList = p.indexOf("collect_list")
+      if (firstList >= 0)
+        assert(p.indexOf("LeftAnti", firstList) >= 0,
+          s"every collect_list must aggregate an anti-join-capped input " +
+            s"(no LeftAnti below the first collect_list):\n${p.take(1200)}")
     }
   }
 
