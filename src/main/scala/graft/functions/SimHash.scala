@@ -89,6 +89,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_md5", exprs => MinHashMd5(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_pairs", exprs => SortedPairs(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles", exprs =>
         if (exprs.length > 1)
           WordShingles(exprs.head, exprs(1).eval().asInstanceOf[Int])

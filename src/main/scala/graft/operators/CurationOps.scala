@@ -874,12 +874,18 @@ object CurationOps {
     val gated = documents(s, d)
       .join(qualityGate(documents(s, d)).select($"doc_id"), Seq("doc_id"), "left_semi")
       .select($"doc_id", $"source", $"text")
-    (0 until 4).foreach { b =>
-      gated.filter(pmod($"doc_id", lit(4)) === b)
-        .repartition(4) // several writer tasks per batch → small files
-        .write.mode(if (b == 0) "overwrite" else "append")
-        .partitionBy("source").parquet(fragDir)
-    }
+    // the FRAGMENTED layout fixture (what an incremental sink leaves
+    // behind: many small files per source dir) in ONE pass — an
+    // explicit round-robin fan-out makes every writer task emit a
+    // file per source it holds, the same many-small-files layout the
+    // former 4-append loop produced with 4 corpus scans + 4 write
+    // jobs (guide §1.2; the compacted fingerprints depend only on
+    // content, and the explicit count keeps AQE from coalescing the
+    // fan-out to the one task that would write an already-compact
+    // layout)
+    gated.repartition(s.sparkContext.defaultParallelism)
+      .write.mode("overwrite")
+      .partitionBy("source").parquet(fragDir)
     val maxRows = s.conf
       .get("spark.graft.compactMaxRows", CompactMaxRowsPerFile.toString).toLong
     s.read.parquet(fragDir)

@@ -157,9 +157,11 @@ object DedupOps {
     // before the aggregate sees them.
     val common = sh.groupBy($"g")
       .agg(array_sort(collect_list($"doc_id")).as("ids"))
-      .select(explode(expr(
-        """flatten(transform(ids, (a, i) ->
-          |  transform(slice(ids, i + 2, size(ids)), b -> struct(a AS da, b AS db))))""".stripMargin)).as("p"))
+      // native one-pass pair kernel (graft.functions.SortedPairs): the
+      // nested-transform HOF formulation it replaces ran interpreted
+      // (Spark never codegens lambda functions) and was the hottest
+      // kernel of the family at sf0.1
+      .select(explode(expr("sorted_pairs(ids)")).as("p"))
       .groupBy($"p.da".as("da"), $"p.db".as("db")).agg(count(lit(1)).as("c"))
     common
       .join(n.toDF("da", "na"), "da")
@@ -306,9 +308,8 @@ object DedupOps {
     // jaccardScoredOf move; guide §2.4)
     val cand = kept.groupBy($"band", $"bucket")
       .agg(array_sort(collect_list($"doc_id")).as("ids"))
-      .select(explode(expr(
-        """flatten(transform(ids, (a, i) ->
-          |  transform(slice(ids, i + 2, size(ids)), b -> struct(a AS da, b AS db))))""".stripMargin)).as("p"))
+      // native pair kernel — see jaccardScoredOf
+      .select(explode(expr("sorted_pairs(ids)")).as("p"))
       .select($"p.da".as("da"), $"p.db".as("db")).distinct()
     (cand, sig)
   }
@@ -832,7 +833,15 @@ object DedupOps {
       s: SparkSession, docs: DataFrame): (DataFrame, DataFrame) = {
     import s.implicits._
     GraftFunctions.register(s)
-    val g = docs
+    // spread before the 16-lane MinHash kernel: the callers pass
+    // filtered single-file scans (1 partition), which would run the
+    // family's hottest per-doc kernel serially — the spreadDocs gate,
+    // applied to an arbitrary frame (identity once the input already
+    // fills the cluster, so no shuffle is added at scale)
+    val parts = s.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions < parts) docs.repartition(parts) else docs
+    val g = spread
       .select($"doc_id", expr("word_shingles(split(text, ' '))").as("gs"))
       .filter(size($"gs") > 0)
     val sig = withMinhash(g)

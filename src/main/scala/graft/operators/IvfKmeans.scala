@@ -205,6 +205,65 @@ object IvfKmeans {
     * quantization, empty clusters carrying their previous centroid —
     * one fit contract repo-wide, so the DuckDB replay of a sub-fit is
     * the SAME CTE shape as the main quantizer's. */
+  /** [[fitOn]] for several DISJOINT groups at once — one deterministic
+    * k-means per group, all groups advancing through the SAME Spark
+    * jobs: seeds come from one window pass (k smallest
+    * (md5(vec_id), vec_id) per group — exactly [[fitOn]]'s
+    * orderBy/limit draw), and each Lloyd round is ONE grouped
+    * aggregate over every group's rows (each row assigned with its own
+    * group's centroids via [[assignColGrouped]], means keyed by
+    * (gid, sub, i), 6-decimal quantization and empty-cluster
+    * carry-over as in [[fitOn]]). Value-identical to calling [[fitOn]]
+    * once per group, but a maintenance pass splitting H hot lists pays
+    * 1 + [[Rounds]] jobs ONCE instead of H times
+    * ([[MlOps.simAnnIvfBalance]] / the balance-probe meter ran 5H
+    * jobs of sub-fits before this). Input: (gid, vec_id, v). */
+  def fitOnGrouped(s: SparkSession, input: DataFrame, k: Int)
+      : Map[Int, Array[Array[Double]]] = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = input.cache()
+    val wg = Window.partitionBy(col("gid"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    var cents: Map[Int, Array[Array[Double]]] = e
+      .withColumn("rn", row_number().over(wg)).filter(col("rn") <= k)
+      .select(col("gid"), col("rn"), col("v")).collect()
+      .groupBy(_.getInt(0))
+      .map { case (g, rows) =>
+        g -> rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
+      }
+    for (_ <- 1 to Rounds) {
+      val means = e
+        .select(col("gid"),
+          assignColGrouped(s, cents, col("gid"), col("v")).as("sub"),
+          posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("gid"), col("sub"), col("i"))
+        .agg(round(avg(col("x")), 6).as("cx"))
+        .collect()
+      val byG = means.groupBy(_.getInt(0))
+      cents = cents.map { case (g, old) =>
+        val byList = byG.getOrElse(g, Array.empty).groupBy(_.getInt(1))
+        g -> old.zipWithIndex.map { case (oc, lid) =>
+          byList.get(lid) match {
+            case Some(rows) => rows.sortBy(_.getInt(2)).map(_.getDouble(3))
+            case None => oc
+          }
+        }
+      }
+    }
+    e.unpersist()
+    cents
+  }
+
+  /** Per-group assignment over [[fitOnGrouped]]'s result: group g's
+    * rows are assigned with g's own centroids (a when-chain over the
+    * handful of groups — group count is bounded by K in every
+    * caller). */
+  def assignColGrouped(s: SparkSession,
+      cents: Map[Int, Array[Array[Double]]], gid: Column, v: Column): Column =
+    coalesce(cents.keys.toSeq.sorted.map(g =>
+      when(gid === g, assignCol(s, cents(g), v))): _*)
+
   def fitOn(s: SparkSession, input: DataFrame, k: Int): Array[Array[Double]] = {
     import s.implicits._
     val e = input.cache()

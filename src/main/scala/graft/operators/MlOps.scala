@@ -661,20 +661,22 @@ object MlOps {
     val hot = hotListsOf(cnts)
     if (hot.isEmpty) return hot
     val widen = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
-    // one deterministic 2-means per hot list (bounded by K fits, each
-    // on a single partition-pruned list scan), then ONE combined
+    // one deterministic 2-means per hot list, ALL lists fit in one
+    // grouped pass over a single partition-pruned IN-list scan
+    // (value-identical to the former per-list fitOn loop — 1+Rounds
+    // jobs total instead of per list), then ONE combined
     // touched-partitions rewrite
-    val parts = hot.map { l =>
-      val sub = s.read.parquet(dir).filter($"list_id" === l)
-        .select($"vec_id", $"embedding", widen.as("v"))
-      val sc = IvfKmeans.fitOn(s, sub.select($"vec_id", $"v"), 2)
-      sub.withColumn("sub", IvfKmeans.assignCol(s, sc, $"v"))
-        .select($"vec_id", $"embedding",
-          when($"sub" === 0, lit(l)).otherwise(lit(IvfKmeans.K + l))
-            .cast("int").as("list_id"))
-    }
+    val subFrame = s.read.parquet(dir).filter($"list_id".isin(hot: _*))
+      .select($"vec_id", $"embedding", widen.as("v"), $"list_id")
+    val sc = IvfKmeans.fitOnGrouped(s,
+      subFrame.select($"list_id".as("gid"), $"vec_id", $"v"), 2)
+    val newId = coalesce(hot.map(l => when($"list_id" === l,
+      when($"sub" === 0, lit(l)).otherwise(lit(IvfKmeans.K + l)))): _*)
+    val split = subFrame
+      .withColumn("sub", IvfKmeans.assignColGrouped(s, sc, $"list_id", $"v"))
+      .select($"vec_id", $"embedding", newId.cast("int").as("list_id"))
     // lineage cut before the rewrite deletes the files the plan reads
-    val rows = parts.reduce(_ unionByName _).localCheckpoint(true)
+    val rows = split.localCheckpoint(true)
     val survivors = rows.select($"list_id").distinct()
       .collect().map(_.getInt(0)).toSet
     CurationOps.withDynamicPartitionOverwrite(s) {
@@ -796,11 +798,15 @@ object MlOps {
       .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
     val hot = hotListsOf(cnts) // the maintenance pass's own rule
     // in-memory twin of ivfSplitHot: same deterministic sub-fits, same
-    // child-id rule — this op measures the SPLIT STATE, not the files
-    val subCents = hot.map { l =>
-      l -> IvfKmeans.fitOn(s,
-        before.filter($"list_id" === l).select($"vec_id", $"v"), 2)
-    }.toMap
+    // child-id rule — this op measures the SPLIT STATE, not the files.
+    // All hot lists fit in ONE grouped pass (value-identical to the
+    // former per-list fitOn loop, 1+Rounds jobs total instead of per
+    // list — guide §1.2)
+    val subCents =
+      if (hot.isEmpty) Map.empty[Int, Array[Array[Double]]]
+      else IvfKmeans.fitOnGrouped(s,
+        before.filter($"list_id".isin(hot: _*))
+          .select($"list_id".as("gid"), $"vec_id", $"v"), 2)
     val after =
       if (hot.isEmpty) before
       else {
