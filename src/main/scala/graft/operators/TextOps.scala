@@ -1822,8 +1822,11 @@ object TextOps {
     * [[DedupOps.dedupWinnow]] so the two can never drift. */
   private[operators] def winnowFps(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    winnowFpsOf(s, documents(s, d)
-      .select($"doc_id", split($"text", " ").as("ws")))
+    // spread before the per-trigram md5 kernel: the single-file scan
+    // is 1 partition and would run it serially (identity at scale —
+    // see Tables.spreadKernel)
+    winnowFpsOf(s, graft.Tables.spreadKernel(s, d, "documents")(
+      documents(s, d).select($"doc_id", split($"text", " ").as("ws"))))
   }
 
   /** [[winnowFps]] over a pre-tokenized (doc_id, ws) frame — lets
