@@ -1513,7 +1513,19 @@ object CurationOps {
     * arriving batch separately through the SAME embedder. */
   private def ragChunkVecsOf(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    docs
+    // spread before the per-token md5 embed kernel (the family's
+    // hottest map-side compute): batch callers pass 1-partition
+    // single-file scans that would run it serially. Gated on partition
+    // count (identity at production scale — the bandsAndSets move) and
+    // skipped for STREAMING frames, whose plans cannot be inspected
+    // via .rdd; per-micro-batch frames inside foreachBatch are batch
+    // frames and do take the gate.
+    val parts = s.sparkContext.defaultParallelism
+    val spread =
+      if (!docs.isStreaming && docs.rdd.getNumPartitions < parts)
+        docs.repartition(parts)
+      else docs
+    spread
       .filter($"text".isNotNull) // family-wide NULL-text guard
       .select($"doc_id", split($"text", " ").as("ws"))
       .select($"doc_id", $"ws",
@@ -1748,6 +1760,10 @@ object CurationOps {
     val cdf = IvfKmeans.centroidFrame(s, cents)
     attach(cvu.withColumn("list_id", IvfKmeans.assignCol(s, cents, $"v")))
       .drop("vec_id")
+      // key the write by list BEFORE partitionBy (guide §6 output file
+      // sizing): without this, every embed task would write a file
+      // into every list dir — tasks × K files instead of ~K
+      .repartition($"list_id")
       .write.mode("overwrite").partitionBy("list_id").parquet(dir)
     cvu.unpersist() // the write materialized it
     (dir, cdf)
@@ -1927,6 +1943,7 @@ object CurationOps {
     val dir = ragIndexDir(s, d) + "_app"
     cvuBase.withColumn("list_id", IvfKmeans.assignCol(s, cents, $"v"))
       .select($"doc_id", $"chunk_id", $"v", $"list_id")
+      .repartition($"list_id") // ~K files, not embed-tasks × K (guide §6)
       .write.mode("overwrite").partitionBy("list_id").parquet(dir)
     cvuBase.unpersist()
     (dir, cents)
@@ -1948,7 +1965,8 @@ object CurationOps {
       .withColumn("list_id", IvfKmeans.assignCol(s, cents, $"v"))
       .select($"doc_id", $"chunk_id", $"v", $"list_id")
       .cache()
-    assigned.write.mode("append").partitionBy("list_id").parquet(dir)
+    assigned.repartition($"list_id") // one appended file per touched list
+      .write.mode("append").partitionBy("list_id").parquet(dir)
     val touched = assigned.select($"list_id").distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
     assigned.unpersist()
@@ -1982,6 +2000,7 @@ object CurationOps {
           .withColumn("vec_id", $"doc_id" * RagKeyMul + $"chunk_id")
           .withColumn("list_id", IvfKmeans.assignCol(s, cents, $"v"))
           .select($"doc_id", $"chunk_id", $"v", $"list_id")
+          .repartition($"list_id") // one appended file per touched list
           .write.mode("append").partitionBy("list_id").parquet(dir)
       }
       .start()
