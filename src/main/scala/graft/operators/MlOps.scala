@@ -669,7 +669,7 @@ object MlOps {
     val subFrame = s.read.parquet(dir).filter($"list_id".isin(hot: _*))
       .select($"vec_id", $"embedding", widen.as("v"), $"list_id")
     val sc = IvfKmeans.fitOnGrouped(s,
-      subFrame.select($"list_id".as("gid"), $"vec_id", $"v"), 2)
+      subFrame.select($"list_id".as("gid"), $"vec_id", $"v"), 2, hot)
     val newId = coalesce(hot.map(l => when($"list_id" === l,
       when($"sub" === 0, lit(l)).otherwise(lit(IvfKmeans.K + l)))): _*)
     val split = subFrame
@@ -806,7 +806,7 @@ object MlOps {
       if (hot.isEmpty) Map.empty[Int, Array[Array[Double]]]
       else IvfKmeans.fitOnGrouped(s,
         before.filter($"list_id".isin(hot: _*))
-          .select($"list_id".as("gid"), $"vec_id", $"v"), 2)
+          .select($"list_id".as("gid"), $"vec_id", $"v"), 2, hot)
     val after =
       if (hot.isEmpty) before
       else {

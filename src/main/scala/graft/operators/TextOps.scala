@@ -954,17 +954,18 @@ object TextOps {
            |    substring(word, st, en - st + 1))))""".stripMargin)).as("piece"))
       .groupBy($"piece").agg(sum($"cnt").as("cnt"))
       .cache()
-    // ONE collect for both model halves (the singles slice and the
-    // TakeOrdered top-multi slice both read the seeds cache inside the
-    // same job) instead of a job each — the fit's fixed job count is
-    // what its four consumers pay (guide §1.2)
-    val seedRows = seeds.filter(length($"piece") === 1)
-      .unionByName(seeds.filter(length($"piece") >= 2)
-        .orderBy($"cnt".desc, $"piece").limit(UniSeedMulti))
+    // two collects, deliberately: a one-job union of the two slices
+    // was tried in r19 and REVERTED — both subtrees scan the seeds
+    // cache inside the same job, racing to fill it (uniFit consumers
+    // measured up to ~0.9 s slower); with two jobs the first collect
+    // fills the cache and the second reads it
+    val singles = seeds.filter(length($"piece") === 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val multi = seeds.filter(length($"piece") >= 2)
+      .orderBy($"cnt".desc, $"piece").limit(UniSeedMulti)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     seeds.unpersist()
-    // (singles ++ multi) order preserved by the union's branch order
-    var model: Seq[(String, Long)] = seedRows.toSeq
+    var model: Seq[(String, Long)] = (singles ++ multi).toSeq
     def scoresOf(md: Seq[(String, Long)]): Map[String, Long] = {
       val t = md.map(_._2).sum
       md.map { case (p, c) => p -> (log2mLong(t) - log2mLong(c)) }.toMap
