@@ -97,6 +97,19 @@ object Bench {
       if (ts.min > 0) ts.max / ts.min else 1.0
     }.foldLeft(1.0)(math.max)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$allReps,"load":{"start":$loadStart,"end":$loadEnd,"max_spread":$spread},"sf":"$sfDir"}"""
+    // Stdout line: contract fields only (metric/value/unit/queries/sf),
+    // per-query MINs at millisecond precision, no reps/load. The full
+    // ~22 KB line (reps arrays, load, spread) exceeded the driver's
+    // stdout-capture window every round since r1 ("parsed": null in
+    // every BENCH_rXX.json), so the comparator never saw per-query
+    // ground truth. Same measurement, same methodology, same fields the
+    // contract names — only the diagnostic extras move to the persisted
+    // BENCH_FULL.json, which keeps the complete full-precision line.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qsShort = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    val stdoutLine =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qsShort,"sf":"$sfDir"}"""
     // The stdout capture path has truncated the HEAD of this line in
     // past rounds (round-3 verdict #3: alphabetical order meant the
     // dropped entries were exactly the ops that changed). Persist the
@@ -117,7 +130,7 @@ object Bench {
           System.err.println(s"graft: failed to persist bench line to $o: $e")
       }
     }
-    println(line)
+    println(stdoutLine)
     spark.stop()
   }
 }

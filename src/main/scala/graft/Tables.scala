@@ -31,10 +31,18 @@ object Tables {
     * from input size; never tune a constant for local mode). */
   def spreadKernel(s: SparkSession, d: String, name: String)(
       df: DataFrame): DataFrame = {
-    val f = new java.io.File(s"$d/$name.parquet")
-    val bytes =
-      if (f.isFile) f.length
-      else Option(f.listFiles).map(_.map(_.length).sum).getOrElse(0L)
+    // Hadoop FS content summary, not java.io.File: on object storage
+    // (s3://, hdfs://) a local-File probe stats nothing, reads 0 bytes,
+    // and would take the repartition branch — a full extra shuffle of
+    // a 100 TB corpus. getContentSummary is scheme-agnostic and
+    // recursive (nested layouts sum correctly). On any failure fall
+    // back to "huge", i.e. the at-scale identity: never add a shuffle
+    // because the probe failed.
+    val bytes = try {
+      val p = new org.apache.hadoop.fs.Path(s"$d/$name.parquet")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+    } catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
     val maxSplit = s.sessionState.conf.filesMaxPartitionBytes
     val par = s.sparkContext.defaultParallelism
     if (bytes / math.max(1L, maxSplit) < par) df.repartition(par) else df

@@ -21,9 +21,14 @@ object TimeQ {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     // dev-loop conf experiments: SPARK_GRAFT_EXTRA_CONF="k=v;k=v"
+    // tolerate blank segments (trailing ';') and warn on k-only ones
+    // instead of crashing the dev loop with a MatchError (r19 advice)
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      builder.config(k, v)
+      kv.split("=", 2) match {
+        case Array(k, v) if k.trim.nonEmpty => builder.config(k.trim, v)
+        case _ => if (kv.trim.nonEmpty)
+          System.err.println(s"[timeq] ignoring malformed conf segment: $kv")
+      }
     })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1024,16 +1024,22 @@ object CurationOps {
   private def mixWeightsOf(per: DataFrame): DataFrame = {
     val tot = per.agg(sum(col("n_tokens")).as("total_tokens"),
       count(lit(1)).as("n_sources"))
+    // total_tokens rides along so callers needing the corpus total
+    // (mixEpochsLazy) reuse THIS aggregate instead of computing a
+    // second one over the same rollup (r19 verdict: the duplicate tot
+    // crossJoin added a job to every epochs run). docMixWeights drops
+    // it to keep its declared 5-column schema.
     per.crossJoin(tot)
       .select(col("source"), col("n_docs"), col("n_tokens"),
         expr("(1000000L * n_tokens) div total_tokens").as("share_ppm"),
         least(
           expr("(1000000L * (total_tokens div n_sources)) div n_tokens"),
-          lit(MixUpsampleCapPpm)).as("weight_ppm"))
+          lit(MixUpsampleCapPpm)).as("weight_ppm"),
+        col("total_tokens"))
   }
 
   def docMixWeights(s: SparkSession, d: String): DataFrame =
-    mixWeightsOf(mixPerSource(s, d)).orderBy(col("source"))
+    mixWeightsOf(mixPerSource(s, d)).drop("total_tokens").orderBy(col("source"))
   val docMixWeightsSql: String =
     s"""WITH per AS (
        |  SELECT source, count(*) AS n_docs,
@@ -1188,12 +1194,12 @@ object CurationOps {
     // mixWeightsOf share law — the same definitions docMixTemperature
     // runs through), and the allocation arithmetic
     val per = mixPerSource(s, d).cache()
-    val tot = per.agg(sum($"n_tokens").as("total_tokens"))
     // partitionless window over the SOURCES catalog (≤ thousands of
-    // rows at any corpus size), mirroring the oracle's tsum CTE
+    // rows at any corpus size), mirroring the oracle's tsum CTE.
+    // total_tokens comes THROUGH mixWeightsOf's own totals aggregate —
+    // no second agg+crossJoin over the rollup (r19 verdict fix).
     val out = withTempRoots(mixWeightsOf(per)
-        .select($"source", $"n_tokens", $"share_ppm")
-        .crossJoin(tot))
+        .select($"source", $"n_tokens", $"share_ppm", $"total_tokens"))
       .withColumn("sum_t", sum($"t_half").over(Window.partitionBy()))
       .withColumn("p_ppm", expr("(1000000L * t_half) div sum_t"))
       .withColumn("demand_tokens", expr(
